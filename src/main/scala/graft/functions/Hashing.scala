@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Column-level hashing / normalization helpers, all built from codegen'd
+  * Spark built-ins so they stay inside WholeStageCodegen — no UDFs in the
+  * hot path.
+  *
+  * Reference semantics they reproduce:
+  *  - F1 `simple_hash` (`utils.rs:12-17`): md5 of whitespace-stripped text.
+  *  - A2 order-insensitive multiset hash (`plain_contract.rs:169-177`):
+  *    md5 of the concatenation of the *sorted* per-element hashes.
+  *  - F4 function row id (`functions.rs:31`): md5 over concatenated key parts.
+  */
+object Hashing {
+
+  /** F1: md5(text with ALL whitespace runs removed), lowercase hex. */
+  def simpleHash(c: Column): Column = md5(regexp_replace(c, "\\s+", ""))
+
+  /** A2: aggregate — order-insensitive multiset hash of already-hashed
+    * elements. Commutative by construction (sort before concat), so it is
+    * safe under Spark's nondeterministic partial-aggregation order.
+    */
+  def multisetHash(elementHash: Column): Column =
+    md5(concat_ws("", sort_array(collect_list(elementHash))))
+
+  /** F4: row id = md5 of the concatenated natural-key parts (cast to string). */
+  def rowId(parts: Column*): Column = md5(concat(parts.map(_.cast("string")): _*))
+
+  /** First 15 hex chars of md5 parsed as a 60-bit non-negative long — the
+    * portable "hash to integer" both Spark (`conv`) and the DuckDB oracle
+    * (`('0x'||substr(md5(x),1,15))::BIGINT`) can compute identically.
+    * Used as the base hash for minhash / simhash / LSH.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Second 60-bit long from the tail of the same md5 — an independent hash
+    * for double-hashing schemes (minhash_i = (h1 + i*h2) mod p).
+    */
+  def md5Long2(c: Column): Column =
+    conv(substring(md5(c), 17, 15), 16, 10).cast(LongType)
+
+  /** Exact-sum pattern for double measures: cast each value to DECIMAL(20,6)
+    * (deterministic nearest-rounding from the IEEE double in both Spark and
+    * DuckDB — decimal ties are unrepresentable in binary, so both engines
+    * round identically), sum exactly in decimal, then present as DOUBLE
+    * (exact decimal → nearest double, again deterministic). Presenting as
+    * DOUBLE rather than DECIMAL keeps the physical type identical between
+    * the Spark parquet output and DuckDB's result — what the driver hashes.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(20, 6))).cast("double")
+}

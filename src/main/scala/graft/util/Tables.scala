@@ -1,0 +1,42 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central accessors for the driver's synthetic parquet corpus
+  * (`/root/testdata/sf*`, see TESTDATA.md). One function per table so every
+  * query reads through the same normalization (notably the ns-precision
+  * `events.ts`).
+  *
+  * Scale notes: each accessor is a plain parquet scan — Catalyst handles
+  * column pruning + predicate pushdown, so callers should express filters on
+  * the returned DataFrame and NOT pre-collect. At 100 TB the same accessors
+  * work unchanged; only partition sizing (`spark.sql.files.maxPartitionBytes`)
+  * changes.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (µs) cannot represent natively. We read nanos as a long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive a µs timestamp —
+    * truncation, matching DuckDB's `ts::TIMESTAMP` cast semantics.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+  }
+}
