@@ -43,13 +43,21 @@ object Hashing {
   def md5Long2(c: Column): Column =
     conv(substring(md5(c), 17, 15), 16, 10).cast(LongType)
 
-  /** Exact-sum pattern for double measures: cast each value to DECIMAL(20,6)
-    * (deterministic nearest-rounding from the IEEE double in both Spark and
-    * DuckDB — decimal ties are unrepresentable in binary, so both engines
-    * round identically), sum exactly in decimal, then present as DOUBLE
-    * (exact decimal → nearest double, again deterministic). Presenting as
-    * DOUBLE rather than DECIMAL keeps the physical type identical between
-    * the Spark parquet output and DuckDB's result — what the driver hashes.
+  /** Exact-sum pattern for double measures: cast each value to
+    * DECIMAL(20,6), sum exactly in decimal, then present as DOUBLE.
+    * Presenting as DOUBLE rather than DECIMAL keeps the physical type
+    * identical between the Spark parquet output and DuckDB's result — what
+    * the driver hashes.
+    *
+    * Determinism: both engines round double→DECIMAL(20,6) to nearest and
+    * break exact decimal ties identically — Spark uses BigDecimal HALF_UP
+    * and DuckDB rounds half away from zero (verified:
+    * `CAST(±0.0078125::DOUBLE AS DECIMAL(20,6))` → ±0.007813 in both).
+    * Scale 6 is deliberate: at higher scales (e.g. 10) DuckDB's
+    * double→decimal cast multiplies by 10^scale in double arithmetic, which
+    * for ~1e5 measures exceeds the 53-bit exact range and diverges from
+    * Spark's exact BigDecimal conversion. Exact decimal → nearest double on
+    * output is deterministic in both engines.
     */
   def decSum(c: Column): Column =
     sum(c.cast(DecimalType(20, 6))).cast("double")

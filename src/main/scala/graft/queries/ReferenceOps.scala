@@ -302,7 +302,7 @@ object ReferenceOps {
     Q("q23_except",
       (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("k"))
-        .except(orders(s, d).filter(col("o_totalprice") > 250000.0)
+        .except(orders(s, d).filter(col("o_totalprice") > 450000.0)
           .select(col("o_custkey").as("k")))
         .orderBy("k"),
       Some("SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' " +

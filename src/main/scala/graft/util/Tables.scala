@@ -30,11 +30,15 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) cannot represent natively. We read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive a µs timestamp —
-    * truncation, matching DuckDB's `ts::TIMESTAMP` cast semantics.
+    * (`spark.sql.legacy.parquet.nanosAsLong` — must be set at SparkSession
+    * build time by every entry point; asserted here rather than mutated so a
+    * table accessor has no hidden session-wide side effects) and derive a µs
+    * timestamp — truncation, matching DuckDB's `ts::TIMESTAMP` cast.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build time " +
+        "(see Verify/Bench builders) before reading the events table")
     table(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
