@@ -1,0 +1,72 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Hashing
+
+/** Column-level hashing helpers (F1/A2/F4 + the md5Long base hashes used by
+  * minhash/simhash/LSH). Runs on the shared local session.
+  */
+class HashingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("simpleHash strips ALL whitespace then md5s (F1, utils.rs:12-17)") {
+    val rows = Seq("a b\tc", "  a\n\nbc ", "abc", "ab c\r\n").toDF("t")
+      .select(Hashing.simpleHash($"t").as("h")).distinct().collect()
+    assert(rows.map(_.getString(0)).toSet == Set(md5Hex("abc")))
+  }
+
+  test("simpleHash is whitespace-placement-invariant (randomized)") {
+    val rnd = new scala.util.Random(42)
+    val base = "contract Foo { function bar() public {} }"
+    val variants = (1 to 25).map { _ =>
+      base.flatMap { ch =>
+        val pad = Seq(" ", "\t", "\n", "")(rnd.nextInt(4))
+        if (ch == ' ') pad + " " + pad else ch.toString
+      }
+    }
+    val hs = variants.toDF("t").select(Hashing.simpleHash($"t")).distinct().collect()
+    assert(hs.length == 1)
+    assert(hs.head.getString(0) == md5Hex(base.replaceAll("\\s+", "")))
+  }
+
+  test("multisetHash is element-order-insensitive (A2, plain_contract.rs:169-177)") {
+    val a = Seq(("g", "h1"), ("g", "h2"), ("g", "h3")).toDF("k", "h")
+    val b = Seq(("g", "h3"), ("g", "h1"), ("g", "h2")).toDF("k", "h")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(Hashing.multisetHash($"h").as("mh")).collect().head.getString(1)
+    assert(agg(a) == agg(b))
+    assert(agg(a) == md5Hex("h1h2h3")) // sorted concat
+  }
+
+  test("rowId = md5 of concatenated key parts (F4, functions.rs:31)") {
+    val r = Seq((7L, 2)).toDF("a", "b")
+      .select(Hashing.rowId($"a", lit("|"), $"b")).collect().head.getString(0)
+    assert(r == md5Hex("7|2"))
+  }
+
+  test("md5Long/md5Long2 are non-negative 60-bit and independent") {
+    val rows = (1 to 200).map(_.toString).toDF("t")
+      .select(Hashing.md5Long($"t").as("h1"), Hashing.md5Long2($"t").as("h2"))
+      .collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1L << 60)))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
+    // distinct inputs spread across the range (sanity: no degenerate hashing)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(r => r.getLong(0) == r.getLong(1)).count(identity) == 0)
+  }
+
+  test("decSum sums exactly in decimal (no FP drift) and returns double") {
+    val vals = Seq.fill(1000)(0.1)
+    val s = vals.toDF("v").agg(Hashing.decSum($"v").as("s")).collect().head.getDouble(0)
+    assert(s == 100.0) // naive double summation would give 99.9999999999986
+  }
+}

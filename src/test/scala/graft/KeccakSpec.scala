@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Keccak
+
+/** Keccak-256 against published test vectors (the pre-NIST padding variant
+  * Ethereum uses — reference gets it from alloy, `functions.rs:28-29`).
+  */
+class KeccakSpec extends AnyFunSuite {
+
+  test("empty string") {
+    assert(Keccak.hash256Hex("") ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+  }
+
+  test("abc") {
+    assert(Keccak.hash256Hex("abc") ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+  }
+
+  test("quick brown fox") {
+    assert(Keccak.hash256Hex("The quick brown fox jumps over the lazy dog") ==
+      "4d741b6f1eb29cb2a9b9911c82f56fa8d73b04959d3d9d222895df6c0b28aa15")
+    assert(Keccak.hash256Hex("The quick brown fox jumps over the lazy dog.") ==
+      "578951e24efd62a3d63a86f7cd19aaa53c898fe287d2552133220370240b572d")
+  }
+
+  test("ERC-20 function selectors (reference F2, functions.rs:28-29)") {
+    assert(Keccak.selector("transfer(address,uint256)") == "0xa9059cbb")
+    assert(Keccak.selector("balanceOf(address)") == "0x70a08231")
+    assert(Keccak.selector("totalSupply()") == "0x18160ddd")
+    assert(Keccak.selector("approve(address,uint256)") == "0x095ea7b3")
+    assert(Keccak.selector("transferFrom(address,address,uint256)") == "0x23b872dd")
+  }
+
+  test("ERC-20 event topic hashes (full 32-byte digests)") {
+    assert(Keccak.hash256Hex("Transfer(address,address,uint256)") ==
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(Keccak.hash256Hex("Approval(address,address,uint256)") ==
+      "8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925")
+  }
+
+  test("multi-block absorb (inputs past the 136-byte rate)") {
+    // No offline published vector >136 bytes; pin self-consistency and
+    // structure instead: stable across calls, 32-byte digest, and block-
+    // boundary inputs all distinct from their neighbors.
+    val sizes = Seq(135, 136, 137, 272, 500)
+    val digests = sizes.map(n => Keccak.hash256Hex("a" * n))
+    assert(digests.forall(_.length == 64))
+    assert(digests.distinct.size == sizes.size)
+    assert(Keccak.hash256Hex("a" * 500) == digests.last)
+  }
+
+  test("non-ASCII input hashes its UTF-8 bytes") {
+    // keccak256 over the 2-byte UTF-8 encoding of é, not the code point.
+    assert(Keccak.hash256("é".getBytes("UTF-8")).length == 32)
+    assert(Keccak.hash256Hex("é") != Keccak.hash256Hex("e"))
+  }
+}
