@@ -1,0 +1,498 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Keccak}
+import graft.util.Tables._
+
+/** Large-scale training-data pipeline operators over the `documents`,
+  * `embeddings` and `events` tables: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force cosine top-k,
+  * IVF- and LSH-bucketed variants), text analysis (language ID, quality
+  * scoring, token counting, fingerprinting) and batch window analytics.
+  *
+  * Scale design notes (the point of this module — see each query):
+  *  - every per-document stage is embarrassingly parallel (map-side);
+  *  - all pairwise stages are bounded by a bucketing key (LSH band, IVF
+  *    cell, shared shingle) so no O(n²) shuffle materializes at 100 TB;
+  *  - all hashes derive from md5 (same on both engines) so every operator
+  *    is DuckDB-oracle-checkable; the only number-typed outputs are exact
+  *    integers, integer-ratio doubles, or decSum decimals — bit-stable
+  *    across engines.
+  */
+object TrainingOps {
+
+  // ---- shared text building blocks ---------------------------------------
+
+  /** whitespace tokenization, identical to the oracle's
+    * `regexp_split_to_array(trim(text), '\s+')`.
+    */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** distinct word 3-shingles of a token array (requires size >= 3). */
+  private def shingles(ws: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+        element_at(ws, i + 3))))
+
+  /** (doc_id, shingle) exploded distinct-shingle rows. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(words(col("text")))).as("shingle"))
+
+  /** Oracle CTE prefix producing the same (doc_id, shingle) rows. */
+  private val shCte: String =
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+      "FROM toks, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)"
+
+  /** DuckDB equivalent of [[Hashing.md5Long]]. */
+  private def oMd5Long(sqlExpr: String): String =
+    s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
+
+  // ---- shared embedding building blocks ----------------------------------
+
+  /** Quantize a float embedding to exact 2^20-scaled BIGINTs. Dot products
+    * and norms then live in exact integer arithmetic — order-insensitive
+    * and bit-identical across engines (float→double is exact; scaling by a
+    * power of two is exact; floor is unambiguous). A production engine
+    * would keep raw doubles; quantization is what makes the operator
+    * oracle-checkable, and at 2^20 the cosine error is < 1e-5.
+    */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def norm2Q(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** cosine from quantized vectors: exact ints → deterministic doubles. */
+  private def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  private val oQuant =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+
+  // ---- registry ----------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // ==== deduplication =====================================================
+
+    // Exact dedup: content-hash group-by, keep the smallest id — the Spark
+    // form of the reference's PK dedup (`db.rs:174`) applied to documents.
+    // Scale: one shuffle on the 32-byte hash; survivors stream out.
+    Q("q27_dedup_exact",
+      (s, d) => documents(s, d)
+        .select(Hashing.simpleHash(col("text")).as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .orderBy("keep_id"),
+      Some("SELECT md5(regexp_replace(text, '\\s+', '', 'g')) AS h, " +
+        "min(doc_id) AS keep_id, count(*) AS copies FROM documents " +
+        "GROUP BY 1 ORDER BY keep_id")),
+
+    // MinHash signatures: 8 independent permutations approximated by
+    // band-salted md5; min per (doc, band). Map-side partial min makes the
+    // shuffle tiny (8 rows/doc) regardless of document length.
+    Q("q28_minhash_sig",
+      (s, d) => shingleRows(s, d)
+        .select(col("doc_id"), col("shingle"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("h", Hashing.md5Long(
+          concat(col("band").cast("string"), lit(":"), col("shingle"))))
+        .groupBy("doc_id", "band")
+        .agg(min(col("h")).as("minh"))
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("minh"))
+        .orderBy("doc_id", "band"),
+      Some(s"WITH $shCte, b AS (SELECT doc_id, shingle, j AS band FROM sh, " +
+        "unnest(range(0, 8)) AS u(j)) " +
+        s"SELECT doc_id, band, min(${oMd5Long("band::VARCHAR || ':' || shingle")}) AS minh " +
+        "FROM b GROUP BY doc_id, band ORDER BY doc_id, band")),
+
+    // Full MinHash+LSH near-dup pipeline: signature → 4 bands × 2 rows →
+    // band-key equality buckets → candidate pairs → exact Jaccard verify.
+    // Scale: the only joins are (a) self-join on band-key (collision
+    // buckets, ~dup pairs only) and (b) shingle intersection restricted to
+    // candidates — never all-pairs. This is how dedup survives 100 TB.
+    Q("q29_lsh_neardup",
+      (s, d) => {
+        val sh = shingleRows(s, d)
+        val sig = sh
+          .select(col("doc_id"), col("shingle"),
+            explode(sequence(lit(0), lit(7))).as("band"))
+          .withColumn("h", Hashing.md5Long(
+            concat(col("band").cast("string"), lit(":"), col("shingle"))))
+          .groupBy("doc_id", "band").agg(min(col("h")).as("minh"))
+        val bk = sig
+          .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
+          .agg(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("band"), col("minh")))),
+              e => e.getField("minh").cast("string"))).as("bandkey"))
+        val cand = bk.as("a")
+          .join(bk.as("b"),
+            col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .distinct()
+        val inter = cand
+          .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("idb") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        inter
+          .join(sz.as("za"), col("ida") === col("za.doc_id"))
+          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"),
+            (col("inter").cast("double") /
+              (col("za.n") + col("zb.n") - col("inter"))).as("jacc"))
+          .filter(col("jacc") >= 0.8)
+          .orderBy("ida", "idb")
+      },
+      Some(s"WITH $shCte, b AS (SELECT doc_id, shingle, j AS band FROM sh, " +
+        "unnest(range(0, 8)) AS u(j)), " +
+        s"sig AS (SELECT doc_id, band, min(${oMd5Long("band::VARCHAR || ':' || shingle")}) AS minh " +
+        "FROM b GROUP BY doc_id, band), " +
+        "bk AS (SELECT doc_id, band // 2 AS bk, " +
+        "string_agg(minh::VARCHAR, ',' ORDER BY band) AS bandkey FROM sig GROUP BY doc_id, band // 2), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bk a JOIN bk b " +
+        "ON a.bk = b.bk AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id), " +
+        "iv AS (SELECT ida, idb, count(*) AS inter FROM cand c " +
+        "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb AND sb.shingle = sa.shingle " +
+        "GROUP BY ida, idb), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) " +
+        "SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
+        "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8 ORDER BY ida, idb")),
+
+    // SimHash: 60-bit near-dup fingerprint; one long per document. The
+    // bit-majority vote is a partial-aggregable sum — fully map-side until
+    // the tiny (doc, bit) shuffle.
+    Q("q30_simhash",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+        .withColumn("h", Hashing.md5Long(col("w")))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("v", when(expr("shiftright(h, j) % 2") === 1, 1).otherwise(-1))
+        .groupBy("doc_id", "j").agg(sum(col("v")).as("bsum"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bsum") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "w AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM toks)), " +
+        s"h AS (SELECT doc_id, ${oMd5Long("w")} AS h FROM w), " +
+        "b AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS bsum " +
+        "FROM h, unnest(range(0, 60)) AS u(j) GROUP BY doc_id, j) " +
+        "SELECT doc_id, CAST(SUM(CASE WHEN bsum >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash " +
+        "FROM b GROUP BY doc_id ORDER BY doc_id")),
+
+    // Exact n-gram Jaccard similarity via inverted shingle index — the
+    // brute-force baseline (bounded by shared shingles, not all-pairs);
+    // the LSH pipeline above is the scale path.
+    Q("q31_ngram_jaccard",
+      (s, d) => {
+        val sh = shingleRows(s, d)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.as("za"), col("ida") === col("za.doc_id"))
+          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"),
+            (col("inter").cast("double") /
+              (col("za.n") + col("zb.n") - col("inter"))).as("jacc"))
+          .filter(col("jacc") >= 0.5)
+          .orderBy("ida", "idb")
+      },
+      Some(s"WITH $shCte, " +
+        "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM sh a " +
+        "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) " +
+        "SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
+        "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5 ORDER BY ida, idb")),
+
+    // ==== similarity search ================================================
+
+    // Brute-force cosine top-k against a query vector (the exactness
+    // baseline). The query side is a broadcast of one row; the scan side
+    // streams — no shuffle at all until the final top-k (TakeOrdered).
+    Q("q32_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        val q = e.filter(col("vec_id") === 0).select(col("qv").as("query_v"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosQ(dotQ(col("qv"), col("query_v")),
+              norm2Q(col("qv")), norm2Q(col("query_v"))).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+          .orderBy(col("cos").desc, col("vec_id").asc)
+      },
+      Some(s"WITH qv AS (SELECT $oQuant AS v FROM embeddings WHERE vec_id = 0), " +
+        s"ev AS (SELECT vec_id, $oQuant AS v FROM embeddings WHERE vec_id <> 0), " +
+        "qe AS (SELECT unnest(range(len(v))) AS pos, unnest(v) AS x FROM qv), " +
+        "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        "s AS (SELECT e.vec_id, CAST(SUM(e.x * q.x) AS BIGINT) AS dot, " +
+        "CAST(SUM(e.x * e.x) AS BIGINT) AS n2 FROM ee e JOIN qe q USING (pos) GROUP BY e.vec_id), " +
+        "qn AS (SELECT CAST(SUM(x * x) AS BIGINT) AS qn2 FROM qe) " +
+        "SELECT vec_id, CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cos " +
+        "FROM s, qn ORDER BY cos DESC, vec_id LIMIT 10")),
+
+    // IVF-style near-dup: `label` plays the coarse-quantizer cell; pairwise
+    // cosine only *within* a cell. Scale: shuffle on cell id co-locates each
+    // cell, pairs bounded by cell size (salting handles a skewed cell).
+    Q("q33_ivf_neardup",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), col("label"),
+          quantize(col("embedding")).as("qv"))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+            col("a.label").as("cell"),
+            cosQ(dotQ(col("a.qv"), col("b.qv")),
+              norm2Q(col("a.qv")), norm2Q(col("b.qv"))).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .orderBy("ida", "idb")
+      },
+      Some(s"WITH ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
+        "ee AS (SELECT vec_id, label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +
+        "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.label AS cell, " +
+        "CAST(SUM(a.x * b.x) AS BIGINT) AS dot FROM ee a " +
+        "JOIN ee b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT ida, idb, cell, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos " +
+        "FROM p JOIN n na ON ida = na.vec_id JOIN n nb ON idb = nb.vec_id " +
+        "WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35 " +
+        "ORDER BY ida, idb")),
+
+    // Random-hyperplane LSH signatures: 16 sign bits per vector, planes
+    // derived from md5 parity (deterministic on both engines). Bucketing on
+    // the signature is the ANN scale path: candidate generation becomes an
+    // equi-join on `bucket`.
+    Q("q34_lsh_embed_sig",
+      (s, d) => embeddings(s, d)
+        .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("x"), explode(sequence(lit(0), lit(15))).as("p"),
+          col("pos"))
+        .withColumn("sgn",
+          when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
+            col("pos").cast("string"))) % 2 === 1, 1L).otherwise(-1L))
+        .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("proj"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("proj") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+        .orderBy("vec_id"),
+      Some(s"WITH ev AS (SELECT vec_id, $oQuant AS v FROM embeddings), " +
+        "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        "pr AS (SELECT vec_id, p, SUM(x * (CASE WHEN " +
+        oMd5Long("p::VARCHAR || ':' || pos::VARCHAR") + " % 2 = 1 THEN 1 ELSE -1 END)) AS proj " +
+        "FROM ee, unnest(range(0, 16)) AS u(p) GROUP BY vec_id, p) " +
+        "SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM pr GROUP BY vec_id ORDER BY vec_id")),
+
+    // ==== text analysis ====================================================
+
+    // Language ID by stopword-profile scoring (n-gram heuristic family).
+    // Pure map-side; the dictionaries broadcast as literals.
+    Q("q35_lang_id",
+      (s, d) => {
+        val en = Seq("the", "a", "of", "and", "to", "in", "is")
+        val de = Seq("der", "die", "das", "und", "ist", "ein")
+        val fr = Seq("le", "la", "les", "et", "des", "un")
+        val ws = words(col("text"))
+        def score(dict: Seq[String]) =
+          size(filter(ws, w => w.isInCollection(dict))).cast("double") / size(ws)
+        documents(s, d)
+          .select(col("doc_id"), col("lang").as("declared"),
+            score(en).as("s_en"), score(de).as("s_de"), score(fr).as("s_fr"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+              && col("s_en") > 0, "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+              .when(col("s_fr") > 0, "fr")
+              .otherwise("und"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, declared, s_en, s_de, s_fr, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de > 0 THEN 'de' " +
+        "WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted " +
+        "FROM (SELECT doc_id, lang AS declared, " +
+        "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(ws) AS s_en, " +
+        "len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein')))::DOUBLE / len(ws) AS s_de, " +
+        "len(list_filter(ws, w -> w IN ('le','la','les','et','des','un')))::DOUBLE / len(ws) AS s_fr " +
+        "FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)) " +
+        "ORDER BY doc_id")),
+
+    // Quality scoring: length, lexical diversity, stopword ratio → one
+    // composite in [0,1]. All ratios are int/int doubles — deterministic.
+    Q("q36_quality_score",
+      (s, d) => {
+        val ws = words(col("text"))
+        val nTok = size(ws)
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            (size(array_distinct(ws)).cast("double") / nTok).as("ttr"),
+            (size(filter(ws, w => w.isInCollection(stop))).cast("double") / nTok)
+              .as("stop_ratio"),
+            (aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
+              .cast("double") / nTok).as("avg_wlen"))
+          .withColumn("score",
+            least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.4
+              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.3)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, n_tokens, ttr, stop_ratio, avg_wlen, " +
+        "least(n_tokens / 50.0, 1.0) * 0.4 + ttr * 0.3 + (1.0 - stop_ratio) * 0.3 AS score " +
+        "FROM (SELECT doc_id, len(ws) AS n_tokens, " +
+        "len(list_distinct(ws))::DOUBLE / len(ws) AS ttr, " +
+        "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(ws) AS stop_ratio, " +
+        "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_wlen " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)) " +
+        "ORDER BY doc_id")),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single symbols), plus char/byte lengths.
+    Q("q37_token_count",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          size(words(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+          length(col("text")).as("n_chars"),
+          expr("octet_length(text)").cast("long").as("n_bytes"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens, " +
+        "length(text) AS n_chars, strlen(text) AS n_bytes " +
+        "FROM documents ORDER BY doc_id")),
+
+    // Document fingerprint: bottom-5 sketch of shingle hashes (a
+    // winnowing-style content signature robust to local edits). Map-side
+    // partial TOP-K via sort_array+slice keeps the shuffle at 5 hashes/doc.
+    Q("q38_fingerprint",
+      (s, d) => shingleRows(s, d)
+        .select(col("doc_id"), md5(col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(md5(concat_ws("", slice(sort_array(collect_set(col("h"))), 1, 5)))
+          .as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"WITH $shCte, dh AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh), " +
+        "rn AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r FROM dh) " +
+        "SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS fingerprint " +
+        "FROM rn WHERE r <= 5 GROUP BY doc_id ORDER BY doc_id")),
+
+    // ==== batch window analytics (events) ==================================
+
+    // Tumbling 1-hour windows — the batch form of the Structured Streaming
+    // windowed agg (same `window()` call works under readStream).
+    Q("q39_tumbling_window",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Hashing.decSum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some("SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type, " +
+        "count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type")),
+
+    // Session windows (30-minute gap) per user — `session_window` in Spark,
+    // gaps-and-islands in the oracle. Works identically under streaming
+    // with a watermark.
+    Q("q40_session_window",
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Hashing.decSum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"),
+          col("sum_value"))
+        .orderBy("user_id", "sess_start"),
+      Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events), " +
+        "l AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM l) " +
+        "SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start")),
+
+    // Sliding windows (1 hour every 30 min): each event lands in exactly
+    // two windows; Spark's `window(slide)` generator vs an explicit
+    // 2-bucket unnest in the oracle.
+    Q("q41_sliding_window",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type"),
+      Some("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+        "w AS (SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) AS win_start, " +
+        "event_type FROM e, unnest([0, 1]) AS u(k)) " +
+        "SELECT win_start, event_type, count(*) AS n FROM w " +
+        "GROUP BY win_start, event_type ORDER BY win_start, event_type")),
+
+    // ==== multimodal plumbing =============================================
+
+    // Opaque binary payload + typed metadata: the engine treats media as
+    // `binary` columns; metadata (byte length, content digest, magic-byte
+    // prefix) is computed without decoding. ASCII corpus ⇒ char==byte for
+    // the oracle's substr.
+    Q("q42_binary_meta",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("digest"),
+          lower(hex(expr("substring(payload, 1, 8)"))).as("magic"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest, " +
+        "lower(hex(encode(substr(text, 1, 8)))) AS magic FROM documents ORDER BY doc_id")),
+
+    // Decode/feature-extract over binary payloads via typed mapPartitions
+    // (the Scala analog of mapInPandas batches; decode itself is a
+    // deterministic stub — see graft.multimodal). Not SQL-expressible →
+    // rows-only check; semantics covered by MultimodalSpec.
+    Q("q43_multimodal_decode",
+      (s, d) => graft.multimodal.Multimodal.featureQuery(s, d),
+      None),
+
+    // ==== derivation: ABI selector surface (F2/F3) =========================
+
+    // Canonical signature + keccak-256 4-byte selector, the reference's
+    // `function.selector` derivation (`functions.rs:28-31`) exercised on the
+    // event_type domain. Keccak is a pure-Scala UDF validated against
+    // published vectors (KeccakSpec); the oracle pins the expected
+    // selectors as constants.
+    Q("q44_selector",
+      (s, d) => {
+        val sel = udf((sig: String) => Keccak.selector(sig))
+        events(s, d)
+          .select(col("event_type")).distinct()
+          .withColumn("signature", concat(col("event_type"), lit("(address,uint256)")))
+          .withColumn("selector", sel(col("signature")))
+          .withColumn("row_id", Hashing.rowId(col("event_type"), lit("|"), col("selector")))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, event_type || '(address,uint256)' AS signature, " +
+        "CASE event_type WHEN 'click' THEN '0x20948731' WHEN 'purchase' THEN '0x8de93222' " +
+        "WHEN 'signup' THEN '0x7f8cb4c1' WHEN 'error' THEN '0x87873088' " +
+        "WHEN 'view' THEN '0x315ad64a' END AS selector, " +
+        "md5(event_type || '|' || (CASE event_type WHEN 'click' THEN '0x20948731' " +
+        "WHEN 'purchase' THEN '0x8de93222' WHEN 'signup' THEN '0x7f8cb4c1' " +
+        "WHEN 'error' THEN '0x87873088' WHEN 'view' THEN '0x315ad64a' END)) AS row_id " +
+        "FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type"))
+  )
+}

@@ -41,6 +41,9 @@ object Tables {
         "(see Verify/Bench builders) before reading the events table")
     table(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(floor(col("ts").cast("long") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: Spark's `/` is double division, and ~1.7e18
+      // ns exceeds the 53-bit exact double range — floor(ns/1000.0) can be
+      // off by 1µs near microsecond boundaries
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }
