@@ -1,0 +1,76 @@
+package graft.contracts
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** U2: the `index-functions` derivation pipeline (`main.rs:260-338`,
+  * `plain_contract.rs:484-525`) — contract rows → per-function rows.
+  *
+  * Spark shape (SURVEY §3.2): `filter(≠vyper) → flatMap(scan) → table`;
+  * the reference's tokio-task/Mutex/barrier machinery disappears into
+  * partition parallelism, and the solc subprocess is replaced by the
+  * compiler-free [[Solidity]] scanner (the `CompilerBackend` seam of
+  * SURVEY §7.4). Each task scans its partition's contracts independently —
+  * at 100 TB this is a pure map stage, no shuffle at all until the sink's
+  * id-dedup.
+  */
+object Derive {
+
+  final case class FileRow(
+      contract_id: String,
+      filename: String,
+      content: String)
+
+  /** function table rows (db.rs:74-84 schema). */
+  final case class FunctionRow(
+      id: String,
+      contract_id: String,
+      contract_name: String,
+      function_name: String,
+      filename: String,
+      signature: String,
+      selector: String,
+      source_code: String)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** contracts (Ingest schema) → function table. */
+  def functions(contracts: DataFrame): Dataset[FunctionRow] = {
+    val s = contracts.sparkSession
+    import s.implicits._
+    contracts
+      .filter(col("source_type") =!= "vyper") // P6 language gate (main.rs:298-300)
+      .select(col("id").as("contract_id"), explode(col("files")).as("f"))
+      .select(col("contract_id"), col("f.name").as("filename"),
+        col("f.content").as("content"))
+      .filter(col("filename").endsWith(".sol"))
+      .as[FileRow]
+      .flatMap { fr =>
+        Solidity.extractFunctions(fr.content).map { fn =>
+          FunctionRow(
+            // F4 row id = md5(contract_id ‖ filename ‖ selector)
+            // (functions.rs:31)
+            id = md5Hex(fr.contract_id + fr.filename + fn.selector),
+            contract_id = fr.contract_id,
+            contract_name = fn.contractName,
+            function_name = fn.functionName,
+            filename = fr.filename,
+            signature = fn.signature,
+            selector = fn.selector,
+            source_code = fn.sourceCode)
+        }
+      }
+  }
+
+  /** Full derivation as a registry query: deterministic ordering, key
+    * columns only (source_code slices are asserted by golden specs).
+    */
+  def functionTable(s: SparkSession, root: String): DataFrame =
+    functions(Ingest.contracts(s, root))
+      .toDF()
+      .select("id", "contract_id", "contract_name", "function_name",
+        "filename", "signature", "selector")
+      .orderBy("contract_id", "filename", "selector")
+}

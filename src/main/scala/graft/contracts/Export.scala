@@ -1,0 +1,51 @@
+package graft.contracts
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** S11: filesystem export sink (`plain_contract.rs:528-535` →
+  * `write_entries` `:204-225`, `sanitize_path` `:228-240`). Point-lookup a
+  * contract by id, explode its files, materialize them under `outDir` —
+  * tiny cardinality by construction, so the collect-then-write is the
+  * right shape (SURVEY §3.3).
+  */
+object Export {
+
+  /** Drop `..` components and any absolute-root prefix — forced-relative
+    * path (`plain_contract.rs:228-240`).
+    */
+  def sanitizePath(p: String): String =
+    p.split('/').iterator
+      .filter(seg => seg.nonEmpty && seg != "." && seg != "..")
+      .mkString("/")
+
+  /** Append ".sol" iff the name has no extension and the extended name
+    * does not collide with an existing sibling (`plain_contract.rs:207-216`).
+    */
+  def defaultExtension(name: String, siblings: Set[String]): String = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    if (base.contains('.')) name
+    else if (siblings.contains(name + ".sol")) name
+    else name + ".sol"
+  }
+
+  /** Export one contract's source files; returns the paths written. */
+  def exportSource(s: SparkSession, root: String, contractId: String,
+      outDir: String): Seq[Path] = {
+    val rows = Ingest.contracts(s, root)
+      .filter(col("id") === contractId).limit(1)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.name"), col("f.content"))
+      .collect()
+    val names = rows.map(r => sanitizePath(r.getString(0))).toSet
+    rows.toSeq.map { r =>
+      val rel = defaultExtension(sanitizePath(r.getString(0)), names)
+      val target = Paths.get(outDir).resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.writeString(target, r.getString(1))
+      target
+    }
+  }
+}
