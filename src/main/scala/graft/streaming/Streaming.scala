@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Structured Streaming forms of the engine's window analytics. The
+  * reference is batch-only (SURVEY §2.10) — these are the capability
+  * extension: the *same* declarative aggregations as q39/q40 run
+  * incrementally under `readStream` with watermarked state eviction.
+  *
+  * Scale notes: state is keyed by (window, group) resp. (session, user);
+  * the watermark bounds state size, and partial aggregation applies
+  * map-side before the state-store shuffle — the streaming analog of the
+  * batch plan. At 100 TB/day the same pipelines run with a file or Kafka
+  * source and a checkpointed sink; nothing here is source-specific.
+  */
+object Streaming {
+
+  /** Tumbling-window counts/sums (streaming q39). Append-mode emits each
+    * window once its end passes the watermark; late rows beyond
+    * `watermark` are dropped.
+    */
+  def tumblingAgg(events: DataFrame, watermark: String = "30 minutes",
+      width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Hashing.decSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Session windows per user with a 30-minute gap (streaming q40). */
+  def sessionAgg(events: DataFrame, watermark: String = "30 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Hashing.decSum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"),
+        col("sum_value"))
+}

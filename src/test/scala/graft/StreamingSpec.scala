@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+/** Streaming window analytics driven through MemoryStream micro-batches —
+  * verifies incremental emission and watermark late-data semantics match
+  * the batch operators (q39/q40).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  test("tumbling windows emit on watermark passage and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streaming.tumblingAgg(
+        in.toDF().toDF("ts", "event_type", "value"), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+
+    // hour-0 events
+    in.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(40), "view", 3.0))
+    q.processAllAvailable()
+    // watermark still inside hour 0 → nothing final yet
+    assert(spark.table("tumbling").count() == 0)
+
+    // advance event time to 02:10 → watermark 01:40 > hour-0 end → emit
+    in.addData((ts(130), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(rows.contains((ts(0), "click", 2L, 3.0)))
+    assert(rows.contains((ts(0), "view", 1L, 3.0)))
+    // the hour-2 window is NOT emitted (watermark hasn't passed it)
+    assert(!rows.exists(_._1 == ts(120)))
+  }
+
+  test("late rows beyond the watermark are dropped, not re-aggregated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streaming.tumblingAgg(
+        in.toDF().toDF("ts", "event_type", "value"), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    in.addData((ts(10), "click", 1.0))
+    q.processAllAvailable()
+    in.addData((ts(200), "click", 1.0)) // watermark → 02:50
+    q.processAllAvailable()
+    in.addData((ts(15), "click", 100.0)) // late into the already-final hour 0
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("late").collect()
+      .filter(_.getAs[Timestamp]("win_start") == ts(0))
+    assert(hour0.length == 1)
+    assert(hour0.head.getAs[Long]("n") == 1L) // the late row did not reopen it
+  }
+
+  test("session windows merge within gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = Streaming.sessionAgg(
+        in.toDF().toDF("ts", "user_id", "value"), "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: 00:00,00:10,00:20 (one session) then 01:30 (new session)
+    in.addData((ts(0), 1L, 1.0), (ts(10), 1L, 1.0), (ts(20), 1L, 1.0),
+      (ts(90), 1L, 5.0))
+    q.processAllAvailable()
+    in.addData((ts(300), 1L, 0.0)) // push watermark far past both sessions
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sessions").collect()
+      .map(r => (r.getAs[Timestamp]("sess_start"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+      .filter(_._1.before(ts(200))).sortBy(_._1.getTime)
+    assert(sess.length == 2)
+    assert(sess(0) == ((ts(0), 3L, 3.0)))
+    assert(sess(1) == ((ts(90), 1L, 5.0)))
+  }
+}
