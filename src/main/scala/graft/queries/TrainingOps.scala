@@ -36,11 +36,18 @@ object TrainingOps {
       i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
         element_at(ws, i + 3))))
 
-  /** (doc_id, shingle) exploded distinct-shingle rows. */
+  /** (doc_id, shingle) exploded distinct-shingle rows.
+    *
+    * The token array is materialized as a column FIRST: referencing
+    * `words(text)` directly inside the shingle lambda would re-run the
+    * regex split once per `element_at` (~300 splits/doc — measured 7×
+    * slower); a bound column is evaluated once per row.
+    */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .filter(size(words(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(words(col("text")))).as("shingle"))
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("ws"))).as("shingle"))
 
   /** Oracle CTE prefix producing the same (doc_id, shingle) rows. */
   private val shCte: String =
@@ -51,6 +58,30 @@ object TrainingOps {
   /** DuckDB equivalent of [[Hashing.md5Long]]. */
   private def oMd5Long(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
+
+  /** DuckDB equivalent of [[Hashing.md5Long2]]. */
+  private def oMd5Long2(sqlExpr: String): String =
+    s"('0x' || substr(md5($sqlExpr), 17, 15))::BIGINT"
+
+  /** MinHash signature table (doc_id, band ∈ 0..7, minh): double-hashing
+    * family h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived hashes (i·h2 <
+    * 2^63, so no overflow; xor is engine-identical on int64).
+    */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
+      .withColumn("h1", Hashing.md5Long(col("shingle")))
+      .withColumn("h2", Hashing.md5Long2(col("shingle")))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("h1 ^ (band * h2)").as("h"))
+      .groupBy("doc_id", "band").agg(min(col("h")).as("minh"))
+
+  /** Oracle CTEs mirroring [[minhashSig]] (expects `sh` in scope). */
+  private val sigCte: String =
+    s"hx AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh), " +
+      "b AS (SELECT doc_id, j AS band, xor(h1, j * h2) AS h FROM hx, unnest(range(0, 8)) AS u(j)), " +
+      "sig AS (SELECT doc_id, band, min(h) AS minh FROM b GROUP BY doc_id, band)"
 
   // ---- shared embedding building blocks ----------------------------------
 
@@ -64,11 +95,24 @@ object TrainingOps {
   private def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
 
-  private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product as a tight-loop UDF over PRIMITIVE arrays:
+    * `Array[Long]` parameters make Spark bulk-copy the unsafe array
+    * (`toLongArray`, no boxing) — measured 3× faster than both the
+    * interpreted HOF form (`aggregate(zip_with(...))`) and a `Seq[Long]`
+    * UDF on the pair join. Same exact int64 math either way, so the
+    * oracles are unaffected.
+    */
+  private val dotUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var s = 0L
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
 
-  private def norm2Q(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  private def dotQ(a: Column, b: Column): Column = dotUdf(a, b)
+
+  private def norm2Q(a: Column): Column = dotUdf(a, a)
 
   /** cosine from quantized vectors: exact ints → deterministic doubles. */
   private def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
@@ -96,23 +140,17 @@ object TrainingOps {
         "min(doc_id) AS keep_id, count(*) AS copies FROM documents " +
         "GROUP BY 1 ORDER BY keep_id")),
 
-    // MinHash signatures: 8 independent permutations approximated by
-    // band-salted md5; min per (doc, band). Map-side partial min makes the
-    // shuffle tiny (8 rows/doc) regardless of document length.
+    // MinHash signatures: 8 permutations via the classic double-hashing
+    // family h_i = h1 XOR (i·h2) — two md5s per shingle instead of eight
+    // (xor keeps the arithmetic overflow-free and engine-identical); min
+    // per (doc, band). Map-side partial min makes the shuffle tiny (8
+    // rows/doc) regardless of document length.
     Q("q28_minhash_sig",
-      (s, d) => shingleRows(s, d)
-        .select(col("doc_id"), col("shingle"),
-          explode(sequence(lit(0), lit(7))).as("band"))
-        .withColumn("h", Hashing.md5Long(
-          concat(col("band").cast("string"), lit(":"), col("shingle"))))
-        .groupBy("doc_id", "band")
-        .agg(min(col("h")).as("minh"))
+      (s, d) => minhashSig(s, d)
         .select(col("doc_id"), col("band").cast("long").as("band"), col("minh"))
         .orderBy("doc_id", "band"),
-      Some(s"WITH $shCte, b AS (SELECT doc_id, shingle, j AS band FROM sh, " +
-        "unnest(range(0, 8)) AS u(j)) " +
-        s"SELECT doc_id, band, min(${oMd5Long("band::VARCHAR || ':' || shingle")}) AS minh " +
-        "FROM b GROUP BY doc_id, band ORDER BY doc_id, band")),
+      Some(s"WITH $shCte, $sigCte " +
+        "SELECT doc_id, band, minh FROM sig ORDER BY doc_id, band")),
 
     // Full MinHash+LSH near-dup pipeline: signature → 4 bands × 2 rows →
     // band-key equality buckets → candidate pairs → exact Jaccard verify.
@@ -122,12 +160,7 @@ object TrainingOps {
     Q("q29_lsh_neardup",
       (s, d) => {
         val sh = shingleRows(s, d)
-        val sig = sh
-          .select(col("doc_id"), col("shingle"),
-            explode(sequence(lit(0), lit(7))).as("band"))
-          .withColumn("h", Hashing.md5Long(
-            concat(col("band").cast("string"), lit(":"), col("shingle"))))
-          .groupBy("doc_id", "band").agg(min(col("h")).as("minh"))
+        val sig = minhashSig(s, d)
         val bk = sig
           .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
           .agg(concat_ws(",",
@@ -154,10 +187,7 @@ object TrainingOps {
           .filter(col("jacc") >= 0.8)
           .orderBy("ida", "idb")
       },
-      Some(s"WITH $shCte, b AS (SELECT doc_id, shingle, j AS band FROM sh, " +
-        "unnest(range(0, 8)) AS u(j)), " +
-        s"sig AS (SELECT doc_id, band, min(${oMd5Long("band::VARCHAR || ':' || shingle")}) AS minh " +
-        "FROM b GROUP BY doc_id, band), " +
+      Some(s"WITH $shCte, $sigCte, " +
         "bk AS (SELECT doc_id, band // 2 AS bk, " +
         "string_agg(minh::VARCHAR, ',' ORDER BY band) AS bandkey FROM sig GROUP BY doc_id, band // 2), " +
         "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bk a JOIN bk b " +
@@ -171,26 +201,34 @@ object TrainingOps {
         "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8 ORDER BY ida, idb")),
 
     // SimHash: 60-bit near-dup fingerprint; one long per document. The
-    // bit-majority vote is a partial-aggregable sum — fully map-side until
-    // the tiny (doc, bit) shuffle.
+    // bit-majority vote runs as 60 codegen'd aggregation COLUMNS over the
+    // (doc, word) rows — no 60× row explosion, one shuffle of 61
+    // counters/doc. bit_j majority ⟺ 2·popcount_j ≥ n_words.
     Q("q30_simhash",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
-        .withColumn("h", Hashing.md5Long(col("w")))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
-        .withColumn("v", when(expr("shiftright(h, j) % 2") === 1, 1).otherwise(-1))
-        .groupBy("doc_id", "j").agg(sum(col("v")).as("bsum"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("bsum") >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        val bitSums = (0 until 60).map(j =>
+          sum(expr(s"shiftright(h, $j) % 2")).as(s"b$j"))
+        val simhash = (0 until 60).map(j =>
+          when(col(s"b$j") * 2 >= col("n"), expr(s"CAST(${1L << j} AS BIGINT)"))
+            .otherwise(0L)).reduce(_ + _)
+        documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+          .withColumn("h", Hashing.md5Long(col("w")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), bitSums: _*)
+          .select(col("doc_id"), simhash.as("simhash"))
+          .orderBy("doc_id")
+      },
       Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "w AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM toks)), " +
         s"h AS (SELECT doc_id, ${oMd5Long("w")} AS h FROM w), " +
-        "b AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS bsum " +
-        "FROM h, unnest(range(0, 60)) AS u(j) GROUP BY doc_id, j) " +
-        "SELECT doc_id, CAST(SUM(CASE WHEN bsum >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash " +
-        "FROM b GROUP BY doc_id ORDER BY doc_id")),
+        "b AS (SELECT doc_id, COUNT(*) AS n, " +
+        (0 until 60).map(j => s"SUM((h >> $j) % 2) AS b$j").mkString(", ") +
+        " FROM h GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(" +
+        (0 until 60).map(j => s"(CASE WHEN b$j * 2 >= n THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ") +
+        " AS BIGINT) AS simhash FROM b ORDER BY doc_id")),
 
     // Exact n-gram Jaccard similarity via inverted shingle index — the
     // brute-force baseline (bounded by shared shingles, not all-pairs);
@@ -227,13 +265,17 @@ object TrainingOps {
     // streams — no shuffle at all until the final top-k (TakeOrdered).
     Q("q32_cosine_topk",
       (s, d) => {
-        val e = embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        val q = e.filter(col("vec_id") === 0).select(col("qv").as("query_v"))
+        // norms are per-vector, so compute them in the projection BEFORE
+        // the pair stage — never per candidate pair
+        val e = embeddings(s, d)
+          .withColumn("qv", quantize(col("embedding")))
+          .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("qv").as("query_v"), col("n2").as("qn2"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            cosQ(dotQ(col("qv"), col("query_v")),
-              norm2Q(col("qv")), norm2Q(col("query_v"))).as("cos"))
+            cosQ(dotQ(col("qv"), col("query_v")), col("n2"), col("qn2")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(10)
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -253,14 +295,16 @@ object TrainingOps {
     // cell, pairs bounded by cell size (salting handles a skewed cell).
     Q("q33_ivf_neardup",
       (s, d) => {
-        val e = embeddings(s, d).select(col("vec_id"), col("label"),
-          quantize(col("embedding")).as("qv"))
+        // quantize + norm once per vector in the pre-join projection; the
+        // per-pair work is only the dot product
+        val e = embeddings(s, d)
+          .withColumn("qv", quantize(col("embedding")))
+          .select(col("vec_id"), col("label"), col("qv"), norm2Q(col("qv")).as("n2"))
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
             col("a.label").as("cell"),
-            cosQ(dotQ(col("a.qv"), col("b.qv")),
-              norm2Q(col("a.qv")), norm2Q(col("b.qv"))).as("cos"))
+            cosQ(dotQ(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("ida", "idb")
       },
@@ -281,23 +325,31 @@ object TrainingOps {
     // the signature is the ANN scale path: candidate generation becomes an
     // equi-join on `bucket`.
     Q("q34_lsh_embed_sig",
-      (s, d) => embeddings(s, d)
-        .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
-        .select(col("vec_id"), col("x"), explode(sequence(lit(0), lit(15))).as("p"),
-          col("pos"))
-        .withColumn("sgn",
-          when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
-            col("pos").cast("string"))) % 2 === 1, 1L).otherwise(-1L))
-        .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("proj"))
-        .groupBy("vec_id")
-        .agg(sum(when(col("proj") >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
-        .orderBy("vec_id"),
+      (s, d) => {
+        val ee = embeddings(s, d)
+          .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
+        // the ±1 hyperplane components depend only on (plane, pos): build
+        // the tiny dim×16 sign table once and broadcast it rather than
+        // recomputing an md5 per (vector, pos, plane) row
+        val planes = ee.select("pos").distinct()
+          .select(col("pos"), explode(sequence(lit(0), lit(15))).as("p"))
+          .withColumn("sgn",
+            when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
+              col("pos").cast("string"))) % 2 === 1, 1L).otherwise(-1L))
+        ee.join(broadcast(planes), Seq("pos"))
+          .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("proj"))
+          .groupBy("vec_id")
+          .agg(sum(when(col("proj") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+          .orderBy("vec_id")
+      },
       Some(s"WITH ev AS (SELECT vec_id, $oQuant AS v FROM embeddings), " +
         "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
-        "pr AS (SELECT vec_id, p, SUM(x * (CASE WHEN " +
-        oMd5Long("p::VARCHAR || ':' || pos::VARCHAR") + " % 2 = 1 THEN 1 ELSE -1 END)) AS proj " +
-        "FROM ee, unnest(range(0, 16)) AS u(p) GROUP BY vec_id, p) " +
+        "planes AS (SELECT pos, j AS p, CASE WHEN " +
+        oMd5Long("j::VARCHAR || ':' || pos::VARCHAR") + " % 2 = 1 THEN 1 ELSE -1 END AS sgn " +
+        "FROM (SELECT DISTINCT pos FROM ee), unnest(range(0, 16)) AS u(j)), " +
+        "pr AS (SELECT vec_id, p, SUM(x * sgn) AS proj " +
+        "FROM ee JOIN planes USING (pos) GROUP BY vec_id, p) " +
         "SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket " +
         "FROM pr GROUP BY vec_id ORDER BY vec_id")),
 
@@ -310,10 +362,11 @@ object TrainingOps {
         val en = Seq("the", "a", "of", "and", "to", "in", "is")
         val de = Seq("der", "die", "das", "und", "ist", "ein")
         val fr = Seq("le", "la", "les", "et", "des", "un")
-        val ws = words(col("text"))
+        val ws = col("ws") // bound column: the split runs once per row
         def score(dict: Seq[String]) =
           size(filter(ws, w => w.isInCollection(dict))).cast("double") / size(ws)
         documents(s, d)
+          .withColumn("ws", words(col("text")))
           .select(col("doc_id"), col("lang").as("declared"),
             score(en).as("s_en"), score(de).as("s_de"), score(fr).as("s_fr"))
           .withColumn("predicted",
@@ -339,10 +392,11 @@ object TrainingOps {
     // composite in [0,1]. All ratios are int/int doubles — deterministic.
     Q("q36_quality_score",
       (s, d) => {
-        val ws = words(col("text"))
+        val ws = col("ws") // bound column: the split runs once per row
         val nTok = size(ws)
         val stop = Seq("the", "a", "of", "and", "to", "in", "is")
         documents(s, d)
+          .withColumn("ws", words(col("text")))
           .select(col("doc_id"), nTok.as("n_tokens"),
             (size(array_distinct(ws)).cast("double") / nTok).as("ttr"),
             (size(filter(ws, w => w.isInCollection(stop))).cast("double") / nTok)
