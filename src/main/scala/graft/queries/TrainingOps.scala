@@ -121,6 +121,33 @@ object TrainingOps {
   private val oQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
+  /** Random-hyperplane sign buckets (vec_id, bucket): n sign bits from
+    * md5-parity ±1 planes over a broadcast (pos, plane) table.
+    */
+  private def hyperBuckets(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    val ee = embeddings(s, d)
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
+    val planes = ee.select("pos").distinct()
+      .select(col("pos"), explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
+      .withColumn("sgn",
+        when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
+          col("pos").cast("string"))) % 2 === 1, 1L).otherwise(-1L))
+    ee.join(broadcast(planes), Seq("pos"))
+      .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+  }
+
+  /** Oracle CTEs mirroring [[hyperBuckets]]: expects `ev`,`ee`; yields `bk`. */
+  private def oHyperCte(nPlanes: Int): String =
+    "planes AS (SELECT pos, j AS p, CASE WHEN " +
+      oMd5Long("j::VARCHAR || ':' || pos::VARCHAR") + " % 2 = 1 THEN 1 ELSE -1 END AS sgn " +
+      s"FROM (SELECT DISTINCT pos FROM ee), unnest(range(0, $nPlanes)) AS u(j)), " +
+      "pr AS (SELECT vec_id, p, SUM(x * sgn) AS proj FROM ee JOIN planes USING (pos) GROUP BY vec_id, p), " +
+      "bk AS (SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM pr GROUP BY vec_id)"
+
   // ---- registry ----------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -325,33 +352,14 @@ object TrainingOps {
     // the signature is the ANN scale path: candidate generation becomes an
     // equi-join on `bucket`.
     Q("q34_lsh_embed_sig",
-      (s, d) => {
-        val ee = embeddings(s, d)
-          .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
-        // the ±1 hyperplane components depend only on (plane, pos): build
-        // the tiny dim×16 sign table once and broadcast it rather than
-        // recomputing an md5 per (vector, pos, plane) row
-        val planes = ee.select("pos").distinct()
-          .select(col("pos"), explode(sequence(lit(0), lit(15))).as("p"))
-          .withColumn("sgn",
-            when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
-              col("pos").cast("string"))) % 2 === 1, 1L).otherwise(-1L))
-        ee.join(broadcast(planes), Seq("pos"))
-          .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("proj"))
-          .groupBy("vec_id")
-          .agg(sum(when(col("proj") >= 0,
-            expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
-          .orderBy("vec_id")
-      },
+      // the ±1 hyperplane components depend only on (plane, pos): the sign
+      // table is built once and broadcast rather than recomputing an md5
+      // per (vector, pos, plane) row
+      (s, d) => hyperBuckets(s, d, 16).orderBy("vec_id"),
       Some(s"WITH ev AS (SELECT vec_id, $oQuant AS v FROM embeddings), " +
         "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
-        "planes AS (SELECT pos, j AS p, CASE WHEN " +
-        oMd5Long("j::VARCHAR || ':' || pos::VARCHAR") + " % 2 = 1 THEN 1 ELSE -1 END AS sgn " +
-        "FROM (SELECT DISTINCT pos FROM ee), unnest(range(0, 16)) AS u(j)), " +
-        "pr AS (SELECT vec_id, p, SUM(x * sgn) AS proj " +
-        "FROM ee JOIN planes USING (pos) GROUP BY vec_id, p) " +
-        "SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket " +
-        "FROM pr GROUP BY vec_id ORDER BY vec_id")),
+        oHyperCte(16) +
+        " SELECT vec_id, bucket FROM bk ORDER BY vec_id")),
 
     // ==== text analysis ====================================================
 
@@ -522,6 +530,89 @@ object TrainingOps {
     Q("q43_multimodal_decode",
       (s, d) => graft.multimodal.Multimodal.featureQuery(s, d),
       None),
+
+    // ==== robustness & scale techniques ====================================
+
+    // P7 error-row filtering (`main.rs:106-111`): permissive parse of a
+    // partially corrupt JSON column — parse failures become nulls, not
+    // pipeline aborts; a validity flag keeps the corrupt count auditable.
+    Q("q47_permissive_parse",
+      (s, d) => {
+        // the columnNameOfCorruptRecord idiom: corrupt payloads land in a
+        // side column instead of nulling silently — `parsed.isNotNull`
+        // alone is NOT a validity test (permissive mode yields an all-null
+        // row, not a null struct, for scalar-prefixed garbage)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("_corrupt",
+            org.apache.spark.sql.types.StringType)))
+        events(s, d)
+          // every 3rd row corrupted: drop the opening brace
+          .withColumn("payload", when(col("event_id") % 3 === 0,
+            expr("substring(props, 2)")).otherwise(col("props")))
+          .withColumn("parsed", from_json(col("payload"), schema,
+            Map("columnNameOfCorruptRecord" -> "_corrupt")))
+          .select(col("event_id"), col("parsed._corrupt").isNull.as("valid"),
+            col("parsed.k").as("k"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, json_valid(payload) AS valid, " +
+        "CASE WHEN json_valid(payload) THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k " +
+        "FROM (SELECT event_id, CASE WHEN event_id % 3 = 0 THEN substr(props, 2) ELSE props END AS payload " +
+        "FROM events) ORDER BY event_id")),
+
+    // End-to-end ANN: 6-bit hyperplane bucket of the query vector → same-
+    // bucket candidates → exact cosine top-k. The candidate set is an
+    // equi-join on `bucket` — the 100 TB path never scores beyond the
+    // probed bucket.
+    Q("q48_ann_topk",
+      (s, d) => {
+        val bk = hyperBuckets(s, d, 6)
+        val e = embeddings(s, d)
+          .withColumn("qv", quantize(col("embedding")))
+          .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"))
+          .join(bk, Seq("vec_id"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("bucket").as("qb"), col("qv").as("query_v"), col("n2").as("qn2"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qb"))
+          .select(col("vec_id"),
+            cosQ(dotQ(col("qv"), col("query_v")), col("n2"), col("qn2")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(5)
+          .orderBy(col("cos").desc, col("vec_id").asc)
+      },
+      Some(s"WITH ev AS (SELECT vec_id, $oQuant AS v FROM embeddings), " +
+        "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        oHyperCte(6) + ", " +
+        "qb AS (SELECT bucket FROM bk WHERE vec_id = 0), " +
+        "cand AS (SELECT b.vec_id FROM bk b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0), " +
+        "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +
+        "qe AS (SELECT pos, x FROM ee WHERE vec_id = 0), " +
+        "dots AS (SELECT e.vec_id, CAST(SUM(e.x * q.x) AS BIGINT) AS dot FROM ee e " +
+        "JOIN qe q USING (pos) WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY e.vec_id) " +
+        "SELECT d.vec_id, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))) AS cos " +
+        "FROM dots d JOIN n na ON d.vec_id = na.vec_id, " +
+        "(SELECT n2 AS qn2 FROM n WHERE vec_id = 0) qn " +
+        "ORDER BY cos DESC, d.vec_id LIMIT 5")),
+
+    // Skew-resistant two-phase (salted) aggregation: event_type has only 5
+    // values — a worst-case skew key. Phase 1 aggregates on (key, salt)
+    // spreading each hot key over 16 reducers; phase 2 merges the 16
+    // partials. Result identical to the plain groupBy the oracle runs.
+    Q("q49_salted_agg",
+      (s, d) => events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("pv"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("sum_value"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ==== derivation: ABI selector surface (F2/F3) =========================
 

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale (predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for dims, map-side partial aggregation, top-k without a
+  * global sort) are pinned here so a refactor that silently loses one
+  * fails the suite — the .explain audit, codified.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.explainString(SimpleMode)
+
+  test("q02 point lookup: equality predicate pushed into the parquet scan") {
+    val p = plan("q02_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"), p)
+    assert(p.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("q03 filter+project: pushdown and column pruning reach the scan") {
+    val p = plan("q03_filter_project")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    // only the 4 referenced columns are read, not the full customer schema
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"), p)
+  }
+
+  test("q08 FK join: dim side broadcasts — no shuffle of the fact table") {
+    val p = plan("q08_fk_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q09 multi-join agg: all three dims broadcast, one hash shuffle") {
+    val p = plan("q09_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+  }
+
+  test("q10 flagship agg: partial aggregation before the shuffle") {
+    val p = plan("q10_agg_pricing")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q17 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q27 exact dedup: map-side partial min/count") {
+    val p = plan("q27_dedup_exact")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q32 cosine top-k: broadcast query vector, no shuffle join") {
+    val p = plan("q32_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q34 hyperplane signatures: the sign table broadcasts") {
+    val p = plan("q34_lsh_embed_sig")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
