@@ -26,6 +26,7 @@ object Bench {
       // cluster scale AQE still falls back to SMJ when a side won't fit
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Keccak
+
+/** `keccak256(binary) → lowercase hex string` as a native Catalyst
+  * expression (SURVEY §7.3's optional stretch, promoting the F2 UDF). Same
+  * contract as the built-in `md5`: binary in, hex `StringType` out.
+  *
+  * Unlike a ScalaUDF this participates in whole-stage codegen — no
+  * serialization boundary, no null-wrapper object allocation per row; the
+  * generated code calls the static Keccak-f[1600] routine directly.
+  */
+case class Keccak256(child: Expression) extends UnaryExpression {
+
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]) — check the input type directly
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"keccak256 requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "keccak256"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Keccak.toHex(Keccak.hash256(input.asInstanceOf[Array[Byte]])))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Keccak.toHex(graft.functions.Keccak.hash256($c)))")
+
+  override protected def withNewChildInternal(newChild: Expression): Keccak256 =
+    copy(child = newChild)
+}
+
+/** Session extension registering `keccak256` as a SQL function. Opt in
+  * with `spark.sql.extensions=graft.plans.GraftExtensions`; from the
+  * DataFrame API use `call_function("keccak256", col)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("keccak256"),
+      new ExpressionInfo(classOf[Keccak256].getName, "keccak256"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "keccak256 expects exactly one argument")
+        Keccak256(children.head)
+      }))
+  }
+}

@@ -618,16 +618,17 @@ object TrainingOps {
 
     // Canonical signature + keccak-256 4-byte selector, the reference's
     // `function.selector` derivation (`functions.rs:28-31`) exercised on the
-    // event_type domain. Keccak is a pure-Scala UDF validated against
-    // published vectors (KeccakSpec); the oracle pins the expected
+    // event_type domain. keccak256 is a native codegen Catalyst Expression
+    // (graft.plans.Keccak256, registered via GraftExtensions) validated
+    // against published vectors (KeccakSpec); the oracle pins the expected
     // selectors as constants.
     Q("q44_selector",
       (s, d) => {
-        val sel = udf((sig: String) => Keccak.selector(sig))
         events(s, d)
           .select(col("event_type")).distinct()
           .withColumn("signature", concat(col("event_type"), lit("(address,uint256)")))
-          .withColumn("selector", sel(col("signature")))
+          .withColumn("selector", concat(lit("0x"),
+            substring(call_function("keccak256", encode(col("signature"), "UTF-8")), 1, 8)))
           .withColumn("row_id", Hashing.rowId(col("event_type"), lit("|"), col("selector")))
           .orderBy("event_type")
       },
