@@ -1,0 +1,88 @@
+package graft.contracts
+
+import scala.sys.process._
+import scala.util.Try
+
+import graft.functions.Keccak
+
+/** U1 seam (SURVEY §7.4): the reference invokes a pinned `solc` child
+  * process per contract (`plain_contract.rs:327-377`); here that is a
+  * pluggable per-file extraction backend so the derivation pipeline runs
+  * identically with or without a compiler on the host. Backends are
+  * instantiated executor-side inside `mapPartitions`/`flatMap` — one
+  * initialization per partition, never per row, and never on the driver.
+  */
+trait CompilerBackend extends Serializable {
+  def name: String
+
+  /** ABI-visible functions of one (CRLF-normalized) Solidity source. */
+  def extract(filename: String, source: String): Seq[SolFunction]
+}
+
+/** Default backend: the compiler-free lexical scanner ([[Solidity]]).
+  * Always available; golden-tested against the reference fixtures.
+  */
+object ScannerBackend extends CompilerBackend {
+  override val name = "scanner"
+  override def extract(filename: String, source: String): Seq[SolFunction] =
+    Solidity.extractFunctions(source)
+}
+
+/** Real-compiler backend: shells out to `solc --combined-json abi` and
+  * derives signatures/selectors from the emitted ABI — the same
+  * ABI-driven iteration as the reference (`plain_contract.rs:499-508`).
+  * Source slices are empty (`""`) exactly as the reference emits when its
+  * AST walk misses (`unwrap_or("")`, `plain_contract.rs:503-508`); pairing
+  * with the scanner's slices is a join away.
+  *
+  * UNAVAILABLE in this zero-egress container (no solc binary) — guarded by
+  * [[SolcBackend.available]] and exercised only where a compiler exists.
+  */
+final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
+  override val name = "solc"
+
+  override def extract(filename: String, source: String): Seq[SolFunction] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-solc")
+    try {
+      val src = tmp.resolve("in.sol")
+      java.nio.file.Files.writeString(src, source)
+      val out = Seq(solcPath, "--combined-json", "abi", src.toString).!!
+      parseCombinedAbi(out)
+    } finally {
+      Try {
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** Parse solc's combined-json via Jackson (already on the Spark
+    * classpath): contracts → ABI entries of type "function".
+    */
+  def parseCombinedAbi(json: String): Seq[SolFunction] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val contracts = root.path("contracts")
+    import scala.jdk.CollectionConverters._
+    contracts.properties().asScala.toSeq.flatMap { entry =>
+      val contractName = entry.getKey.split(':').last
+      val abiNode = entry.getValue.path("abi")
+      val abi = if (abiNode.isTextual) mapper.readTree(abiNode.asText()) else abiNode
+      abi.elements().asScala.filter(_.path("type").asText() == "function").map { fn =>
+        val fname = fn.path("name").asText()
+        val inputs = fn.path("inputs").elements().asScala
+          .map(_.path("type").asText()).mkString(",")
+        val sig = s"$fname($inputs)"
+        SolFunction(contractName, fname,
+          visibility = "public", // ABI entries are public/external by construction
+          signature = sig, selector = Keccak.selector(sig), sourceCode = "")
+      }.toSeq
+    }
+  }
+}
+
+object SolcBackend {
+  /** True iff a solc binary is runnable on this host. */
+  def available(solcPath: String = "solc"): Boolean =
+    Try(Seq(solcPath, "--version").!!).isSuccess
+}

@@ -36,8 +36,12 @@ object Derive {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** contracts (Ingest schema) → function table. */
-  def functions(contracts: DataFrame): Dataset[FunctionRow] = {
+  /** contracts (Ingest schema) → function table. The backend seam (U1,
+    * SURVEY §7.4) defaults to the compiler-free scanner; pass a
+    * [[SolcBackend]] where a solc binary exists.
+    */
+  def functions(contracts: DataFrame,
+      backend: CompilerBackend = ScannerBackend): Dataset[FunctionRow] = {
     val s = contracts.sparkSession
     import s.implicits._
     contracts
@@ -48,7 +52,7 @@ object Derive {
       .filter(col("filename").endsWith(".sol"))
       .as[FileRow]
       .flatMap { fr =>
-        Solidity.extractFunctions(fr.content).map { fn =>
+        backend.extract(fr.filename, fr.content).map { fn =>
           FunctionRow(
             // F4 row id = md5(contract_id ‖ filename ‖ selector)
             // (functions.rs:31)
