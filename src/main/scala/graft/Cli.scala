@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.contracts.{Derive, Export, Ingest}
+import graft.sink.Sink
+
+/** CLI mirroring the reference's command surface (`main.rs:30-51,353-358`):
+  *
+  *   pre-process      <contractsRoot> <dbDir>   — S1–S4 ingest → contract table
+  *   index-functions  <dbDir>                   — U2/U3 derive → function table
+  *   export-source    <dbDir> <contractId> <out>— S11 export one contract
+  *
+  * `<dbDir>` holds the two parquet tables (`contract/`, `function/`) —
+  * the engine's analog of the reference's DuckDB file; both commands use
+  * the conflict-ignore upsert sink (S9/S10), so re-running is idempotent
+  * exactly like the reference's `ON CONFLICT DO NOTHING`.
+  * (`download-solc` has no analog: environment provisioning, out of
+  * engine scope — SURVEY §2.1 S13.)
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "pre-process" :: root :: dbDir :: Nil =>
+      val n = Sink.upsertAppend(Ingest.contracts(spark, root), s"$dbDir/contract", "id")
+      println(s"[graft] pre-process: $n new contract rows -> $dbDir/contract")
+
+    case "index-functions" :: dbDir :: Nil =>
+      val contracts = spark.read.parquet(s"$dbDir/contract")
+      val n = Sink.upsertAppend(Derive.functions(contracts).toDF(),
+        s"$dbDir/function", "id")
+      println(s"[graft] index-functions: $n new function rows -> $dbDir/function")
+
+    case "export-source" :: dbDir :: id :: out :: Nil =>
+      // point lookup straight off the contract table (S6), then S11 export
+      val written = exportFromTable(spark, dbDir, id, out)
+      println(s"[graft] export-source: ${written.size} files -> $out")
+
+    case other =>
+      System.err.println(
+        s"""usage: graft.Cli <command>
+           |  pre-process <contractsRoot> <dbDir>
+           |  index-functions <dbDir>
+           |  export-source <dbDir> <contractId> <outDir>
+           |got: ${other.mkString(" ")}""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def exportFromTable(spark: SparkSession, dbDir: String, id: String,
+      out: String): Seq[java.nio.file.Path] = {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(s"$dbDir/contract")
+      .filter(col("id") === id).limit(1)
+      .select(explode(col("files")).as("f"))
+      .select(col("f.name"), col("f.content"))
+      .collect()
+    val names = rows.map(r => Export.sanitizePath(r.getString(0))).toSet
+    rows.toSeq.map { r =>
+      val rel = Export.defaultExtension(Export.sanitizePath(r.getString(0)), names)
+      val target = java.nio.file.Paths.get(out).resolve(rel)
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.writeString(target, r.getString(1))
+      target
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** S9/S10 sink semantics: the reference's `INSERT … ON CONFLICT DO
+  * NOTHING` (`db.rs:172-196`, `:206-234`) as a keep-first dedup-append
+  * parquet writer. Spark has no write-time PK, so uniqueness is enforced
+  * as: dedup the batch on the key, anti-join against the existing sink,
+  * append the remainder.
+  *
+  * Scale notes: the anti-join shuffles only the KEY column of the
+  * existing sink (projection pushdown) against the new batch; with the
+  * sink laid out via `partitionBy`/`bucketBy` on the key the probe reads
+  * prune further. Append is atomic per task file — a failed job leaves no
+  * partial duplicates because reruns re-anti-join.
+  */
+object Sink {
+
+  /** Append `batch` to the parquet table at `path`, dropping rows whose
+    * `key` already exists there (and intra-batch duplicates, keep-first by
+    * sort on the key). Returns the number of rows actually appended.
+    */
+  def upsertAppend(batch: DataFrame, path: String, key: String): Long = {
+    val spark = batch.sparkSession
+    val deduped = batch.dropDuplicates(key)
+    val fresh =
+      if (exists(spark, path))
+        deduped.join(spark.read.parquet(path).select(col(key)), Seq(key), "left_anti")
+      else deduped
+    // count + write in one materialization would need an accumulator; the
+    // sink is batch-oriented, so count-then-write keeps it simple and the
+    // second pass reads the shuffled output of the first via cache
+    val persisted = fresh.persist()
+    try {
+      val n = persisted.count()
+      if (n > 0) persisted.write.mode(SaveMode.Append).parquet(path)
+      n
+    } finally { persisted.unpersist() }
+  }
+
+  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

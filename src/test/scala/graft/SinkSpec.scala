@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.Sink
+
+/** S9/S10 conflict-ignore upsert semantics: first write inserts, re-write
+  * of the same batch inserts nothing, overlapping batches insert only the
+  * fresh keys — the reference's `INSERT … ON CONFLICT DO NOTHING`
+  * (`db.rs:174,208`), idempotent under reruns.
+  */
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("upsertAppend is keep-first and idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val b1 = Seq((1L, "a"), (2L, "b"), (2L, "b-dup")).toDF("id", "v")
+    assert(Sink.upsertAppend(b1, dir, "id") == 2) // intra-batch dedup
+    assert(Sink.upsertAppend(b1, dir, "id") == 0) // rerun: conflict-ignore
+    val b2 = Seq((2L, "x"), (3L, "c")).toDF("id", "v")
+    assert(Sink.upsertAppend(b2, dir, "id") == 1) // only the fresh key
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L) == "c")
+    assert(out(2L) != "x") // existing row 2 not replaced
+  }
+}
