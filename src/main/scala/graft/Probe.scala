@@ -18,6 +18,7 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("stream")) streamDemo(spark)
+    else if (args.headOption.contains("dedup")) dedupDemo(spark)
     else {
       val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
       ev.printSchema()
@@ -42,5 +43,25 @@ object Probe {
     q.stop()
     println("EMITTED_ROWS=" + spark.table("drive").count())
     spark.table("drive").orderBy("win_start", "event_type").show(8, false)
+  }
+
+  /** Live drive of Streaming.dedupStream: a rate source emitting a
+    * repeating 10-text cycle; the stateful dedup must emit exactly 10
+    * survivors no matter how many rows flow.
+    */
+  private def dedupDemo(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .select(col("value").as("doc_id"),
+        concat(lit("text number "), col("value") % 10).as("text"))
+    val q = graft.streaming.Streaming.dedupStream(src)
+      .toDF("h", "doc_id", "text")
+      .writeStream.format("memory").queryName("dedupdrive")
+      .outputMode("append").start()
+    Thread.sleep(6000)
+    q.processAllAvailable()
+    q.stop()
+    println("DEDUP_SURVIVORS=" + spark.table("dedupdrive").count())
+    spark.table("dedupdrive").orderBy("doc_id").show(12, false)
   }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.Hashing
 
@@ -40,4 +41,33 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), Hashing.decSum(col("value")).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"),
         col("sum_value"))
+
+  /** Streaming exact dedup (the streaming form of q27): emit only the
+    * FIRST document per content hash, with the seen-set held in the state
+    * store via `flatMapGroupsWithState` — the custom-state operator the
+    * windowed built-ins can't express. Input needs (doc_id, text)
+    * columns; output is the surviving rows plus their hash.
+    *
+    * Scale: state is one boolean per distinct hash, partitioned by hash —
+    * the same shuffle key as the batch dedup; at 100 TB the state store
+    * backend (RocksDB) and a TTL via timeouts bound the footprint.
+    */
+  def dedupStream(docs: DataFrame): Dataset[(String, Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(md5(regexp_replace(col("text"), "\\s+", "")).as("h"),
+        col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1) // keep-first within the batch as well
+          }
+      }
+  }
 }

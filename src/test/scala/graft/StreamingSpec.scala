@@ -65,6 +65,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(hour0.head.getAs[Long]("n") == 1L) // the late row did not reopen it
   }
 
+  test("stateful dedup emits only the first document per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.dedupStream(in.toDF().toDF("doc_id", "text"))
+      .toDF("h", "doc_id", "text")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    // batch 1: two distinct texts, one intra-batch duplicate
+    in.addData((1L, "alpha beta"), (2L, "alpha  beta"), (3L, "gamma"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate (whitespace-insensitive) + one new
+    in.addData((4L, "alphabeta"), (5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table("dedup").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // 2 dupes 1 (same stripped text), 4 dupes 1 across batches
+    assert(survivors == Set(1L, 3L, 5L))
+  }
+
   test("session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
