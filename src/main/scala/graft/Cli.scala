@@ -49,12 +49,23 @@ object Cli {
       val written = exportFromTable(spark, dbDir, id, out)
       println(s"[graft] export-source: ${written.size} files -> $out")
 
+    case "validate" :: dbDir :: Nil =>
+      // S12/P2/J1 constraint checks over the built tables
+      val v = graft.model.Schemas.validate(
+        spark.read.parquet(s"$dbDir/contract"),
+        spark.read.parquet(s"$dbDir/function"))
+      v.toSeq.sortBy(_._1).foreach { case (check, n) =>
+        println(s"[graft] validate: $check violations=$n")
+      }
+      if (v.values.exists(_ > 0)) sys.exit(1)
+
     case other =>
       System.err.println(
         s"""usage: graft.Cli <command>
            |  pre-process <contractsRoot> <dbDir>
            |  index-functions <dbDir>
            |  export-source <dbDir> <contractId> <outDir>
+           |  validate <dbDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       sys.exit(2)
   }
