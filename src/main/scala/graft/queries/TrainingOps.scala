@@ -456,6 +456,21 @@ object TrainingOps {
         "SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS fingerprint " +
         "FROM rn WHERE r <= 5 GROUP BY doc_id ORDER BY doc_id")),
 
+    // Rolling-hash winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    // O(n) Rabin–Karp + per-window minima, map-side via UDF. Not
+    // SQL-expressible in the oracle → rows-only check; the algorithmic
+    // guarantees are pinned by WinnowingSpec.
+    Q("q50_winnow_fingerprint",
+      (s, d) => {
+        val fpCount = udf((t: String) => graft.functions.Winnowing.fingerprints(t).size)
+        val digest = udf((t: String) => graft.functions.Winnowing.digest(t))
+        documents(s, d)
+          .select(col("doc_id"), fpCount(col("text")).as("n_fingerprints"),
+            digest(col("text")).as("winnow_digest"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ==== batch window analytics (events) ==================================
 
     // Tumbling 1-hour windows — the batch form of the Structured Streaming
