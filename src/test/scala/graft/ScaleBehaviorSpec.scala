@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale behaviors that only show up in layout + runtime planning:
+  * partition pruning against a partitioned parquet layout, and AQE
+  * splitting a skewed join partition at execution time. Together with
+  * BucketingSpec these pin the three layout levers the 100 TB design
+  * leans on (partition pruning, bucketing, adaptive skew handling).
+  */
+class ScaleBehaviorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("partitionBy layout: filters prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    graft.util.Tables.events(spark, TestSpark.sfDir)
+      .write.partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "click")
+      .select("event_id", "value")
+    val plan = df.queryExecution.explainString(SimpleMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(plan.contains("(event_type") && plan.contains("= click"), plan)
+    // the data filter did NOT degrade to a post-scan filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type"), plan)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // thresholds low enough that the synthetic hot key (90% of rows on
+      // one join key) registers as skew at sf0.001 volumes
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+
+      // sf0.01 so the hot partition (~54k rows on one key) is decisively
+      // above the skew threshold. Two structural requirements discovered
+      // the hard way, both real at cluster scale:
+      //  - the dim side must be a BARE shuffle below its Sort — with an
+      //    aggregate in between, OptimizeSkewedJoin cannot duplicate the
+      //    matching right partitions and silently declines;
+      //  - skew splitting works at MAP-output granularity: a single-mapper
+      //    shuffle (one parquet split) yields one indivisible block, so
+      //    the input needs multiple map tasks (repartition(16) here;
+      //    ~hundreds of scan tasks in production).
+      val li = graft.util.Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .withColumn("k", when(col("l_orderkey") % 10 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey")))
+        .repartition(16)
+      val dim = spark.range(0, 7000)
+        .select((col("id") * 10).as("k"), lit("x").as("payload"))
+      val joined = li.join(dim, Seq("k"))
+        .select(col("k"), col("l_quantity"), col("payload"))
+      // collect(), not count(): count() builds its OWN QueryExecution, so
+      // joined.queryExecution would stay un-executed (isFinalPlan=false)
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+}
