@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // gate surfaces have bounded result sets by construction (sf<=0.1):
+      // let the presentation-sort rule apply regardless of the optimizer's
+      // (join-inflated) size estimates
+      .config("spark.graft.presentationSort.maxBytes", Long.MaxValue.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

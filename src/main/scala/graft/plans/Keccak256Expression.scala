@@ -55,5 +55,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "keccak256 expects exactly one argument")
         Keccak256(children.head)
       }))
+    ext.injectOptimizerRule(_ => PresentationSortRule())
   }
 }

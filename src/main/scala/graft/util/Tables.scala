@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * changes.
   */
 object Tables {
+  // memoized per (session, path): each spark.read.parquet call re-lists
+  // the file and re-reads the footer (~80 ms measured) — 47 registry
+  // queries × 1-3 tables adds seconds of pure listing. The analyzed
+  // DataFrame is immutable, so caching it is the engine's "metastore".
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
