@@ -37,6 +37,10 @@ object Bench {
     val benched = SparkEntry.registry.filter(_.bench)
     def runOnce(q: graft.queries.Q): Boolean =
       try {
+        // queries may persist intermediates (their materialized-CTE
+        // analog); clear between runs so no query reads another run's
+        // cache and the timing stays per-query honest
+        spark.sqlContext.clearCache()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
       } catch { case _: Throwable => false }
 

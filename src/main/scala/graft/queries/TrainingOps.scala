@@ -67,8 +67,9 @@ object TrainingOps {
     * family h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived hashes (i·h2 <
     * 2^63, so no overflow; xor is engine-identical on int64).
     */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
+  private def minhashSig(s: SparkSession, d: String,
+      sh: DataFrame = null): DataFrame =
+    Option(sh).getOrElse(shingleRows(s, d))
       .withColumn("h1", Hashing.md5Long(col("shingle")))
       .withColumn("h2", Hashing.md5Long2(col("shingle")))
       .select(col("doc_id"), col("h1"), col("h2"),
@@ -186,8 +187,12 @@ object TrainingOps {
     // candidates — never all-pairs. This is how dedup survives 100 TB.
     Q("q29_lsh_neardup",
       (s, d) => {
-        val sh = shingleRows(s, d)
-        val sig = minhashSig(s, d)
+        // persist: the shingle index feeds the signature build AND both
+        // sides of the candidate verification — materialize it once per
+        // query, the Spark form of the oracle's materialized CTE (gate
+        // surfaces clear the cache between queries)
+        val sh = shingleRows(s, d).persist()
+        val sig = minhashSig(s, d, sh)
         val bk = sig
           .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
           .agg(concat_ws(",",
@@ -262,7 +267,8 @@ object TrainingOps {
     // the LSH pipeline above is the scale path.
     Q("q31_ngram_jaccard",
       (s, d) => {
-        val sh = shingleRows(s, d)
+        // persist: the shingle index is both join sides + the size table
+        val sh = shingleRows(s, d).persist()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         sh.as("a")
           .join(sh.as("b"),
