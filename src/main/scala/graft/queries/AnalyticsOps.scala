@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+import graft.util.Tables._
+
+/** Corpus-analytics operators beyond the reference surface: near-dup
+  * cluster canonicalization (connected components over the LSH pairs),
+  * BM25-style relevance ranking, and the OLAP grouping extensions
+  * (rollup, pivot) the reference's embedded engine would have provided
+  * for free.
+  */
+object AnalyticsOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
+
+  val all: Seq[Q] = Seq(
+
+    // Near-dup CLUSTERS: connected components over the verified LSH pairs
+    // by iterative min-label propagation (the standard distributed CC:
+    // converges in O(diameter) rounds — near-dup components are tiny, so
+    // 2-3 rounds; each round is one join+agg, shuffle-bounded by the edge
+    // list). Canonical doc per cluster = min doc_id, exactly what a
+    // dedup-keep-one pass feeds the training pipeline. Oracle: recursive
+    // CTE reachability with the same min-label semantics.
+    Q("q51_dedup_clusters",
+      (s, d) => {
+        val p = TrainingOps.lshPairs(s, d).select("ida", "idb")
+        val edges = p.union(p.select(col("idb"), col("ida")))
+          .toDF("u", "v").persist()
+        var labels = edges.select(col("u").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).persist()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nb = edges.join(labels, col("v") === col("doc_id"))
+            .groupBy("u").agg(min("cluster_id").as("nbmin"))
+          val updated = labels.join(nb, labels("doc_id") === nb("u"), "left")
+            .select(labels("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
+                .as("new_cid"),
+              col("cluster_id"))
+            .persist()
+          changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
+          labels = updated.select(col("doc_id"), col("new_cid").as("cluster_id"))
+          iter += 1
+        }
+        labels.orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
+        "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) " +
+        "SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+
+    // BM25-style ranking over the documents table. The idf uses the raw
+    // odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not
+    // correctly-rounded and differs across libm implementations, so the
+    // log-free variant is what both engines can compute bit-identically
+    // (ranking order is preserved — log is monotone). Per-term
+    // contributions go through the exact-decimal sum so the ≤3-term
+    // addition order cannot flip a bit.
+    Q("q52_bm25_rank",
+      (s, d) => {
+        val terms = Seq("table", "join", "fast")
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+          .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
+        val tf = toks.filter(col("w").isInCollection(terms))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val scored = tf
+          .join(broadcast(dfreq), Seq("w"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", dec(
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              ((col("tf") * lit(2.2)) /
+                (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))))
+        scored.groupBy("doc_id")
+          .agg(sum(col("contrib")).cast("double").as("score"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10)
+          .orderBy(col("score").desc, col("doc_id").asc)
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+        "stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) / count(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w IN ('table', 'join', 'fast') GROUP BY doc_id, w), " +
+        "dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
+        "scored AS (SELECT tf.doc_id, CAST(" +
+        "((n_docs - df + 0.5) / (df + 0.5)) * " +
+        "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS DECIMAL(20,6)) AS contrib " +
+        "FROM tf JOIN dfreq USING (w) JOIN dl ON tf.doc_id = dl.doc_id, stats) " +
+        "SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score, count(*) AS n_terms " +
+        "FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10")),
+
+    // ROLLUP: hierarchical subtotals region → nation → grand total. The
+    // partial-agg + grouping-set expansion stays map-side until one
+    // shuffle, like any groupBy.
+    Q("q53_rollup",
+      (s, d) => {
+        // via the SQL front-end: the Dataset rollup().agg() path trips
+        // Spark 4's ambiguous-self-join detection on the grouping columns
+        // (rollup's Expand keeps the pre-grouping attributes in scope);
+        // spark.sql resolves the same plan cleanly, and exercising the SQL
+        // surface is part of the engine contract anyway
+        lineitem(s, d).createOrReplaceTempView("g_lineitem")
+        supplier(s, d).createOrReplaceTempView("g_supplier")
+        nation(s, d).createOrReplaceTempView("g_nation")
+        region(s, d).createOrReplaceTempView("g_region")
+        s.sql("SELECT r_name, n_name, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, " +
+          "count(*) AS n " +
+          "FROM g_lineitem JOIN g_supplier ON l_suppkey = s_suppkey " +
+          "JOIN g_nation ON s_nationkey = n_nationkey " +
+          "JOIN g_region ON n_regionkey = r_regionkey " +
+          "GROUP BY ROLLUP (r_name, n_name) " +
+          "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+      },
+      Some("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
+
+    // PIVOT: event counts per user cohort, one column per event type
+    // (explicit value list ⇒ deterministic schema, single-pass agg).
+    Q("q54_pivot",
+      (s, d) => events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(4)))
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy("cohort"),
+      Some("SELECT user_id % 4 AS cohort, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id % 4 ORDER BY cohort"))
+  )
+}

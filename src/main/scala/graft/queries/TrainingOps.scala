@@ -84,6 +84,58 @@ object TrainingOps {
       "b AS (SELECT doc_id, j AS band, xor(h1, j * h2) AS h FROM hx, unnest(range(0, 8)) AS u(j)), " +
       "sig AS (SELECT doc_id, band, min(h) AS minh FROM b GROUP BY doc_id, band)"
 
+  /** The full MinHash+LSH near-dup pipeline: signature → 4 bands × 2 rows
+    * → band-key buckets → candidate pairs → exact-Jaccard verify (≥ 0.8).
+    * Persists the shingle index (the Spark form of the oracle's
+    * materialized CTE; gate surfaces clear cache between queries). Shared
+    * by q29 and the cluster canonicalization in AnalyticsOps.
+    */
+  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d).persist()
+    val sig = minhashSig(s, d, sh)
+    val bk = sig
+      .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("band"), col("minh")))),
+          e => e.getField("minh").cast("string"))).as("bandkey"))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("idb") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.as("za"), col("ida") === col("za.doc_id"))
+      .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+      .select(col("ida"), col("idb"),
+        (col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= 0.8)
+  }
+
+  /** Oracle CTE chain ending in `pairs(ida, idb, jacc)` — mirrors
+    * [[lshPairs]].
+    */
+  private[queries] val lshPairsCtes: String =
+    s"$shCte, $sigCte, " +
+      "bk AS (SELECT doc_id, band // 2 AS bk, " +
+      "string_agg(minh::VARCHAR, ',' ORDER BY band) AS bandkey FROM sig GROUP BY doc_id, band // 2), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bk a JOIN bk b " +
+      "ON a.bk = b.bk AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id), " +
+      "iv AS (SELECT ida, idb, count(*) AS inter FROM cand c " +
+      "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb AND sb.shingle = sa.shingle " +
+      "GROUP BY ida, idb), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
+      "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
+      "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8)"
+
   // ---- shared embedding building blocks ----------------------------------
 
   /** Quantize a float embedding to exact 2^20-scaled BIGINTs. Dot products
@@ -186,51 +238,8 @@ object TrainingOps {
     // buckets, ~dup pairs only) and (b) shingle intersection restricted to
     // candidates — never all-pairs. This is how dedup survives 100 TB.
     Q("q29_lsh_neardup",
-      (s, d) => {
-        // persist: the shingle index feeds the signature build AND both
-        // sides of the candidate verification — materialize it once per
-        // query, the Spark form of the oracle's materialized CTE (gate
-        // surfaces clear the cache between queries)
-        val sh = shingleRows(s, d).persist()
-        val sig = minhashSig(s, d, sh)
-        val bk = sig
-          .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
-          .agg(concat_ws(",",
-            transform(sort_array(collect_list(struct(col("band"), col("minh")))),
-              e => e.getField("minh").cast("string"))).as("bandkey"))
-        val cand = bk.as("a")
-          .join(bk.as("b"),
-            col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-          .distinct()
-        val inter = cand
-          .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
-          .join(sh.as("sb"),
-            col("idb") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-          .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        inter
-          .join(sz.as("za"), col("ida") === col("za.doc_id"))
-          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
-          .select(col("ida"), col("idb"),
-            (col("inter").cast("double") /
-              (col("za.n") + col("zb.n") - col("inter"))).as("jacc"))
-          .filter(col("jacc") >= 0.8)
-          .orderBy("ida", "idb")
-      },
-      Some(s"WITH $shCte, $sigCte, " +
-        "bk AS (SELECT doc_id, band // 2 AS bk, " +
-        "string_agg(minh::VARCHAR, ',' ORDER BY band) AS bandkey FROM sig GROUP BY doc_id, band // 2), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bk a JOIN bk b " +
-        "ON a.bk = b.bk AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id), " +
-        "iv AS (SELECT ida, idb, count(*) AS inter FROM cand c " +
-        "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb AND sb.shingle = sa.shingle " +
-        "GROUP BY ida, idb), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) " +
-        "SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
-        "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
-        "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8 ORDER BY ida, idb")),
+      (s, d) => lshPairs(s, d).orderBy("ida", "idb"),
+      Some(s"WITH $lshPairsCtes SELECT ida, idb, jacc FROM pairs ORDER BY ida, idb")),
 
     // SimHash: 60-bit near-dup fingerprint; one long per document. The
     // bit-majority vote runs as 60 codegen'd aggregation COLUMNS over the
