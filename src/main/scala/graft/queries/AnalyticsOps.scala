@@ -132,6 +132,92 @@ object AnalyticsOps {
         "GROUP BY ROLLUP (r_name, n_name) " +
         "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
 
+    // Exact quantiles (type-7 / linear interpolation, the convention both
+    // engines share). Integer-valued doubles make the interpolation
+    // arithmetic exact, hence bit-stable. One pass, partial-aggregable.
+    Q("q55_quantiles",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          expr("percentile(l_quantity, 0.99)").as("q99"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25, " +
+        "quantile_cont(l_quantity, 0.5) AS median, " +
+        "quantile_cont(l_quantity, 0.75) AS q75, " +
+        "quantile_cont(l_quantity, 0.99) AS q99 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Deterministic second-order statistics: built-in corr/stddev use
+    // engine-specific update orders (Welford vs naive) that drift in the
+    // last ulp, so the moments are accumulated as exact decimal sums and
+    // the closed forms evaluated on the exact totals — identical doubles
+    // on both engines.
+    Q("q56_stats_corr",
+      (s, d) => {
+        val x = col("l_quantity")
+        val y = col("l_discount")
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Hashing.decSum(x).as("sx"), Hashing.decSum(y).as("sy"),
+            Hashing.decSum(x * y).as("sxy"),
+            Hashing.decSum(x * x).as("sxx"), Hashing.decSum(y * y).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"),
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+              (col("n") * (col("n") - 1))).as("stddev_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, n, " +
+        "((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr, " +
+        "sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty FROM (" +
+        "SELECT l_returnflag, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")),
+
+    // AS-OF join (the canonical custom time-series operator): for every
+    // purchase, the user's most recent signup at-or-before it. Scalable
+    // formulation: union the two tagged streams, ONE sort-shuffle by
+    // (user, ts), and a running last-signup window — no range-join row
+    // blowup, unlike the naive t1 ≤ t2 join. The oracle uses the
+    // equivalent windowed form.
+    Q("q57_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_p"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("is_p"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        purchases.unionByName(signups)
+          .withColumn("asof_signup_ts",
+            last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p " +
+        "FROM events WHERE event_type IN ('purchase', 'signup')), " +
+        "m AS (SELECT *, max(CASE WHEN is_p = 0 THEN ts END) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, is_p, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts FROM ev) " +
+        "SELECT event_id, user_id, ts, asof_signup_ts FROM m WHERE is_p = 1 " +
+        "ORDER BY event_id")),
+
     // PIVOT: event counts per user cohort, one column per event type
     // (explicit value list ⇒ deterministic schema, single-pass agg).
     Q("q54_pivot",
