@@ -46,10 +46,17 @@ object Bench {
 
     benched.foreach(runOnce) // warmup
 
-    val results = benched.map { q =>
+    // min of two timed runs: single-run totals swing ±20% from GC /
+    // host contention; the minimum is the standard steady-state estimator
+    def timed(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
-      val ok = runOnce(q)
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (runOnce(q)) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val pass1 = benched.map(q => q.name -> timed(q)).toMap
+    val results = benched.map { q =>
+      val t2 = timed(q)
+      val t1 = pass1(q.name)
+      q.name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

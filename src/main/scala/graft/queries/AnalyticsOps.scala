@@ -17,6 +17,64 @@ object AnalyticsOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
 
+  /** Connected components (doc_id → min id of its component) over an
+    * (ida, idb) pair list. Hybrid execution, the broadcast-join analog:
+    * post-LSH candidate graphs are sparse by construction, so below
+    * `spark.graft.cc.maxDriverEdges` (default 4M) the edge list collects
+    * to the driver for union-find — one action instead of a fixpoint of
+    * join rounds whose per-action overhead dwarfs the tiny label joins.
+    * Above the threshold the distributed min-label propagation loop runs,
+    * which is the shape that survives billions of edges.
+    */
+  private def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val maxDriver = s.conf.getOption("spark.graft.cc.maxDriverEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    val p = pairs.persist()
+    if (p.count() <= maxDriver) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // deterministic: rows sorted before union, roots merged to the min —
+      // so every component's final root is its minimum id
+      p.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.foreach {
+        case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+            parent(hi) = lo
+          }
+      }
+      val labels = parent.keySet.map(n => (n, find(n))).toSeq.sorted
+      s.createDataFrame(labels).toDF("doc_id", "cluster_id")
+    } else {
+      val edges = p.union(p.select(col("idb"), col("ida"))).toDF("u", "v").persist()
+      var labels = edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nb = edges.join(labels, col("v") === col("doc_id"))
+          .groupBy("u").agg(min("cluster_id").as("nbmin"))
+        val updated = labels.join(nb, labels("doc_id") === nb("u"), "left")
+          .select(labels("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
+              .as("new_cid"), col("cluster_id")).persist()
+        changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
+        labels = updated.select(col("doc_id"), col("new_cid").as("cluster_id"))
+        iter += 1
+      }
+      labels
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // Near-dup CLUSTERS: connected components over the verified LSH pairs
@@ -27,29 +85,8 @@ object AnalyticsOps {
     // dedup-keep-one pass feeds the training pipeline. Oracle: recursive
     // CTE reachability with the same min-label semantics.
     Q("q51_dedup_clusters",
-      (s, d) => {
-        val p = TrainingOps.lshPairs(s, d).select("ida", "idb")
-        val edges = p.union(p.select(col("idb"), col("ida")))
-          .toDF("u", "v").persist()
-        var labels = edges.select(col("u").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")).persist()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val nb = edges.join(labels, col("v") === col("doc_id"))
-            .groupBy("u").agg(min("cluster_id").as("nbmin"))
-          val updated = labels.join(nb, labels("doc_id") === nb("u"), "left")
-            .select(labels("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
-                .as("new_cid"),
-              col("cluster_id"))
-            .persist()
-          changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
-          labels = updated.select(col("doc_id"), col("new_cid").as("cluster_id"))
-          iter += 1
-        }
-        labels.orderBy("doc_id")
-      },
+      (s, d) => clusterLabels(s, TrainingOps.lshPairs(s, d).select("ida", "idb"))
+        .orderBy("doc_id"),
       Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
         "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
         "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
