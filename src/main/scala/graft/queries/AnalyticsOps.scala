@@ -26,7 +26,7 @@ object AnalyticsOps {
     * Above the threshold the distributed min-label propagation loop runs,
     * which is the shape that survives billions of edges.
     */
-  private def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val maxDriver = s.conf.getOption("spark.graft.cc.maxDriverEdges")
       .map(_.toLong).getOrElse(4000000L)
@@ -254,6 +254,43 @@ object AnalyticsOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts FROM ev) " +
         "SELECT event_id, user_id, ts, asof_signup_ts FROM m WHERE is_p = 1 " +
         "ORDER BY event_id")),
+
+    // RANGE JOIN (bucketed): events in the hour BEFORE each purchase by
+    // the same user. The naive t1 ≤ t < t2 condition plans as a
+    // nested-loop; bucketing time into slide-width cells turns it into an
+    // equi-join on (user, bucket) over 3 probe cells + a residual range
+    // filter — the composition that scales (preference (a) over a custom
+    // SparkPlan: the built-ins express it).
+    Q("q58_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+        // 30-min cells: [pts - 1h, pts) spans exactly cells pb-2 .. pb
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+          .withColumn("pb", expr("unix_micros(pts) div 1800000000"))
+          .withColumn("probe", explode(array(col("pb") - 2, col("pb") - 1, col("pb"))))
+        val others = ev.select(col("user_id"), col("ts").as("ets"))
+          .withColumn("eb", expr("unix_micros(ets) div 1800000000"))
+        val counts = purchases
+          .join(others, purchases("user_id") === others("user_id")
+            && col("probe") === col("eb"))
+          .filter(col("ets") >= col("pts") - expr("INTERVAL 1 HOUR")
+            && col("ets") < col("pts"))
+          .groupBy("event_id").agg(count(lit(1)).as("n_prior"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"))
+          .join(counts, Seq("event_id"), "left_outer")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+          .orderBy("event_id")
+      },
+      Some("WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'), " +
+        "c AS (SELECT p.event_id, count(*) AS n_prior FROM p JOIN ev e " +
+        "ON e.user_id = p.user_id AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts " +
+        "GROUP BY p.event_id) " +
+        "SELECT p.event_id, p.user_id, COALESCE(c.n_prior, 0) AS n_prior " +
+        "FROM p LEFT JOIN c ON p.event_id = c.event_id ORDER BY p.event_id")),
 
     // PIVOT: event counts per user cohort, one column per event type
     // (explicit value list ⇒ deterministic schema, single-pass agg).
