@@ -17,6 +17,12 @@ object AnalyticsOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
 
+  /** DuckDB equivalent of [[Hashing.md5Long]] (same formula as
+    * TrainingOps.oMd5Long, local to keep the modules independent).
+    */
+  private def oMd5LongSql(sqlExpr: String): String =
+    s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
+
   /** Connected components (doc_id → min id of its component) over an
     * (ida, idb) pair list. Hybrid execution, the broadcast-join analog:
     * post-LSH candidate graphs are sparse by construction, so below
@@ -291,6 +297,44 @@ object AnalyticsOps {
         "GROUP BY p.event_id) " +
         "SELECT p.event_id, p.user_id, COALESCE(c.n_prior, 0) AS n_prior " +
         "FROM p LEFT JOIN c ON p.event_id = c.event_id ORDER BY p.event_id")),
+
+    // Deterministic stratified sampling: per-stratum rates via a hash
+    // threshold on the key (md5 % 100 < pct) — reproducible on any engine
+    // and any cluster size, unlike Bernoulli rand() sampling, and exactly
+    // what a training-data pipeline needs for auditable corpus mixes.
+    // Map-side only.
+    Q("q59_stratified_sample",
+      (s, d) => documents(s, d)
+        .withColumn("slot", Hashing.md5Long(col("doc_id").cast("string")) % 100)
+        .filter((col("lang") === "en" && col("slot") < 50)
+          || (col("lang") =!= "en" && col("slot") < 20))
+        .select("doc_id", "lang", "slot")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, slot FROM (SELECT doc_id, lang, " +
+        s"${oMd5LongSql("CAST(doc_id AS VARCHAR)")} % 100 AS slot FROM documents) " +
+        "WHERE (lang = 'en' AND slot < 50) OR (lang <> 'en' AND slot < 20) " +
+        "ORDER BY doc_id")),
+
+    // FULL OUTER join (the remaining join variant): per-nation customer
+    // and supplier counts, nations present on either side only.
+    Q("q60_full_outer",
+      (s, d) => {
+        val c = customer(s, d).groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"))
+        val p = supplier(s, d).filter(col("s_acctbal") > 5000.0)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("SELECT COALESCE(c.c_nationkey, p.s_nationkey) AS nationkey, " +
+        "COALESCE(c.n_cust, 0) AS n_cust, COALESCE(p.n_supp, 0) AS n_supp FROM " +
+        "(SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c " +
+        "FULL OUTER JOIN " +
+        "(SELECT s_nationkey, count(*) AS n_supp FROM supplier WHERE s_acctbal > 5000 " +
+        "GROUP BY s_nationkey) p ON c.c_nationkey = p.s_nationkey ORDER BY nationkey")),
 
     // PIVOT: event counts per user cohort, one column per event type
     // (explicit value list ⇒ deterministic schema, single-pass agg).
