@@ -336,6 +336,30 @@ object AnalyticsOps {
         "(SELECT s_nationkey, count(*) AS n_supp FROM supplier WHERE s_acctbal > 5000 " +
         "GROUP BY s_nationkey) p ON c.c_nationkey = p.s_nationkey ORDER BY nationkey")),
 
+    // KMV distinct sketch (typed Aggregator tier): approximate distinct
+    // texts per source. Deterministic — the buffer is the exact bottom-k
+    // of the md5-derived hashes — so, unlike HLL, the estimate itself is
+    // oracle-checkable: DuckDB computes the same bottom-k and estimator.
+    // Mergeable state ⇒ map-side partial aggregation, k longs per group
+    // shuffled.
+    Q("q61_kmv_distinct",
+      (s, d) => {
+        val kmv = udaf(new graft.functions.KmvDistinct(16))
+        documents(s, d)
+          .select(col("source"), Hashing.md5Long(col("text")).as("h"))
+          .groupBy("source")
+          .agg(kmv(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
+          .orderBy("source")
+      },
+      Some("WITH h AS (SELECT DISTINCT source, " +
+        s"${oMd5LongSql("text")} AS h FROM documents), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS nd FROM h) " +
+        "SELECT r.source, CASE WHEN max(nd) < 16 THEN CAST(max(nd) AS DOUBLE) " +
+        "ELSE 15.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 16 THEN h END) AS DOUBLE) END AS est_distinct, " +
+        "c.n_rows FROM r JOIN (SELECT source, count(*) AS n_rows FROM documents GROUP BY source) c " +
+        "ON r.source = c.source GROUP BY r.source, c.n_rows ORDER BY r.source")),
+
     // PIVOT: event counts per user cohort, one column per event type
     // (explicit value list ⇒ deterministic schema, single-pass agg).
     Q("q54_pivot",
