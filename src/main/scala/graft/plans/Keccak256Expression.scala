@@ -55,6 +55,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "keccak256 expects exactly one argument")
         Keccak256(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingles(text, n) expects two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles n must be an integer literal, got $other")
+        }
+        ShingleGenerator(children.head, n)
+      }))
     ext.injectOptimizerRule(_ => PresentationSortRule())
   }
 }

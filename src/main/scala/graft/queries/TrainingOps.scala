@@ -36,18 +36,16 @@ object TrainingOps {
       i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
         element_at(ws, i + 3))))
 
-  /** (doc_id, shingle) exploded distinct-shingle rows.
-    *
-    * The token array is materialized as a column FIRST: referencing
-    * `words(text)` directly inside the shingle lambda would re-run the
-    * regex split once per `element_at` (~300 splits/doc — measured 7×
-    * slower); a bound column is evaluated once per row.
+  /** (doc_id, shingle) exploded distinct-shingle rows, via the native
+    * [[graft.plans.ShingleGenerator]] — one tokenize+dedup pass per row
+    * planned through GenerateExec. (The earlier HOF pipeline lives on in
+    * [[shingles]] for array-shaped callers; note its lambda must reference
+    * a BOUND column or the split re-runs per element_at — measured 7×
+    * slower.)
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("ws"))).as("shingle"))
+      .selectExpr("doc_id", "shingles(text, 3) AS shingle")
 
   /** Oracle CTE prefix producing the same (doc_id, shingle) rows. */
   private val shCte: String =

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native shingle Generator: SQL surface, distinctness, equivalence
+  * with the HOF formulation, degenerate inputs.
+  */
+class ShingleGeneratorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("SQL surface produces distinct word n-grams in first-seen order") {
+    import spark.implicits._
+    val out = Seq("a b c b c d", "x y").toDF("text")
+      .selectExpr("shingles(text, 3) AS s").as[String].collect().toSeq
+    // "a b c b c d" → a b c, b c b, c b c, b c d; "x y" too short → none
+    assert(out == Seq("a b c", "b c b", "c b c", "b c d"))
+  }
+
+  test("duplicate shingles are emitted once") {
+    import spark.implicits._
+    val out = Seq("a b a b a b").toDF("text")
+      .selectExpr("shingles(text, 2) AS s").as[String].collect().toSeq
+    assert(out == Seq("a b", "b a"))
+  }
+
+  test("equivalent to the HOF formulation on the corpus") {
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir).limit(100)
+    val viaGen = docs.selectExpr("doc_id", "shingles(text, 3) AS shingle")
+    val ws = split(trim(col("text")), "\\s+")
+    val viaHof = docs.withColumn("ws", ws).filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))))
+        .as("shingle"))
+    assert(viaGen.exceptAll(viaHof).isEmpty && viaHof.exceptAll(viaGen).isEmpty)
+  }
+
+  test("null and short inputs yield no rows, not errors") {
+    import spark.implicits._
+    val out = Seq(Some("one two"), None, Some("")).toDF("text")
+      .selectExpr("shingles(text, 3) AS s").collect()
+    assert(out.isEmpty)
+  }
+}
