@@ -30,7 +30,7 @@ object Bench {
       // gate surfaces have bounded result sets by construction (sf<=0.1):
       // let the presentation-sort rule apply regardless of the optimizer's
       // (join-inflated) size estimates
-      .config("spark.graft.presentationSort.maxBytes", Long.MaxValue.toString)
+      .config("spark.graft.presentationSort.maxBytes", "-1") // unlimited
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -29,25 +29,37 @@ object Cli {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toList)
-    finally spark.stop()
+    // run returns an exit code rather than calling sys.exit, so the
+    // session always stops cleanly before the JVM exits
+    val code = try run(spark, args.toList) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
-  def run(spark: SparkSession, args: List[String]): Unit = args match {
+  def run(spark: SparkSession, args: List[String]): Int = args match {
     case "pre-process" :: root :: dbDir :: Nil =>
       val n = Sink.upsertAppend(Ingest.contracts(spark, root), s"$dbDir/contract", "id")
       println(s"[graft] pre-process: $n new contract rows -> $dbDir/contract")
+      0
 
     case "index-functions" :: dbDir :: Nil =>
       val contracts = spark.read.parquet(s"$dbDir/contract")
       val n = Sink.upsertAppend(Derive.functions(contracts).toDF(),
         s"$dbDir/function", "id")
       println(s"[graft] index-functions: $n new function rows -> $dbDir/function")
+      0
 
     case "export-source" :: dbDir :: id :: out :: Nil =>
       // point lookup straight off the contract table (S6), then S11 export
-      val written = exportFromTable(spark, dbDir, id, out)
+      import org.apache.spark.sql.functions._
+      val rows = spark.read.parquet(s"$dbDir/contract")
+        .filter(col("id") === id).limit(1)
+        .select(explode(col("files")).as("f"))
+        .select(col("f.name"), col("f.content"))
+        .collect()
+      val written = Export.writeEntries(
+        rows.toSeq.map(r => (r.getString(0), r.getString(1))), out)
       println(s"[graft] export-source: ${written.size} files -> $out")
+      0
 
     case "validate" :: dbDir :: Nil =>
       // S12/P2/J1 constraint checks over the built tables
@@ -57,7 +69,7 @@ object Cli {
       v.toSeq.sortBy(_._1).foreach { case (check, n) =>
         println(s"[graft] validate: $check violations=$n")
       }
-      if (v.values.exists(_ > 0)) sys.exit(1)
+      if (v.values.exists(_ > 0)) 1 else 0
 
     case other =>
       System.err.println(
@@ -67,24 +79,6 @@ object Cli {
            |  export-source <dbDir> <contractId> <outDir>
            |  validate <dbDir>
            |got: ${other.mkString(" ")}""".stripMargin)
-      sys.exit(2)
-  }
-
-  private def exportFromTable(spark: SparkSession, dbDir: String, id: String,
-      out: String): Seq[java.nio.file.Path] = {
-    import org.apache.spark.sql.functions._
-    val rows = spark.read.parquet(s"$dbDir/contract")
-      .filter(col("id") === id).limit(1)
-      .select(explode(col("files")).as("f"))
-      .select(col("f.name"), col("f.content"))
-      .collect()
-    val names = rows.map(r => Export.sanitizePath(r.getString(0))).toSet
-    rows.toSeq.map { r =>
-      val rel = Export.defaultExtension(Export.sanitizePath(r.getString(0)), names)
-      val target = java.nio.file.Paths.get(out).resolve(rel)
-      java.nio.file.Files.createDirectories(target.getParent)
-      java.nio.file.Files.writeString(target, r.getString(1))
-      target
-    }
+      2
   }
 }

@@ -31,6 +31,22 @@ object Export {
     else name + ".sol"
   }
 
+  /** Sanitize, default extensions, and write (name, content) entries
+    * under `outDir` — the shared `write_entries` analog
+    * (`plain_contract.rs:204-225`) used by both the library export and
+    * the CLI.
+    */
+  def writeEntries(entries: Seq[(String, String)], outDir: String): Seq[Path] = {
+    val names = entries.map(e => sanitizePath(e._1)).toSet
+    entries.map { case (name, content) =>
+      val rel = defaultExtension(sanitizePath(name), names)
+      val target = Paths.get(outDir).resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.writeString(target, content)
+      target
+    }
+  }
+
   /** Export one contract's source files; returns the paths written. */
   def exportSource(s: SparkSession, root: String, contractId: String,
       outDir: String): Seq[Path] = {
@@ -39,13 +55,6 @@ object Export {
       .select(explode(col("files")).as("f"))
       .select(col("f.name"), col("f.content"))
       .collect()
-    val names = rows.map(r => sanitizePath(r.getString(0))).toSet
-    rows.toSeq.map { r =>
-      val rel = defaultExtension(sanitizePath(r.getString(0)), names)
-      val target = Paths.get(outDir).resolve(rel)
-      Files.createDirectories(target.getParent)
-      Files.writeString(target, r.getString(1))
-      target
-    }
+    writeEntries(rows.toSeq.map(r => (r.getString(0), r.getString(1))), outDir)
   }
 }

@@ -120,10 +120,17 @@ object Ingest {
     */
   def etherscanContracts(s: SparkSession, root: String): DataFrame = {
     val files = scanTree(s, root)
-    val metaDirSet = files.filter(col("fname") === "metadata.json").select(col("dir"))
+    val metaDirSet = files.filter(col("fname") === "metadata.json")
+      .select(col("dir").as("mdir"))
+    // ownership must mirror metadataContracts' PREFIX rule: any file under
+    // a metadata folder (at any depth) belongs to that contract — an
+    // exact-dir check would double-ingest a SourceCode-bearing json in a
+    // subdirectory of a metadata folder
     val cands = files
       .filter(lower(col("fname")).endsWith(".json") && col("fname") =!= "metadata.json")
-      .join(broadcast(metaDirSet), Seq("dir"), "left_anti")
+      .join(broadcast(metaDirSet),
+        col("dir") === col("mdir") || col("path").startsWith(concat(col("mdir"), lit("/"))),
+        "left_anti")
       .filter(get_json_object(col("content"), "$.SourceCode").isNotNull)
     val unwrapped = cands
       .withColumn("sc", get_json_object(col("content"), "$.SourceCode"))

@@ -213,8 +213,12 @@ object Solidity {
                 val header = masked.substring(parenClose + 1, end)
                 val headerToks = header.split("[^A-Za-z0-9_$]+").filter(_.nonEmpty).toSet
                 val vis = VisKeywords.find(headerToks.contains).getOrElse("public")
-                if (vis == "public" || vis == "external") {
-                  val fname = m.group(1)
+                val fname0 = m.group(1)
+                // pre-0.5 old-style constructors are named after their
+                // contract; solc's ABI lists them as type "constructor",
+                // which the reference's type=="function" iteration skips
+                if ((vis == "public" || vis == "external") && fname0 != cname) {
+                  val fname = fname0
                   val params = splitParams(src.substring(parenOpen + 1, parenClose))
                   val sig = fname + "(" + params.map(canonicalParam).mkString(",") + ")"
                   out += SolFunction(cname, fname, vis, sig, Keccak.selector(sig),

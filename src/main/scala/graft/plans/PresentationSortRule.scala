@@ -24,14 +24,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 case class PresentationSortRule() extends Rule[LogicalPlan] {
 
-  private def maxBytes: BigInt =
-    BigInt(Try(conf.getConfString("spark.graft.presentationSort.maxBytes").toLong)
-      .getOrElse(256L << 20))
+  /** None = unlimited (conf "-1"). Join-inflated estimates are BigInts
+    * that can exceed Long.MaxValue, so "a very large Long" cannot express
+    * "always rewrite" — the sentinel can.
+    */
+  private def maxBytes: Option[BigInt] =
+    Try(conf.getConfString("spark.graft.presentationSort.maxBytes").toLong)
+      .toOption match {
+      case Some(v) if v < 0 => None
+      case Some(v) => Some(BigInt(v))
+      case None => Some(BigInt(256L << 20))
+    }
 
-  private def rewrite(s: Sort): LogicalPlan =
-    if (Try(s.child.stats.sizeInBytes <= maxBytes).getOrElse(false))
-      s.copy(global = false, child = Repartition(1, shuffle = false, s.child))
+  private def rewrite(s: Sort): LogicalPlan = {
+    val small = maxBytes match {
+      case None => true
+      case Some(m) => Try(s.child.stats.sizeInBytes <= m).getOrElse(false)
+    }
+    if (small) s.copy(global = false, child = Repartition(1, shuffle = false, s.child))
     else s
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case s: Sort if s.global => rewrite(s)

@@ -66,7 +66,8 @@ object AnalyticsOps {
         .withColumn("cluster_id", col("doc_id")).persist()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      val maxIter = 64 // propagation rounds = graph diameter; fail loudly past this
+      while (changed > 0 && iter < maxIter) {
         val nb = edges.join(labels, col("v") === col("doc_id"))
           .groupBy("u").agg(min("cluster_id").as("nbmin"))
         val updated = labels.join(nb, labels("doc_id") === nb("u"), "left")
@@ -74,9 +75,14 @@ object AnalyticsOps {
             least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
               .as("new_cid"), col("cluster_id")).persist()
         changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
+        labels.unpersist()
         labels = updated.select(col("doc_id"), col("new_cid").as("cluster_id"))
         iter += 1
       }
+      // partially-propagated labels are silently WRONG — never return them
+      require(changed == 0,
+        s"connected components did not converge within $maxIter rounds " +
+          "(component diameter exceeds the cap); raise maxIter or pre-contract the graph")
       labels
     }
   }

@@ -30,18 +30,12 @@ object TrainingOps {
     */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** distinct word 3-shingles of a token array (requires size >= 3). */
-  private def shingles(ws: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-        element_at(ws, i + 3))))
-
   /** (doc_id, shingle) exploded distinct-shingle rows, via the native
     * [[graft.plans.ShingleGenerator]] — one tokenize+dedup pass per row
-    * planned through GenerateExec. (The earlier HOF pipeline lives on in
-    * [[shingles]] for array-shaped callers; note its lambda must reference
-    * a BOUND column or the split re-runs per element_at — measured 7×
-    * slower.)
+    * planned through GenerateExec. (An equivalent HOF formulation exists
+    * in ShingleGeneratorSpec, which proves set-equivalence; as a lesson
+    * learned there, a HOF lambda must reference a BOUND column or the
+    * split re-runs per element_at — measured 7× slower.)
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)

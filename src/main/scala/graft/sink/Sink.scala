@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions.col
 object Sink {
 
   /** Append `batch` to the parquet table at `path`, dropping rows whose
-    * `key` already exists there (and intra-batch duplicates, keep-first by
-    * sort on the key). Returns the number of rows actually appended.
+    * `key` already exists there and intra-batch duplicates. Returns the
+    * number of rows actually appended.
+    *
+    * Intra-batch dedup is DETERMINISTIC: the survivor is the row that
+    * sorts first across all columns — `dropDuplicates` alone keeps a
+    * partition-order-dependent row, which would make reruns over the same
+    * input persist different payloads for a duplicated key.
     */
   def upsertAppend(batch: DataFrame, path: String, key: String): Long = {
     val spark = batch.sparkSession
-    val deduped = batch.dropDuplicates(key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(batch.columns.map(col): _*)
+    val deduped = batch
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val fresh =
       if (exists(spark, path))
         deduped.join(spark.read.parquet(path).select(col(key)), Seq(key), "left_anti")

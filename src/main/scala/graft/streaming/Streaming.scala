@@ -66,7 +66,11 @@ object Streaming {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            rows.take(1) // keep-first within the batch as well
+            // min doc_id, NOT rows.take(1): the group iterator follows
+            // shuffled partition order, so take(1) keeps an arbitrary
+            // duplicate on multi-partition sources — minBy matches the
+            // batch dedup's keep-min semantics within each micro-batch
+            Iterator.single(rows.minBy(_._2))
           }
       }
   }

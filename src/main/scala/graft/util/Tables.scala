@@ -44,9 +44,13 @@ object Tables {
     * timestamp — truncation, matching DuckDB's `ts::TIMESTAMP` cast.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build time " +
-        "(see Verify/Bench builders) before reading the events table")
+    // self-heal for externally-built sessions (the conf is runtime-settable),
+    // then verify it actually took effect — never silently misread nanos
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
+      "spark.sql.legacy.parquet.nanosAsLong=true is required to read the " +
+        "events table (set it at SparkSession build time, see Verify/Bench)")
     table(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
       // integer `div`, NOT `/`: Spark's `/` is double division, and ~1.7e18
