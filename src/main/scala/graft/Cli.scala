@@ -56,7 +56,7 @@ object Cli {
         .select(explode(col("files")).as("f"))
         .select(col("f.name"), col("f.content"))
         .collect()
-      val written = Export.writeEntries(
+      val written = Export.exportEntries(
         rows.toSeq.map(r => (r.getString(0), r.getString(1))), out)
       println(s"[graft] export-source: ${written.size} files -> $out")
       0

@@ -46,8 +46,15 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
     try {
       val src = tmp.resolve("in.sol")
       java.nio.file.Files.writeString(src, source)
-      val out = Seq(solcPath, "--combined-json", "abi", src.toString).!!
-      parseCombinedAbi(out)
+      // compile failures (syntax errors, unresolvable imports) log and
+      // skip the file — the reference's per-contract policy
+      // (`main.rs:301-304`); throwing here would abort the whole job
+      Try(Seq(solcPath, "--combined-json", "abi", src.toString).!!) match {
+        case scala.util.Success(out) => parseCombinedAbi(out)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[graft] solc failed for $filename: ${e.getMessage}")
+          Seq.empty
+      }
     } finally {
       Try {
         java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())

@@ -49,8 +49,13 @@ object Derive {
       .select(col("id").as("contract_id"), explode(col("files")).as("f"))
       .select(col("contract_id"), col("f.name").as("filename"),
         col("f.content").as("content"))
-      .filter(col("filename").endsWith(".sol"))
       .as[FileRow]
+      // standard-json containers expand to their sources map here (the
+      // get_source_files analog) — a json-type contract's functions come
+      // from the expanded .sol entries, like the reference's compile step
+      .flatMap(fr => SourceFiles.expand(fr.filename, fr.content)
+        .map { case (n, c) => FileRow(fr.contract_id, n, c) })
+      .filter(_.filename.endsWith(".sol"))
       .flatMap { fr =>
         backend.extract(fr.filename, fr.content).map { fn =>
           FunctionRow(

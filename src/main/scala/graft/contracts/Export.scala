@@ -31,10 +31,18 @@ object Export {
     else name + ".sol"
   }
 
+  /** Expand standard-json containers to their sources, then write — the
+    * full export policy (`get_source_files` → `write_entries`,
+    * `plain_contract.rs:322-324`). The single entry point for both the
+    * library export and the CLI, so the expansion cannot be forgotten on
+    * one path.
+    */
+  def exportEntries(entries: Seq[(String, String)], outDir: String): Seq[Path] =
+    writeEntries(entries.flatMap { case (n, c) => SourceFiles.expand(n, c) }, outDir)
+
   /** Sanitize, default extensions, and write (name, content) entries
-    * under `outDir` — the shared `write_entries` analog
-    * (`plain_contract.rs:204-225`) used by both the library export and
-    * the CLI.
+    * under `outDir` — the `write_entries` analog
+    * (`plain_contract.rs:204-225`).
     */
   def writeEntries(entries: Seq[(String, String)], outDir: String): Seq[Path] = {
     val names = entries.map(e => sanitizePath(e._1)).toSet
@@ -55,6 +63,6 @@ object Export {
       .select(explode(col("files")).as("f"))
       .select(col("f.name"), col("f.content"))
       .collect()
-    writeEntries(rows.toSeq.map(r => (r.getString(0), r.getString(1))), outDir)
+    exportEntries(rows.toSeq.map(r => (r.getString(0), r.getString(1))), outDir)
   }
 }

@@ -1,29 +1,31 @@
 package graft.contracts
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-import graft.functions.Hashing
 
 /** S1–S4: build the `contract` table from a directory tree of verified
   * contract sources — the Spark re-expression of the reference's
   * `pre-process` ingest (`main.rs:90-160`, `plain_contract.rs:252-320`).
   *
-  * Spark-first shape: one `binaryFile` scan of the tree, a broadcast
-  * prefix-join against the (tiny) set of metadata dirs, a groupBy(folder)
-  * to assemble per-contract file lists, and pure column expressions for
-  * classification, hashing and metadata coercion. At 100 TB of contract
-  * dumps the scan parallelizes per-file; the only shuffle is the
-  * per-folder groupBy (and the id-dedup in the sink), keyed well below
-  * executor memory.
+  * Fidelity notes (each mirrors the reference exactly):
+  *  - classification and file listing are TOP-LEVEL only — the reference
+  *    probes `{dir}/contract.json|main.sol|main.vy` and lists multi_sol
+  *    sources with a non-recursive read_dir (`plain_contract.rs:142-163,
+  *    293-295`);
+  *  - a standard-json contract is stored as ONE `contract.json` file (the
+  *    unwrapped blob) in both ingest paths — explosion into its `sources`
+  *    happens downstream via [[SourceFiles.expand]], so the content id
+  *    (md5 of the stripped blob) is identical whichever path a contract
+  *    arrives through;
+  *  - Etherscan single-source fallback uses the fixed name `main.sol`
+  *    (`plain_contract.rs:276`).
   *
-  * Contract table schema (SURVEY §1.4):
-  *   id, name, source_type ∈ {json, vyper, single_sol, multi_sol},
-  *   metadata struct<contract_name, compiler_version, runs,
-  *                   optimization_used, bytecode_hash>,
-  *   files array<struct<name, content>>.
+  * Spark shape: one `binaryFile` scan (persisted across the two source
+  * branches), per-folder group, pure column expressions. At 100 TB the
+  * scan parallelizes per file; the only shuffles are the per-folder
+  * groupBy and the id-dedup in the sink.
   */
 object Ingest {
 
@@ -44,46 +46,44 @@ object Ingest {
     StructField("OptimizationUsed", StringType),
     StructField("BytecodeHash", StringType)))
 
-  /** Lossy Etherscan-style coercions (F7, `plain_contract.rs:52-62`):
-    * runs: string→int default 0; optimization: "1"/"true" → true.
+  /** Lossy Etherscan-style coercions (F7, `plain_contract.rs:52-62`).
+    * `alias` is the name the struct column is bound to in the caller's
+    * frame — `try_cast` is only reachable through SQL text, so the
+    * reference has to be by name.
     */
-  private def metaStruct(m: org.apache.spark.sql.Column) = struct(
+  private def metaStruct(m: Column, alias: String) = struct(
     m.getField("ContractName").as("contract_name"),
     m.getField("CompilerVersion").as("compiler_version"),
-    coalesce(expr("try_cast(m.Runs AS INT)"), lit(0)).as("runs"),
+    coalesce(expr(s"try_cast($alias.Runs AS INT)"), lit(0)).as("runs"),
     (m.getField("OptimizationUsed").isin("1", "true")).as("optimization_used"),
     coalesce(m.getField("BytecodeHash"), lit("")).as("bytecode_hash"))
 
   /** S1+S3: metadata-folder contracts (fiesta layout, `main.rs:90-115` +
     * `plain_contract.rs:284-320`). Each dir containing `metadata.json`
-    * becomes one contract; files classify it:
+    * becomes one contract; its TOP-LEVEL files classify it:
     * contract.json → json, main.sol → single_sol, main.vy → vyper,
-    * else all *.sol (recursive) → multi_sol.
+    * else all top-level *.sol → multi_sol.
     */
-  def metadataContracts(s: SparkSession, root: String): DataFrame = {
-    val files = scanTree(s, root)
+  def metadataContracts(s: SparkSession, root: String): DataFrame =
+    metadataContracts(scanTree(s, root))
+
+  private[contracts] def metadataContracts(files: DataFrame): DataFrame = {
     val metaDirs = files.filter(col("fname") === "metadata.json")
       .select(col("dir").as("cdir"), from_json(col("content"), metaSchema).as("m"))
-    // nearest-ancestor prefix join: tiny dim side → broadcast; window picks
-    // the deepest matching metadata dir per file
-    val owned = files.join(broadcast(metaDirs),
-        col("dir") === col("cdir") || col("path").startsWith(concat(col("cdir"), lit("/"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("path").orderBy(length(col("cdir")).desc)))
-      .filter(col("rk") === 1).drop("rk")
-    val grouped = owned
-      .filter(col("fname") =!= "metadata.json")
+    // top-level ownership only, like the reference's read_dir
+    val grouped = files.filter(col("fname") =!= "metadata.json")
+      .join(broadcast(metaDirs), col("dir") === col("cdir"))
       .groupBy(col("cdir"), col("m"))
       .agg(collect_list(struct(col("fname").as("name"), col("content").as("content")))
         .as("allfiles"))
-    val names = array_sort(transform(col("allfiles"), f => f.getField("name")))
+    val names = transform(col("allfiles"), f => f.getField("name"))
     val classified = grouped.withColumn("source_type",
       when(array_contains(names, "contract.json"), "json")
         .when(array_contains(names, "main.sol"), "single_sol")
         .when(array_contains(names, "main.vy"), "vyper")
         .otherwise("multi_sol"))
     // files kept per variant (`plain_contract.rs:288-320`): the designated
-    // file for json/single/vyper; every *.sol for multi_sol
+    // file for json/single/vyper; every top-level *.sol for multi_sol
     val kept = when(col("source_type") === "json",
         filter(col("allfiles"), f => f.getField("name") === "contract.json"))
       .when(col("source_type") === "single_sol",
@@ -95,39 +95,41 @@ object Ingest {
       .withColumn("files", array_sort(kept))
       .withColumn("id", contentId(col("files")))
       .select(col("id"), col("m").getField("ContractName").as("name"),
-        metaStruct(col("m")).as("metadata"), col("source_type"), col("files"))
+        metaStruct(col("m"), "m").as("metadata"), col("source_type"), col("files"))
   }
 
   /** F1/A2 content id (`plain_contract.rs:166-181`): single file → md5 of
     * whitespace-stripped content; multi-file → md5 of the sorted per-file
     * hashes concatenated (order-insensitive multiset hash).
     */
-  def contentId(files: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def contentId(files: Column): Column = {
     val perFile = transform(files,
       f => md5(regexp_replace(f.getField("content"), "\\s+", "")))
     when(size(files) === 1, element_at(perFile, 1))
       .otherwise(md5(concat_ws("", array_sort(perFile))))
   }
 
-  private val stdJsonSourcesSchema =
-    MapType(StringType, StructType(Seq(StructField("content", StringType))))
-
   /** S2+S4: Etherscan verified-contract dumps (`main.rs:118-160`,
-    * `plain_contract.rs:252-281`): *.json files outside metadata folders;
-    * `SourceCode` is either `{{…}}`-wrapped solc standard-json (→ json
-    * variant, one file per `sources` entry) or plain source (→
-    * single_sol).
+    * `plain_contract.rs:252-281`). Candidates are *.json files outside
+    * metadata folders whose name starts with their parent folder's name
+    * (`main.rs:136`) — or that sit directly under the scan root, where no
+    * folder context exists. `SourceCode` is stored as ONE file:
+    * `contract.json` (unwrapped standard-json) or `main.sol` (plain
+    * source).
     */
-  def etherscanContracts(s: SparkSession, root: String): DataFrame = {
-    val files = scanTree(s, root)
+  def etherscanContracts(s: SparkSession, root: String): DataFrame =
+    etherscanContracts(scanTree(s, root), root)
+
+  private[contracts] def etherscanContracts(files: DataFrame, root: String): DataFrame = {
+    val rootDir = root.stripSuffix("/")
     val metaDirSet = files.filter(col("fname") === "metadata.json")
       .select(col("dir").as("mdir"))
-    // ownership must mirror metadataContracts' PREFIX rule: any file under
-    // a metadata folder (at any depth) belongs to that contract — an
-    // exact-dir check would double-ingest a SourceCode-bearing json in a
-    // subdirectory of a metadata folder
+    // exclusion uses the PREFIX rule: any file under a metadata folder (at
+    // any depth) belongs to that contract, never to the etherscan path
     val cands = files
       .filter(lower(col("fname")).endsWith(".json") && col("fname") =!= "metadata.json")
+      .filter(col("fname").startsWith(regexp_extract(col("dir"), "([^/]+)$", 1))
+        || col("dir") === rootDir || col("dir") === s"file:$rootDir")
       .join(broadcast(metaDirSet),
         col("dir") === col("mdir") || col("path").startsWith(concat(col("mdir"), lit("/"))),
         "left_anti")
@@ -138,29 +140,32 @@ object Ingest {
       .withColumn("sc", when(col("sc").startsWith("{{"),
         expr("substring(sc, 2, length(sc) - 2)")).otherwise(col("sc")))
       .withColumn("m", from_json(col("content"), metaSchema))
-      .withColumn("srcmap", from_json(get_json_object(col("sc"), "$.sources"),
-        stdJsonSourcesSchema))
+      // classification probe only — the blob itself stays one file
+      .withColumn("isStdJson",
+        from_json(get_json_object(col("sc"), "$.sources"),
+          MapType(StringType, StructType(Seq(StructField("content", StringType)))))
+          .isNotNull)
     unwrapped
-      .withColumn("source_type",
-        when(col("srcmap").isNotNull, "json").otherwise("single_sol"))
-      .withColumn("files",
-        when(col("srcmap").isNotNull,
-          array_sort(transform(map_entries(col("srcmap")),
-            e => struct(e.getField("key").as("name"),
-              e.getField("value").getField("content").as("content")))))
-          .otherwise(array(struct(
-            concat(col("m").getField("ContractName"), lit(".sol")).as("name"),
-            col("sc").as("content")))))
+      .withColumn("source_type", when(col("isStdJson"), "json").otherwise("single_sol"))
+      .withColumn("files", array(struct(
+        when(col("isStdJson"), "contract.json").otherwise("main.sol").as("name"),
+        col("sc").as("content"))))
       .withColumn("id", contentId(col("files")))
       .select(col("id"), col("m").getField("ContractName").as("name"),
-        metaStruct(col("m")).as("metadata"), col("source_type"), col("files"))
+        metaStruct(col("m"), "m").as("metadata"), col("source_type"), col("files"))
   }
 
-  /** Full contract table: both sources, PK-deduped on content id (S9,
-    * `db.rs:172-196` `ON CONFLICT DO NOTHING` ⇒ keep-first).
+  /** Full contract table: both sources from ONE persisted scan, PK-deduped
+    * on content id with deterministic precedence (metadata-folder row wins
+    * over an etherscan duplicate — S9 keep-first, `db.rs:172-196`).
     */
-  def contracts(s: SparkSession, root: String): DataFrame =
-    metadataContracts(s, root)
-      .unionByName(etherscanContracts(s, root))
-      .dropDuplicates("id")
+  def contracts(s: SparkSession, root: String): DataFrame = {
+    val files = scanTree(s, root).persist()
+    val both = metadataContracts(files).withColumn("__prio", lit(0))
+      .unionByName(etherscanContracts(files, root).withColumn("__prio", lit(1)))
+    val w = Window.partitionBy("id").orderBy(col("__prio"), col("name"))
+    both.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prio", "__rn")
+  }
 }

@@ -171,15 +171,17 @@ object Solidity {
     val fnKw = "\\bfunction\\s+([A-Za-z_$][A-Za-z0-9_$]*)\\s*\\(".r
     for ((cname, bStart, bEnd) <- blocks(src, mask)) {
       val body = masked.substring(bStart, bEnd)
+      // single forward pass for the top-level check: matches arrive in
+      // increasing position, so carry (scanPos, depth) forward instead of
+      // recounting from bStart per match (which is O(functions × body))
+      var scanPos = bStart
+      var depth = 0
       for (m <- fnKw.findAllMatchIn(body)) {
         val fnStart = bStart + m.start
-        // only top-level functions of this block (depth 0 inside body):
-        // count unmatched braces between bStart and fnStart
-        var depth = 0
-        var k = bStart
-        while (k < fnStart) {
-          if (mask(k) == '{') depth += 1 else if (mask(k) == '}') depth -= 1
-          k += 1
+        while (scanPos < fnStart) {
+          if (mask(scanPos) == '{') depth += 1
+          else if (mask(scanPos) == '}') depth -= 1
+          scanPos += 1
         }
         if (depth == 0) {
           val parenOpen = bStart + m.end - 1

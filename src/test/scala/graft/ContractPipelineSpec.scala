@@ -48,11 +48,30 @@ class ContractPipelineSpec extends AnyFunSuite {
     val row = c.head
     assert(row.getAs[String]("name") == "Bueno721Drop")
     assert(row.getAs[String]("source_type") == "json")
-    assert(row.getList[org.apache.spark.sql.Row](row.fieldIndex("files")).size == 23)
+    // stored as ONE contract.json blob, like the reference
+    // (plain_contract.rs:262-267) — so the content id matches whichever
+    // ingest path a standard-json contract arrives through
+    val files = row.getList[org.apache.spark.sql.Row](row.fieldIndex("files"))
+    assert(files.size == 1)
+    assert(files.get(0).getAs[String]("name") == "contract.json")
     val meta = row.getStruct(row.fieldIndex("metadata"))
     assert(meta.getAs[Boolean]("optimization_used")) // "1" → true
     assert(meta.getAs[Int]("runs") == 500) // "500" → 500
     assert(meta.getAs[String]("compiler_version") == "v0.8.17+commit.8df45f5f")
+  }
+
+  test("SourceFiles.expand: standard-json container yields its sources map") {
+    val c = Ingest.etherscanContracts(spark, root).collect().head
+    val blob = c.getList[org.apache.spark.sql.Row](c.fieldIndex("files"))
+      .get(0).getAs[String]("content")
+    val expanded = graft.contracts.SourceFiles.expand("contract.json", blob)
+    assert(expanded.size == 23)
+    assert(expanded.forall(_._1.endsWith(".sol")))
+    // non-container files pass through
+    assert(graft.contracts.SourceFiles.expand("a.sol", "contract A {}") ==
+      Seq(("a.sol", "contract A {}")))
+    assert(graft.contracts.SourceFiles.expand("notes.json", "{\"x\": 1}") ==
+      Seq(("notes.json", "{\"x\": 1}")))
   }
 
   test("U3 golden: Counter.decrement body slice matches the reference test") {
