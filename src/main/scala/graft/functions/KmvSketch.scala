@@ -17,20 +17,24 @@ import org.apache.spark.sql.expressions.Aggregator
   * deterministic and cross-engine oracle-checkable.
   */
 class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
+  require(k > 0, "KmvDistinct requires k > 0")
 
   override def zero: Array[Long] = Array.emptyLongArray
 
   override def reduce(buf: Array[Long], h: Long): Array[Long] = {
     // fast path: ignore hashes beyond the current kth minimum
     if (buf.length == k && h >= buf(k - 1)) buf
-    else if (java.util.Arrays.binarySearch(buf, h) >= 0) buf
     else {
-      val merged = new Array[Long](buf.length + 1)
-      val idx = -(java.util.Arrays.binarySearch(buf, h) + 1)
-      System.arraycopy(buf, 0, merged, 0, idx)
-      merged(idx) = h
-      System.arraycopy(buf, idx, merged, idx + 1, buf.length - idx)
-      if (merged.length > k) java.util.Arrays.copyOf(merged, k) else merged
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present
+      else {
+        val idx = -(pos + 1) // one search: sign carries the insertion point
+        val merged = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, merged, 0, idx)
+        merged(idx) = h
+        System.arraycopy(buf, idx, merged, idx + 1, buf.length - idx)
+        if (merged.length > k) java.util.Arrays.copyOf(merged, k) else merged
+      }
     }
   }
 

@@ -18,6 +18,7 @@ object Winnowing {
 
   /** 64-bit Rabin–Karp rolling hashes of every k-gram (byte-level). */
   def rollingHashes(text: String, k: Int): Array[Long] = {
+    if (text == null) return Array.empty
     val bytes = text.getBytes("UTF-8")
     if (bytes.length < k) return Array.empty
     val B = 1000003L // odd base, coprime with 2^64
@@ -62,14 +63,17 @@ object Winnowing {
     out.toSeq
   }
 
-  /** Compact digest of the fingerprint multiset (stable across runs). */
-  def digest(text: String, k: Int = 8, w: Int = 4): String = {
-    val fps = fingerprints(text, k, w).map(_._2)
+  /** Compact digest of an already-computed fingerprint set. */
+  def digestOf(fps: Seq[(Int, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    fps.foreach { h =>
+    fps.foreach { case (_, h) =>
       var i = 0
       while (i < 8) { md.update(((h >>> (8 * i)) & 0xff).toByte); i += 1 }
     }
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Compact digest of the fingerprint multiset (stable across runs). */
+  def digest(text: String, k: Int = 8, w: Int = 4): String =
+    digestOf(fingerprints(text, k, w))
 }

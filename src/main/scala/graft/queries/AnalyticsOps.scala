@@ -17,12 +17,6 @@ object AnalyticsOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
 
-  /** DuckDB equivalent of [[Hashing.md5Long]] (same formula as
-    * TrainingOps.oMd5Long, local to keep the modules independent).
-    */
-  private def oMd5LongSql(sqlExpr: String): String =
-    s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
-
   /** Connected components (doc_id → min id of its component) over an
     * (ida, idb) pair list. Hybrid execution, the broadcast-join analog:
     * post-LSH candidate graphs are sparse by construction, so below
@@ -67,6 +61,11 @@ object AnalyticsOps {
       var changed = 1L
       var iter = 0
       val maxIter = 64 // propagation rounds = graph diameter; fail loudly past this
+      // unpersist must target the PERSISTED references: from round 2 on,
+      // `labels` is an unpersisted projection over the previous round's
+      // `updated`, so labels.unpersist() would be a silent no-op and every
+      // round would leak one cached table
+      var prevUpdated: DataFrame = labels
       while (changed > 0 && iter < maxIter) {
         val nb = edges.join(labels, col("v") === col("doc_id"))
           .groupBy("u").agg(min("cluster_id").as("nbmin"))
@@ -75,7 +74,8 @@ object AnalyticsOps {
             least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
               .as("new_cid"), col("cluster_id")).persist()
         changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
-        labels.unpersist()
+        prevUpdated.unpersist()
+        prevUpdated = updated
         labels = updated.select(col("doc_id"), col("new_cid").as("cluster_id"))
         iter += 1
       }
@@ -214,17 +214,25 @@ object AnalyticsOps {
             Hashing.decSum(x).as("sx"), Hashing.decSum(y).as("sy"),
             Hashing.decSum(x * y).as("sxy"),
             Hashing.decSum(x * x).as("sxx"), Hashing.decSum(y * y).as("syy"))
+          // guard degenerate groups IDENTICALLY on both engines: a zero
+          // (or rounding-negative) variance divides by 0, where Spark's
+          // Divide yields NULL but DuckDB's IEEE division yields inf/NaN —
+          // both sides now emit NULL for those groups
+          .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
           .select(col("l_returnflag"), col("n"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"),
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
-              (col("n") * (col("n") - 1))).as("stddev_qty"))
+            when(col("vx") > 0 && col("vy") > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("vx")) * sqrt(col("vy")))).as("corr"),
+            when(col("vx") > 0 && col("n") > 1,
+              sqrt(col("vx") / (col("n") * (col("n") - 1)))).as("stddev_qty"))
           .orderBy("l_returnflag")
       },
       Some("SELECT l_returnflag, n, " +
-        "((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr, " +
-        "sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty FROM (" +
+        "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN " +
+        "((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) END AS corr, " +
+        "CASE WHEN (n * sxx - sx * sx) > 0 AND n > 1 THEN " +
+        "sqrt((n * sxx - sx * sx) / (n * (n - 1))) END AS stddev_qty FROM (" +
         "SELECT l_returnflag, count(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx, " +
         "CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sy, " +
@@ -317,7 +325,7 @@ object AnalyticsOps {
         .select("doc_id", "lang", "slot")
         .orderBy("doc_id"),
       Some("SELECT doc_id, lang, slot FROM (SELECT doc_id, lang, " +
-        s"${oMd5LongSql("CAST(doc_id AS VARCHAR)")} % 100 AS slot FROM documents) " +
+        s"${TrainingOps.oMd5Long("CAST(doc_id AS VARCHAR)")} % 100 AS slot FROM documents) " +
         "WHERE (lang = 'en' AND slot < 50) OR (lang <> 'en' AND slot < 20) " +
         "ORDER BY doc_id")),
 
@@ -358,7 +366,7 @@ object AnalyticsOps {
           .orderBy("source")
       },
       Some("WITH h AS (SELECT DISTINCT source, " +
-        s"${oMd5LongSql("text")} AS h FROM documents), " +
+        s"${TrainingOps.oMd5Long("text")} AS h FROM documents), " +
         "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn, " +
         "count(*) OVER (PARTITION BY source) AS nd FROM h) " +
         "SELECT r.source, CASE WHEN max(nd) < 16 THEN CAST(max(nd) AS DOUBLE) " +
@@ -374,6 +382,9 @@ object AnalyticsOps {
         .groupBy("cohort")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
+        // empty (cohort, type) cells pivot to NULL but the oracle's
+        // count(*) FILTER yields 0 — align the representations
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("cohort"),
       Some("SELECT user_id % 4 AS cohort, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +

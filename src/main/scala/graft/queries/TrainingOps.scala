@@ -48,7 +48,7 @@ object TrainingOps {
       "FROM toks, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)"
 
   /** DuckDB equivalent of [[Hashing.md5Long]]. */
-  private def oMd5Long(sqlExpr: String): String =
+  private[queries] def oMd5Long(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
 
   /** DuckDB equivalent of [[Hashing.md5Long2]]. */
@@ -172,7 +172,12 @@ object TrainingOps {
   private def hyperBuckets(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val ee = embeddings(s, d)
       .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
-    val planes = ee.select("pos").distinct()
+    // dim from a scan-only max(size) aggregate — a distinct() over the
+    // exploded (vectors × dims) rows would shuffle V·D rows to produce
+    // the D values every vector shares
+    val planes = embeddings(s, d)
+      .agg(max(size(col("embedding"))).as("dim"))
+      .select(explode(sequence(lit(0), col("dim") - 1)).as("pos"))
       .select(col("pos"), explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
       .withColumn("sgn",
         when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
@@ -469,11 +474,19 @@ object TrainingOps {
     // guarantees are pinned by WinnowingSpec.
     Q("q50_winnow_fingerprint",
       (s, d) => {
-        val fpCount = udf((t: String) => graft.functions.Winnowing.fingerprints(t).size)
-        val digest = udf((t: String) => graft.functions.Winnowing.digest(t))
+        // one UDF returning both fields: computing count and digest via
+        // separate UDFs would run the O(n) winnowing pass twice per row;
+        // null text yields a null struct, like every other text operator
+        val fp = udf((t: String) =>
+          if (t == null) null
+          else {
+            val fps = graft.functions.Winnowing.fingerprints(t)
+            (fps.size, graft.functions.Winnowing.digestOf(fps))
+          })
         documents(s, d)
-          .select(col("doc_id"), fpCount(col("text")).as("n_fingerprints"),
-            digest(col("text")).as("winnow_digest"))
+          .withColumn("fp", fp(col("text")))
+          .select(col("doc_id"), col("fp._1").as("n_fingerprints"),
+            col("fp._2").as("winnow_digest"))
           .orderBy("doc_id")
       },
       None),

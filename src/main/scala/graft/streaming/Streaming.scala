@@ -43,29 +43,40 @@ object Streaming {
         col("sum_value"))
 
   /** Streaming exact dedup (the streaming form of q27): emit only the
-    * FIRST document per content hash, with the seen-set held in the state
-    * store via `flatMapGroupsWithState` — the custom-state operator the
-    * windowed built-ins can't express. Input needs (doc_id, text)
-    * columns; output is the surviving rows plus their hash.
+    * FIRST document per content hash (F1, [[Hashing.simpleHash]]), with
+    * the seen-set held in the state store via `flatMapGroupsWithState` —
+    * the custom-state operator the windowed built-ins can't express.
+    * Input needs (doc_id, text) columns; output is the surviving rows
+    * plus their hash.
     *
     * Scale: state is one boolean per distinct hash, partitioned by hash —
-    * the same shuffle key as the batch dedup; at 100 TB the state store
-    * backend (RocksDB) and a TTL via timeouts bound the footprint.
+    * the same shuffle key as the batch dedup. `stateTtl` bounds the
+    * footprint: a seen-hash entry expires after that much processing
+    * time, after which a recurring document is admitted again (the
+    * standard windowed-dedup tradeoff); None keeps state forever.
     */
-  def dedupStream(docs: DataFrame): Dataset[(String, Long, String)] = {
+  def dedupStream(docs: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): Dataset[(String, Long, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     docs
-      .select(md5(regexp_replace(col("text"), "\\s+", "")).as("h"),
-        col("doc_id"), col("text"))
+      .select(Hashing.simpleHash(col("text")).as("h"), col("doc_id"), col("text"))
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, Long, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            state.remove() // TTL expiry: forget the hash
+            Iterator.empty
+          } else if (state.exists) {
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            Iterator.empty
+          } else {
             state.update(true)
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
             // min doc_id, NOT rows.take(1): the group iterator follows
             // shuffled partition order, so take(1) keeps an arbitrary
             // duplicate on multi-partition sources — minBy matches the
