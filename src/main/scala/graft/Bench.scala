@@ -57,7 +57,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures must be LOUD: a crashed query is excluded from the total,
+    // so without this a broken build would bench "faster" than a working one
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,16 +50,15 @@ object Cli {
 
     case "export-source" :: dbDir :: id :: out :: Nil =>
       // point lookup straight off the contract table (S6), then S11 export
-      import org.apache.spark.sql.functions._
-      val rows = spark.read.parquet(s"$dbDir/contract")
-        .filter(col("id") === id).limit(1)
-        .select(explode(col("files")).as("f"))
-        .select(col("f.name"), col("f.content"))
-        .collect()
-      val written = Export.exportEntries(
-        rows.toSeq.map(r => (r.getString(0), r.getString(1))), out)
-      println(s"[graft] export-source: ${written.size} files -> $out")
-      0
+      val written = Export.exportFrom(spark.read.parquet(s"$dbDir/contract"), id, out)
+      if (written.isEmpty) {
+        // the reference fails loudly here ("Contract not found", main.rs:162-165)
+        System.err.println(s"[graft] export-source: contract not found: $id")
+        1
+      } else {
+        println(s"[graft] export-source: ${written.size} files -> $out")
+        0
+      }
 
     case "validate" :: dbDir :: Nil =>
       // S12/P2/J1 constraint checks over the built tables

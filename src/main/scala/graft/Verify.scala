@@ -29,6 +29,15 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any STALE output from a previous run: overwrite only
+        // happens on success, so a reused outDir would otherwise hand the
+        // driver an old (possibly passing) result for a now-broken query
+        val dir = java.nio.file.Paths.get(s"$outDir/$name")
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -55,14 +55,24 @@ object Export {
     }
   }
 
-  /** Export one contract's source files; returns the paths written. */
-  def exportSource(s: SparkSession, root: String, contractId: String,
+  /** Point-lookup a contract in any contract-table DataFrame and export
+    * its (expanded) source files — the single S6→S11 pipeline shared by
+    * the library and the CLI. Empty result means the id does not exist
+    * (the reference errors with "Contract not found", `main.rs:162-165`);
+    * callers decide how loudly.
+    */
+  def exportFrom(contracts: org.apache.spark.sql.DataFrame, contractId: String,
       outDir: String): Seq[Path] = {
-    val rows = Ingest.contracts(s, root)
+    val rows = contracts
       .filter(col("id") === contractId).limit(1)
       .select(explode(col("files")).as("f"))
       .select(col("f.name"), col("f.content"))
       .collect()
     exportEntries(rows.toSeq.map(r => (r.getString(0), r.getString(1))), outDir)
   }
+
+  /** Export one contract's source files; returns the paths written. */
+  def exportSource(s: SparkSession, root: String, contractId: String,
+      outDir: String): Seq[Path] =
+    exportFrom(Ingest.contracts(s, root), contractId, outDir)
 }

@@ -60,7 +60,11 @@ object Schemas {
     * violating rows instead.)
     */
   def sourceTypeViolations(contracts: DataFrame): DataFrame =
-    contracts.filter(!col("source_type").isin(SourceTypes.toSeq: _*))
+    // isNull explicitly: `!isin(...)` on a NULL is NULL and the filter
+    // would silently pass the row, yet NULL violates the NOT NULL + enum
+    // domain the DDL declares
+    contracts.filter(col("source_type").isNull
+      || !col("source_type").isin(SourceTypes.toSeq: _*))
 
   /** PK check: duplicate ids (write-time dedup should make this empty). */
   def duplicateIds(table: DataFrame): DataFrame =
@@ -70,8 +74,11 @@ object Schemas {
     * the unenforced-FK validation of SURVEY §1.4.
     */
   def fkViolations(functions: DataFrame, contracts: DataFrame): DataFrame =
-    functions.join(contracts.select(col("id").as("contract_id")),
-      Seq("contract_id"), "left_anti")
+    // SQL FK semantics (what DuckDB enforces for the reference's DDL):
+    // a NULL FK value is NOT a violation, only a non-NULL dangling one is
+    functions.filter(col("contract_id").isNotNull)
+      .join(contracts.select(col("id").as("contract_id")),
+        Seq("contract_id"), "left_anti")
 
   /** Run all constraint checks; returns (check name → violating rows). */
   def validate(contracts: DataFrame, functions: DataFrame): Map[String, Long] = Map(

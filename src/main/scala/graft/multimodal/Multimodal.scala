@@ -59,8 +59,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition codec init would go here
       rows.map { r =>
-        val (hist, mean) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length, hist, mean)
+        // null payload (nullable source column) → zero features, not an NPE
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val (hist, mean) = decodeStub(payload)
+        MediaFeatures(r.doc_id, r.media_type, payload.length, hist, mean)
       }
     }
   }

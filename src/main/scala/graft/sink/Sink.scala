@@ -33,10 +33,14 @@ object Sink {
     val deduped = batch
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val fresh =
-      if (exists(spark, path))
-        deduped.join(spark.read.parquet(path).select(col(key)), Seq(key), "left_anti")
-      else deduped
+    // Try, not an exists() check: a sink dir that exists but holds no
+    // parquet (failed first write, pre-created dir) must count as fresh —
+    // an unreadable existing sink would otherwise wedge every rerun
+    val existingKeys = scala.util.Try(spark.read.parquet(path).select(col(key))).toOption
+    val fresh = existingKeys match {
+      case Some(existing) => deduped.join(existing, Seq(key), "left_anti")
+      case None => deduped
+    }
     // count + write in one materialization would need an accumulator; the
     // sink is batch-oriented, so count-then-write keeps it simple and the
     // second pass reads the shuffled output of the first via cache
@@ -48,8 +52,4 @@ object Sink {
     } finally { persisted.unpersist() }
   }
 
-  private def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 }

@@ -16,15 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   // memoized per (session, path): each spark.read.parquet call re-lists
-  // the file and re-reads the footer (~80 ms measured) — 47 registry
+  // the file and re-reads the footer (~80 ms measured) — 50+ registry
   // queries × 1-3 tables adds seconds of pure listing. The analyzed
   // DataFrame is immutable, so caching it is the engine's "metastore".
+  // Weakly keyed by session so stopped sessions (e.g. successive test
+  // suites in one JVM) can be collected rather than retained forever.
+  // Caveat, like any metastore cache: the file listing snapshots at first
+  // access — correct for the read-only corpus, not for tables rewritten
+  // mid-session.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    val path = s"$dir/$name.parquet"
+    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -38,10 +53,15 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) cannot represent natively. We read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong` — must be set at SparkSession
-    * build time by every entry point; asserted here rather than mutated so a
-    * table accessor has no hidden session-wide side effects) and derive a µs
-    * timestamp — truncation, matching DuckDB's `ts::TIMESTAMP` cast.
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive a µs timestamp —
+    * truncation, matching DuckDB's `ts::TIMESTAMP` cast.
+    *
+    * The conf SHOULD be set at SparkSession build time (all in-repo entry
+    * points do); for externally-built sessions this accessor self-heals by
+    * setting the runtime-settable conf — a DOCUMENTED session-wide side
+    * effect (it changes how other nanos-timestamp parquet reads are typed
+    * for the rest of the session), preferred over failing every
+    * events-reading query, and then verified so nanos are never misread.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // self-heal for externally-built sessions (the conf is runtime-settable),
