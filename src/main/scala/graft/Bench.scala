@@ -27,10 +27,6 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // gate surfaces have bounded result sets by construction (sf<=0.1):
-      // let the presentation-sort rule apply regardless of the optimizer's
-      // (join-inflated) size estimates
-      .config("spark.graft.presentationSort.maxBytes", "-1") // unlimited
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,13 +42,23 @@ object Bench {
 
     benched.foreach(runOnce) // warmup (JIT, codegen cache, parquet footers)
 
-    // one timed pass after warmup: bounded wall-clock for the driver
-    // (totals still carry ±20% JVM noise — steady-state figures are
-    // recorded in BASELINE.md from repeated local runs)
+    // N timed passes after warmup, per-query MIN reported — single runs
+    // swing ±20% from JVM/host noise; min-of-N is the steady-state figure
+    // BASELINE.md describes, and "passes" in the JSON records N so the
+    // artifact and the methodology claim match.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val timed: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+      benched.map { q =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(q)
+        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
     val results = benched.map { q =>
-      val t0 = System.nanoTime()
-      val ok = runOnce(q)
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val vs = timed.map(_(q.name))
+      // a query that crashed in ANY pass is a failure — min-of-N must not
+      // hide a flaky query behind one lucky pass
+      q.name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -62,7 +68,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,16 +14,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // gate surfaces have bounded result sets by construction (sf<=0.1):
-      // let the presentation-sort rule apply regardless of the optimizer's
-      // (join-inflated) size estimates
-      .config("spark.graft.presentationSort.maxBytes", "-1") // unlimited
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         spark.sqlContext.clearCache() // per-query persists don't leak
+        // coalesce(1) (order-preserving), NOT repartition(1): a shuffle
+        // here would scramble row order out of a root ORDER BY before the
+        // driver hashes the file. Verify runs at sf0.01 — the coalesce's
+        // serialization cost is irrelevant and correctness wins.
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }

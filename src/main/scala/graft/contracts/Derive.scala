@@ -59,9 +59,12 @@ object Derive {
       .flatMap { fr =>
         backend.extract(fr.filename, fr.content).map { fn =>
           FunctionRow(
-            // F4 row id = md5(contract_id ‖ filename ‖ selector)
-            // (functions.rs:31)
-            id = md5Hex(fr.contract_id + fr.filename + fn.selector),
+            // F4 row id = simple_hash(contract_id ‖ filename ‖ selector)
+            // (functions.rs:31 → utils.rs:12-17): the concat is
+            // whitespace-STRIPPED before md5, so filenames containing
+            // spaces (standard-json source keys) hash like the reference's
+            id = md5Hex((fr.contract_id + fr.filename + fn.selector)
+              .replaceAll("(?U)\\s+", "")),
             contract_id = fr.contract_id,
             contract_name = fn.contractName,
             function_name = fn.functionName,

@@ -103,8 +103,10 @@ object Ingest {
     * hashes concatenated (order-insensitive multiset hash).
     */
   def contentId(files: Column): Column = {
+    // (?U): Unicode-whitespace strip, matching the Rust regex `\s` the
+    // reference hashes with (utils.rs:12-17)
     val perFile = transform(files,
-      f => md5(regexp_replace(f.getField("content"), "\\s+", "")))
+      f => md5(regexp_replace(f.getField("content"), "(?U)\\s+", "")))
     when(size(files) === 1, element_at(perFile, 1))
       .otherwise(md5(concat_ws("", array_sort(perFile))))
   }

@@ -16,8 +16,14 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Hashing {
 
-  /** F1: md5(text with ALL whitespace runs removed), lowercase hex. */
-  def simpleHash(c: Column): Column = md5(regexp_replace(c, "\\s+", ""))
+  /** F1: md5(text with ALL whitespace runs removed), lowercase hex.
+    * `(?U)` makes Java's `\s` match Unicode White_Space, like the Rust
+    * regex crate's `\s` in the reference (`utils.rs:12-17`) — NBSP and
+    * friends strip identically. The DuckDB oracle keeps RE2's ASCII `\s`:
+    * verified value-identical on the corpus (zero non-ASCII rows), and RE2
+    * has no White_Space class to mirror exactly.
+    */
+  def simpleHash(c: Column): Column = md5(regexp_replace(c, "(?U)\\s+", ""))
 
   /** A2: aggregate — order-insensitive multiset hash of already-hashed
     * elements. Commutative by construction (sort before concat), so it is
@@ -26,8 +32,13 @@ object Hashing {
   def multisetHash(elementHash: Column): Column =
     md5(concat_ws("", sort_array(collect_list(elementHash))))
 
-  /** F4: row id = md5 of the concatenated natural-key parts (cast to string). */
-  def rowId(parts: Column*): Column = md5(concat(parts.map(_.cast("string")): _*))
+  /** F4: row id = simple_hash of the concatenated natural-key parts — the
+    * reference derives ids with `simple_hash` (`functions.rs:31` →
+    * `utils.rs:12-17`), so whitespace inside a key part (e.g. a
+    * standard-json source name with spaces) is stripped before hashing.
+    */
+  def rowId(parts: Column*): Column =
+    md5(regexp_replace(concat(parts.map(_.cast("string")): _*), "(?U)\\s+", ""))
 
   /** First 15 hex chars of md5 parsed as a 60-bit non-negative long — the
     * portable "hash to integer" both Spark (`conv`) and the DuckDB oracle

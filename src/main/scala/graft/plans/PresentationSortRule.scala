@@ -9,8 +9,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (or directly under the write command) exists only to order the final
   * result. Spark plans it as a range exchange whose partitioner SAMPLES
   * the child — executing the whole child plan twice. For a small result,
-  * a single-partition local sort is the same total order at half the
-  * work (measured ~40% off the heaviest sorted query).
+  * gathering the finished rows into one partition and local-sorting them
+  * is the same total order at a fraction of the work.
+  *
+  * The gather MUST be a shuffle (`Repartition(1, shuffle = true)`), not a
+  * coalesce: coalesce propagates upstream through narrow dependencies, so
+  * on a shuffle-free pipeline (scan → project → orderBy) it collapses the
+  * ENTIRE scan and compute onto one task — measured 10–20× regressions on
+  * map-only queries (q14/q20/q26 at round 2). A single-partition shuffle
+  * instead runs the child fully parallel and pays one cheap exchange of
+  * the final rows; with numPartitions == 1 Spark also skips the
+  * round-robin sort-before-repartition, so the exchange is a plain
+  * gather.
   *
   * Guard rails, because this is a session-global rule:
   *  - only the ROOT sort (or root-command child) is touched — interior
@@ -18,8 +28,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    them;
   *  - only when the child's estimated size is under
   *    `spark.graft.presentationSort.maxBytes` (default 256 MB) — a
-  *    100 TB result keeps its parallel range sort; collapsing it to one
-  *    partition would be catastrophic, and the stats guard is what makes
+  *    100 TB result keeps its parallel range sort; single-partition
+  *    sorting it would be catastrophic, and the stats guard is what makes
   *    the rule safe to leave on everywhere.
   */
 case class PresentationSortRule() extends Rule[LogicalPlan] {
@@ -41,7 +51,7 @@ case class PresentationSortRule() extends Rule[LogicalPlan] {
       case None => true
       case Some(m) => Try(s.child.stats.sizeInBytes <= m).getOrElse(false)
     }
-    if (small) s.copy(global = false, child = Repartition(1, shuffle = false, s.child))
+    if (small) s.copy(global = false, child = Repartition(1, shuffle = true, s.child))
     else s
   }
 

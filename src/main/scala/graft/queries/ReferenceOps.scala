@@ -344,7 +344,7 @@ object ReferenceOps {
           Hashing.rowId(col("l_orderkey"), lit("|"), col("l_linenumber")).as("id"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some("SELECT l_orderkey, l_linenumber, " +
-        "md5(concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR))) AS id " +
+        "md5(regexp_replace(concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR)), '\\s+', '', 'g')) AS id " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
   )
 }

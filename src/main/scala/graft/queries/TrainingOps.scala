@@ -671,9 +671,9 @@ object TrainingOps {
         "CASE event_type WHEN 'click' THEN '0x20948731' WHEN 'purchase' THEN '0x8de93222' " +
         "WHEN 'signup' THEN '0x7f8cb4c1' WHEN 'error' THEN '0x87873088' " +
         "WHEN 'view' THEN '0x315ad64a' END AS selector, " +
-        "md5(event_type || '|' || (CASE event_type WHEN 'click' THEN '0x20948731' " +
+        "md5(regexp_replace(event_type || '|' || (CASE event_type WHEN 'click' THEN '0x20948731' " +
         "WHEN 'purchase' THEN '0x8de93222' WHEN 'signup' THEN '0x7f8cb4c1' " +
-        "WHEN 'error' THEN '0x87873088' WHEN 'view' THEN '0x315ad64a' END)) AS row_id " +
+        "WHEN 'error' THEN '0x87873088' WHEN 'view' THEN '0x315ad64a' END), '\\s+', '', 'g')) AS row_id " +
         "FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type"))
   )
 }

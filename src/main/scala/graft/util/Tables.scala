@@ -19,26 +19,37 @@ object Tables {
   // the file and re-reads the footer (~80 ms measured) — 50+ registry
   // queries × 1-3 tables adds seconds of pure listing. The analyzed
   // DataFrame is immutable, so caching it is the engine's "metastore".
-  // Weakly keyed by session so stopped sessions (e.g. successive test
-  // suites in one JVM) can be collected rather than retained forever.
+  // Weakly keyed by session, and the DataFrames are held through
+  // SoftReferences: a cached DataFrame strongly references its session, so
+  // a strongly-held value would keep its own WeakHashMap key reachable and
+  // no entry could ever be evicted. Soft values break that cycle — under
+  // memory pressure the JVM clears them (a re-read is just the ~80 ms
+  // listing), after which a stopped session's key really is collectible.
   // Caveat, like any metastore cache: the file listing snapshots at first
   // access — correct for the read-only corpus, not for tables rewritten
   // mid-session.
   private val cache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+      scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
       var m = cache.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
         cache.put(spark, m)
       }
       m
     }
     val path = s"$dir/$name.parquet"
-    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+    Option(perSession.get(path).orNull).flatMap(r => Option(r.get)) match {
+      case Some(df) => df
+      case None =>
+        val df = spark.read.parquet(path)
+        perSession.put(path, new java.lang.ref.SoftReference(df))
+        df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

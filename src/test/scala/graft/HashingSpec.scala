@@ -47,10 +47,21 @@ class HashingSpec extends AnyFunSuite {
     assert(agg(a) == md5Hex("h1h2h3")) // sorted concat
   }
 
-  test("rowId = md5 of concatenated key parts (F4, functions.rs:31)") {
+  test("rowId = simple_hash of concatenated key parts (F4, functions.rs:31)") {
     val r = Seq((7L, 2)).toDF("a", "b")
       .select(Hashing.rowId($"a", lit("|"), $"b")).collect().head.getString(0)
     assert(r == md5Hex("7|2"))
+    // whitespace in a key part is stripped before hashing, like the
+    // reference's simple_hash-derived ids (utils.rs:12-17)
+    val ws = Seq(("contracts/My Token.sol", "0xdeadbeef")).toDF("f", "sel")
+      .select(Hashing.rowId($"f", $"sel")).collect().head.getString(0)
+    assert(ws == md5Hex("contracts/MyToken.sol0xdeadbeef"))
+  }
+
+  test("simpleHash strips Unicode whitespace like the Rust regex \\s (NBSP)") {
+    val r = Seq("a b c", "abc").toDF("t")
+      .select(Hashing.simpleHash($"t")).distinct().collect()
+    assert(r.map(_.getString(0)).toSet == Set(md5Hex("abc")))
   }
 
   test("md5Long/md5Long2 are non-negative 60-bit and independent") {
