@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // coalesce reduce stages by TARGET SIZE, not by keeping cores busy:
+      // at bench scale 32 near-empty reduce tasks per stage are pure
+      // scheduling overhead, and at cluster scale size-first coalescing is
+      // the documented-recommended posture anyway (parallelism comes from
+      // the data volume there)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // at bench scale hash joins beat sort-merge (no sort phase); at
       // cluster scale AQE still falls back to SMJ when a side won't fit
       .config("spark.sql.join.preferSortMergeJoin", "false")
@@ -46,7 +52,10 @@ object Bench {
     // swing ±20% from JVM/host noise; min-of-N is the steady-state figure
     // BASELINE.md describes, and "passes" in the JSON records N so the
     // artifact and the methodology claim match.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    // defensive parse: a typo'd env var falls back to the default instead
+    // of crashing the whole bench with NumberFormatException
+    val passes = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_PASSES").trim.toInt)
+      .getOrElse(2).max(1)
     val timed: Seq[Map[String, Double]] = (1 to passes).map { _ =>
       benched.map { q =>
         val t0 = System.nanoTime()

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc perf experiments (not part of the driver contract): times the
+  * hot registry queries under different engine postures so optimization
+  * targets facts, not guesses. Run: `runMain graft.Profile <sfDir>`.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def run(name: String): Double = {
+      spark.sqlContext.clearCache()
+      val t0 = System.nanoTime()
+      noop(SparkEntry.queries(name)(spark, sfDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val hot = Seq("q31_ngram_jaccard", "q29_lsh_neardup", "q51_dedup_clusters",
+      "q28_minhash_sig", "q38_fingerprint", "q26_row_id", "q30_simhash",
+      "q56_stats_corr", "q53_rollup", "q10_agg_pricing", "q33_ivf_neardup")
+
+    // warmup every hot query once (codegen cache, parquet footers)
+    hot.foreach(run)
+
+    def sweep(label: String): Unit = {
+      val times = hot.map(q => q -> (1 to 2).map(_ => run(q)).min)
+      println(f"[sweep] $label%-28s total=${times.map(_._2).sum}%6.2f  " +
+        times.map { case (q, t) => f"${q.take(3)}=$t%5.2f" }.mkString(" "))
+    }
+
+    sweep("baseline AQE=on p=32")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sweep("AQE=off p=32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    sweep("AQE=on p=8")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sweep("AQE=off p=8")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    spark.conf.set("spark.graft.presentationSort.maxBytes", "1")
+    sweep("range-sort q26 (maxBytes=1)")
+    spark.conf.unset("spark.graft.presentationSort.maxBytes")
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    sweep("AQE=on p=32 parFirst=false")
+
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+    sweep("  + advisory 16MB")
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4MB")
+    sweep("  + minPartitionSize 4MB")
+
+    spark.stop()
+  }
+}

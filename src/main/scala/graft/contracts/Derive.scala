@@ -21,7 +21,10 @@ object Derive {
       filename: String,
       content: String)
 
-  /** function table rows (db.rs:74-84 schema). */
+  /** function table rows (db.rs:74-84 schema, plus the `resolved` flag —
+    * false marks rows whose param types the compiler-free scanner cannot
+    * expand to ABI encodings; their `selector` is null, never a guess).
+    */
   final case class FunctionRow(
       id: String,
       contract_id: String,
@@ -30,11 +33,8 @@ object Derive {
       filename: String,
       signature: String,
       selector: String,
-      source_code: String)
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      source_code: String,
+      resolved: Boolean)
 
   /** contracts (Ingest schema) → function table. The backend seam (U1,
     * SURVEY §7.4) defaults to the compiler-free scanner; pass a
@@ -62,16 +62,21 @@ object Derive {
             // F4 row id = simple_hash(contract_id ‖ filename ‖ selector)
             // (functions.rs:31 → utils.rs:12-17): the concat is
             // whitespace-STRIPPED before md5, so filenames containing
-            // spaces (standard-json source keys) hash like the reference's
-            id = md5Hex((fr.contract_id + fr.filename + fn.selector)
-              .replaceAll("(?U)\\s+", "")),
+            // spaces (standard-json source keys) hash like the reference's.
+            // Unresolved rows have no selector (null, see SolFunction
+            // .resolved) — their id keys on the signature instead, which
+            // is equally unique per (contract, file) and deterministic.
+            id = graft.functions.Hashing.simpleHashString(
+              fr.contract_id + fr.filename +
+                (if (fn.selector != null) fn.selector else fn.signature)),
             contract_id = fr.contract_id,
             contract_name = fn.contractName,
             function_name = fn.functionName,
             filename = fr.filename,
             signature = fn.signature,
             selector = fn.selector,
-            source_code = fn.sourceCode)
+            source_code = fn.sourceCode,
+            resolved = fn.resolved)
         }
       }
   }
@@ -83,6 +88,6 @@ object Derive {
     functions(Ingest.contracts(s, root))
       .toDF()
       .select("id", "contract_id", "contract_name", "function_name",
-        "filename", "signature", "selector")
-      .orderBy("contract_id", "filename", "selector")
+        "filename", "signature", "selector", "resolved")
+      .orderBy("contract_id", "filename", "signature")
 }

@@ -103,10 +103,11 @@ object Ingest {
     * hashes concatenated (order-insensitive multiset hash).
     */
   def contentId(files: Column): Column = {
-    // (?U): Unicode-whitespace strip, matching the Rust regex `\s` the
-    // reference hashes with (utils.rs:12-17)
+    // the shared Unicode-whitespace strip (Hashing.WsPattern), matching
+    // the Rust regex `\s` the reference hashes with (utils.rs:12-17)
     val perFile = transform(files,
-      f => md5(regexp_replace(f.getField("content"), "(?U)\\s+", "")))
+      f => md5(regexp_replace(f.getField("content"),
+        graft.functions.Hashing.WsPattern, "")))
     when(size(files) === 1, element_at(perFile, 1))
       .otherwise(md5(concat_ws("", array_sort(perFile))))
   }
@@ -114,29 +115,43 @@ object Ingest {
   /** S2+S4: Etherscan verified-contract dumps (`main.rs:118-160`,
     * `plain_contract.rs:252-281`). Candidates are *.json files outside
     * metadata folders whose name starts with their parent folder's name
-    * (`main.rs:136`) — or that sit directly under the scan root, where no
-    * folder context exists. `SourceCode` is stored as ONE file:
-    * `contract.json` (unwrapped standard-json) or `main.sol` (plain
-    * source).
+    * (`main.rs:136-142`) — applied UNIFORMLY: for a file directly under
+    * the scan root the "parent folder" is the root directory itself, so
+    * its basename is the required prefix, exactly as the reference's
+    * `parent.file_name()` resolves there. (A root-level `addr_Name.json`
+    * is therefore skipped unless the root dir is named `addr…` — ingest
+    * such files via [[etherscanJson]], the `from_etherscan_json` analog.)
+    * `SourceCode` is stored as ONE file: `contract.json` (unwrapped
+    * standard-json) or `main.sol` (plain source).
     */
   def etherscanContracts(s: SparkSession, root: String): DataFrame =
     etherscanContracts(scanTree(s, root), root)
 
   private[contracts] def etherscanContracts(files: DataFrame, root: String): DataFrame = {
-    val rootDir = root.stripSuffix("/")
     val metaDirSet = files.filter(col("fname") === "metadata.json")
       .select(col("dir").as("mdir"))
     // exclusion uses the PREFIX rule: any file under a metadata folder (at
     // any depth) belongs to that contract, never to the etherscan path
     val cands = files
       .filter(lower(col("fname")).endsWith(".json") && col("fname") =!= "metadata.json")
-      .filter(col("fname").startsWith(regexp_extract(col("dir"), "([^/]+)$", 1))
-        || col("dir") === rootDir || col("dir") === s"file:$rootDir")
+      .filter(col("fname").startsWith(regexp_extract(col("dir"), "([^/]+)$", 1)))
       .join(broadcast(metaDirSet),
         col("dir") === col("mdir") || col("path").startsWith(concat(col("mdir"), lit("/"))),
         "left_anti")
-      .filter(get_json_object(col("content"), "$.SourceCode").isNotNull)
+    parseEtherscan(cands)
+  }
+
+  /** S2 per-file entry — the `from_etherscan_json` analog
+    * (`plain_contract.rs:252-281`): ingest ONE dump file directly, no
+    * folder-prefix filter (the reference's own golden test uses this path
+    * for its root-level fixture, `plain_contract.rs:580-581`).
+    */
+  def etherscanJson(s: SparkSession, path: String): DataFrame =
+    parseEtherscan(scanTree(s, path))
+
+  private def parseEtherscan(cands: DataFrame): DataFrame = {
     val unwrapped = cands
+      .filter(get_json_object(col("content"), "$.SourceCode").isNotNull)
       .withColumn("sc", get_json_object(col("content"), "$.SourceCode"))
       // F12 double-brace unwrap (`plain_contract.rs:258-263`)
       .withColumn("sc", when(col("sc").startsWith("{{"),

@@ -14,8 +14,17 @@ final case class SolFunction(
     functionName: String,
     visibility: String,
     signature: String,
+    /** null when `resolved` is false — see [[SolFunction.resolved]]. */
     selector: String,
-    sourceCode: String)
+    sourceCode: String,
+    /** False when any parameter is a user-defined type (struct / enum /
+      * contract) the compiler-free scanner cannot expand to its ABI
+      * encoding — the reference derives these from solc's ABI output
+      * (`plain_contract.rs:499-508`), which resolves them to tuples. A
+      * selector computed over the raw type NAME would be silently wrong,
+      * so the scanner emits selector = null and flags the row instead.
+      */
+    resolved: Boolean = true)
 
 /** Pure-Scala Solidity surface scanner — the compiler-free re-derivation of
   * the reference's compile→AST→slice pipeline (`plain_contract.rs:327-481`)
@@ -122,6 +131,26 @@ object Solidity {
     }
   }
 
+  /** The elementary ABI types the scanner can encode without a compiler
+    * symbol table (alloy's primitive set, `functions.rs:28-31` context).
+    * `fixed`/`ufixed` and external-function-type params are deliberately
+    * absent: vanishingly rare, and their encodings are compiler territory.
+    */
+  private val Elementary: Set[String] =
+    (8 to 256 by 8).flatMap(n => Seq(s"uint$n", s"int$n")).toSet ++
+      (1 to 32).map(n => s"bytes$n").toSet ++
+      Set("address", "bool", "string", "bytes")
+
+  /** True iff a CANONICAL type is elementary (arrays of elementary
+    * included) — i.e. its selector can be derived without resolving
+    * user-defined types through a compiler.
+    */
+  def isElementaryType(canon: String): Boolean = {
+    val stem = canon.takeWhile(_ != '[')
+    Elementary.contains(stem) &&
+      canon.drop(stem.length).matches("(\\[[0-9]*\\])*")
+  }
+
   /** Split a parameter list on top-level commas (nesting-aware). */
   def splitParams(params: String): Seq[String] = {
     if (params.trim.isEmpty) return Seq.empty
@@ -222,9 +251,16 @@ object Solidity {
                 if ((vis == "public" || vis == "external") && fname0 != cname) {
                   val fname = fname0
                   val params = splitParams(src.substring(parenOpen + 1, parenClose))
-                  val sig = fname + "(" + params.map(canonicalParam).mkString(",") + ")"
-                  out += SolFunction(cname, fname, vis, sig, Keccak.selector(sig),
-                    src.substring(fnStart, sliceEnd + 1))
+                  val canon = params.map(canonicalParam)
+                  val sig = fname + "(" + canon.mkString(",") + ")"
+                  // user-defined param types (struct/enum/contract) need a
+                  // compiler symbol table to reach their ABI encoding — a
+                  // selector over the raw name would be confidently wrong
+                  // vs the reference's ABI-driven derivation, so flag it
+                  val resolved = canon.forall(isElementaryType)
+                  out += SolFunction(cname, fname, vis, sig,
+                    if (resolved) Keccak.selector(sig) else null,
+                    src.substring(fnStart, sliceEnd + 1), resolved)
                 }
               }
             }

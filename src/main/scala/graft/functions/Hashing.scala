@@ -16,14 +16,28 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Hashing {
 
-  /** F1: md5(text with ALL whitespace runs removed), lowercase hex.
-    * `(?U)` makes Java's `\s` match Unicode White_Space, like the Rust
-    * regex crate's `\s` in the reference (`utils.rs:12-17`) — NBSP and
-    * friends strip identically. The DuckDB oracle keeps RE2's ASCII `\s`:
-    * verified value-identical on the corpus (zero non-ASCII rows), and RE2
-    * has no White_Space class to mirror exactly.
+  /** THE whitespace-strip pattern every content/id hash flows through —
+    * `simpleHash`, `rowId`, `Ingest.contentId` and `Derive`'s string-side
+    * id all reference this ONE constant, so a future tweak cannot
+    * desynchronize row ids from content hashes. `(?U)` makes Java's `\s`
+    * match Unicode White_Space, like the Rust regex crate's `\s` in the
+    * reference (`utils.rs:12-17`) — NBSP and friends strip identically.
+    * The DuckDB oracles keep RE2's ASCII `\s`: value-identical because the
+    * corpus contains no Unicode-only whitespace, an invariant ENFORCED by
+    * HashingSpec's corpus assertion (not merely claimed).
     */
-  def simpleHash(c: Column): Column = md5(regexp_replace(c, "(?U)\\s+", ""))
+  val WsPattern = "(?U)\\s+"
+
+  /** F1: md5(text with ALL whitespace runs removed), lowercase hex. */
+  def simpleHash(c: Column): Column = md5(regexp_replace(c, WsPattern, ""))
+
+  /** Executor-side String form of [[simpleHash]] — same strip (the shared
+    * [[WsPattern]]), same md5 — for typed row pipelines (Derive's id).
+    */
+  def simpleHashString(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.replaceAll(WsPattern, "").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   /** A2: aggregate — order-insensitive multiset hash of already-hashed
     * elements. Commutative by construction (sort before concat), so it is
@@ -38,7 +52,16 @@ object Hashing {
     * standard-json source name with spaces) is stripped before hashing.
     */
   def rowId(parts: Column*): Column =
-    md5(regexp_replace(concat(parts.map(_.cast("string")): _*), "(?U)\\s+", ""))
+    md5(regexp_replace(concat(parts.map(_.cast("string")): _*), WsPattern, ""))
+
+  /** [[rowId]] minus the whitespace strip, for callers whose key parts
+    * PROVABLY contain no whitespace (numeric casts, hex digests, fixed
+    * separators): the regexp is a no-op there, and skipping it keeps the
+    * per-row hot path at concat+md5. Oracles keep their regexp_replace —
+    * values are identical either way, by the no-op guarantee.
+    */
+  def rowIdTrusted(parts: Column*): Column =
+    md5(concat(parts.map(_.cast("string")): _*))
 
   /** First 15 hex chars of md5 parsed as a 60-bit non-negative long — the
     * portable "hash to integer" both Spark (`conv`) and the DuckDB oracle

@@ -5,16 +5,55 @@ import org.apache.spark.sql.functions._
 import graft.contracts.{Derive, Ingest}
 
 /** The contract-domain pipeline (SURVEY §3.1–§3.3) run against the
-  * reference's own fixture tree (read-only at /root/reference/contracts).
-  * These exercise S1–S4 ingest, classification, content-hash dedup and the
-  * U2/U3 function derivation end-to-end; golden values are pinned by
-  * ContractPipelineSpec, so the registry entries are rows-only checks (the
-  * folder-classification semantics are not expressible as DuckDB SQL over
-  * the parquet corpus).
+  * reference's own fixtures. These exercise S1–S4 ingest, classification,
+  * content-hash dedup and the U2/U3 function derivation end-to-end; golden
+  * values are pinned by ContractPipelineSpec, and the registry entries are
+  * hash-checked against pinned-constant oracles (the fixture tree is
+  * frozen, so its expected rows are literals — the q44 pattern).
   */
 object ContractQueries {
 
-  private val fixtureRoot = "/root/reference/contracts"
+  /** Composed fixture root: the reference's demo metadata-folder contract
+    * plus its Bueno721Drop etherscan dump laid out the way the reference's
+    * scan filter expects — an address-named folder holding the
+    * address-prefixed file (`main.rs:136-142`). The reference repo keeps
+    * that dump at the fixture ROOT, where the directory scan's prefix rule
+    * faithfully SKIPS it (the reference's own golden test bypasses the
+    * scan via the per-file API, `plain_contract.rs:580-581`); composing
+    * the conforming layout keeps the full OpenZeppelin-tree coverage
+    * flowing through the REAL scan path. Built once per host under /tmp
+    * (idempotent — the source tree is read-only; the etherscan file is
+    * copied LAST so its existence marks a complete build).
+    */
+  private[graft] lazy val fixtureRoot: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get("/root/reference/contracts")
+    val addr = "0x9ca84eacf0d0775782ab5b34d01187b37f1ceea4"
+    val base = Paths.get("/tmp/graft-fixture-tree")
+    val ethFile = base.resolve(addr).resolve(s"${addr}_Bueno721Drop.json")
+    if (!Files.exists(ethFile)) {
+      Files.createDirectories(base.resolve(addr))
+      Files.createDirectories(base.resolve("demo"))
+      Files.list(src.resolve("demo")).forEach { p =>
+        Files.copy(p, base.resolve("demo").resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.copy(src.resolve(s"${addr}_Bueno721Drop.json"), ethFile,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    base.toString
+  }
+
+  /** Pinned-constant oracle (the q44 pattern): the fixture tree is frozen,
+    * so its expected rows are literals — generated once by
+    * `tools/pin_oracle.py` from a verified run and stored as a resource.
+    * Any ingest/derive regression now hash-mismatches in the driver gate.
+    */
+  private def pinned(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -28,13 +67,13 @@ object ContractQueries {
           col("metadata.runs").as("runs"),
           col("metadata.optimization_used").as("optimization_used"))
         .orderBy("id"),
-      None,
+      Some(pinned("q45_oracle.sql")),
       bench = false),
 
     // U2/U3 + F2/F3/F4: the function table derivation.
     Q("q46_contract_functions",
       (s, _) => Derive.functionTable(s, fixtureRoot),
-      None,
+      Some(pinned("q46_oracle.sql")),
       bench = false)
   )
 }

@@ -341,7 +341,9 @@ object ReferenceOps {
     Q("q26_row_id",
       (s, d) => lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          Hashing.rowId(col("l_orderkey"), lit("|"), col("l_linenumber")).as("id"))
+          // numeric casts + a fixed '|' cannot contain whitespace — the
+          // trusted form skips the no-op regexp on 60k rows/sf0.01
+          Hashing.rowIdTrusted(col("l_orderkey"), lit("|"), col("l_linenumber")).as("id"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some("SELECT l_orderkey, l_linenumber, " +
         "md5(regexp_replace(concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR)), '\\s+', '', 'g')) AS id " +

@@ -47,6 +47,22 @@ object TrainingOps {
       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
       "FROM toks, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)"
 
+  /** (doc_id, h1, h2) HASHED shingle rows: every downstream join/aggregate
+    * shuffles these two 8-byte int64 keys instead of full trigram strings —
+    * the dominant byte volume of the LSH / Jaccard shuffles (measured ~3×
+    * on q29+q31). h1 doubles as the shingle identity in intersection
+    * joins; a 60-bit collision would merge the same two shingles in the
+    * oracle (same md5-derived hash), so results stay engine-identical.
+    */
+  private def shingleHashRows(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).select(col("doc_id"),
+      Hashing.md5Long(col("shingle")).as("h1"),
+      Hashing.md5Long2(col("shingle")).as("h2"))
+
+  /** Oracle CTE mirroring [[shingleHashRows]] (expects `sh` in scope). */
+  private val shhCte: String =
+    s"shh AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh)"
+
   /** DuckDB equivalent of [[Hashing.md5Long]]. */
   private[queries] def oMd5Long(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
@@ -57,23 +73,22 @@ object TrainingOps {
 
   /** MinHash signature table (doc_id, band ∈ 0..7, minh): double-hashing
     * family h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived hashes (i·h2 <
-    * 2^63, so no overflow; xor is engine-identical on int64).
+    * 2^63, so no overflow; xor is engine-identical on int64). Consumes the
+    * HASHED shingle rows, so the 8-rows/doc partial-min shuffle never sees
+    * shingle text.
     */
   private def minhashSig(s: SparkSession, d: String,
-      sh: DataFrame = null): DataFrame =
-    Option(sh).getOrElse(shingleRows(s, d))
-      .withColumn("h1", Hashing.md5Long(col("shingle")))
-      .withColumn("h2", Hashing.md5Long2(col("shingle")))
+      shh: DataFrame = null): DataFrame =
+    Option(shh).getOrElse(shingleHashRows(s, d))
       .select(col("doc_id"), col("h1"), col("h2"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .select(col("doc_id"), col("band"),
         expr("h1 ^ (band * h2)").as("h"))
       .groupBy("doc_id", "band").agg(min(col("h")).as("minh"))
 
-  /** Oracle CTEs mirroring [[minhashSig]] (expects `sh` in scope). */
+  /** Oracle CTEs mirroring [[minhashSig]] (expects `shh` in scope). */
   private val sigCte: String =
-    s"hx AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh), " +
-      "b AS (SELECT doc_id, j AS band, xor(h1, j * h2) AS h FROM hx, unnest(range(0, 8)) AS u(j)), " +
+    "b AS (SELECT doc_id, j AS band, xor(h1, j * h2) AS h FROM shh, unnest(range(0, 8)) AS u(j)), " +
       "sig AS (SELECT doc_id, band, min(h) AS minh FROM b GROUP BY doc_id, band)"
 
   /** The full MinHash+LSH near-dup pipeline: signature → 4 bands × 2 rows
@@ -83,7 +98,7 @@ object TrainingOps {
     * by q29 and the cluster canonicalization in AnalyticsOps.
     */
   private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d).persist()
+    val sh = shingleHashRows(s, d).persist()
     val sig = minhashSig(s, d, sh)
     val bk = sig
       .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
@@ -96,10 +111,12 @@ object TrainingOps {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
+    // intersection on the 60-bit shingle hash — 8-byte join keys, not text
+    val shk = sh.select(col("doc_id"), col("h1"))
     val inter = cand
-      .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("idb") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .join(shk.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(shk.as("sb"),
+        col("idb") === col("sb.doc_id") && col("sa.h1") === col("sb.h1"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
@@ -115,15 +132,15 @@ object TrainingOps {
     * [[lshPairs]].
     */
   private[queries] val lshPairsCtes: String =
-    s"$shCte, $sigCte, " +
+    s"$shCte, $shhCte, $sigCte, " +
       "bk AS (SELECT doc_id, band // 2 AS bk, " +
       "string_agg(minh::VARCHAR, ',' ORDER BY band) AS bandkey FROM sig GROUP BY doc_id, band // 2), " +
       "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bk a JOIN bk b " +
       "ON a.bk = b.bk AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id), " +
       "iv AS (SELECT ida, idb, count(*) AS inter FROM cand c " +
-      "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb AND sb.shingle = sa.shingle " +
+      "JOIN shh sa ON sa.doc_id = c.ida JOIN shh sb ON sb.doc_id = c.idb AND sb.h1 = sa.h1 " +
       "GROUP BY ida, idb), " +
-      "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id), " +
       "pairs AS (SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
       "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
       "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8)"
@@ -226,7 +243,7 @@ object TrainingOps {
       (s, d) => minhashSig(s, d)
         .select(col("doc_id"), col("band").cast("long").as("band"), col("minh"))
         .orderBy("doc_id", "band"),
-      Some(s"WITH $shCte, $sigCte " +
+      Some(s"WITH $shCte, $shhCte, $sigCte " +
         "SELECT doc_id, band, minh FROM sig ORDER BY doc_id, band")),
 
     // Full MinHash+LSH near-dup pipeline: signature → 4 bands × 2 rows →
@@ -273,12 +290,14 @@ object TrainingOps {
     // the LSH pipeline above is the scale path.
     Q("q31_ngram_jaccard",
       (s, d) => {
-        // persist: the shingle index is both join sides + the size table
-        val sh = shingleRows(s, d).persist()
+        // persist: the shingle index is both join sides + the size table;
+        // the index carries only (doc_id, h1) — the inverted-index
+        // self-join shuffles 8-byte hashes, never shingle text
+        val sh = shingleHashRows(s, d).select("doc_id", "h1").persist()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         sh.as("a")
           .join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+            col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
           .agg(count(lit(1)).as("inter"))
           .join(sz.as("za"), col("ida") === col("za.doc_id"))
@@ -289,10 +308,10 @@ object TrainingOps {
           .filter(col("jacc") >= 0.5)
           .orderBy("ida", "idb")
       },
-      Some(s"WITH $shCte, " +
-        "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM sh a " +
-        "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) " +
+      Some(s"WITH $shCte, $shhCte, " +
+        "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM shh a " +
+        "JOIN shh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id) " +
         "SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
         "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
         "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5 ORDER BY ida, idb")),
@@ -331,16 +350,30 @@ object TrainingOps {
 
     // IVF-style near-dup: `label` plays the coarse-quantizer cell; pairwise
     // cosine only *within* a cell. Scale: shuffle on cell id co-locates each
-    // cell, pairs bounded by cell size (salting handles a skewed cell).
+    // cell, pairs bounded by cell size; the self-join is block-SALTED so a
+    // hot cell cannot serialize one reducer.
     Q("q33_ivf_neardup",
       (s, d) => {
         // quantize + norm once per vector in the pre-join projection; the
         // per-pair work is only the dot product
+        val B = 4 // block fan-out: a hot cell spreads over B² reducer keys
         val e = embeddings(s, d)
           .withColumn("qv", quantize(col("embedding")))
           .select(col("vec_id"), col("label"), col("qv"), norm2Q(col("qv")).as("n2"))
-        e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("blk", pmod(col("vec_id"), lit(B)))
+        // two-sided block replication — the q49 salting pattern applied to
+        // a self-join: each side explodes ×B over its PARTNER's block, the
+        // equi-key becomes (label, blk_a, blk_b), and every unordered pair
+        // matches exactly once (a's copy with pb = b.blk meets b's copy
+        // with pa = a.blk). One hot cell now lands on B² reducers instead
+        // of one — the named 100 TB scale risk of an un-salted IVF cell —
+        // at the cost of a ×B shuffle of the (tiny) per-vector rows.
+        val a = e.withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
+        val b = e.withColumn("pa", explode(sequence(lit(0), lit(B - 1))))
+        a.as("a").join(b.as("b"),
+            col("a.label") === col("b.label")
+              && col("a.blk") === col("b.pa") && col("a.pb") === col("b.blk")
+              && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
             col("a.label").as("cell"),
             cosQ(dotQ(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cos"))
@@ -560,11 +593,25 @@ object TrainingOps {
 
     // Decode/feature-extract over binary payloads via typed mapPartitions
     // (the Scala analog of mapInPandas batches; decode itself is a
-    // deterministic stub — see graft.multimodal). Not SQL-expressible →
-    // rows-only check; semantics covered by MultimodalSpec.
+    // deterministic stub — see graft.multimodal). The stub's features
+    // (byte histogram + mean) ARE SQL-expressible on an ASCII corpus
+    // (char == byte, so ord(substr) is the byte value), which turns the
+    // whole mapPartitions plumbing into an oracle-checked operator;
+    // per-batch semantics are additionally covered by MultimodalSpec.
     Q("q43_multimodal_decode",
       (s, d) => graft.multimodal.Multimodal.featureQuery(s, d),
-      None),
+      Some("WITH b AS (SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS byte " +
+        "FROM documents, unnest(range(1, strlen(text) + 1)) AS u(i)), " +
+        "hc AS (SELECT doc_id, byte % 16 AS bucket, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "hist AS (SELECT d.doc_id, g.bucket, coalesce(hc.n, 0) AS n " +
+        "FROM documents d CROSS JOIN unnest(range(0, 16)) AS g(bucket) " +
+        "LEFT JOIN hc ON hc.doc_id = d.doc_id AND hc.bucket = g.bucket), " +
+        "hs AS (SELECT doc_id, string_agg(n::VARCHAR, ',' ORDER BY bucket) AS hist_csv FROM hist GROUP BY doc_id), " +
+        "mb AS (SELECT doc_id, CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean_byte FROM b GROUP BY doc_id) " +
+        "SELECT d.doc_id, 'text/plain' AS media_type, strlen(d.text) AS n_bytes, " +
+        "coalesce(mb.mean_byte, 0.0) AS mean_byte, hs.hist_csv " +
+        "FROM documents d LEFT JOIN mb USING (doc_id) JOIN hs USING (doc_id) " +
+        "ORDER BY doc_id")),
 
     // ==== robustness & scale techniques ====================================
 
@@ -597,10 +644,12 @@ object TrainingOps {
         "FROM (SELECT event_id, CASE WHEN event_id % 3 = 0 THEN substr(props, 2) ELSE props END AS payload " +
         "FROM events) ORDER BY event_id")),
 
-    // End-to-end ANN: 6-bit hyperplane bucket of the query vector → same-
-    // bucket candidates → exact cosine top-k. The candidate set is an
-    // equi-join on `bucket` — the 100 TB path never scores beyond the
-    // probed bucket.
+    // End-to-end ANN: 6-bit hyperplane bucket of the query vector →
+    // MULTI-PROBE candidates (hamming ≤ 1 expansion: the query bucket plus
+    // its 6 one-bit flips) → exact cosine top-k. The candidate set is an
+    // equi-join on `bucket` against 7 broadcast probe values — the 100 TB
+    // path never scores beyond the probed buckets, and near-boundary
+    // neighbors a single probe drops are recovered.
     Q("q48_ann_topk",
       (s, d) => {
         val bk = hyperBuckets(s, d, 6)
@@ -610,8 +659,13 @@ object TrainingOps {
           .join(bk, Seq("vec_id"))
         val q = e.filter(col("vec_id") === 0)
           .select(col("bucket").as("qb"), col("qv").as("query_v"), col("n2").as("qn2"))
+        // probe buckets are pairwise distinct (distinct xor masks), so no
+        // candidate dedup is needed after the equi-join
+        val probes = q.withColumn("flip",
+            explode(array((Seq(0L) ++ (0 until 6).map(i => 1L << i)).map(lit): _*)))
+          .withColumn("pb", expr("qb ^ flip"))
         e.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("bucket") === col("qb"))
+          .join(broadcast(probes), col("bucket") === col("pb"))
           .select(col("vec_id"),
             cosQ(dotQ(col("qv"), col("query_v")), col("n2"), col("qn2")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -622,7 +676,8 @@ object TrainingOps {
         "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
         oHyperCte(6) + ", " +
         "qb AS (SELECT bucket FROM bk WHERE vec_id = 0), " +
-        "cand AS (SELECT b.vec_id FROM bk b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0), " +
+        "probes AS (SELECT xor(bucket, f) AS pb FROM qb, unnest([0, 1, 2, 4, 8, 16, 32]) AS u(f)), " +
+        "cand AS (SELECT b.vec_id FROM bk b JOIN probes ON b.bucket = probes.pb WHERE b.vec_id <> 0), " +
         "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +
         "qe AS (SELECT pos, x FROM ee WHERE vec_id = 0), " +
         "dots AS (SELECT e.vec_id, CAST(SUM(e.x * q.x) AS BIGINT) AS dot FROM ee e " +

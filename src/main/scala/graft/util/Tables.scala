@@ -27,7 +27,10 @@ object Tables {
   // listing), after which a stopped session's key really is collectible.
   // Caveat, like any metastore cache: the file listing snapshots at first
   // access — correct for the read-only corpus, not for tables rewritten
-  // mid-session.
+  // mid-session. The get-then-put below is deliberately NOT atomic: two
+  // concurrent first readers may both miss and both run the ~80 ms
+  // listing; DataFrames are immutable so last-write-wins is benign, and a
+  // putIfAbsent loop would buy nothing but code.
   private val cache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]()

@@ -42,8 +42,26 @@ class ContractPipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("id") == expected)
   }
 
+  test("S2 prefix rule: a root-level non-prefixed .json is SKIPPED by the scan") {
+    // the fixture keeps Bueno721Drop.json at the scan root; its name does
+    // not start with the root dir's basename ("contracts"), so the
+    // reference's filter (`main.rs:136-142`, parent.file_name() even at
+    // the root) rejects it — and so must the scan path here
+    assert(Ingest.etherscanContracts(spark, root).count() == 0)
+  }
+
+  test("S2 prefix rule: the conforming addr-folder layout IS ingested by the scan") {
+    val c = Ingest.etherscanContracts(spark,
+      graft.queries.ContractQueries.fixtureRoot).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[String]("name") == "Bueno721Drop")
+  }
+
   test("S2/S4/F12/F7: Bueno721Drop etherscan dump parses as standard-json") {
-    val c = Ingest.etherscanContracts(spark, root).collect()
+    // the per-file entry point — the reference's own test path for this
+    // fixture (`from_etherscan_json`, plain_contract.rs:580-581)
+    val c = Ingest.etherscanJson(spark,
+      s"$root/0x9ca84eacf0d0775782ab5b34d01187b37f1ceea4_Bueno721Drop.json").collect()
     assert(c.length == 1)
     val row = c.head
     assert(row.getAs[String]("name") == "Bueno721Drop")
@@ -61,7 +79,9 @@ class ContractPipelineSpec extends AnyFunSuite {
   }
 
   test("SourceFiles.expand: standard-json container yields its sources map") {
-    val c = Ingest.etherscanContracts(spark, root).collect().head
+    val c = Ingest.etherscanJson(spark,
+      s"$root/0x9ca84eacf0d0775782ab5b34d01187b37f1ceea4_Bueno721Drop.json")
+      .collect().head
     val blob = c.getList[org.apache.spark.sql.Row](c.fieldIndex("files"))
       .get(0).getAs[String]("content")
     val expanded = graft.contracts.SourceFiles.expand("contract.json", blob)
@@ -116,20 +136,52 @@ class ContractPipelineSpec extends AnyFunSuite {
     val f = Solidity.extractFunctions(src).head
     assert(f.signature == "transfer(address,uint256)")
     assert(f.selector == "0xa9059cbb") // the canonical ERC-20 vector
+    assert(f.resolved)
+  }
+
+  test("F3: user-defined param types are FLAGGED, never a wrong selector") {
+    // struct/enum/contract-type params need a compiler symbol table to
+    // reach their ABI tuple encoding; the scanner must not emit a selector
+    // computed over the raw type name (silently wrong vs the reference's
+    // ABI-driven derivation)
+    val src = "contract T { struct S { uint a; } " +
+      "function f(S memory s) public {} " +
+      "function g(uint x) public {} }"
+    val fns = Solidity.extractFunctions(src)
+    val f = fns.find(_.functionName == "f").get
+    assert(!f.resolved)
+    assert(f.selector == null)
+    assert(f.signature == "f(S)") // raw name retained, visibly unexpanded
+    val g = fns.find(_.functionName == "g").get
+    assert(g.resolved && g.selector != null)
+    // arrays of elementary stay resolved; arrays of user types do not
+    assert(Solidity.isElementaryType("uint256[3][]"))
+    assert(!Solidity.isElementaryType("MyStruct[]"))
+    assert(!Solidity.isElementaryType("IERC20"))
   }
 
   test("U2/F4: function table derivation end-to-end") {
-    val fns = Derive.functionTable(spark, root)
+    val fns = Derive.functionTable(spark, graft.queries.ContractQueries.fixtureRoot)
     val rows = fns.collect()
     assert(rows.length > 20) // demo (4) + Bueno721Drop OpenZeppelin tree
-    // F4 id definition
-    val r = rows.head
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(r.getAs[String]("id") == md5(r.getAs[String]("contract_id")
-      + r.getAs[String]("filename") + r.getAs[String]("selector")))
-    // selectors are 4-byte hex
-    assert(rows.forall(_.getAs[String]("selector").matches("0x[0-9a-f]{8}")))
+    // F4 id definition: selector-keyed when resolved, signature-keyed when
+    // the scanner flags an unresolvable param type (selector = null)
+    rows.take(5).foreach { r =>
+      val key = if (r.getAs[String]("selector") != null)
+        r.getAs[String]("selector") else r.getAs[String]("signature")
+      assert(r.getAs[String]("id") ==
+        md5((r.getAs[String]("contract_id") + r.getAs[String]("filename") + key)
+          .replaceAll("(?U)\\s+", "")))
+    }
+    // resolved rows carry 4-byte hex selectors; flagged rows carry null
+    assert(rows.forall { r =>
+      if (r.getAs[Boolean]("resolved"))
+        r.getAs[String]("selector").matches("0x[0-9a-f]{8}")
+      else r.getAs[String]("selector") == null
+    })
+    assert(rows.exists(_.getAs[Boolean]("resolved"))) // not everything flagged
     // demo Counter functions present with their defining contract
     val counterFns = rows.filter(_.getAs[String]("contract_name") == "Counter")
     assert(counterFns.map(_.getAs[String]("signature")).toSet ==

@@ -47,6 +47,26 @@ class HashingSpec extends AnyFunSuite {
     assert(agg(a) == md5Hex("h1h2h3")) // sorted concat
   }
 
+  test("rowIdTrusted equals rowId on whitespace-free key parts") {
+    val df = Seq((7L, 2), (123L, 9)).toDF("a", "b")
+    val both = df.select(Hashing.rowId($"a", lit("|"), $"b").as("strict"),
+      Hashing.rowIdTrusted($"a", lit("|"), $"b").as("trusted")).collect()
+    assert(both.forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("corpus invariant: no Unicode-only whitespace in hashed text columns") {
+    // Spark strips (?U)\s while every DuckDB oracle keeps RE2's ASCII \s —
+    // equal hashes rely on the corpus containing no non-ASCII whitespace.
+    // ENFORCE the invariant (ADVICE r3) instead of asserting it in a
+    // comment; checked at the driver's own gate scale (sf0.01).
+    val uniWs = "[\\u00a0\\u0085\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(docs.filter($"text".rlike(uniWs)).count() == 0)
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.01")
+    assert(ev.filter($"event_type".rlike(uniWs) || $"props".rlike(uniWs))
+      .count() == 0)
+  }
+
   test("rowId = simple_hash of concatenated key parts (F4, functions.rs:31)") {
     val r = Seq((7L, 2)).toDF("a", "b")
       .select(Hashing.rowId($"a", lit("|"), $"b")).collect().head.getString(0)

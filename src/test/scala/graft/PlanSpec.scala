@@ -71,4 +71,40 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q34_lsh_embed_sig")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  // PresentationSortRule: the root presentation sort becomes a
+  // single-partition gather + local sort when the child already shuffles
+  // (join-inflated size estimates must NOT decline it — the round-3 q33
+  // regression), but a large exchange-free pipeline keeps its parallel
+  // range sort (the 100 TB safety guard).
+  test("presentation sort: shuffle-bearing child rewrites to a gather even past the byte guard") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1") // force the byte guard to decline
+      val p = plan("q33_ivf_neardup") // self-join child → shuffle stage present
+      assert(p.contains("SinglePartition"), p)
+      assert(!p.contains("rangepartitioning"), p)
+    } finally {
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
+
+  test("presentation sort: large exchange-free child keeps its parallel range sort") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1") // scan stats exceed this
+      val df = graft.util.Tables.lineitem(spark, TestSpark.sfDir)
+        .select("l_orderkey", "l_quantity").orderBy(col("l_quantity").desc)
+      val p = df.queryExecution.explainString(SimpleMode)
+      assert(p.contains("rangepartitioning"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally {
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
 }

@@ -28,6 +28,17 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(event_type"), plan)
   }
 
+  test("q33 IVF self-join is block-salted: the shuffle key carries the block columns") {
+    val df = SparkEntry.queries("q33_ivf_neardup")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the equi-join key must be (label, blk, pb)↔(label, pa, blk), not bare
+    // label — a refactor back to the un-salted cell join (one reducer per
+    // hot cell at scale) fails here
+    assert(p.contains("pb") && p.contains("pa"), p)
+    val joined = "(?s)Join Inner.*label.*(blk|pa).*".r
+    assert(joined.findFirstIn(p).isDefined, p)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val conf = spark.conf
     val saved = Seq(
