@@ -53,9 +53,11 @@ object Bench {
     // BASELINE.md describes, and "passes" in the JSON records N so the
     // artifact and the methodology claim match.
     // defensive parse: a typo'd env var falls back to the default instead
-    // of crashing the whole bench with NumberFormatException
+    // of crashing the whole bench with NumberFormatException. Default 3:
+    // host noise swings single runs ±20% (measured ±2 s on the total),
+    // and min-of-3 recovers the steady-state figure min-of-2 misses.
     val passes = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_PASSES").trim.toInt)
-      .getOrElse(2).max(1)
+      .getOrElse(3).max(1)
     val timed: Seq[Map[String, Double]] = (1 to passes).map { _ =>
       benched.map { q =>
         val t0 = System.nanoTime()

@@ -23,6 +23,13 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // `runMain graft.Profile <sfDir> explain <query>`: dump the plan
+    if (args.length >= 3 && args(1) == "explain") {
+      SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
+
     def run(name: String): Double = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()

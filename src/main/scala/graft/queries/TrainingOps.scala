@@ -184,26 +184,47 @@ object TrainingOps {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
   /** Random-hyperplane sign buckets (vec_id, bucket): n sign bits from
-    * md5-parity ±1 planes over a broadcast (pos, plane) table.
+    * md5-parity ±1 planes.
+    *
+    * The plane components are md5-parity of "plane:pos" — DETERMINISTIC —
+    * so the sign matrix is computed once DRIVER-side with the same md5 the
+    * oracle evaluates in SQL (values identical by construction; pinned by
+    * the q34 hash check) and shipped in the UDF closure. The per-vector
+    * projection is then one primitive-array loop in a single MAP stage —
+    * replacing the exploded (vector × dim) row stream, the broadcast join
+    * and two shuffled groupBys of the declarative form. Exact int64
+    * arithmetic either way, so summation order cannot matter. At 100 TB
+    * the matrix is nPlanes × dim longs (16 × 128 here) — closure-sized.
     */
   private def hyperBuckets(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
-    val ee = embeddings(s, d)
-      .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
-    // dim from a scan-only max(size) aggregate — a distinct() over the
-    // exploded (vectors × dims) rows would shuffle V·D rows to produce
-    // the D values every vector shares
-    val planes = embeddings(s, d)
-      .agg(max(size(col("embedding"))).as("dim"))
-      .select(explode(sequence(lit(0), col("dim") - 1)).as("pos"))
-      .select(col("pos"), explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
-      .withColumn("sgn",
-        when(Hashing.md5Long(concat(col("p").cast("string"), lit(":"),
-          col("pos").cast("string"))) % 2 === 1, 1L).otherwise(-1L))
-    ee.join(broadcast(planes), Seq("pos"))
-      .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("proj"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("proj") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+    val dim = embeddings(s, d)
+      .agg(max(size(col("embedding"))).as("d")).head.getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5ParitySgn(p: Int, pos: Int): Long = {
+      val hex = md.digest(s"$p:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1L else -1L
+    }
+    val sgn: Array[Array[Long]] = Array.tabulate(nPlanes, dim)(md5ParitySgn)
+    val bucketUdf = udf((qv: Array[Long]) => {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val row = sgn(p)
+        var proj = 0L
+        var i = 0
+        val n = qv.length
+        while (i < n) { proj += qv(i) * row(i); i += 1 }
+        if (proj >= 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    })
+    embeddings(s, d)
+      // a null/empty embedding has no exploded rows in the oracle's unnest
+      // and therefore no bucket row — mirror that absence, don't bucket it
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), bucketUdf(quantize(col("embedding"))).as("bucket"))
   }
 
   /** Oracle CTEs mirroring [[hyperBuckets]]: expects `ev`,`ee`; yields `bk`. */

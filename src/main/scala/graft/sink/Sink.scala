@@ -26,30 +26,72 @@ object Sink {
     * partition-order-dependent row, which would make reruns over the same
     * input persist different payloads for a duplicated key.
     */
-  def upsertAppend(batch: DataFrame, path: String, key: String): Long = {
-    val spark = batch.sparkSession
+  /** Keep-first intra-batch dedup: the survivor is the row that sorts
+    * first across all columns — `dropDuplicates` alone keeps a
+    * partition-order-dependent row, which would make reruns over the same
+    * input persist different payloads for a duplicated key.
+    */
+  private def dedupKeepFirst(batch: DataFrame, key: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
       .orderBy(batch.columns.map(col): _*)
-    val deduped = batch
+    batch
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    // Try, not an exists() check: a sink dir that exists but holds no
-    // parquet (failed first write, pre-created dir) must count as fresh —
-    // an unreadable existing sink would otherwise wedge every rerun
-    val existingKeys = scala.util.Try(spark.read.parquet(path).select(col(key))).toOption
+  }
+
+  /** Anti-join away keys already in the sink, then count + append via
+    * `write`. The count-then-write pair reads the shuffled output once
+    * through the cache; an accumulator would save the pass but complicate
+    * a batch-oriented sink for nothing.
+    */
+  private def appendFresh(deduped: DataFrame,
+      existingKeys: Option[DataFrame], key: String,
+      write: DataFrame => Unit): Long = {
     val fresh = existingKeys match {
       case Some(existing) => deduped.join(existing, Seq(key), "left_anti")
       case None => deduped
     }
-    // count + write in one materialization would need an accumulator; the
-    // sink is batch-oriented, so count-then-write keeps it simple and the
-    // second pass reads the shuffled output of the first via cache
     val persisted = fresh.persist()
     try {
       val n = persisted.count()
-      if (n > 0) persisted.write.mode(SaveMode.Append).parquet(path)
+      if (n > 0) write(persisted)
       n
     } finally { persisted.unpersist() }
+  }
+
+  def upsertAppend(batch: DataFrame, path: String, key: String): Long = {
+    val spark = batch.sparkSession
+    // Try, not an exists() check: a sink dir that exists but holds no
+    // parquet (failed first write, pre-created dir) must count as fresh —
+    // an unreadable existing sink would otherwise wedge every rerun
+    val existingKeys =
+      scala.util.Try(spark.read.parquet(path).select(col(key))).toOption
+    appendFresh(dedupKeepFirst(batch, key), existingKeys, key,
+      _.write.mode(SaveMode.Append).parquet(path))
+  }
+
+  /** S9/S10 over JDBC — the reference's stated sink shape is "DataFrame
+    * ops … write to an embedded database via JDBC" (`db.rs:172-196`
+    * against a DuckDB file): the same keep-first upsert against any JDBC
+    * url. The existing-key probe reads ONLY the key column through the
+    * JDBC source (column pruning pushes into the remote SELECT); a
+    * missing table counts as fresh and Spark's JDBC writer creates it on
+    * first append. Exercised in SinkSpec against Spark's bundled
+    * embedded Derby — the same in-process-database shape as the
+    * reference's DuckDB.
+    */
+  def upsertJdbc(batch: DataFrame, url: String, table: String,
+      key: String): Long = {
+    val spark = batch.sparkSession
+    val props = new java.util.Properties
+    val existingKeys =
+      scala.util.Try(spark.read.jdbc(url, table, props).select(col(key))
+        // JDBC relations are re-queried per action; snapshot the keys so
+        // the anti-join cannot race the append below
+        .persist()).toOption.filter(df => scala.util.Try(df.count()).isSuccess)
+    try appendFresh(dedupKeepFirst(batch, key), existingKeys, key,
+      _.write.mode(SaveMode.Append).jdbc(url, table, props))
+    finally existingKeys.foreach(_.unpersist())
   }
 
 }

@@ -67,9 +67,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q34 hyperplane signatures: the sign table broadcasts") {
+  test("q34 hyperplane signatures: one map stage, no join/shuffle before the sort") {
     val p = plan("q34_lsh_embed_sig")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the sign matrix ships in the UDF closure: no join of any kind, and
+    // the only exchange is the presentation-sort gather of the result
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
   // PresentationSortRule: the root presentation sort becomes a

@@ -28,4 +28,21 @@ class SinkSpec extends AnyFunSuite {
     assert(out(3L) == "c")
     assert(out(2L) != "x") // existing row 2 not replaced
   }
+
+  test("upsertJdbc: same conflict-ignore semantics against an embedded JDBC db") {
+    import spark.implicits._
+    // Spark's bundled embedded Derby — the same in-process-database shape
+    // as the reference's DuckDB file; in-memory, fresh per forked JVM
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val b1 = Seq((1L, "a"), (2L, "b"), (2L, "b-dup")).toDF("id", "v")
+    assert(Sink.upsertJdbc(b1, url, "t1", "id") == 2) // creates the table
+    assert(Sink.upsertJdbc(b1, url, "t1", "id") == 0) // rerun: conflict-ignore
+    val b2 = Seq((2L, "x"), (3L, "c")).toDF("id", "v")
+    assert(Sink.upsertJdbc(b2, url, "t1", "id") == 1) // only the fresh key
+    val out = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t1").load().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) != "x") // existing row 2 not replaced
+  }
 }
