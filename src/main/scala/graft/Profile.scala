@@ -30,6 +30,56 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> decsum`: isolate the exact-decimal
+    // aggregation cost against cheaper sum strategies
+    if (args.length >= 2 && args(1) == "decsum") {
+      import org.apache.spark.sql.functions._
+      val li = graft.util.Tables.lineitem(spark, sfDir)
+      def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save() // warm
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decsum] $label%-28s ${times.min}%6.3f s")
+      }
+      t("baseline count only") {
+        li.groupBy("l_returnflag").agg(count(lit(1)))
+      }
+      t("1x sum(double)") {
+        li.groupBy("l_returnflag").agg(sum(col("l_extendedprice")))
+      }
+      t("1x decSum") {
+        li.groupBy("l_returnflag").agg(graft.functions.Hashing.decSum(col("l_extendedprice")))
+      }
+      t("4x decSum (q10 shape)") {
+        li.groupBy("l_returnflag").agg(
+          graft.functions.Hashing.decSum(col("l_extendedprice")),
+          graft.functions.Hashing.decSum(col("l_quantity")),
+          graft.functions.Hashing.decSum(col("l_discount")),
+          graft.functions.Hashing.decSum(col("l_tax")))
+      }
+      t("4x sum(double)") {
+        li.groupBy("l_returnflag").agg(
+          sum(col("l_extendedprice")), sum(col("l_quantity")),
+          sum(col("l_discount")), sum(col("l_tax")))
+      }
+      t("4x sum(long micros)") {
+        li.groupBy("l_returnflag").agg(
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            .multiply(lit(1000000)).cast("long")),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            .multiply(lit(1000000)).cast("long")),
+          sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            .multiply(lit(1000000)).cast("long")),
+          sum(col("l_tax").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+            .multiply(lit(1000000)).cast("long")))
+      }
+      spark.stop()
+      return
+    }
+
     def run(name: String): Double = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()

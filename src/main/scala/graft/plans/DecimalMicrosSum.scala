@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNotNull, IsNull, Literal, Or, ShiftRight, ShiftRightUnsigned, UnscaledValue}
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.types.{BooleanType, DataType, DecimalType, DoubleType, LongType}
+
+/** Exact decimal sum as an INT128 accumulator — `graft_decsum(col)` where
+  * `col` is DECIMAL(20,6).
+  *
+  * Motivation (SURVEY §7.3 tier: custom Catalyst beats built-in): Spark's
+  * `sum(DECIMAL(20,6))` carries a DECIMAL(30,6) buffer whose precision
+  * exceeds the 18-digit compact-long limit, so every row update
+  * deserializes and reserializes a JVM BigDecimal in the aggregation
+  * buffer — measured 0.27 s per column over 600k rows where a long sum
+  * costs 0.04 s. The value being summed is micros (unscaled decimal at
+  * scale 6), an integer; this aggregate keeps the EXACT running total as
+  * a 128-bit integer in two codegen-friendly long columns (lo unsigned,
+  * hi signed) with branch-free carry arithmetic, and converts to the
+  * presentation double ONCE per group.
+  *
+  * Scale safety: int128 overflows at ~1.7e38 — 2^64 times the headroom of
+  * a long-micros sum, far beyond any 100 TB aggregate (DuckDB's own
+  * decimal SUM uses the same int128 representation, which is also why the
+  * result is bit-identical to the oracle's
+  * `CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`: exact integer total,
+  * one exact-decimal→nearest-double conversion at the end).
+  *
+  * All buffer updates use LEGACY (wrapping) eval mode: lo-word wraparound
+  * is the carry mechanism itself, and must not trip ANSI overflow checks.
+  */
+case class DecimalMicrosSum(child: Expression) extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_decsum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DecimalType(20, 6)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_decsum requires DECIMAL(20,6) input, got ${child.dataType.catalogString}")
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, seen)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
+
+  private def addL(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  /** (hi, lo) += (xHi, xLo) in int128: wrapping lo add, branch-free
+    * unsigned carry-out `((a & b) | ((a | b) & ~sum)) >>> 63`, carry into
+    * the hi word.
+    */
+  private def add128(hiA: Expression, loA: Expression,
+      xHi: Expression, xLo: Expression): (Expression, Expression) = {
+    val newLo = addL(loA, xLo)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(loA, xLo),
+        BitwiseAnd(BitwiseOr(loA, xLo), BitwiseNot(newLo))), Literal(63))
+    val newHi = addL(addL(hiA, xHi), carry)
+    (newHi, newLo)
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    // null input contributes (0, 0) and leaves `seen` untouched
+    val xLo = If(IsNull(child), Literal(0L), UnscaledValue(child))
+    val xHi = ShiftRight(xLo, Literal(63)) // sign-extend micros to int128
+    val (newHi, newLo) = add128(hi, lo, xHi, xLo)
+    Seq(newHi, newLo, Or(seen, IsNotNull(child)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val (newHi, newLo) = add128(hi.left, lo.left, hi.right, lo.right)
+    Seq(newHi, newLo, Or(seen.left, seen.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(seen, Int128MicrosToDouble(hi, lo), Literal(null, DoubleType))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DecimalMicrosSum =
+    copy(child = newChildren.head)
+}
+
+/** Exact (hi·2^64 + unsigned lo) micros → nearest double of the scale-6
+  * decimal. Runs once per GROUP (not per row). Real codegen (a static
+  * helper call), NOT CodegenFallback: the fallback path interpolates
+  * `ctx.INPUT_ROW`, which is null inside HashAggregate's no-grouping-keys
+  * result projection — the one place an aggregate's evaluateExpression is
+  * guaranteed to appear.
+  */
+case class Int128MicrosToDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int128_micros_to_double"
+
+  override protected def nullSafeEval(hi: Any, lo: Any): Any =
+    Int128MicrosToDouble.toDouble(hi.asInstanceOf[Long], lo.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (h, l) => s"graft.plans.Int128MicrosToDouble.toDouble($h, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int128MicrosToDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int128MicrosToDouble {
+  private val loMask = (BigInt(1) << 64) - 1
+
+  /** Exact int128 reassembly, then one exact-decimal→double rounding. */
+  def toDouble(hi: Long, lo: Long): Double = {
+    val total = (BigInt(hi) << 64) | (BigInt(lo) & loMask)
+    new java.math.BigDecimal(total.bigInteger, 6).doubleValue()
+  }
+}

@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ShingleGenerator(children.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_decsum"),
+      new ExpressionInfo(classOf[DecimalMicrosSum].getName, "graft_decsum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_decsum expects exactly one argument")
+        DecimalMicrosSum(children.head)
+      }))
     ext.injectOptimizerRule(_ => PresentationSortRule())
   }
 }

@@ -132,7 +132,7 @@ object AnalyticsOps {
               ((col("tf") * lit(2.2)) /
                 (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))))
         scored.groupBy("doc_id")
-          .agg(sum(col("contrib")).cast("double").as("score"),
+          .agg(call_function("graft_decsum", col("contrib")).as("score"),
             count(lit(1)).as("n_terms"))
           .orderBy(col("score").desc, col("doc_id").asc)
           .limit(10)
@@ -164,8 +164,10 @@ object AnalyticsOps {
         supplier(s, d).createOrReplaceTempView("g_supplier")
         nation(s, d).createOrReplaceTempView("g_nation")
         region(s, d).createOrReplaceTempView("g_region")
+        // graft_decsum: the int128 exact sum (GraftExtensions) — value-
+        // identical to SUM(DECIMAL(20,6)), minus its BigDecimal buffer
         s.sql("SELECT r_name, n_name, " +
-          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, " +
+          "graft_decsum(CAST(l_extendedprice AS DECIMAL(20,6))) AS revenue, " +
           "count(*) AS n " +
           "FROM g_lineitem JOIN g_supplier ON l_suppkey = s_suppkey " +
           "JOIN g_nation ON s_nationkey = n_nationkey " +

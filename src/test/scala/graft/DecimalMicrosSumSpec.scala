@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft_decsum (int128 exact decimal sum) must be VALUE-IDENTICAL to the
+  * built-in sum(DECIMAL(20,6)) cast to double — same exact integer total,
+  * same single decimal→double rounding — under nulls, negatives,
+  * carry-heavy magnitudes and forced partial/merge paths.
+  */
+class DecimalMicrosSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def builtin(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(20, 6))).cast("double")
+
+  private def custom(c: org.apache.spark.sql.Column) =
+    call_function("graft_decsum", c.cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+
+  test("matches built-in decimal sum on randomized data (nulls, negatives, merges)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { i =>
+      val v: java.lang.Double =
+        if (i % 97 == 0) null
+        else (rnd.nextDouble() - 0.5) * 2e7 // ±1e7, 6+ digit magnitudes
+      (i % 13).toLong -> v
+    }
+    // 16 partitions force map-side partials and the int128 MERGE path
+    val df = rows.toDF("k", "v").repartition(16)
+    val got = df.groupBy("k")
+      .agg(builtin($"v").as("ref"), custom($"v").as("fast"))
+      .collect()
+    assert(got.length == 13)
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"k=${r.getLong(0)}: builtin=${r.getDouble(1)} int128=${r.getDouble(2)}")
+    }
+  }
+
+  test("global aggregate (no grouping keys) — the null-INPUT_ROW codegen path") {
+    import spark.implicits._
+    // HashAggregate's no-keys result projection has a null ctx.INPUT_ROW;
+    // a CodegenFallback final conversion NPEs there (regression test)
+    val s = Seq.fill(1000)(0.1).toDF("v")
+      .agg(custom($"v").as("s")).collect().head.getDouble(0)
+    assert(s == 100.0)
+  }
+
+  test("all-null group yields NULL; lo-word carry crosses correctly") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Double)]((1L, null), (1L, null)).toDF("k", "v")
+    val r = df.groupBy("k").agg(custom($"v").as("s")).collect().head
+    assert(r.isNullAt(1))
+
+    // magnitudes chosen so the unsigned lo word wraps during accumulation:
+    // 12 × 9e12 micros ≈ 1.08e14 — small for int128, but summing mixed
+    // signs walks lo through wraparound repeatedly
+    val vals = Seq(9e6, -9e6, 9e6, 9e6, -9e6, 9e6, 9e6, 9e6, -9e6, 9e6, 9e6, 9e6)
+    val df2 = vals.map(v => (1L, v)).toDF("k", "v").repartition(5)
+    val r2 = df2.groupBy("k").agg(builtin($"v").as("ref"), custom($"v").as("fast"))
+      .collect().head
+    assert(java.lang.Double.compare(r2.getDouble(1), r2.getDouble(2)) == 0)
+  }
+}

@@ -40,7 +40,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q09_join_agg")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    // map-side combine before the shuffle (sum → graft_decsum int128)
+    assert(p.contains("partial_graft_decsum") || p.contains("partial_sum"), p)
   }
 
   test("q10 flagship agg: partial aggregation before the shuffle") {
