@@ -30,6 +30,80 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> fanout`: does the 1-task documents
+    // scan serialize the shingle md5 work?
+    if (args.length >= 2 && args(1) == "fanout") {
+      import org.apache.spark.sql.functions._
+      val docs = graft.util.Tables.documents(spark, sfDir)
+      println(s"[fanout] scan partitions = ${docs.rdd.getNumPartitions}")
+      def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[fanout] $label%-36s ${times.min}%6.3f s")
+      }
+      t("shingle+md5, scan as-is") {
+        docs.selectExpr("doc_id", "shingles(text, 3) AS shingle")
+          .select(col("doc_id"),
+            graft.functions.Hashing.md5Long(col("shingle")).as("h1"),
+            graft.functions.Hashing.md5Long2(col("shingle")).as("h2"))
+      }
+      t("shingle+md5, repartition(32) first") {
+        docs.repartition(32)
+          .selectExpr("doc_id", "shingles(text, 3) AS shingle")
+          .select(col("doc_id"),
+            graft.functions.Hashing.md5Long(col("shingle")).as("h1"),
+            graft.functions.Hashing.md5Long2(col("shingle")).as("h2"))
+      }
+      val li = graft.util.Tables.lineitem(spark, sfDir)
+      def q26shape(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.Hashing.rowIdTrusted(col("l_orderkey"), lit("|"),
+            col("l_linenumber")).as("id"))
+        .orderBy("l_orderkey", "l_linenumber")
+      t("q26 shape, as-is")(q26shape(li))
+      t("q26 shape, fanned")(q26shape(li.repartition(32)))
+      t("q26 shape, md5 AFTER sort") {
+        li.select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.functions.Hashing.rowIdTrusted(col("l_orderkey"), lit("|"),
+              col("l_linenumber")).as("id"))
+      }
+      t("q26 shape, fanned + md5 AFTER sort") {
+        graft.util.Tables.fanOut(li.select("l_orderkey", "l_linenumber"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.functions.Hashing.rowIdTrusted(col("l_orderkey"), lit("|"),
+              col("l_linenumber")).as("id"))
+      }
+      def q56shape(src: org.apache.spark.sql.DataFrame) = {
+        val x = col("l_quantity"); val y = col("l_discount")
+        src.groupBy("l_returnflag")
+          .agg(graft.functions.Hashing.decSum(x).as("sx"),
+            graft.functions.Hashing.decSum(y).as("sy"),
+            graft.functions.Hashing.decSum(x * y).as("sxy"),
+            graft.functions.Hashing.decSum(x * x).as("sxx"),
+            graft.functions.Hashing.decSum(y * y).as("syy"))
+      }
+      t("q56 shape, as-is")(q56shape(li))
+      t("q56 shape, fanned")(q56shape(li.repartition(32)))
+      val ev = graft.util.Tables.events(spark, sfDir)
+      t("q47 from_json, as-is") {
+        ev.select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).as("p"))
+      }
+      t("q47 from_json, fanned") {
+        ev.repartition(32).select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).as("p"))
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> decsum`: isolate the exact-decimal
     // aggregation cost against cheaper sum strategies
     if (args.length >= 2 && args(1) == "decsum") {

@@ -340,11 +340,16 @@ object ReferenceOps {
     // ---- F4: derived row id (`functions.rs:31`) ---------------------------
     Q("q26_row_id",
       (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber")
+        // sort FIRST on the two numeric keys, derive the id AFTER: the
+        // presentation gather then moves 12-byte rows instead of hauling
+        // every 32-char hash through the exchange, and the id (a pure
+        // function of the keys; trusted form — numeric casts + a fixed
+        // '|' cannot contain whitespace, so the strip regexp is a no-op)
+        // is computed on the sorted stream. Measured 2× on the full query.
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
-          // numeric casts + a fixed '|' cannot contain whitespace — the
-          // trusted form skips the no-op regexp on 60k rows/sf0.01
-          Hashing.rowIdTrusted(col("l_orderkey"), lit("|"), col("l_linenumber")).as("id"))
-        .orderBy("l_orderkey", "l_linenumber"),
+          Hashing.rowIdTrusted(col("l_orderkey"), lit("|"), col("l_linenumber")).as("id")),
       Some("SELECT l_orderkey, l_linenumber, " +
         "md5(regexp_replace(concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR)), '\\s+', '', 'g')) AS id " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber"))

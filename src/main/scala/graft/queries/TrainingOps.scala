@@ -30,6 +30,13 @@ object TrainingOps {
     */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** (doc_id, text) fanned out of the single-task small-file scan — every
+    * downstream tokenize/md5 pass then runs on all cores (Tables.fanOut
+    * is the identity on an already-parallel scan).
+    */
+  private def docText(s: SparkSession, d: String): DataFrame =
+    graft.util.Tables.fanOut(documents(s, d).select(col("doc_id"), col("text")))
+
   /** (doc_id, shingle) exploded distinct-shingle rows, via the native
     * [[graft.plans.ShingleGenerator]] — one tokenize+dedup pass per row
     * planned through GenerateExec. (An equivalent HOF formulation exists
@@ -38,7 +45,7 @@ object TrainingOps {
     * split re-runs per element_at — measured 7× slower.)
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docText(s, d)
       .selectExpr("doc_id", "shingles(text, 3) AS shingle")
 
   /** Oracle CTE prefix producing the same (doc_id, shingle) rows. */
@@ -287,7 +294,7 @@ object TrainingOps {
         val simhash = (0 until 60).map(j =>
           when(col(s"b$j") * 2 >= col("n"), expr(s"CAST(${1L << j} AS BIGINT)"))
             .otherwise(0L)).reduce(_ + _)
-        documents(s, d)
+        docText(s, d)
           .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
           .withColumn("h", Hashing.md5Long(col("w")))
           .groupBy("doc_id")

@@ -55,6 +55,22 @@ object Tables {
     }
   }
 
+  /** Fan a SMALL scan out to the session's default parallelism before
+    * CPU-heavy per-row work (hashing every shingle / word). A parquet
+    * file below the split threshold — or with a single row group, like
+    * the bench corpus — plans as ONE task, serializing everything
+    * downstream of it onto one core (measured 2.5× on the shingle+md5
+    * pipeline). At cluster scale the scan already carries ≥ cores
+    * partitions and this is the IDENTITY — the probe inspects the planned
+    * RDD without running a job — so the 100 TB path never pays the extra
+    * shuffle. Callers should project the needed columns FIRST so the
+    * round-robin exchange moves only those.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
