@@ -29,9 +29,13 @@ object AnalyticsOps {
   private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val maxDriver = s.conf.getOption("spark.graft.cc.maxDriverEdges")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(4000000L).min(Int.MaxValue - 1L).toInt
     val p = pairs.persist()
-    if (p.count() <= maxDriver) {
+    // ONE action decides the regime AND fetches the edges: take(max+1)
+    // collects at most one row past the threshold, where the old
+    // count()-then-collect() pair materialized the pipeline twice
+    val taken = p.take(maxDriver + 1)
+    if (taken.length <= maxDriver) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -42,7 +46,7 @@ object AnalyticsOps {
       }
       // deterministic: rows sorted before union, roots merged to the min —
       // so every component's final root is its minimum id
-      p.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.foreach {
+      taken.map(r => (r.getLong(0), r.getLong(1))).sorted.foreach {
         case (a, b) =>
           parent.getOrElseUpdate(a, a)
           parent.getOrElseUpdate(b, b)
