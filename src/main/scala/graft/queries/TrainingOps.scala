@@ -78,20 +78,29 @@ object TrainingOps {
   private def oMd5Long2(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 17, 15))::BIGINT"
 
-  /** MinHash signature table (doc_id, band ∈ 0..7, minh): double-hashing
-    * family h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived hashes (i·h2 <
-    * 2^63, so no overflow; xor is engine-identical on int64). Consumes the
-    * HASHED shingle rows, so the 8-rows/doc partial-min shuffle never sees
-    * shingle text.
+  /** WIDE MinHash signature (doc_id, m0..m7): double-hashing family
+    * h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived hashes (i·h2 < 2^63,
+    * so no overflow; xor is engine-identical on int64). The 8 band minima
+    * are 8 aggregation COLUMNS over the hashed shingle rows — one
+    * aggregation over S rows instead of exploding S×8 rows and
+    * re-grouping them (the q30 simhash trick applied to minhash); callers
+    * explode the 8 values map-side where a tall shape is needed.
+    */
+  private def minhashSigWide(s: SparkSession, d: String,
+      shh: DataFrame = null): DataFrame =
+    Option(shh).getOrElse(shingleHashRows(s, d))
+      .groupBy("doc_id")
+      .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
+        (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")): _*)
+
+  /** Tall signature rows (doc_id, band, minh) from the wide form —
+    * posexplode is map-side, 8 tiny rows per doc.
     */
   private def minhashSig(s: SparkSession, d: String,
       shh: DataFrame = null): DataFrame =
-    Option(shh).getOrElse(shingleHashRows(s, d))
-      .select(col("doc_id"), col("h1"), col("h2"),
-        explode(sequence(lit(0), lit(7))).as("band"))
-      .select(col("doc_id"), col("band"),
-        expr("h1 ^ (band * h2)").as("h"))
-      .groupBy("doc_id", "band").agg(min(col("h")).as("minh"))
+    minhashSigWide(s, d, shh)
+      .select(col("doc_id"), posexplode(array((0 until 8).map(b => col(s"m$b")): _*))
+        .as(Seq("band", "minh")))
 
   /** Oracle CTEs mirroring [[minhashSig]] (expects `shh` in scope). */
   private val sigCte: String =
@@ -106,12 +115,15 @@ object TrainingOps {
     */
   private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleHashRows(s, d).persist()
-    val sig = minhashSig(s, d, sh)
-    val bk = sig
-      .groupBy(col("doc_id"), floor(col("band") / 2).as("bk"))
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("band"), col("minh")))),
-          e => e.getField("minh").cast("string"))).as("bandkey"))
+    // band keys straight off the WIDE signature — map-side expressions
+    // over one row per doc (band order inside a key is fixed by column
+    // position, matching the oracle's string_agg ORDER BY band)
+    val bk = minhashSigWide(s, d, sh)
+      .select(col("doc_id"), explode(array((0 until 4).map(k =>
+        struct(lit(k).as("bk"),
+          concat_ws(",", col(s"m${2 * k}").cast("string"),
+            col(s"m${2 * k + 1}").cast("string")).as("bandkey"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.bk").as("bk"), col("e.bandkey").as("bandkey"))
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
