@@ -58,6 +58,25 @@ object Profile {
             graft.functions.Hashing.md5Long(col("shingle")).as("h1"),
             graft.functions.Hashing.md5Long2(col("shingle")).as("h2"))
       }
+      def shh = graft.util.Tables.fanOut(docs.select(col("doc_id"), col("text")))
+        .selectExpr("doc_id", "shingles(text, 3) AS shingle")
+        .select(col("doc_id"), graft.functions.Hashing.md5Long(col("shingle")).as("h1"))
+      def q31body(sh: org.apache.spark.sql.DataFrame) = {
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.as("a")
+          .join(sh.as("b"), col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.as("za"), col("ida") === col("za.doc_id"))
+          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"), (col("inter").cast("double") /
+            (col("za.n") + col("zb.n") - col("inter"))).as("jacc"))
+          .filter(col("jacc") >= 0.5).orderBy("ida", "idb")
+      }
+      t("q31 with persist") { val s0 = shh.persist(); val r = q31body(s0); r }
+      spark.sqlContext.clearCache()
+      t("q31 without persist")(q31body(shh))
+      spark.sqlContext.clearCache()
       val li = graft.util.Tables.lineitem(spark, sfDir)
       def q26shape(src: org.apache.spark.sql.DataFrame) = src
         .select(col("l_orderkey"), col("l_linenumber"),
