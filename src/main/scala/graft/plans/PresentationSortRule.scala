@@ -2,7 +2,9 @@ package graft.plans
 
 import scala.util.Try
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, Deduplicate, Distinct, Except, Intersect, Join, LogicalPlan, Repartition, RepartitionOperation, Sort, Window}
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, Deduplicate, Distinct, Except, Filter, GlobalLimit, Intersect, Join, LogicalPlan, Project, Repartition, Sort, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Presentation-sort optimization: a GLOBAL Sort at the root of a query
@@ -26,14 +28,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - only the ROOT sort (or root-command child) is touched — interior
   *    global sorts keep their ordering contract for Limit/Offset above
   *    them;
-  *  - a child that already contains a shuffle stage (join, aggregate,
-  *    window, set-op, repartition) rewrites UNCONDITIONALLY: the range
-  *    partitioner's sampling pass would re-execute the post-shuffle
-  *    stage anyway (earlier stages are reused through the shuffle), and
-  *    join-inflated `sizeInBytes` estimates are BigInt products that
-  *    blow past any byte threshold — exactly the queries where the
-  *    rewrite matters most (measured: q33 2.49 s → sub-second once the
-  *    stats guard stopped declining it);
+  *  - a child whose top (looking through Project/Filter/alias) is a
+  *    CARDINALITY-REDUCING operator — Aggregate, Distinct, Deduplicate,
+  *    Except, Intersect, Limit, or a Filter over a Window (the rank-
+  *    filter top-k shape) — rewrites UNCONDITIONALLY: its output is the
+  *    reduced post-shuffle result, and join/agg-inflated `sizeInBytes`
+  *    estimates (BigInt products past any byte threshold) must not
+  *    decline it — the round-3 q33 regression;
+  *  - an INNER Join carrying a constant-threshold residual (a pushed-down
+  *    post-join filter, e.g. a similarity threshold merged into the join
+  *    condition) is treated as reducing under the classic optimizer
+  *    default-selectivity assumption — the q33/q29 near-dup shape, whose
+  *    match set is sparse by construction. A join with only equi-keys
+  *    (q08's FK join) or attr-vs-attr band residuals (q57/q58 range/as-of)
+  *    does NOT reduce its input, so it falls through to the byte guard —
+  *    which its inflated stats fail — keeping the parallel range sort: at
+  *    100× scale a bare-join result is the whole fact table and a
+  *    single-partition gather would serialize it (the round-4 scale
+  *    hazard this distinction removes). Outer/semi joins and bare Windows
+  *    never qualify: their output is at least one full input;
   *  - an exchange-free child (pure scan→compute pipeline) rewrites only
   *    when its estimated size is under
   *    `spark.graft.presentationSort.maxBytes` (default 256 MB) — a
@@ -41,7 +54,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    honest (no join inflation), so the byte guard is reliable exactly
   *    where it is needed.
   */
-case class PresentationSortRule() extends Rule[LogicalPlan] {
+case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper {
 
   /** None = unlimited (conf "-1"). Join-inflated estimates are BigInts
     * that can exceed Long.MaxValue, so "a very large Long" cannot express
@@ -55,22 +68,57 @@ case class PresentationSortRule() extends Rule[LogicalPlan] {
       case None => Some(BigInt(256L << 20))
     }
 
-  /** True when executing `p` already involves a shuffle boundary. These
-    * logical nodes all plan to an Exchange (or are one): the final rows
-    * the gather collects are then a post-shuffle stage's output, already
-    * reduced by the aggregation/join itself.
+  /** True when the plan's output is cardinality-reduced relative to its
+    * inputs, judged from the top of the tree looking through row-
+    * preserving wrappers (Project/alias) and Filters. These are the nodes
+    * whose final rows are provably (Aggregate/Distinct/set-op/Limit) or
+    * by standard selectivity assumption (rank-filter, filtering join)
+    * far smaller than the data scanned — safe to gather onto one
+    * partition at any scale.
     */
-  private def hasShuffleStage(p: LogicalPlan): Boolean = p.exists {
-    case _: Join | _: Aggregate | _: Window | _: Distinct | _: Deduplicate |
-        _: Except | _: Intersect | _: RepartitionOperation => true
+  private def reducingTop(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: Distinct | _: Deduplicate | _: Except |
+        _: Intersect | _: GlobalLimit => true
+    case Project(_, child) => reducingTop(child)
+    case SubqueryAlias(_, child) => reducingTop(child)
+    case Filter(_, child) =>
+      child match {
+        // rank/row_number filter over a window: top-k per group
+        case _: Window => true
+        case _: Join => true // residual post-join filter not yet merged
+        case c => reducingTop(c)
+      }
+    case j: Join => filteringJoin(j)
     case _ => false
   }
+
+  /** An inner join whose condition carries a THRESHOLD residual: a
+    * comparison between a two-sided expression and a constant (the
+    * optimizer merges any deterministic post-join filter into the
+    * inner-join condition, so `cos(a,b) >= 0.35` survives here). Only
+    * constant thresholds qualify: attr-vs-attr inequalities are
+    * range/as-of band predicates whose match set scales with the input
+    * (q57/q58), and equi-only FK joins keep full input cardinality —
+    * neither may gather.
+    */
+  private def filteringJoin(j: Join): Boolean =
+    j.joinType == Inner && j.condition.exists { c =>
+      val left = j.left.outputSet
+      val right = j.right.outputSet
+      def twoSided(e: Expression) =
+        e.references.exists(left.contains) && e.references.exists(right.contains)
+      splitConjunctivePredicates(c).exists {
+        case bc: BinaryComparison if bc.right.foldable => twoSided(bc.left)
+        case bc: BinaryComparison if bc.left.foldable => twoSided(bc.right)
+        case _ => false
+      }
+    }
 
   private def rewrite(s: Sort): LogicalPlan = {
     val small = maxBytes match {
       case None => true
       case Some(m) =>
-        hasShuffleStage(s.child) ||
+        reducingTop(s.child) ||
           Try(s.child.stats.sizeInBytes <= m).getOrElse(false)
     }
     if (small) s.copy(global = false, child = Repartition(1, shuffle = true, s.child))

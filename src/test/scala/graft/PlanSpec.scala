@@ -77,18 +77,52 @@ class PlanSpec extends AnyFunSuite {
   }
 
   // PresentationSortRule: the root presentation sort becomes a
-  // single-partition gather + local sort when the child already shuffles
-  // (join-inflated size estimates must NOT decline it — the round-3 q33
-  // regression), but a large exchange-free pipeline keeps its parallel
-  // range sort (the 100 TB safety guard).
-  test("presentation sort: shuffle-bearing child rewrites to a gather even past the byte guard") {
+  // single-partition gather + local sort when the child's output is
+  // cardinality-reduced (aggregate/distinct tops, threshold-filtered
+  // joins — join-inflated size estimates must NOT decline these, the
+  // round-3 q33 regression), but a bare join keeps its full input
+  // cardinality and must keep the parallel range sort (the round-4
+  // 100 TB gather hazard), as must a large exchange-free pipeline.
+  test("presentation sort: threshold-filtered self-join rewrites to a gather past the byte guard") {
     val conf = spark.conf
     val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
     try {
       conf.set("spark.graft.presentationSort.maxBytes", "1") // force the byte guard to decline
-      val p = plan("q33_ivf_neardup") // self-join child → shuffle stage present
+      val p = plan("q33_ivf_neardup") // cos >= 0.35 threshold residual on the self-join
       assert(p.contains("SinglePartition"), p)
       assert(!p.contains("rangepartitioning"), p)
+    } finally {
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
+
+  test("presentation sort: aggregate-topped child rewrites to a gather past the byte guard") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1")
+      val p = plan("q09_join_agg") // groupBy agg top: provably reduced
+      assert(p.contains("SinglePartition"), p)
+      assert(!p.contains("rangepartitioning"), p)
+    } finally {
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
+
+  test("presentation sort: bare equi-join child has no unconditional gather bypass") {
+    // q08's root sort sits over the full FK-join output (every orders
+    // row) — not cardinality-reduced, so unlike q33/q09 it rewrites only
+    // while the byte guard holds (it does at this tiny SF; at scale the
+    // join stats exceed it and the parallel range sort survives).
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1") // simulate at-scale stats
+      val p = plan("q08_fk_join")
+      assert(p.contains("rangepartitioning"), p)
+      assert(!p.contains("SinglePartition"), p)
     } finally {
       saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
         conf.set("spark.graft.presentationSort.maxBytes", _))
