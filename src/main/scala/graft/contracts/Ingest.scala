@@ -177,7 +177,7 @@ object Ingest {
     * over an etherscan duplicate — S9 keep-first, `db.rs:172-196`).
     */
   def contracts(s: SparkSession, root: String): DataFrame = {
-    val files = scanTree(s, root).persist()
+    val files = graft.util.Caches.transientPersist(scanTree(s, root))
     val both = metadataContracts(files).withColumn("__prio", lit(0))
       .unionByName(etherscanContracts(files, root).withColumn("__prio", lit(1)))
     val w = Window.partitionBy("id").orderBy(col("__prio"), col("name"))

@@ -30,7 +30,7 @@ object AnalyticsOps {
     import s.implicits._
     val maxDriver = s.conf.getOption("spark.graft.cc.maxDriverEdges")
       .map(_.toLong).getOrElse(4000000L).min(Int.MaxValue - 1L).toInt
-    val p = pairs.persist()
+    val p = graft.util.Caches.transientPersist(pairs)
     // ONE action decides the regime AND fetches the edges: take(max+1)
     // collects at most one row past the threshold, where the old
     // count()-then-collect() pair materialized the pipeline twice
@@ -59,9 +59,11 @@ object AnalyticsOps {
       val labels = parent.keySet.map(n => (n, find(n))).toSeq.sorted
       s.createDataFrame(labels).toDF("doc_id", "cluster_id")
     } else {
-      val edges = p.union(p.select(col("idb"), col("ida"))).toDF("u", "v").persist()
-      var labels = edges.select(col("u").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")).persist()
+      val edges = graft.util.Caches.transientPersist(
+        p.union(p.select(col("idb"), col("ida"))).toDF("u", "v"))
+      var labels = graft.util.Caches.transientPersist(
+        edges.select(col("u").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")))
       var changed = 1L
       var iter = 0
       val maxIter = 64 // propagation rounds = graph diameter; fail loudly past this
@@ -73,10 +75,11 @@ object AnalyticsOps {
       while (changed > 0 && iter < maxIter) {
         val nb = edges.join(labels, col("v") === col("doc_id"))
           .groupBy("u").agg(min("cluster_id").as("nbmin"))
-        val updated = labels.join(nb, labels("doc_id") === nb("u"), "left")
-          .select(labels("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
-              .as("new_cid"), col("cluster_id")).persist()
+        val updated = graft.util.Caches.transientPersist(
+          labels.join(nb, labels("doc_id") === nb("u"), "left")
+            .select(labels("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
+                .as("new_cid"), col("cluster_id")))
         changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
         prevUpdated.unpersist()
         prevUpdated = updated

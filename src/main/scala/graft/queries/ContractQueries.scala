@@ -21,9 +21,11 @@ object ContractQueries {
     * faithfully SKIPS it (the reference's own golden test bypasses the
     * scan via the per-file API, `plain_contract.rs:580-581`); composing
     * the conforming layout keeps the full OpenZeppelin-tree coverage
-    * flowing through the REAL scan path. Built once per host under /tmp
-    * (idempotent — the source tree is read-only; the etherscan file is
-    * copied LAST so its existence marks a complete build).
+    * flowing through the REAL scan path. Built once per host under /tmp:
+    * staged into a fresh temp directory, then atomically renamed into
+    * place — a concurrent first build or a crashed previous one can never
+    * leave a partial tree visible (the loser of the rename race reuses
+    * the winner's complete tree).
     */
   private[graft] lazy val fixtureRoot: String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -32,27 +34,32 @@ object ContractQueries {
     val base = Paths.get("/tmp/graft-fixture-tree")
     val ethFile = base.resolve(addr).resolve(s"${addr}_Bueno721Drop.json")
     if (!Files.exists(ethFile)) {
-      Files.createDirectories(base.resolve(addr))
-      Files.createDirectories(base.resolve("demo"))
-      Files.list(src.resolve("demo")).forEach { p =>
-        Files.copy(p, base.resolve("demo").resolve(p.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING)
+      val stage = Files.createTempDirectory(base.getParent, "graft-fixture-stage")
+      Files.createDirectories(stage.resolve(addr))
+      Files.createDirectories(stage.resolve("demo"))
+      scala.util.Using.resource(Files.list(src.resolve("demo"))) { listing =>
+        listing.forEach { p =>
+          Files.copy(p, stage.resolve("demo").resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
       }
-      Files.copy(src.resolve(s"${addr}_Bueno721Drop.json"), ethFile,
+      Files.copy(src.resolve(s"${addr}_Bueno721Drop.json"),
+        stage.resolve(addr).resolve(s"${addr}_Bueno721Drop.json"),
         StandardCopyOption.REPLACE_EXISTING)
+      try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another process won the race (or a complete tree already
+        // exists): keep theirs, discard the stage
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          scala.util.Using.resource(Files.walk(stage)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+      }
     }
     base.toString
-  }
-
-  /** Pinned-constant oracle (the q44 pattern): the fixture tree is frozen,
-    * so its expected rows are literals — generated once by
-    * `tools/pin_oracle.py` from a verified run and stored as a resource.
-    * Any ingest/derive regression now hash-mismatches in the driver gate.
-    */
-  private def pinned(name: String): String = {
-    val in = getClass.getResourceAsStream(s"/graft/$name")
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
   }
 
   val all: Seq[Q] = Seq(
@@ -67,13 +74,13 @@ object ContractQueries {
           col("metadata.runs").as("runs"),
           col("metadata.optimization_used").as("optimization_used"))
         .orderBy("id"),
-      Some(pinned("q45_oracle.sql")),
+      Some(Q.pinned("q45_oracle.sql")),
       bench = false),
 
     // U2/U3 + F2/F3/F4: the function table derivation.
     Q("q46_contract_functions",
       (s, _) => Derive.functionTable(s, fixtureRoot),
-      Some(pinned("q46_oracle.sql")),
+      Some(Q.pinned("q46_oracle.sql")),
       bench = false)
   )
 }

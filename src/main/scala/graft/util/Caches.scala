@@ -1,0 +1,90 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Cache registry separating two cache lifetimes the engine uses:
+  *
+  *  - TRANSIENT: a query-internal intermediate (a materialized-CTE
+  *    analog — the LSH candidate edge list, a scanned fixture tree).
+  *    These must NOT outlive their query in a benchmark: Spark's
+  *    CacheManager matches by canonicalized plan, so a stale cached
+  *    intermediate from one query would silently satisfy an identical
+  *    subplan in the next and corrupt per-query timings. Bench drops
+  *    them via [[clearTransient]] between queries.
+  *
+  *  - SHARED INDEX: a long-lived, reused derived dataset (the hashed
+  *    shingle index behind the q29/q31/q51 dedup family) — the Spark
+  *    analog of a materialized view or the reference's precomputed
+  *    `contract`/`function` tables (`/root/reference/src/db.rs:65-84`).
+  *    Built once per (session, key) and re-persisted on demand after any
+  *    global cache clear; the three family queries reuse one copy
+  *    instead of re-scanning and re-hashing the corpus three times. At
+  *    100 TB this is the difference between one tokenize+hash pass over
+  *    the corpus and three.
+  *
+  * Memoization mirrors [[Tables]]: weakly keyed by session (a DataFrame
+  * strongly references its session, so strong values would pin the key —
+  * soft references break the cycle and let memory pressure evict).
+  */
+object Caches {
+
+  private val transients =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private val shared =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]()
+
+  /** Persist a query-internal intermediate and register it for
+    * [[clearTransient]]. Use this instead of bare `.persist()` in query
+    * code: self-unpersisting paths may still do so early (the registry
+    * tolerates double-unpersist), but anything left over is reclaimed at
+    * the next clear instead of leaking — or worse, plan-matching — into
+    * the next query.
+    */
+  def transientPersist(df: DataFrame): DataFrame = {
+    transients.add(df)
+    df.persist()
+  }
+
+  /** Drop every registered transient cache. Cheap when nothing is
+    * registered; safe on already-unpersisted frames.
+    */
+  def clearTransient(): Unit = {
+    var df = transients.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = transients.poll()
+    }
+  }
+
+  /** Memoized shared index: builds `build` once per (session, name),
+    * persists it, and re-persists the same plan if a global cache clear
+    * (or soft-ref eviction) dropped it. Callers get one cached copy per
+    * session regardless of how many queries consume it.
+    */
+  def sharedIndex(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    val perSession = shared.synchronized {
+      var m = shared.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
+        shared.put(s, m)
+      }
+      m
+    }
+    val existing = Option(perSession.get(name).orNull).flatMap(r => Option(r.get))
+    existing match {
+      case Some(df) =>
+        // a sqlContext.clearCache() (bench pass boundary) unpersists the
+        // data but leaves the plan valid — re-persist the same frame
+        if (df.storageLevel == StorageLevel.NONE) df.persist()
+        df
+      case None =>
+        val df = build.persist()
+        perSession.put(name, new java.lang.ref.SoftReference(df))
+        df
+    }
+  }
+}
