@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNotNull, IsNull, Literal, Or, ShiftRight, ShiftRightUnsigned, UnscaledValue}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNotNull, IsNull, Literal, Or, ShiftRight, ShiftRightUnsigned, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.types.{BooleanType, DataType, DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, DoubleType, LongType}
 
 /** Exact decimal sum as an INT128 accumulator — `graft_decsum(col)` where
   * `col` is DECIMAL(20,6).
@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DecimalType, DoubleTyp
   * result is bit-identical to the oracle's
   * `CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`: exact integer total,
   * one exact-decimal→nearest-double conversion at the end).
+  *
+  * INPUT DOMAIN: each PER-ROW value must fit int64 micros, i.e.
+  * |value| < ~9.22e12 (DECIMAL(18,6)-representable) — the int128 headroom
+  * is the accumulator's, not the row's. DECIMAL(20,6) admits wider values;
+  * [[MicrosLong]] rejects those loudly with a domain error instead of the
+  * bare ArithmeticException `UnscaledValue` would surface. Callers with
+  * genuinely wider per-row values belong on the built-in `sum(DECIMAL)`.
   *
   * All buffer updates use LEGACY (wrapping) eval mode: lo-word wraparound
   * is the carry mechanism itself, and must not trip ANSI overflow checks.
@@ -69,7 +76,7 @@ case class DecimalMicrosSum(child: Expression) extends DeclarativeAggregate {
 
   override lazy val updateExpressions: Seq[Expression] = {
     // null input contributes (0, 0) and leaves `seen` untouched
-    val xLo = If(IsNull(child), Literal(0L), UnscaledValue(child))
+    val xLo = If(IsNull(child), Literal(0L), MicrosLong(child))
     val xHi = ShiftRight(xLo, Literal(63)) // sign-extend micros to int128
     val (newHi, newLo) = add128(hi, lo, xHi, xLo)
     Seq(newHi, newLo, Or(seen, IsNotNull(child)))
@@ -86,6 +93,42 @@ case class DecimalMicrosSum(child: Expression) extends DeclarativeAggregate {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DecimalMicrosSum =
     copy(child = newChildren.head)
+}
+
+/** Unscaled micros of a scale-6 decimal as a long — `UnscaledValue` with
+  * the input domain made LOUD: a DECIMAL(20,6) row beyond int64 micros
+  * (|value| ≥ ~9.22e12) raises a named graft_decsum domain error instead
+  * of `longValueExact`'s bare ArithmeticException. In-domain rows cost
+  * exactly what UnscaledValue costs (one static call in codegen).
+  */
+case class MicrosLong(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_micros_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MicrosLong.toLongExact(input.asInstanceOf[Decimal])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MicrosLong.toLongExact($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MicrosLong = copy(child = newChild)
+}
+
+object MicrosLong {
+  def toLongExact(d: Decimal): Long =
+    try d.toUnscaledLong
+    catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        s"graft_decsum input out of domain: per-row |value| must be < 2^63 " +
+          s"micros (~9.22e12 at scale 6), got $d. The int128 headroom is the " +
+          "accumulator's, not the row's — use the built-in sum(DECIMAL) for " +
+          "wider per-row values.")
+    }
 }
 
 /** Exact (hi·2^64 + unsigned lo) micros → nearest double of the scale-6

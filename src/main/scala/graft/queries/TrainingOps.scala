@@ -99,7 +99,7 @@ object TrainingOps {
     */
   private def minhashSigWide(s: SparkSession, d: String,
       shh: DataFrame = null): DataFrame =
-    Option(shh).getOrElse(shingleHashRows(s, d))
+    Option(shh).getOrElse(shingleIndex(s, d))
       .groupBy("doc_id")
       .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
         (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")): _*)
@@ -307,21 +307,35 @@ object TrainingOps {
       Some(s"WITH $lshPairsCtes SELECT ida, idb, jacc FROM pairs ORDER BY ida, idb")),
 
     // SimHash: 60-bit near-dup fingerprint; one long per document. The
-    // bit-majority vote runs as 60 codegen'd aggregation COLUMNS over the
-    // (doc, word) rows — no 60× row explosion, one shuffle of 61
-    // counters/doc. bit_j majority ⟺ 2·popcount_j ≥ n_words.
+    // bit-majority vote packs the 60 per-bit counters into 15 longs of
+    // 4×16-bit LANES (each row contributes bit_j<<(16·(j%4)) to long
+    // j/4) — identical math to 60 individual SUM columns but a 16-column
+    // aggregation buffer instead of 61: ~4× less codegen, partial-agg
+    // width and merge traffic, no row explosion. Lane sums cannot cross
+    // lanes while each lane count ≤ n ≤ 65535 distinct words per doc —
+    // enforced LOUDLY by the assert_true below (a >65k-distinct-word
+    // document would need re-laning to 32-bit, not silent wraparound).
+    // bit_j majority ⟺ 2·popcount_j ≥ n_words.
     Q("q30_simhash",
       (s, d) => {
-        val bitSums = (0 until 60).map(j =>
-          sum(expr(s"shiftright(h, $j) % 2")).as(s"b$j"))
+        val laneSums = (0 until 15).map { l =>
+          sum((0 until 4).map { m =>
+            expr(s"shiftleft(shiftright(h, ${4 * l + m}) & 1, ${16 * m})")
+          }.reduce(_ + _)).as(s"s$l")
+        }
+        def bitCount(j: Int) =
+          expr(s"shiftright(s${j / 4}, ${16 * (j % 4)}) & 65535")
         val simhash = (0 until 60).map(j =>
-          when(col(s"b$j") * 2 >= col("n"), expr(s"CAST(${1L << j} AS BIGINT)"))
+          when(bitCount(j) * 2 >= col("n"), expr(s"CAST(${1L << j} AS BIGINT)"))
             .otherwise(0L)).reduce(_ + _)
         docText(s, d)
           .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
           .withColumn("h", Hashing.md5Long(col("w")))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), bitSums: _*)
+          .agg(count(lit(1)).as("n"), laneSums: _*)
+          .filter(coalesce(assert_true(col("n") <= 65535,
+            lit("simhash lane capacity exceeded: document has > 65535 " +
+              "distinct words; re-lane q30 to 32-bit lanes")), lit(true)))
           .select(col("doc_id"), simhash.as("simhash"))
           .orderBy("doc_id")
       },

@@ -160,6 +160,40 @@ class ContractPipelineSpec extends AnyFunSuite {
     assert(!Solidity.isElementaryType("IERC20"))
   }
 
+  test("F3: compiler-territory param shapes all flag resolved=false") {
+    // Each of these needs solc's symbol table (ABI tuple expansion /
+    // function-pointer encoding) to reach the true selector; the scanner
+    // must flag every one rather than hash a wrong literal signature.
+    // These vectors make SolcParitySpec a strong gate the day a solc
+    // binary is available: parity there must turn each into the
+    // reference's ABI-expanded signature (`functions.rs:28-31`).
+    val src =
+      """contract T {
+        |  struct Inner { uint a; }
+        |  struct Outer { Inner i; uint b; }
+        |  function arrOfStruct(Inner[] memory xs) public {}
+        |  function fixedArrOfStruct(Inner[3] calldata xs) public {}
+        |  function nested(Outer memory o) public {}
+        |  function fnParam(function(uint) external returns (bool) cb) public {}
+        |  function mixed(uint x, Inner memory s, bool b) public {}
+        |  function elem(uint x, bool b) public {}
+        |}""".stripMargin
+    val fns = Solidity.extractFunctions(src)
+    def f(n: String) = fns.find(_.functionName == n).get
+    for (n <- Seq("arrOfStruct", "fixedArrOfStruct", "nested", "fnParam", "mixed")) {
+      assert(!f(n).resolved, n)
+      assert(f(n).selector == null, n)
+    }
+    // the raw signature stays visibly unexpanded for the unresolved rows
+    assert(f("arrOfStruct").signature == "arrOfStruct(Inner[])")
+    assert(f("nested").signature == "nested(Outer)")
+    assert(f("mixed").signature == "mixed(uint256,Inner,bool)")
+    // a sibling with only elementary params still resolves normally
+    assert(f("elem").resolved)
+    assert(f("elem").signature == "elem(uint256,bool)")
+    assert(f("elem").selector != null)
+  }
+
   test("U2/F4: function table derivation end-to-end") {
     val fns = Derive.functionTable(spark, graft.queries.ContractQueries.fixtureRoot)
     val rows = fns.collect()

@@ -62,4 +62,22 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
       .collect().head
     assert(java.lang.Double.compare(r2.getDouble(1), r2.getDouble(2)) == 0)
   }
+
+  test("out-of-domain per-row value fails LOUDLY with the named domain error") {
+    import spark.implicits._
+    // DECIMAL(20,6) admits |value| up to 1e14, but a per-row value beyond
+    // int64 micros (~9.22e12) exceeds the aggregate's input domain — it
+    // must raise the graft_decsum domain message, not a bare
+    // ArithmeticException from longValueExact (nor a silently wrong sum)
+    val big = new java.math.BigDecimal("10000000000000.000000") // 1e13 → 1e19 micros
+    val df = Seq(1L).toDF("k")
+      .select($"k", lit(big).cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("v"))
+    val ex = intercept[Exception] {
+      df.groupBy("k").agg(call_function("graft_decsum", $"v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("graft_decsum input out of domain")),
+      messages(ex).mkString(" | "))
+  }
 }
