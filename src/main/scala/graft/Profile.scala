@@ -30,6 +30,40 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> floor`: how much of a small query's
+    // bench time is plan CONSTRUCTION (DataFrame build + analysis +
+    // optimization + physical planning) vs EXECUTION? Decides whether the
+    // per-query floor work should target Catalyst latency or the runtime.
+    if (args.length >= 2 && args(1) == "floor") {
+      for (name <- Seq("q10_agg_pricing", "q40_session_window", "q09_join_agg",
+          "q53_rollup", "q56_stats_corr", "q18_window_rank", "q01_count_scan",
+          "q30_simhash", "q52_bm25_rank")) {
+        val fn = SparkEntry.queries(name)
+        // warm everything once
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val tFull = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val tPlan = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).queryExecution.executedPlan // build+analyze+optimize+plan
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val tExec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[floor] $name%-22s full ${tFull}%6.3f  plan ${tPlan}%6.3f  exec-prebuilt ${tExec}%6.3f")
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> fanout`: does the 1-task documents
     // scan serialize the shingle md5 work?
     if (args.length >= 2 && args(1) == "fanout") {
@@ -110,6 +144,26 @@ object Profile {
       }
       t("q56 shape, as-is")(q56shape(li))
       t("q56 shape, fanned")(q56shape(li.repartition(32)))
+      t("q56 shape, select-then-fanned")(
+        q56shape(li.select("l_returnflag", "l_quantity", "l_discount").repartition(32)))
+      def q10shape(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(graft.functions.Hashing.decSum(col("l_quantity")).as("sum_qty"),
+          graft.functions.Hashing.decSum(col("l_extendedprice")).as("sum_base"),
+          graft.functions.Hashing.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          count(lit(1)).as("n"))
+      t("q10 shape, as-is")(q10shape(li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))))
+      t("q10 shape, select-then-fanned")(
+        q10shape(li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+          .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+          .repartition(32)))
+      val ev40 = graft.util.Tables.events(spark, sfDir)
+      def q40shape(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      t("q40 shape, as-is")(q40shape(ev40))
+      t("q40 shape, select-then-fanned")(
+        q40shape(ev40.select("user_id", "ts", "value").repartition(32)))
       val ev = graft.util.Tables.events(spark, sfDir)
       t("q47 from_json, as-is") {
         ev.select(col("event_id"),

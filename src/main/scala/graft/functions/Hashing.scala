@@ -102,4 +102,13 @@ object Hashing {
     */
   def decSum(c: Column): Column =
     call_function("graft_decsum", c.cast(DecimalType(20, 6)))
+
+  /** [[decSum]] keeping the EXACT int128 total as DECIMAL(38,6) — for
+    * two-level aggregations (rollup/cube re-aggregation): first-level
+    * groups keep exact subtotals, the re-aggregation sums those exactly,
+    * and ONE decimal→double rounding happens at the very end — the same
+    * value a flat decSum over all rows produces.
+    */
+  def decSumExact(c: Column): Column =
+    call_function("graft_decsum_dec", c.cast(DecimalType(20, 6)))
 }

@@ -36,12 +36,21 @@ import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, 
   * All buffer updates use LEGACY (wrapping) eval mode: lo-word wraparound
   * is the carry mechanism itself, and must not trip ANSI overflow checks.
   */
-case class DecimalMicrosSum(child: Expression) extends DeclarativeAggregate {
+case class DecimalMicrosSum(child: Expression,
+    decimalOut: Boolean = false) extends DeclarativeAggregate {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "graft_decsum"
+  /** decimalOut keeps the EXACT total as DECIMAL(38,6) (int128 micros fit:
+    * |total| < 1.7e32 micros = 1.7e26 units < 1e32) so a second-level
+    * aggregation (rollup/cube re-aggregation over first-level groups) can
+    * re-sum exactly and round to double ONCE at the very end — the same
+    * value the flat int128 sum produces.
+    */
+  override def dataType: DataType =
+    if (decimalOut) DecimalType(38, 6) else DoubleType
+  override def prettyName: String =
+    if (decimalOut) "graft_decsum_dec" else "graft_decsum"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DecimalType(20, 6)) TypeCheckResult.TypeCheckSuccess
@@ -88,7 +97,10 @@ case class DecimalMicrosSum(child: Expression) extends DeclarativeAggregate {
   }
 
   override lazy val evaluateExpression: Expression =
-    If(seen, Int128MicrosToDouble(hi, lo), Literal(null, DoubleType))
+    if (decimalOut)
+      If(seen, Int128MicrosToDecimal(hi, lo), Literal(null, DecimalType(38, 6)))
+    else
+      If(seen, Int128MicrosToDouble(hi, lo), Literal(null, DoubleType))
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DecimalMicrosSum =
@@ -161,11 +173,45 @@ case class Int128MicrosToDouble(left: Expression, right: Expression)
 }
 
 object Int128MicrosToDouble {
-  private val loMask = (BigInt(1) << 64) - 1
+  private[plans] val loMask = (BigInt(1) << 64) - 1
 
   /** Exact int128 reassembly, then one exact-decimal→double rounding. */
   def toDouble(hi: Long, lo: Long): Double = {
     val total = (BigInt(hi) << 64) | (BigInt(lo) & loMask)
     new java.math.BigDecimal(total.bigInteger, 6).doubleValue()
+  }
+}
+
+/** Exact (hi·2^64 + unsigned lo) micros as DECIMAL(38,6) — no rounding at
+  * all; the [[DecimalMicrosSum]] decimalOut evaluator for re-aggregable
+  * exact subtotals.
+  */
+case class Int128MicrosToDecimal(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = DecimalType(38, 6)
+  override def prettyName: String = "int128_micros_to_decimal"
+
+  override protected def nullSafeEval(hi: Any, lo: Any): Any =
+    Int128MicrosToDecimal.toDecimal(hi.asInstanceOf[Long], lo.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (h, l) => s"graft.plans.Int128MicrosToDecimal.toDecimal($h, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int128MicrosToDecimal =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int128MicrosToDecimal {
+  /** Exact int128 micros → Decimal(38,6); always representable. */
+  def toDecimal(hi: Long, lo: Long): Decimal = {
+    val total = (BigInt(hi) << 64) | (BigInt(lo) & Int128MicrosToDouble.loMask)
+    Decimal(new java.math.BigDecimal(total.bigInteger, 6), 38, 6)
   }
 }

@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_decsum expects exactly one argument")
         DecimalMicrosSum(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_decsum_dec"),
+      new ExpressionInfo(classOf[DecimalMicrosSum].getName, "graft_decsum_dec"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_decsum_dec expects exactly one argument")
+        DecimalMicrosSum(children.head, decimalOut = true)
+      }))
     ext.injectOptimizerRule(_ => PresentationSortRule())
   }
 }

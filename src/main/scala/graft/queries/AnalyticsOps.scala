@@ -122,25 +122,45 @@ object AnalyticsOps {
     Q("q52_bm25_rank",
       (s, d) => {
         val terms = Seq("table", "join", "fast")
+        // ONE aggregation pass computes per-doc length AND the per-term
+        // term frequencies as wide columns (the q28/q30 wide-agg trick
+        // applied to the inverted index): no tf⋈dl join, no per-term row
+        // explosion — the corpus statistics (N, avgdl, per-term df) are
+        // two 1-row broadcast aggregates over the persisted per-doc
+        // table, and scoring is a single map-side projection. At 100 TB
+        // the per-doc table is one row per document (the thing a scoring
+        // pass must touch anyway); nothing here broadcasts anything that
+        // grows with the corpus.
         val toks = documents(s, d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+        val perdoc = graft.util.Caches.transientPersist(
+          toks.groupBy("doc_id").agg(
+            count(lit(1)).as("dl"),
+            terms.map(t =>
+              sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+        val stats = perdoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
           .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
-        val tf = toks.filter(col("w").isInCollection(terms))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        val scored = tf
-          .join(broadcast(dfreq), Seq("w"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("contrib", dec(
-            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-              ((col("tf") * lit(2.2)) /
-                (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))))
-        scored.groupBy("doc_id")
-          .agg(call_function("graft_decsum", col("contrib")).as("score"),
-            count(lit(1)).as("n_terms"))
+        val dfCols = terms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+        val dfreq = perdoc.agg(dfCols.head, dfCols.tail: _*)
+        // per-term BM25 contribution, rounded to DECIMAL(20,6) per term
+        // exactly like the oracle's scored CTE, then summed EXACTLY in
+        // decimal (addition of scale-6 decimals is exact, same int128
+        // semantics as graft_decsum over the former per-term rows)
+        def contrib(t: String) = dec(
+          ((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) *
+            ((col(s"tf_$t") * lit(2.2)) /
+              (col(s"tf_$t") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+        val zero = lit(java.math.BigDecimal.ZERO).cast(
+          org.apache.spark.sql.types.DecimalType(20, 6))
+        perdoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfreq))
+          .select(col("doc_id"),
+            terms.map(t => when(col(s"tf_$t") > 0, contrib(t)).otherwise(zero))
+              .reduce(_ + _).cast("double").as("score"),
+            terms.map(t => (col(s"tf_$t") > 0).cast("long")).reduce(_ + _)
+              .as("n_terms"))
+          .filter(col("n_terms") > 0)
           .orderBy(col("score").desc, col("doc_id").asc)
           .limit(10)
           .orderBy(col("score").desc, col("doc_id").asc)
@@ -162,23 +182,30 @@ object AnalyticsOps {
     // shuffle, like any groupBy.
     Q("q53_rollup",
       (s, d) => {
-        // via the SQL front-end: the Dataset rollup().agg() path trips
-        // Spark 4's ambiguous-self-join detection on the grouping columns
-        // (rollup's Expand keeps the pre-grouping attributes in scope);
-        // spark.sql resolves the same plan cleanly, and exercising the SQL
-        // surface is part of the engine contract anyway
-        lineitem(s, d).createOrReplaceTempView("g_lineitem")
-        supplier(s, d).createOrReplaceTempView("g_supplier")
-        nation(s, d).createOrReplaceTempView("g_nation")
-        region(s, d).createOrReplaceTempView("g_region")
-        // graft_decsum: the int128 exact sum (GraftExtensions) — value-
-        // identical to SUM(DECIMAL(20,6)), minus its BigDecimal buffer
+        // TWO-LEVEL rollup: the naive GROUP BY ROLLUP expands every fact
+        // row ×3 (Expand) before aggregating — at 100 TB that triples the
+        // shuffle. Instead aggregate ONCE at the finest level keeping the
+        // EXACT int128 subtotal as DECIMAL(38,6) (graft_decsum_dec), then
+        // roll the handful of (region, nation) groups up with exact
+        // decimal re-addition and round to double at the very end —
+        // value-identical to the flat int128 sum, one fact-table pass.
+        // The rollup itself goes through the SQL front-end: the Dataset
+        // rollup().agg() path trips Spark 4's ambiguous-self-join
+        // detection on the grouping columns; spark.sql resolves the same
+        // plan cleanly, and exercising the SQL surface is part of the
+        // engine contract anyway.
+        lineitem(s, d)
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(Hashing.decSumExact(col("l_extendedprice")).as("rev_exact"),
+            count(lit(1)).as("n_base"))
+          .createOrReplaceTempView("g_base53")
         s.sql("SELECT r_name, n_name, " +
-          "graft_decsum(CAST(l_extendedprice AS DECIMAL(20,6))) AS revenue, " +
-          "count(*) AS n " +
-          "FROM g_lineitem JOIN g_supplier ON l_suppkey = s_suppkey " +
-          "JOIN g_nation ON s_nationkey = n_nationkey " +
-          "JOIN g_region ON n_regionkey = r_regionkey " +
+          "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
+          "CAST(SUM(n_base) AS BIGINT) AS n " +
+          "FROM g_base53 " +
           "GROUP BY ROLLUP (r_name, n_name) " +
           "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
       },

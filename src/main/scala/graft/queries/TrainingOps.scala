@@ -62,9 +62,16 @@ object TrainingOps {
     * oracle (same md5-derived hash), so results stay engine-identical.
     */
   private def shingleHashRows(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).select(col("doc_id"),
-      Hashing.md5Long(col("shingle")).as("h1"),
-      Hashing.md5Long2(col("shingle")).as("h2"))
+    shingleRows(s, d)
+      // ONE md5 per shingle; h1/h2 are slices of the hex (exactly
+      // Hashing.md5Long/md5Long2 by construction) and the full hex rides
+      // along for the q38 bottom-k sketch — consumers project what they
+      // need off the cached columnar copy, so the extra column costs
+      // cache bytes, never shuffle bytes
+      .select(col("doc_id"), md5(col("shingle")).as("hex"))
+      .select(col("doc_id"), col("hex"),
+        conv(substring(col("hex"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hex"), 17, 15), 16, 10).cast("long").as("h2"))
 
   /** The SHARED hashed-shingle index: one persisted copy per (session,
     * sfDir) reused by the whole dedup family (q29 LSH, q31 inverted-index
@@ -97,19 +104,30 @@ object TrainingOps {
     * re-grouping them (the q30 simhash trick applied to minhash); callers
     * explode the 8 values map-side where a tall shape is needed.
     */
-  private def minhashSigWide(s: SparkSession, d: String,
-      shh: DataFrame = null): DataFrame =
-    Option(shh).getOrElse(shingleIndex(s, d))
-      .groupBy("doc_id")
-      .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
-        (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")): _*)
+  private def minhashSigWide(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"minhashSigWide:$d") {
+      // one row per doc — a tiny derived view of the shingle index,
+      // shared by q28 (signatures), q29's band keys and q51's pairs
+      shingleIndex(s, d)
+        .groupBy("doc_id")
+        .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
+          (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")): _*)
+    }
+
+  /** Per-doc shingle counts — the |A| / |B| sides of every Jaccard
+    * denominator (q29, q31, q51 via lshPairs); one groupBy over the
+    * shared index, shared the same way.
+    */
+  private def shingleSizes(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"shingleSizes:$d") {
+      shingleIndex(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
 
   /** Tall signature rows (doc_id, band, minh) from the wide form —
     * posexplode is map-side, 8 tiny rows per doc.
     */
-  private def minhashSig(s: SparkSession, d: String,
-      shh: DataFrame = null): DataFrame =
-    minhashSigWide(s, d, shh)
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigWide(s, d)
       .select(col("doc_id"), posexplode(array((0 until 8).map(b => col(s"m$b")): _*))
         .as(Seq("band", "minh")))
 
@@ -120,16 +138,17 @@ object TrainingOps {
 
   /** The full MinHash+LSH near-dup pipeline: signature → 4 bands × 2 rows
     * → band-key buckets → candidate pairs → exact-Jaccard verify (≥ 0.8).
-    * Persists the shingle index (the Spark form of the oracle's
-    * materialized CTE; gate surfaces clear cache between queries). Shared
-    * by q29 and the cluster canonicalization in AnalyticsOps.
+    * Every corpus-derived input (shingle index, wide signatures, per-doc
+    * sizes) is a shared persisted view — the Spark form of the oracle's
+    * materialized CTEs. Shared by q29 and the cluster canonicalization in
+    * AnalyticsOps.
     */
   private[queries] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d)
     // band keys straight off the WIDE signature — map-side expressions
     // over one row per doc (band order inside a key is fixed by column
     // position, matching the oracle's string_agg ORDER BY band)
-    val bk = minhashSigWide(s, d, sh)
+    val bk = minhashSigWide(s, d)
       .select(col("doc_id"), explode(array((0 until 4).map(k =>
         struct(lit(k).as("bk"),
           concat_ws(",", col(s"m${2 * k}").cast("string"),
@@ -148,7 +167,7 @@ object TrainingOps {
       .join(shk.as("sb"),
         col("idb") === col("sb.doc_id") && col("sa.h1") === col("sb.h1"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = shingleSizes(s, d)
     inter
       .join(sz.as("za"), col("ida") === col("za.doc_id"))
       .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
@@ -355,11 +374,12 @@ object TrainingOps {
     // the LSH pipeline above is the scale path.
     Q("q31_ngram_jaccard",
       (s, d) => {
-        // the shared shingle index is both join sides + the size table;
-        // only (doc_id, h1) is read off it — the inverted-index
-        // self-join shuffles 8-byte hashes, never shingle text
+        // the shared shingle index is both join sides; only (doc_id, h1)
+        // is read off it — the inverted-index self-join shuffles 8-byte
+        // hashes, never shingle text — and the size table is the shared
+        // per-doc counts view
         val sh = shingleIndex(s, d).select("doc_id", "h1")
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val sz = shingleSizes(s, d)
         sh.as("a")
           .join(sh.as("b"),
             col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
@@ -555,8 +575,8 @@ object TrainingOps {
     // winnowing-style content signature robust to local edits). Map-side
     // partial TOP-K via sort_array+slice keeps the shuffle at 5 hashes/doc.
     Q("q38_fingerprint",
-      (s, d) => shingleRows(s, d)
-        .select(col("doc_id"), md5(col("shingle")).as("h"))
+      (s, d) => shingleIndex(s, d)
+        .select(col("doc_id"), col("hex").as("h"))
         .groupBy("doc_id")
         .agg(md5(concat_ws("", slice(sort_array(collect_set(col("h"))), 1, 5)))
           .as("fingerprint"))
