@@ -29,4 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only JVM; a roomy heap keeps GC out of the bench
   // (8g default showed ±20% run variance, 48g is stable on this 128G box)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // ad-hoc JVM flag experiments (GC posture etc.) without editing the
+  // build: SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC" sbt "runMain ..."
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
