@@ -82,7 +82,15 @@ object TrainingOps {
     * dominant cost of the family.
     */
   private[queries] def shingleIndex(s: SparkSession, d: String): DataFrame =
-    graft.util.Caches.sharedIndex(s, s"shingleIndex:$d")(shingleHashRows(s, d))
+    graft.util.Caches.sharedIndex(s, s"shingleIndex:$d") {
+      // persisted PRE-PARTITIONED on doc_id (the bucketing a real
+      // deployment would give the materialized index): the cached
+      // InMemoryTableScan keeps this HashPartitioning, so every per-doc
+      // aggregation over the index (wide minhash signatures, per-doc
+      // sizes) and every doc_id-keyed join side plans WITHOUT its own
+      // exchange — one shuffle at build time replaces one per consumer
+      shingleHashRows(s, d).repartition(col("doc_id"))
+    }
 
   /** Oracle CTE mirroring [[shingleHashRows]] (expects `sh` in scope). */
   private val shhCte: String =
