@@ -101,7 +101,7 @@ object Hashing {
     * output is deterministic in both engines.
     */
   def decSum(c: Column): Column =
-    call_function("graft_decsum", c.cast(DecimalType(20, 6)))
+    call_function("graft_decsum", c)
 
   /** [[decSum]] keeping the EXACT int128 total as DECIMAL(38,6) — for
     * two-level aggregations (rollup/cube re-aggregation): first-level
@@ -110,5 +110,5 @@ object Hashing {
     * value a flat decSum over all rows produces.
     */
   def decSumExact(c: Column): Column =
-    call_function("graft_decsum_dec", c.cast(DecimalType(20, 6)))
+    call_function("graft_decsum_dec", c)
 }

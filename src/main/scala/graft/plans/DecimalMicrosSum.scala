@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNotNull, IsNull, Literal, Or, ShiftRight, ShiftRightUnsigned, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EqualTo, EvalMode, Expression, If, IsNaN, IsNotNull, Literal, Not, Or, ShiftRight, ShiftRightUnsigned, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, DoubleType, LongType}
 
@@ -53,9 +53,10 @@ case class DecimalMicrosSum(child: Expression,
     if (decimalOut) "graft_decsum_dec" else "graft_decsum"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DecimalType(20, 6)) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == DecimalType(20, 6) || child.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_decsum requires DECIMAL(20,6) input, got ${child.dataType.catalogString}")
+      s"graft_decsum requires DECIMAL(20,6) or DOUBLE input, got ${child.dataType.catalogString}")
 
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
@@ -84,11 +85,26 @@ case class DecimalMicrosSum(child: Expression,
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    // null input contributes (0, 0) and leaves `seen` untouched
-    val xLo = If(IsNull(child), Literal(0L), MicrosLong(child))
+    // a non-contributing input adds (0, 0) and leaves `seen` untouched.
+    // DOUBLE input takes the no-BigDecimal fast path (DoubleToMicros —
+    // value-identical to CAST(x AS DECIMAL(20,6)) then UnscaledValue),
+    // with NaN/±Inf treated exactly like the legacy cast treats them:
+    // as NULL. DECIMAL(20,6) input keeps the cast-based path.
+    val contributes = child.dataType match {
+      case DoubleType =>
+        And(IsNotNull(child), Not(Or(IsNaN(child),
+          Or(EqualTo(child, Literal(Double.PositiveInfinity)),
+            EqualTo(child, Literal(Double.NegativeInfinity))))))
+      case _ => IsNotNull(child)
+    }
+    val micros = child.dataType match {
+      case DoubleType => DoubleToMicros(child)
+      case _ => MicrosLong(child)
+    }
+    val xLo = If(contributes, micros, Literal(0L))
     val xHi = ShiftRight(xLo, Literal(63)) // sign-extend micros to int128
     val (newHi, newLo) = add128(hi, lo, xHi, xLo)
-    Seq(newHi, newLo, Or(seen, IsNotNull(child)))
+    Seq(newHi, newLo, Or(seen, contributes))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
@@ -138,6 +154,65 @@ object MicrosLong {
       case _: ArithmeticException => throw new ArithmeticException(
         s"graft_decsum input out of domain: per-row |value| must be < 2^63 " +
           s"micros (~9.22e12 at scale 6), got $d. The int128 headroom is the " +
+          "accumulator's, not the row's — use the built-in sum(DECIMAL) for " +
+          "wider per-row values.")
+    }
+}
+
+/** Exact scale-6 micros of a DOUBLE — value-identical to
+  * `UnscaledValue(CAST(x AS DECIMAL(20,6)))` (Spark casts through the
+  * double's SHORTEST decimal representation, then rounds HALF_UP at
+  * scale 6) but without constructing a BigDecimal per row on the common
+  * path. Fast path: one multiply + round, valid when the scaled value is
+  * (a) small enough that accumulated double error < 1e-3 micros
+  * (|x·1e6| < 4e12: ≤ half-ulp from the multiply plus ≤ 2.4e-4 from
+  * shortest-repr vs binary, both bounded well under the guard) and
+  * (b) at least 2e-3 micros away from a .5 rounding boundary, so every
+  * rounding rule — the double's round-nearest and decimal HALF_UP on the
+  * shortest repr — lands on the same integer. Near-tie or large values
+  * fall back to the exact BigDecimal conversion (rare: requires ≥ 7
+  * significant decimals landing within 2e-3 of a half-micro).
+  */
+case class DoubleToMicros(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_to_micros"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DoubleToMicros.toMicros(input.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.DoubleToMicros.toMicros($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleToMicros = copy(child = newChild)
+}
+
+object DoubleToMicros {
+  def toMicros(x: Double): Long = {
+    val p = x * 1e6
+    if (java.lang.Math.abs(p) < 4e12) {
+      val n = java.lang.Math.rint(p)
+      // distance from the nearest half-integer boundary; boundary cases
+      // (exact .5 micros, HALF_UP vs half-even) go to the exact path
+      if (java.lang.Math.abs(java.lang.Math.abs(p - n) - 0.5) > 2e-3) {
+        return n.toLong
+      }
+    }
+    slow(x)
+  }
+
+  private def slow(x: Double): Long =
+    try {
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    } catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        s"graft_decsum input out of domain: per-row |value| must be < 2^63 " +
+          s"micros (~9.22e12 at scale 6), got $x. The int128 headroom is the " +
           "accumulator's, not the row's — use the built-in sum(DECIMAL) for " +
           "wider per-row values.")
     }

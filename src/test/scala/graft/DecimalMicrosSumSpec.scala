@@ -63,6 +63,43 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
     assert(java.lang.Double.compare(r2.getDouble(1), r2.getDouble(2)) == 0)
   }
 
+  test("double fast path matches the decimal-cast path on rounding boundaries") {
+    import spark.implicits._
+    // adversarial inputs for DoubleToMicros: exact half-micro ties (the
+    // HALF_UP vs half-even divergence the guard must catch), values whose
+    // double*1e6 lands just off a tie, sub-micro magnitudes, negatives,
+    // and large-but-in-domain magnitudes past the 4e12-micros fast-path
+    // cutoff — every one must equal CAST(x AS DECIMAL(20,6)) semantics
+    val ties = Seq(
+      5e-7, -5e-7, 1.5e-6, -1.5e-6, 2.5e-6, 0.0000015,
+      1.0000005, -1.0000005, 123.4567895, -123.4567895,
+      0.49999999999999994, 1e-7, -1e-7, 0.9999999, 123456.789012,
+      4.9e12, -4.9e12, 9.2e12, 0.1 + 0.2, 1.0 / 3.0, math.Pi * 1e5)
+    val df = ties.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+    val got = df.agg(
+      builtin($"v").as("ref"),
+      call_function("graft_decsum", $"v").as("fast")).collect().head
+    assert(java.lang.Double.compare(got.getDouble(0), got.getDouble(1)) == 0,
+      s"builtin=${got.getDouble(0)} fast=${got.getDouble(1)}")
+    // and per-row equality, not just in aggregate
+    ties.foreach { v =>
+      val r = Seq((1L, v)).toDF("k", "v")
+        .agg(builtin($"v"), call_function("graft_decsum", $"v")).collect().head
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"v=$v: builtin=${r.getDouble(0)} fast=${r.getDouble(1)}")
+    }
+    // NaN / infinities behave like the legacy cast: NULL contribution
+    val weird = Seq[(Long, java.lang.Double)](
+      (1L, Double.NaN), (1L, Double.PositiveInfinity),
+      (1L, Double.NegativeInfinity), (1L, null)).toDF("k", "v")
+    val w = weird.agg(builtin($"v"), call_function("graft_decsum", $"v")).collect().head
+    assert(w.isNullAt(0) && w.isNullAt(1))
+    val mixed = Seq[(Long, java.lang.Double)](
+      (1L, Double.NaN), (1L, 2.5)).toDF("k", "v")
+    val m = mixed.agg(builtin($"v"), call_function("graft_decsum", $"v")).collect().head
+    assert(java.lang.Double.compare(m.getDouble(0), m.getDouble(1)) == 0)
+  }
+
   test("out-of-domain per-row value fails LOUDLY with the named domain error") {
     import spark.implicits._
     // DECIMAL(20,6) admits |value| up to 1e14, but a per-row value beyond
