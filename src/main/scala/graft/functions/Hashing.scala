@@ -69,13 +69,13 @@ object Hashing {
     * Used as the base hash for minhash / simhash / LSH.
     */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    call_function("graft_md5long", c)
 
   /** Second 60-bit long from the tail of the same md5 — an independent hash
     * for double-hashing schemes (minhash_i = (h1 + i*h2) mod p).
     */
   def md5Long2(c: Column): Column =
-    conv(substring(md5(c), 17, 15), 16, 10).cast(LongType)
+    call_function("graft_md5long2", c)
 
   /** Exact-sum pattern for double measures: cast each value to
     * DECIMAL(20,6), sum exactly, then present as DOUBLE. Presenting as

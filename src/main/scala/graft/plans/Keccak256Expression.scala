@@ -81,6 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_decsum_dec expects exactly one argument")
         DecimalMicrosSum(children.head, decimalOut = true)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_md5long expects exactly one argument")
+        Md5PrefixLong(children.head, second = false)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5long2"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5long2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_md5long2 expects exactly one argument")
+        Md5PrefixLong(children.head, second = true)
+      }))
     ext.injectOptimizerRule(_ => PresentationSortRule())
   }
 }
