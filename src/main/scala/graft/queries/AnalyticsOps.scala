@@ -138,11 +138,13 @@ object AnalyticsOps {
             count(lit(1)).as("dl"),
             terms.map(t =>
               sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
-        val stats = perdoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-          .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
-        val dfCols = terms.map(t =>
-          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
-        val dfreq = perdoc.agg(dfCols.head, dfCols.tail: _*)
+        // ONE 1-row corpus-stats aggregate (N, total length, per-term
+        // document frequencies together) — a single broadcast job instead
+        // of two
+        val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")) ++
+          terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+        val stats = perdoc.agg(statCols.head, statCols.tail: _*)
+          .withColumn("avgdl", col("tot") / col("n_docs"))
         // per-term BM25 contribution, rounded to DECIMAL(20,6) per term
         // exactly like the oracle's scored CTE, then summed EXACTLY in
         // decimal (addition of scale-6 decimals is exact, same int128
@@ -154,7 +156,7 @@ object AnalyticsOps {
                 (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
         val zero = lit(java.math.BigDecimal.ZERO).cast(
           org.apache.spark.sql.types.DecimalType(20, 6))
-        perdoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfreq))
+        perdoc.crossJoin(broadcast(stats))
           .select(col("doc_id"),
             terms.map(t => when(col(s"tf_$t") > 0, contrib(t)).otherwise(zero))
               .reduce(_ + _).cast("double").as("score"),

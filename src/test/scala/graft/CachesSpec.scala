@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.Caches
+
+/** The two cache lifetimes behind the bench's per-query honesty:
+  * transient persists must die at clearTransient (no stale plan-matching
+  * across queries), shared indexes must survive it (the materialized-view
+  * family), and a global clearCache must only force a re-persist of the
+  * SAME shared plan, never a rebuild into a second copy.
+  */
+class CachesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("transientPersist registers for clearTransient; double-unpersist is safe") {
+    import spark.implicits._
+    val df = Caches.transientPersist(Seq(1, 2, 3).toDF("x"))
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE)
+    Caches.clearTransient()
+    assert(df.storageLevel == StorageLevel.NONE)
+    Caches.clearTransient() // empty queue: no-op, no throw
+  }
+
+  test("sharedIndex survives clearTransient, memoizes, and re-persists after a global clear") {
+    import spark.implicits._
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    val key = s"spec-shared-${System.nanoTime()}"
+    val a = Caches.sharedIndex(spark, key)(build())
+    a.count()
+    assert(builds == 1)
+    assert(a.storageLevel != StorageLevel.NONE)
+
+    // a transient clear must NOT touch the shared index
+    Caches.clearTransient()
+    assert(a.storageLevel != StorageLevel.NONE)
+
+    // memoized: same frame back, no rebuild
+    val b = Caches.sharedIndex(spark, key)(build())
+    assert(builds == 1)
+    assert(b eq a)
+
+    // pass boundary: global clear drops the data; next access re-persists
+    // the SAME plan (no second copy, no rebuild of the logical plan)
+    spark.sqlContext.clearCache()
+    assert(a.storageLevel == StorageLevel.NONE)
+    val c = Caches.sharedIndex(spark, key)(build())
+    assert(builds == 1)
+    assert(c eq a)
+    assert(c.storageLevel != StorageLevel.NONE)
+    c.unpersist()
+  }
+}

@@ -39,6 +39,24 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(joined.findFirstIn(p).isDefined, p)
   }
 
+  test("pre-partitioned shared index: per-doc aggregation plans with NO exchange") {
+    // the shingle index persists hash-partitioned on doc_id; the cached
+    // InMemoryTableScan keeps that partitioning, so a groupBy(doc_id)
+    // over it (wide signatures, sizes) must not add its own shuffle —
+    // the build-time exchange is the only one the family ever pays
+    val q28 = SparkEntry.queries("q28_minhash_sig")(spark, TestSpark.sfDir)
+    q28.count() // force the shared index to build + cache
+    val plan = q28.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // judge only the CONSUMER plan — everything above the cached
+    // relation (whose embedded build plan legitimately contains the one
+    // build-time doc_id exchange): the only allowed consumer exchange is
+    // the presentation-sort gather of the final (tall) rows, never a
+    // hashpartitioning for the doc_id aggregation
+    val consumer = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!consumer.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val conf = spark.conf
     val saved = Seq(
