@@ -52,11 +52,12 @@ case class DecimalMicrosSum(child: Expression,
   override def prettyName: String =
     if (decimalOut) "graft_decsum_dec" else "graft_decsum"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DecimalType(20, 6) || child.dataType == DoubleType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.NumericType =>
       TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_decsum requires DECIMAL(20,6) or DOUBLE input, got ${child.dataType.catalogString}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_decsum requires a numeric input, got ${other.catalogString}")
+  }
 
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
@@ -88,18 +89,25 @@ case class DecimalMicrosSum(child: Expression,
     // a non-contributing input adds (0, 0) and leaves `seen` untouched.
     // DOUBLE input takes the no-BigDecimal fast path (DoubleToMicros —
     // value-identical to CAST(x AS DECIMAL(20,6)) then UnscaledValue),
-    // with NaN/±Inf treated exactly like the legacy cast treats them:
-    // as NULL. DECIMAL(20,6) input keeps the cast-based path.
-    val contributes = child.dataType match {
+    // with NaN/±Inf treated exactly like the legacy cast treats them: as
+    // NULL. DECIMAL(20,6) keeps the cast-based path; any other numeric
+    // goes through the same CAST to DECIMAL(20,6) the pre-fast-path
+    // decSum applied for it (session cast semantics).
+    val (contributes, micros) = child.dataType match {
       case DoubleType =>
-        And(IsNotNull(child), Not(Or(IsNaN(child),
+        (And(IsNotNull(child), Not(Or(IsNaN(child),
           Or(EqualTo(child, Literal(Double.PositiveInfinity)),
-            EqualTo(child, Literal(Double.NegativeInfinity))))))
-      case _ => IsNotNull(child)
-    }
-    val micros = child.dataType match {
-      case DoubleType => DoubleToMicros(child)
-      case _ => MicrosLong(child)
+            EqualTo(child, Literal(Double.NegativeInfinity)))))),
+          DoubleToMicros(child): Expression)
+      case dt if dt == DecimalType(20, 6) =>
+        (IsNotNull(child), MicrosLong(child): Expression)
+      case _ =>
+        // pre-fast-path decSum applied this cast outside the aggregate;
+        // a cast that nulls (legacy overflow) must contribute nothing,
+        // exactly like a null input row did then
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+          child, DecimalType(20, 6))
+        (IsNotNull(cast), MicrosLong(cast): Expression)
     }
     val xLo = If(contributes, micros, Literal(0L))
     val xHi = ShiftRight(xLo, Literal(63)) // sign-extend micros to int128

@@ -85,7 +85,10 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
       child match {
         // rank/row_number filter over a window: top-k per group
         case _: Window => true
-        case _: Join => true // residual post-join filter not yet merged
+        // a residual Filter above a Join (e.g. null-sensitive predicates
+        // an outer join kept out of its condition) proves nothing about
+        // cardinality — judge the JOIN itself, same as the bare case
+        case j: Join => filteringJoin(j)
         case c => reducingTop(c)
       }
     case j: Join => filteringJoin(j)

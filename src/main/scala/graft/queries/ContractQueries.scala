@@ -28,12 +28,24 @@ object ContractQueries {
     * the winner's complete tree).
     */
   private[graft] lazy val fixtureRoot: String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def deleteTree(root: Path): Unit =
+      if (Files.exists(root)) {
+        scala.util.Using.resource(Files.walk(root)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
     val src = Paths.get("/root/reference/contracts")
     val addr = "0x9ca84eacf0d0775782ab5b34d01187b37f1ceea4"
     val base = Paths.get("/tmp/graft-fixture-tree")
     val ethFile = base.resolve(addr).resolve(s"${addr}_Bueno721Drop.json")
     if (!Files.exists(ethFile)) {
+      // the etherscan file is the completeness marker (copied last into
+      // the stage): a tree without it is a broken partial build from a
+      // crashed process — remove it rather than let the rename race
+      // handler below mistake it for a winner's complete tree
+      deleteTree(base)
       val stage = Files.createTempDirectory(base.getParent, "graft-fixture-stage")
       Files.createDirectories(stage.resolve(addr))
       Files.createDirectories(stage.resolve("demo"))
@@ -48,16 +60,17 @@ object ContractQueries {
         StandardCopyOption.REPLACE_EXISTING)
       try Files.move(stage, base, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        // another process won the race (or a complete tree already
-        // exists): keep theirs, discard the stage
+        // another process won the race: keep theirs, discard the stage
         case _: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.AccessDeniedException |
             _: java.nio.file.DirectoryNotEmptyException =>
-          scala.util.Using.resource(Files.walk(stage)) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
-          }
+          deleteTree(stage)
       }
+      // whoever won, the tree must now be COMPLETE — a missing marker
+      // here means concurrent partial state; failing loudly beats
+      // feeding q45/q46 a wrong fixture
+      require(Files.exists(ethFile),
+        s"fixture tree build finished without its completeness marker $ethFile")
     }
     base.toString
   }

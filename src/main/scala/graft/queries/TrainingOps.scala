@@ -338,11 +338,14 @@ object TrainingOps {
     // 4×16-bit LANES (each row contributes bit_j<<(16·(j%4)) to long
     // j/4) — identical math to 60 individual SUM columns but a 16-column
     // aggregation buffer instead of 61: ~4× less codegen, partial-agg
-    // width and merge traffic, no row explosion. Lane sums cannot cross
-    // lanes while each lane count ≤ n ≤ 65535 distinct words per doc —
-    // enforced LOUDLY by the assert_true below (a >65k-distinct-word
-    // document would need re-laning to 32-bit, not silent wraparound).
-    // bit_j majority ⟺ 2·popcount_j ≥ n_words.
+    // width and merge traffic, no row explosion. Lane capacity: lanes
+    // 0-2 carry 16 bits, but the TOP lane sits at bits 48..62 and the
+    // 63rd is the long's sign — 15 usable bits, so the safe per-doc
+    // distinct-word bound is 2^15−1 = 32767 (NOT 65535: 32768+ overflows
+    // the signed SUM, which ANSI mode turns into ARITHMETIC_OVERFLOW and
+    // legacy mode into silent lane corruption). Enforced LOUDLY by the
+    // assert_true below; a wider corpus needs 32-bit re-laning (2 lanes
+    // per long, 30 sum columns). bit_j majority ⟺ 2·popcount_j ≥ n_words.
     Q("q30_simhash",
       (s, d) => {
         val laneSums = (0 until 15).map { l =>
@@ -360,9 +363,10 @@ object TrainingOps {
           .withColumn("h", Hashing.md5Long(col("w")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n"), laneSums: _*)
-          .filter(coalesce(assert_true(col("n") <= 65535,
-            lit("simhash lane capacity exceeded: document has > 65535 " +
-              "distinct words; re-lane q30 to 32-bit lanes")), lit(true)))
+          .filter(coalesce(assert_true(col("n") <= 32767,
+            lit("simhash lane capacity exceeded: document has > 32767 " +
+              "distinct words (top lane has 15 usable bits before the " +
+              "sign); re-lane q30 to 32-bit lanes")), lit(true)))
           .select(col("doc_id"), simhash.as("simhash"))
           .orderBy("doc_id")
       },

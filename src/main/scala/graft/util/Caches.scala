@@ -30,7 +30,7 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
 
   private val transients =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]()
 
   private val shared =
     new java.util.WeakHashMap[SparkSession,
@@ -41,28 +41,37 @@ object Caches {
     * code: self-unpersisting paths may still do so early (the registry
     * tolerates double-unpersist), but anything left over is reclaimed at
     * the next clear instead of leaking — or worse, plan-matching — into
-    * the next query.
+    * the next query. The registry holds WEAK references: library callers
+    * that never clear (Verify, the sink surface) keep the pre-registry
+    * behavior where dropping the last reference lets Spark's
+    * ContextCleaner reclaim the cached blocks — the registry must never
+    * be the thing pinning a dead query's cache in memory.
     */
   def transientPersist(df: DataFrame): DataFrame = {
-    transients.add(df)
+    transients.add(new java.lang.ref.WeakReference(df))
     df.persist()
   }
 
-  /** Drop every registered transient cache. Cheap when nothing is
-    * registered; safe on already-unpersisted frames.
+  /** Drop every registered transient cache still reachable. Cheap when
+    * nothing is registered; safe on already-unpersisted or collected
+    * frames.
     */
   def clearTransient(): Unit = {
-    var df = transients.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = transients.poll()
+    var ref = transients.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) df.unpersist(blocking = false)
+      ref = transients.poll()
     }
   }
 
   /** Memoized shared index: builds `build` once per (session, name),
     * persists it, and re-persists the same plan if a global cache clear
     * (or soft-ref eviction) dropped it. Callers get one cached copy per
-    * session regardless of how many queries consume it.
+    * session regardless of how many queries consume it. The build runs
+    * under the per-session lock so concurrent first callers cannot both
+    * pay the corpus pass — `build` only CONSTRUCTS the plan (fast);
+    * materialization happens lazily at the callers' actions.
     */
   def sharedIndex(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
     val perSession = shared.synchronized {
@@ -74,17 +83,18 @@ object Caches {
       }
       m
     }
-    val existing = Option(perSession.get(name).orNull).flatMap(r => Option(r.get))
-    existing match {
-      case Some(df) =>
-        // a sqlContext.clearCache() (bench pass boundary) unpersists the
-        // data but leaves the plan valid — re-persist the same frame
-        if (df.storageLevel == StorageLevel.NONE) df.persist()
-        df
-      case None =>
-        val df = build.persist()
-        perSession.put(name, new java.lang.ref.SoftReference(df))
-        df
+    perSession.synchronized {
+      Option(perSession.get(name).orNull).flatMap(r => Option(r.get)) match {
+        case Some(df) =>
+          // a sqlContext.clearCache() (bench pass boundary) unpersists
+          // the data but leaves the plan valid — re-persist the same frame
+          if (df.storageLevel == StorageLevel.NONE) df.persist()
+          df
+        case None =>
+          val df = build.persist()
+          perSession.put(name, new java.lang.ref.SoftReference(df))
+          df
+      }
     }
   }
 }

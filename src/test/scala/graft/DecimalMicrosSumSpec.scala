@@ -100,6 +100,20 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
     assert(java.lang.Double.compare(m.getDouble(0), m.getDouble(1)) == 0)
   }
 
+  test("non-double numeric inputs keep the original cast-outside contract") {
+    import spark.implicits._
+    // the pre-fast-path decSum accepted any numeric via its
+    // DECIMAL(20,6) cast; the widened aggregate must preserve that
+    val longs = Seq((1L, 3L), (1L, 4L), (1L, 5L)).toDF("k", "v")
+    val r = longs.agg(
+      sum($"v".cast(org.apache.spark.sql.types.DecimalType(20, 6))).cast("double").as("ref"),
+      call_function("graft_decsum", $"v").as("got")).collect().head
+    assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    val ints = Seq((1L, 7), (1L, -2)).toDF("k", "v")
+    val r2 = ints.agg(call_function("graft_decsum", $"v")).collect().head
+    assert(r2.getDouble(0) == 5.0)
+  }
+
   test("out-of-domain per-row value fails LOUDLY with the named domain error") {
     import spark.implicits._
     // DECIMAL(20,6) admits |value| up to 1e14, but a per-row value beyond

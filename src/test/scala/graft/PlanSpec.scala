@@ -129,6 +129,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("presentation sort: filter over an OUTER join has no unconditional gather bypass") {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    // a residual filter above a left-outer join proves nothing about
+    // cardinality (output ~ the preserved side) — like a bare join it
+    // must stay behind the byte guard, not ride the filter's bypass
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1")
+      val orders = graft.util.Tables.orders(spark, TestSpark.sfDir)
+      val perCust = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val df = graft.util.Tables.customer(spark, TestSpark.sfDir)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .filter(coalesce(col("n"), lit(0L)) >= 0L) // keeps ~every row
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+      val p = df.queryExecution.explainString(SimpleMode)
+      assert(p.contains("rangepartitioning"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally {
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
+
   test("presentation sort: large exchange-free child keeps its parallel range sort") {
     import org.apache.spark.sql.functions.col
     val conf = spark.conf
