@@ -95,6 +95,25 @@ class HashingSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) == r.getLong(1)).count(identity) == 0)
   }
 
+  test("native md5Long equals the conv(substring(md5)) oracle form (randomized)") {
+    // graft_md5long reads digest bytes directly; the DuckDB oracle (and
+    // the shared index's hex-sliced h1/h2) parse 15 hex chars — pin the
+    // bit-equivalence on random strings incl. unicode and empties
+    val rnd = new scala.util.Random(11)
+    val strs = (1 to 500).map { i =>
+      if (i % 47 == 0) ""
+      else if (i % 13 == 0) s"héllo- -${rnd.nextLong()}"
+      else rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString
+    }
+    val df = strs.toDF("t").select(
+      Hashing.md5Long($"t").as("n1"),
+      Hashing.md5Long2($"t").as("n2"),
+      conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("c1"),
+      conv(substring(md5($"t"), 17, 15), 16, 10).cast("long").as("c2"))
+    val bad = df.filter($"n1" =!= $"c1" || $"n2" =!= $"c2").count()
+    assert(bad == 0)
+  }
+
   test("decSum sums exactly in decimal (no FP drift) and returns double") {
     val vals = Seq.fill(1000)(0.1)
     val s = vals.toDF("v").agg(Hashing.decSum($"v").as("s")).collect().head.getDouble(0)
