@@ -327,19 +327,19 @@ object AnalyticsOps {
           .select(col("event_id"), col("user_id"), col("ts").as("pts"))
           .withColumn("pb", expr("unix_micros(pts) div 1800000000"))
           .withColumn("probe", explode(array(col("pb") - 2, col("pb") - 1, col("pb"))))
-        val others = ev.select(col("user_id"), col("ts").as("ets"))
+        val others = ev.select(col("user_id").as("o_user"), col("ts").as("ets"))
           .withColumn("eb", expr("unix_micros(ets) div 1800000000"))
-        val counts = purchases
-          .join(others, purchases("user_id") === others("user_id")
-            && col("probe") === col("eb"))
-          .filter(col("ets") >= col("pts") - expr("INTERVAL 1 HOUR")
-            && col("ets") < col("pts"))
-          .groupBy("event_id").agg(count(lit(1)).as("n_prior"))
-        ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"))
-          .join(counts, Seq("event_id"), "left_outer")
-          .select(col("event_id"), col("user_id"),
-            coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+        // LEFT join keeps zero-match purchases in the same pass (their
+        // probe rows survive with a null ets and count 0), so no second
+        // events scan and no join-back — one bucketed join + one agg.
+        // The range residual must live IN the join condition for that.
+        purchases
+          .join(others, col("user_id") === col("o_user")
+            && col("probe") === col("eb")
+            && col("ets") >= col("pts") - expr("INTERVAL 1 HOUR")
+            && col("ets") < col("pts"), "left_outer")
+          .groupBy("event_id", "user_id")
+          .agg(sum(when(col("ets").isNotNull, 1L).otherwise(0L)).as("n_prior"))
           .orderBy("event_id")
       },
       Some("WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
