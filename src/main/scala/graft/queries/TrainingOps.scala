@@ -54,32 +54,26 @@ object TrainingOps {
       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
       "FROM toks, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)"
 
-  /** (doc_id, h1, h2) HASHED shingle rows: every downstream join/aggregate
-    * shuffles these two 8-byte int64 keys instead of full trigram strings —
-    * the dominant byte volume of the LSH / Jaccard shuffles (measured ~3×
-    * on q29+q31). h1 doubles as the shingle identity in intersection
-    * joins; a 60-bit collision would merge the same two shingles in the
-    * oracle (same md5-derived hash), so results stay engine-identical.
-    */
-  private def shingleHashRows(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
-      // ONE md5 per shingle; h1/h2 are slices of the hex (exactly
-      // Hashing.md5Long/md5Long2 by construction) and the full hex rides
-      // along for the q38 bottom-k sketch — consumers project what they
-      // need off the cached columnar copy, so the extra column costs
-      // cache bytes, never shuffle bytes
-      .select(col("doc_id"), md5(col("shingle")).as("hex"))
-      .select(col("doc_id"), col("hex"),
-        conv(substring(col("hex"), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(col("hex"), 17, 15), 16, 10).cast("long").as("h2"))
-
-  /** The SHARED hashed-shingle index: one persisted copy per (session,
-    * sfDir) reused by the whole dedup family (q29 LSH, q31 inverted-index
-    * Jaccard, q51 clustering via lshPairs) — the engine's materialized
-    * view over the corpus, built by whichever family query runs first
-    * in a session/bench pass and reused by the rest. Cuts the corpus
-    * tokenize+hash pass from three to one; at 100 TB that pass IS the
+  /** The SHARED hashed-shingle index — (doc_id, hex, h1, h2) rows, one
+    * persisted copy per (session, sfDir) reused by the whole dedup family
+    * (q28 signatures, q29 LSH, q31 inverted-index Jaccard, q38 sketches,
+    * q51 clustering via lshPairs) — the engine's materialized view over
+    * the corpus, built by whichever family query runs first in a
+    * session/bench pass and reused by the rest. Cuts the corpus
+    * tokenize+hash pass from five to one; at 100 TB that pass IS the
     * dominant cost of the family.
+    *
+    * Column design: every downstream join/aggregate shuffles the two
+    * 8-byte int64 keys h1/h2 instead of full trigram strings — the
+    * dominant byte volume of the LSH / Jaccard shuffles (measured ~3× on
+    * q29+q31). h1 doubles as the shingle identity in intersection joins;
+    * a 60-bit collision would merge the same two shingles in the oracle
+    * (same md5-derived hash), so results stay engine-identical. ONE md5
+    * per shingle: h1/h2 are slices of the hex (exactly
+    * Hashing.md5Long/md5Long2 by construction) and the full hex rides
+    * along for the q38 bottom-k sketch — consumers project what they
+    * need off the cached columnar copy, so the extra column costs cache
+    * bytes, never shuffle bytes.
     */
   private[queries] def shingleIndex(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"shingleIndex:$d") {
@@ -88,11 +82,21 @@ object TrainingOps {
       // InMemoryTableScan keeps this HashPartitioning, so every per-doc
       // aggregation over the index (wide minhash signatures, per-doc
       // sizes) and every doc_id-keyed join side plans WITHOUT its own
-      // exchange — one shuffle at build time replaces one per consumer
-      shingleHashRows(s, d).repartition(col("doc_id"))
+      // exchange. The doc_id repartition sits UNDER the shingle
+      // generation — it is simultaneously the small-scan fan-out (the
+      // docText role) and the index bucketing, so the build pays ONE
+      // exchange, not fan-out + repartition (generate/project are
+      // narrow and preserve the partitioning).
+      documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .selectExpr("doc_id", "shingles(text, 3) AS shingle")
+        .select(col("doc_id"), md5(col("shingle")).as("hex"))
+        .select(col("doc_id"), col("hex"),
+          conv(substring(col("hex"), 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(col("hex"), 17, 15), 16, 10).cast("long").as("h2"))
     }
 
-  /** Oracle CTE mirroring [[shingleHashRows]] (expects `sh` in scope). */
+  /** Oracle CTE mirroring [[shingleIndex]]'s h1/h2 (expects `sh` in scope). */
   private val shhCte: String =
     s"shh AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh)"
 
