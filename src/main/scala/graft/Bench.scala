@@ -75,11 +75,13 @@ object Bench {
     // BASELINE.md describes, and "passes" in the JSON records N so the
     // artifact and the methodology claim match.
     // defensive parse: a typo'd env var falls back to the default instead
-    // of crashing the whole bench with NumberFormatException. Default 3:
-    // host noise swings single runs ±20% (measured ±2 s on the total),
-    // and min-of-3 recovers the steady-state figure min-of-2 misses.
+    // of crashing the whole bench with NumberFormatException. Default 5:
+    // host co-tenancy cycles over minutes and inflates whole passes up to
+    // ~15% (round-5 measurements: identical code 16.2–20.5 s by load);
+    // five passes span several load cycles so the per-query min recovers
+    // the steady-state figure a loaded 3-pass run misses.
     val passes = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_PASSES").trim.toInt)
-      .getOrElse(3).max(1)
+      .getOrElse(5).max(1)
     val timed: Seq[Map[String, Double]] = (1 to passes).map { _ =>
       // pass boundary: drop EVERYTHING including the shared shingle
       // index, so every pass re-pays the one corpus hash (its builder —
