@@ -122,22 +122,25 @@ object AnalyticsOps {
     Q("q52_bm25_rank",
       (s, d) => {
         val terms = Seq("table", "join", "fast")
-        // ONE aggregation pass computes per-doc length AND the per-term
-        // term frequencies as wide columns (the q28/q30 wide-agg trick
-        // applied to the inverted index): no tf⋈dl join, no per-term row
-        // explosion — the corpus statistics (N, avgdl, per-term df) are
-        // two 1-row broadcast aggregates over the persisted per-doc
-        // table, and scoring is a single map-side projection. At 100 TB
-        // the per-doc table is one row per document (the thing a scoring
-        // pass must touch anyway); nothing here broadcasts anything that
-        // grows with the corpus.
-        val toks = documents(s, d)
-          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        // Per-doc length AND per-term term frequencies straight off the
+        // BOUND token array — size/filter HOFs, pure map-side arithmetic
+        // (r6: the r5 form still exploded one row per token and
+        // re-grouped; that explode and its groupBy exchange are deleted —
+        // nothing leaves the document's row). The corpus statistics (N,
+        // avgdl, per-term df) are ONE 1-row broadcast aggregate over the
+        // persisted per-doc table, and scoring is a single map-side
+        // projection. At 100 TB the per-doc table is one row per document
+        // (the thing a scoring pass must touch anyway); nothing here
+        // broadcasts anything that grows with the corpus. The two-step
+        // select keeps `ws` a bound column (CollapseProject never inlines
+        // a non-cheap multi-referenced alias), so the tokenize runs once
+        // per document, not once per term.
         val perdoc = graft.util.Caches.transientPersist(
-          toks.groupBy("doc_id").agg(
-            count(lit(1)).as("dl"),
-            terms.map(t =>
-              sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+          fanOut(documents(s, d).select(col("doc_id"), col("text")))
+            .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+            .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+              terms.map(t => size(filter(col("ws"), w => w === t))
+                .cast("long").as(s"tf_$t")): _*))
         // ONE 1-row corpus-stats aggregate (N, total length, per-term
         // document frequencies together) — a single broadcast job instead
         // of two

@@ -108,32 +108,36 @@ object TrainingOps {
   private def oMd5Long2(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 17, 15))::BIGINT"
 
-  /** WIDE MinHash signature (doc_id, m0..m7): double-hashing family
-    * h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived hashes (i·h2 < 2^63,
-    * so no overflow; xor is engine-identical on int64). The 8 band minima
-    * are 8 aggregation COLUMNS over the hashed shingle rows — one
-    * aggregation over S rows instead of exploding S×8 rows and
-    * re-grouping them (the q30 simhash trick applied to minhash); callers
-    * explode the 8 values map-side where a tall shape is needed.
+  /** WIDE MinHash signature + per-doc size (doc_id, m0..m7, n):
+    * double-hashing family h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived
+    * hashes (i·h2 < 2^63, so no overflow; xor is engine-identical on
+    * int64). The 8 band minima are 8 aggregation COLUMNS over the hashed
+    * shingle rows — one aggregation over S rows instead of exploding S×8
+    * rows and re-grouping them (the q30 simhash trick applied to
+    * minhash) — and the shingle COUNT (every Jaccard denominator's |A| /
+    * |B| side) rides in the same buffer: r6 folded the former separate
+    * shingleSizes groupBy in here, so the whole dedup family shares ONE
+    * per-doc aggregation pass and ONE cached copy. Callers project what
+    * they need; [[minhashSig]] explodes the 8 values map-side where a
+    * tall shape is needed.
     */
   private def minhashSigWide(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"minhashSigWide:$d") {
       // one row per doc — a tiny derived view of the shingle index,
-      // shared by q28 (signatures), q29's band keys and q51's pairs
+      // shared by q28 (signatures), q29's band keys, q31's denominators
+      // and q51's pairs
       shingleIndex(s, d)
         .groupBy("doc_id")
         .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
-          (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")): _*)
+          (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")) :+
+            count(lit(1)).as("n"): _*)
     }
 
-  /** Per-doc shingle counts — the |A| / |B| sides of every Jaccard
-    * denominator (q29, q31, q51 via lshPairs); one groupBy over the
-    * shared index, shared the same way.
+  /** Per-doc shingle counts — a projection of [[minhashSigWide]]'s folded
+    * per-doc frame (no aggregation of its own).
     */
   private def shingleSizes(s: SparkSession, d: String): DataFrame =
-    graft.util.Caches.sharedIndex(s, s"shingleSizes:$d") {
-      shingleIndex(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
-    }
+    minhashSigWide(s, d).select("doc_id", "n")
 
   /** Tall signature rows (doc_id, band, minh) from the wide form —
     * posexplode is map-side, 8 tiny rows per doc.
@@ -339,34 +343,41 @@ object TrainingOps {
 
     // SimHash: 60-bit near-dup fingerprint; one long per document. The
     // bit-majority vote packs the 60 per-bit counters into 15 longs of
-    // 4×16-bit LANES (each row contributes bit_j<<(16·(j%4)) to long
-    // j/4) — identical math to 60 individual SUM columns but a 16-column
-    // aggregation buffer instead of 61: ~4× less codegen, partial-agg
-    // width and merge traffic, no row explosion. Lane capacity: lanes
-    // 0-2 carry 16 bits, but the TOP lane sits at bits 48..62 and the
-    // 63rd is the long's sign — 15 usable bits, so the safe per-doc
-    // distinct-word bound is 2^15−1 = 32767 (NOT 65535: 32768+ overflows
-    // the signed SUM, which ANSI mode turns into ARITHMETIC_OVERFLOW and
-    // legacy mode into silent lane corruption). Enforced LOUDLY by the
-    // assert_true below; a wider corpus needs 32-bit re-laning (2 lanes
-    // per long, 30 sum columns). bit_j majority ⟺ 2·popcount_j ≥ n_words.
+    // 4×16-bit LANES (each word-hash contributes bit_j<<(16·(j%4)) to
+    // long j/4) — identical math to 60 individual counters at a quarter
+    // of the arithmetic. Lane capacity: lanes 0-2 carry 16 bits, but the
+    // TOP lane sits at bits 48..62 and the 63rd is the long's sign — 15
+    // usable bits, so the safe per-doc distinct-word bound is 2^15−1 =
+    // 32767 (NOT 65535: 32768+ overflows into the sign — silent lane
+    // corruption). Enforced LOUDLY by the assert_true below; a wider
+    // corpus needs 32-bit re-laning (2 lanes per long, 30 counters).
+    // bit_j majority ⟺ 2·popcount_j ≥ n_words.
     Q("q30_simhash",
       (s, d) => {
-        val laneSums = (0 until 15).map { l =>
-          sum((0 until 4).map { m =>
-            expr(s"shiftleft(shiftright(h, ${4 * l + m}) & 1, ${16 * m})")
-          }.reduce(_ + _)).as(s"s$l")
-        }
+        // r6: the lane sums are HOF aggregates over the BOUND per-doc
+        // distinct-word-hash array — pure map-side arithmetic. The r5 form
+        // exploded one row per (doc, distinct word) and re-grouped them;
+        // that explode AND its groupBy exchange are now deleted, not
+        // optimized: nothing leaves the document's row before the final
+        // presentation sort. The two-step select keeps `hs` a bound
+        // column (CollapseProject never inlines a non-cheap
+        // multi-referenced alias), so the md5 pass runs once per
+        // document, not once per lane.
+        def laneSum(l: Int) = aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + (0 until 4).map(m =>
+            shiftleft(shiftright(h, 4 * l + m).bitwiseAND(lit(1L)), 16 * m))
+            .reduce(_ + _)).as(s"s$l")
         def bitCount(j: Int) =
           expr(s"shiftright(s${j / 4}, ${16 * (j % 4)}) & 65535")
         val simhash = (0 until 60).map(j =>
           when(bitCount(j) * 2 >= col("n"), expr(s"CAST(${1L << j} AS BIGINT)"))
             .otherwise(0L)).reduce(_ + _)
         docText(s, d)
-          .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
-          .withColumn("h", Hashing.md5Long(col("w")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), laneSums: _*)
+          .select(col("doc_id"),
+            transform(array_distinct(words(col("text"))),
+              w => Hashing.md5Long(w)).as("hs"))
+          .select(col("doc_id") +: size(col("hs")).cast("long").as("n") +:
+            (0 until 15).map(laneSum): _*)
           .filter(coalesce(assert_true(col("n") <= 32767,
             lit("simhash lane capacity exceeded: document has > 32767 " +
               "distinct words (top lane has 15 usable bits before the " +
