@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EqualTo, EvalMode, Expression, If, IsNaN, IsNotNull, Literal, Not, Or, ShiftRight, ShiftRightUnsigned, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNotNull, Literal, Or, ShiftRightUnsigned, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, DoubleType, LongType}
 
@@ -26,12 +26,18 @@ import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, 
   * `CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`: exact integer total,
   * one exact-decimal→nearest-double conversion at the end).
   *
-  * INPUT DOMAIN: each PER-ROW value must fit int64 micros, i.e.
-  * |value| < ~9.22e12 (DECIMAL(18,6)-representable) — the int128 headroom
-  * is the accumulator's, not the row's. DECIMAL(20,6) admits wider values;
-  * [[MicrosLong]] rejects those loudly with a domain error instead of the
-  * bare ArithmeticException `UnscaledValue` would surface. Callers with
-  * genuinely wider per-row values belong on the built-in `sum(DECIMAL)`.
+  * INPUT DOMAIN: exact over the ENTIRE domain of any scale-6 decimal
+  * input (precision ≤ 38). Per-row values are converted to int128 micros
+  * as a (hi, lo) long pair by [[Micros128]]: the common case (unscaled
+  * fits int64) pays one static call and a sign-extension, the wide case
+  * (DECIMAL(20,6) admits up to ~1e14, i.e. 1e20 micros > int64) takes the
+  * exact BigInteger split — value-identical to `sum(DECIMAL(20,6))` with
+  * no per-row domain restriction. DOUBLE input follows the session's
+  * `CAST(x AS DECIMAL(20,6))` semantics exactly (eval mode captured at
+  * plan time, like Cast itself): NaN/±Inf contribute NULL in both modes;
+  * a finite value past the (20,6) range (|x| ≳ 1e14) raises the ANSI
+  * out-of-range condition — the same one the built-in sum's cast raises —
+  * or contributes NULL with ANSI off ([[Micros128.dblInDomain]]).
   *
   * All buffer updates use LEGACY (wrapping) eval mode: lo-word wraparound
   * is the carry mechanism itself, and must not trip ANSI overflow checks.
@@ -87,30 +93,38 @@ case class DecimalMicrosSum(child: Expression,
 
   override lazy val updateExpressions: Seq[Expression] = {
     // a non-contributing input adds (0, 0) and leaves `seen` untouched.
-    // DOUBLE input takes the no-BigDecimal fast path (DoubleToMicros —
-    // value-identical to CAST(x AS DECIMAL(20,6)) then UnscaledValue),
-    // with NaN/±Inf treated exactly like the legacy cast treats them: as
-    // NULL. DECIMAL(20,6) keeps the cast-based path; any other numeric
+    // Every path converts the row to FULL int128 micros (hi, lo): the
+    // common fits-in-long case is a static call plus sign-extension, the
+    // wide case (scale-6 decimals past int64 micros) splits the exact
+    // BigInteger — no per-row domain restriction. DOUBLE input mirrors
+    // the legacy CAST(x AS DECIMAL(20,6)) exactly, including NULL for
+    // NaN/±Inf and for values past the (20,6) range; any other numeric
     // goes through the same CAST to DECIMAL(20,6) the pre-fast-path
     // decSum applied for it (session cast semantics).
-    val (contributes, micros) = child.dataType match {
+    val (contributes, loExpr, hiExpr) = child.dataType match {
       case DoubleType =>
-        (And(IsNotNull(child), Not(Or(IsNaN(child),
-          Or(EqualTo(child, Literal(Double.PositiveInfinity)),
-            EqualTo(child, Literal(Double.NegativeInfinity)))))),
-          DoubleToMicros(child): Expression)
-      case dt if dt == DecimalType(20, 6) =>
-        (IsNotNull(child), MicrosLong(child): Expression)
+        // capture the session's cast semantics at PLAN time, as Cast
+        // itself does: with ANSI on, an out-of-(20,6)-range double raises
+        // the same out-of-range condition the built-in sum's cast raises;
+        // with ANSI off it contributes NULL like the legacy cast
+        val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+        (And(IsNotNull(child), DoubleInDec20Domain(child, ansi)),
+          DoubleMicros128Lo(child): Expression,
+          DoubleMicros128Hi(child): Expression)
+      case dt: DecimalType if dt.scale == 6 =>
+        (IsNotNull(child),
+          Micros128Lo(child): Expression, Micros128Hi(child): Expression)
       case _ =>
         // pre-fast-path decSum applied this cast outside the aggregate;
         // a cast that nulls (legacy overflow) must contribute nothing,
         // exactly like a null input row did then
         val cast = org.apache.spark.sql.catalyst.expressions.Cast(
           child, DecimalType(20, 6))
-        (IsNotNull(cast), MicrosLong(cast): Expression)
+        (IsNotNull(cast),
+          Micros128Lo(cast): Expression, Micros128Hi(cast): Expression)
     }
-    val xLo = If(contributes, micros, Literal(0L))
-    val xHi = ShiftRight(xLo, Literal(63)) // sign-extend micros to int128
+    val xLo = If(contributes, loExpr, Literal(0L))
+    val xHi = If(contributes, hiExpr, Literal(0L))
     val (newHi, newLo) = add128(hi, lo, xHi, xLo)
     Seq(newHi, newLo, Or(seen, contributes))
   }
@@ -131,99 +145,171 @@ case class DecimalMicrosSum(child: Expression,
     copy(child = newChildren.head)
 }
 
-/** Unscaled micros of a scale-6 decimal as a long — `UnscaledValue` with
-  * the input domain made LOUD: a DECIMAL(20,6) row beyond int64 micros
-  * (|value| ≥ ~9.22e12) raises a named graft_decsum domain error instead
-  * of `longValueExact`'s bare ArithmeticException. In-domain rows cost
-  * exactly what UnscaledValue costs (one static call in codegen).
-  */
-case class MicrosLong(child: Expression) extends UnaryExpression {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_micros_long"
-
-  override protected def nullSafeEval(input: Any): Any =
-    MicrosLong.toLongExact(input.asInstanceOf[Decimal])
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.MicrosLong.toLongExact($c)")
-
-  override protected def withNewChildInternal(
-      newChild: Expression): MicrosLong = copy(child = newChild)
-}
-
-object MicrosLong {
-  def toLongExact(d: Decimal): Long =
-    try d.toUnscaledLong
-    catch {
-      case _: ArithmeticException => throw new ArithmeticException(
-        s"graft_decsum input out of domain: per-row |value| must be < 2^63 " +
-          s"micros (~9.22e12 at scale 6), got $d. The int128 headroom is the " +
-          "accumulator's, not the row's — use the built-in sum(DECIMAL) for " +
-          "wider per-row values.")
-    }
-}
-
-/** Exact scale-6 micros of a DOUBLE — value-identical to
-  * `UnscaledValue(CAST(x AS DECIMAL(20,6)))` (Spark casts through the
-  * double's SHORTEST decimal representation, then rounds HALF_UP at
-  * scale 6) but without constructing a BigDecimal per row on the common
-  * path. Fast path: one multiply + round, valid when the scaled value is
-  * (a) small enough that accumulated double error < 1e-3 micros
+/** Per-row int128-micros conversion statics shared by the
+  * [[DecimalMicrosSum]] input paths. The full unscaled scale-6 value is
+  * delivered as a (hi, lo) long pair — hi = bits 64..127 (signed),
+  * lo = bits 0..63 — so a row NEVER leaves the aggregate's exact domain:
+  * a DECIMAL(20,6) at its 1e14 extreme is 1e20 micros, well inside
+  * int128.
+  *
+  * Cost model: the fits-in-int64 common case (every row whose |value| <
+  * ~9.22e12 — all of TPC-H and every in-repo measure) is `toUnscaledLong`
+  * plus a sign-extension shift, exactly what the old single-word path
+  * paid; only genuinely wide rows take the BigInteger split, and the
+  * JVM's zero-cost-unless-thrown try/catch keeps the branch free.
+  *
+  * DOUBLE input mirrors the legacy `CAST(x AS DECIMAL(20,6))`: Spark
+  * casts through the double's SHORTEST decimal representation rounding
+  * HALF_UP at scale 6, and nulls NaN/±Inf and values past the (20,6)
+  * range. The fast path is one multiply + round, valid when the scaled
+  * value is (a) small enough that accumulated double error < 1e-3 micros
   * (|x·1e6| < 4e12: ≤ half-ulp from the multiply plus ≤ 2.4e-4 from
   * shortest-repr vs binary, both bounded well under the guard) and
-  * (b) at least 2e-3 micros away from a .5 rounding boundary, so every
-  * rounding rule — the double's round-nearest and decimal HALF_UP on the
-  * shortest repr — lands on the same integer. Near-tie or large values
-  * fall back to the exact BigDecimal conversion (rare: requires ≥ 7
-  * significant decimals landing within 2e-3 of a half-micro).
+  * (b) at least 2e-3 micros from a .5 rounding boundary, so round-nearest
+  * and HALF_UP-on-shortest-repr land on the same integer. Near-tie or
+  * large values take the exact BigDecimal conversion (rare: ≥ 7
+  * significant decimals within 2e-3 of a half-micro, or |x| ≥ 4e6).
   */
-case class DoubleToMicros(child: Expression) extends UnaryExpression {
+object Micros128 {
 
+  /** low 64 bits of the unscaled scale-6 value */
+  def decLo(d: Decimal): Long =
+    try d.toUnscaledLong
+    catch {
+      case _: ArithmeticException =>
+        d.toJavaBigDecimal.unscaledValue().longValue()
+    }
+
+  /** bits 64..127 (signed) of the unscaled scale-6 value */
+  def decHi(d: Decimal): Long =
+    try d.toUnscaledLong >> 63 // sign-extension of an in-int64 value
+    catch {
+      case _: ArithmeticException =>
+        d.toJavaBigDecimal.unscaledValue().shiftRight(64).longValue()
+    }
+
+  private val MaxUnscaled = java.math.BigInteger.TEN.pow(20)
+
+  /** Does `CAST(x AS DECIMAL(20,6))` produce a value (vs NULL)? False for
+    * NaN and ±Inf (both cast modes null those). A finite value past the
+    * (20,6) range (|rounded micros| ≥ 1e20) follows the captured cast
+    * mode: ANSI raises the out-of-range condition exactly like the
+    * built-in sum's cast; legacy contributes NULL.
+    */
+  def dblInDomain(x: Double, ansi: Boolean): Boolean =
+    x == x && !java.lang.Double.isInfinite(x) &&
+      (java.lang.Math.abs(x) < 4e6 ||
+        micros(x).abs().compareTo(MaxUnscaled) < 0 ||
+        (if (ansi) throw new ArithmeticException(
+          s"[NUMERIC_VALUE_OUT_OF_RANGE] graft_decsum: $x cannot be " +
+            "represented as Decimal(20, 6) (the built-in sum's cast " +
+            "raises the same condition under ANSI mode); set " +
+            "spark.sql.ansi.enabled=false for NULL-on-overflow semantics")
+        else false))
+
+  def dblLo(x: Double): Long = {
+    val p = x * 1e6
+    if (fastOk(p)) java.lang.Math.rint(p).toLong
+    else micros(x).longValue()
+  }
+
+  def dblHi(x: Double): Long = {
+    val p = x * 1e6
+    if (fastOk(p)) java.lang.Math.rint(p).toLong >> 63
+    else micros(x).shiftRight(64).longValue()
+  }
+
+  private def fastOk(p: Double): Boolean =
+    java.lang.Math.abs(p) < 4e12 && {
+      // distance from the nearest half-integer boundary; boundary cases
+      // (exact .5 micros, HALF_UP vs half-even) go to the exact path
+      val n = java.lang.Math.rint(p)
+      java.lang.Math.abs(java.lang.Math.abs(p - n) - 0.5) > 2e-3
+    }
+
+  private def micros(x: Double): java.math.BigInteger =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
+}
+
+/** [[Micros128.decLo]] as a codegen expression. */
+case class Micros128Lo(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_double_to_micros"
-
+  override def prettyName: String = "graft_micros128_lo"
   override protected def nullSafeEval(input: Any): Any =
-    DoubleToMicros.toMicros(input.asInstanceOf[Double])
-
+    Micros128.decLo(input.asInstanceOf[Decimal])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.DoubleToMicros.toMicros($c)")
-
+    defineCodeGen(ctx, ev, c => s"graft.plans.Micros128.decLo($c)")
   override protected def withNewChildInternal(
-      newChild: Expression): DoubleToMicros = copy(child = newChild)
+      newChild: Expression): Micros128Lo = copy(child = newChild)
 }
 
-object DoubleToMicros {
-  def toMicros(x: Double): Long = {
-    val p = x * 1e6
-    if (java.lang.Math.abs(p) < 4e12) {
-      val n = java.lang.Math.rint(p)
-      // distance from the nearest half-integer boundary; boundary cases
-      // (exact .5 micros, HALF_UP vs half-even) go to the exact path
-      if (java.lang.Math.abs(java.lang.Math.abs(p - n) - 0.5) > 2e-3) {
-        return n.toLong
-      }
-    }
-    slow(x)
-  }
+/** [[Micros128.decHi]] as a codegen expression. */
+case class Micros128Hi(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_micros128_hi"
+  override protected def nullSafeEval(input: Any): Any =
+    Micros128.decHi(input.asInstanceOf[Decimal])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Micros128.decHi($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): Micros128Hi = copy(child = newChild)
+}
 
-  private def slow(x: Double): Long =
-    try {
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
-    } catch {
-      case _: ArithmeticException => throw new ArithmeticException(
-        s"graft_decsum input out of domain: per-row |value| must be < 2^63 " +
-          s"micros (~9.22e12 at scale 6), got $x. The int128 headroom is the " +
-          "accumulator's, not the row's — use the built-in sum(DECIMAL) for " +
-          "wider per-row values.")
-    }
+/** [[Micros128.dblLo]] as a codegen expression. */
+case class DoubleMicros128Lo(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dbl_micros128_lo"
+  override protected def nullSafeEval(input: Any): Any =
+    Micros128.dblLo(input.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Micros128.dblLo($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleMicros128Lo = copy(child = newChild)
+}
+
+/** [[Micros128.dblHi]] as a codegen expression. */
+case class DoubleMicros128Hi(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dbl_micros128_hi"
+  override protected def nullSafeEval(input: Any): Any =
+    Micros128.dblHi(input.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Micros128.dblHi($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleMicros128Hi = copy(child = newChild)
+}
+
+/** [[Micros128.dblInDomain]] as a codegen predicate — the double path's
+  * contribution gate: NULL for NaN/±Inf, and for finite out-of-range
+  * values either the ANSI out-of-range error or a NULL contribution,
+  * per the plan-time-captured `ansi` mode.
+  */
+case class DoubleInDec20Domain(child: Expression, ansi: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_dbl_in_dec20_domain"
+  override protected def nullSafeEval(input: Any): Any =
+    Micros128.dblInDomain(input.asInstanceOf[Double], ansi)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Micros128.dblInDomain($c, $ansi)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleInDec20Domain = copy(child = newChild)
 }
 
 /** Exact (hi·2^64 + unsigned lo) micros → nearest double of the scale-6

@@ -341,48 +341,43 @@ object TrainingOps {
       (s, d) => lshPairs(s, d).orderBy("ida", "idb"),
       Some(s"WITH $lshPairsCtes SELECT ida, idb, jacc FROM pairs ORDER BY ida, idb")),
 
-    // SimHash: 60-bit near-dup fingerprint; one long per document. The
-    // bit-majority vote packs the 60 per-bit counters into 15 longs of
-    // 4×16-bit LANES (each word-hash contributes bit_j<<(16·(j%4)) to
-    // long j/4) — identical math to 60 individual counters at a quarter
-    // of the arithmetic. Lane capacity: lanes 0-2 carry 16 bits, but the
-    // TOP lane sits at bits 48..62 and the 63rd is the long's sign — 15
-    // usable bits, so the safe per-doc distinct-word bound is 2^15−1 =
-    // 32767 (NOT 65535: 32768+ overflows into the sign — silent lane
-    // corruption). Enforced LOUDLY by the assert_true below; a wider
-    // corpus needs 32-bit re-laning (2 lanes per long, 30 counters).
-    // bit_j majority ⟺ 2·popcount_j ≥ n_words.
+    // SimHash: 60-bit near-dup fingerprint; one long per document,
+    // computed ENTIRELY inside the document's row — r6 deleted the r5
+    // (doc, word) explode and its groupBy exchange: nothing shuffles
+    // before the presentation sort. The per-doc kernel (distinct the
+    // tokens, md5 each, count the 60 bit positions, majority-vote) is one
+    // tight-loop UDF over the token array — the dotUdf precedent: the
+    // declarative form needs 15 interpreted HOF lane-aggregates over a
+    // bound hash array (HOFs never enter codegen), measured ~2× slower
+    // than this loop calling the same native Md5PrefixLong.hash. Int
+    // counters also remove the packed-lane 32767-distinct-words capacity
+    // bound the aggregate form carried. bit_j majority ⟺ 2·popcount_j ≥
+    // n_words; identical md5-derived integers on both engines keep the
+    // DuckDB oracle unchanged.
     Q("q30_simhash",
       (s, d) => {
-        // r6: the lane sums are HOF aggregates over the BOUND per-doc
-        // distinct-word-hash array — pure map-side arithmetic. The r5 form
-        // exploded one row per (doc, distinct word) and re-grouped them;
-        // that explode AND its groupBy exchange are now deleted, not
-        // optimized: nothing leaves the document's row before the final
-        // presentation sort. The two-step select keeps `hs` a bound
-        // column (CollapseProject never inlines a non-cheap
-        // multi-referenced alias), so the md5 pass runs once per
-        // document, not once per lane.
-        def laneSum(l: Int) = aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + (0 until 4).map(m =>
-            shiftleft(shiftright(h, 4 * l + m).bitwiseAND(lit(1L)), 16 * m))
-            .reduce(_ + _)).as(s"s$l")
-        def bitCount(j: Int) =
-          expr(s"shiftright(s${j / 4}, ${16 * (j % 4)}) & 65535")
-        val simhash = (0 until 60).map(j =>
-          when(bitCount(j) * 2 >= col("n"), expr(s"CAST(${1L << j} AS BIGINT)"))
-            .otherwise(0L)).reduce(_ + _)
+        val simhashUdf = udf((ws: Array[String]) => {
+          val seen = new java.util.HashSet[String]()
+          val cnt = new Array[Int](60)
+          var n = 0
+          var i = 0
+          while (i < ws.length) {
+            val w = ws(i)
+            if (seen.add(w)) {
+              n += 1
+              val h = graft.plans.Md5PrefixLong.hash(w.getBytes("UTF-8"), 0)
+              var j = 0
+              while (j < 60) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
+            }
+            i += 1
+          }
+          var sh = 0L
+          var j = 0
+          while (j < 60) { if (2L * cnt(j) >= n) sh |= 1L << j; j += 1 }
+          sh
+        })
         docText(s, d)
-          .select(col("doc_id"),
-            transform(array_distinct(words(col("text"))),
-              w => Hashing.md5Long(w)).as("hs"))
-          .select(col("doc_id") +: size(col("hs")).cast("long").as("n") +:
-            (0 until 15).map(laneSum): _*)
-          .filter(coalesce(assert_true(col("n") <= 32767,
-            lit("simhash lane capacity exceeded: document has > 32767 " +
-              "distinct words (top lane has 15 usable bits before the " +
-              "sign); re-lane q30 to 32-bit lanes")), lit(true)))
-          .select(col("doc_id"), simhash.as("simhash"))
+          .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
           .orderBy("doc_id")
       },
       Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +

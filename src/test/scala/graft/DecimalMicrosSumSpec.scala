@@ -114,21 +114,73 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
     assert(r2.getDouble(0) == 5.0)
   }
 
-  test("out-of-domain per-row value fails LOUDLY with the named domain error") {
+  test("per-row values beyond int64 micros sum exactly (full DECIMAL(20,6) domain)") {
     import spark.implicits._
-    // DECIMAL(20,6) admits |value| up to 1e14, but a per-row value beyond
-    // int64 micros (~9.22e12) exceeds the aggregate's input domain — it
-    // must raise the graft_decsum domain message, not a bare
-    // ArithmeticException from longValueExact (nor a silently wrong sum)
-    val big = new java.math.BigDecimal("10000000000000.000000") // 1e13 → 1e19 micros
-    val df = Seq(1L).toDF("k")
-      .select($"k", lit(big).cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("v"))
-    val ex = intercept[Exception] {
-      df.groupBy("k").agg(call_function("graft_decsum", $"v")).collect()
+    // DECIMAL(20,6) admits |value| up to ~1e14 = 1e20 micros > int64; the
+    // r5 aggregate threw a domain error there — r6's (hi, lo) int128
+    // per-row conversion must instead match the built-in exactly across
+    // the whole domain, including carry interplay between wide rows and
+    // ordinary ones and an all-wide negative group
+    val wide = Seq(
+      "10000000000000.000000",   // 1e13 → 1e19 micros, past int64
+      "-99999999999999.999999",  // the (20,6) negative extreme
+      "99999999999999.999999",   // the (20,6) positive extreme
+      "9223372036854.775807",    // exactly Long.MaxValue micros
+      "9223372036854.775808",    // one micro past Long.MaxValue
+      "-9223372036854.775809",   // one micro past Long.MinValue
+      "0.000001", "123456.789012", "-0.5")
+    val df = wide.zipWithIndex.map { case (v, i) =>
+      (i.toLong % 3, new java.math.BigDecimal(v)) }.toDF("k", "v")
+      .select($"k", $"v".cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("v"))
+      .repartition(4) // force partial/merge through the int128 path
+    val got = df.groupBy("k")
+      .agg(sum($"v").cast("double").as("ref"),
+        call_function("graft_decsum", $"v").as("fast"))
+      .collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"k=${r.getLong(0)}: builtin=${r.getDouble(1)} int128=${r.getDouble(2)}")
+    }
+
+    // DOUBLE inputs past int64 micros but inside (20,6): same exactness
+    val dbl = Seq[(Long, java.lang.Double)](
+      (1L, 5e13), (1L, -1.23456e13), (1L, 42.5),
+      (1L, 9.9e13), (1L, -9.9e13))
+    val rd = dbl.toDF("k", "v").groupBy("k")
+      .agg(builtin($"v").as("ref"), call_function("graft_decsum", $"v").as("fast"))
+      .collect().head
+    assert(java.lang.Double.compare(rd.getDouble(1), rd.getDouble(2)) == 0,
+      s"builtin=${rd.getDouble(1)} fast=${rd.getDouble(2)}")
+
+    // a DOUBLE past the (20,6) range mirrors the built-in's cast under
+    // the session's ANSI mode: out-of-range error, not a silent skip
+    val over = Seq[(Long, java.lang.Double)]((1L, 2e14)).toDF("k", "v")
+    val exRef = intercept[Exception] { over.agg(builtin($"v")).collect() }
+    val exFast = intercept[Exception] {
+      over.agg(call_function("graft_decsum", $"v")).collect()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("graft_decsum input out of domain")),
-      messages(ex).mkString(" | "))
+    assert(messages(exRef).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")))
+    assert(messages(exFast).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      messages(exFast).mkString(" | "))
+  }
+
+  test("scale-6 decimals of any precision take the direct path (no narrowing cast)") {
+    import spark.implicits._
+    // a DECIMAL(38,6) input (e.g. re-aggregating graft_decsum_dec exact
+    // subtotals) must NOT be squeezed through a (20,6) cast that nulls
+    // values past 1e14 — the direct int128 conversion keeps them exact
+    val vals = Seq("123456789012345678.123456", "-987654321098765432.654321",
+      "10000000000000000000.000001", "0.000002")
+    val df = vals.map(v => (1L, new java.math.BigDecimal(v))).toDF("k", "v")
+      .select($"k", $"v".cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+    val r = df.groupBy("k")
+      .agg(sum($"v").cast("double").as("ref"),
+        call_function("graft_decsum", $"v").as("fast"))
+      .collect().head
+    assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+      s"builtin=${r.getDouble(1)} int128=${r.getDouble(2)}")
   }
 }
