@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation: measures the sf0.1 → sf1 (10×) runtime
+  * slope of the heavy dedup/similarity family, whose 100 TB claims are
+  * otherwise plan-audit only. A ≈linear slope is evidence the bucketed
+  * designs (LSH bands, IVF cells, shared shingle index) hold; a
+  * super-linear one names the query that needs a fix.
+  *
+  * The 10× corpus is GENERATED from the source tables,
+  * structure-preservingly, because a naive row duplication would be a
+  * pathological input, not a scale-up: 10 exact copies of every document
+  * give every doc 9 extra near-dup partners, inflating pair counts ~100×
+  * where a real 10× corpus grows them ~10×. Instead each replica k gets
+  * an injective token transform (every token suffixed with k), which
+  *  - preserves the WITHIN-replica similarity structure exactly (the
+  *    token mapping is injective, so shingle sets map 1:1 and every
+  *    Jaccard/minhash relation among replica-k documents equals the
+  *    original corpus's), and
+  *  - zeroes CROSS-replica similarity (no shingle of replica j equals
+  *    any of replica k ≠ j — every token differs in its suffix),
+  * so pair-structured work scales exactly 10× — the honest slope.
+  * Embeddings rotate component positions by k per replica: rotation
+  * preserves norms and within-replica cosines exactly, while rotated
+  * high-dimensional vectors are near-orthogonal across replicas.
+  *
+  * Usage: `runMain graft.ScaleCheck [srcDir] [outDir] [factor] [passes]`
+  * — generates outDir once (skipped if present), then prints one JSON
+  * line with per-query min-of-N seconds at both scales and the slope.
+  * Session posture mirrors Bench (AQE off, hash-join preference,
+  * shuffle.partitions = cores) so the numbers compose with BENCH_r*.
+  */
+object ScaleCheck {
+
+  /** The heavy family: every query whose cost is corpus-pair-structured
+    * (dedup, LSH, IVF, ANN, clustering) plus the map-side fingerprints
+    * that share the corpus pass.
+    */
+  private val family = Seq(
+    "q27_dedup_exact", "q28_minhash_sig", "q29_lsh_neardup", "q30_simhash",
+    "q31_ngram_jaccard", "q32_cosine_topk", "q33_ivf_neardup",
+    "q34_lsh_embed_sig", "q38_fingerprint", "q48_ann_topk",
+    "q50_winnow_fingerprint", "q51_dedup_clusters")
+
+  private[graft] def generate(
+      spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val off = 10000000L
+    val docReps = (0 until factor).map { k =>
+      if (k == 0) docs
+      else {
+        val toks = split(trim(col("text")), "\\s+")
+        val newText =
+          array_join(transform(toks, w => concat(w, lit(k.toString))), " ")
+        docs.select(
+          (col("doc_id") + lit(k * off)).as("doc_id"),
+          newText.as("text"), col("lang"), col("source"),
+          length(newText).cast("long").as("n_chars"))
+      }
+    }
+    val embReps = (0 until factor).map { k =>
+      if (k == 0) embs
+      else {
+        val e = col("embedding")
+        val rolled =
+          concat(slice(e, lit(k + 1), size(e) - lit(k)), slice(e, lit(1), lit(k)))
+        embs.select((col("vec_id") + lit(k * off)).as("vec_id"),
+          rolled.as("embedding"), col("label"))
+      }
+    }
+    docReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val passes = args.lift(3).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      System.err.println(s"[scale] generating ${factor}x corpus at $outDir")
+      generate(spark, srcDir, outDir, factor)
+    }
+
+    val qs = SparkEntry.registry.filter(q => family.contains(q.name))
+    def run(q: graft.queries.Q, dir: String): Unit = {
+      graft.util.Caches.clearTransient()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+    def time(dir: String): Seq[(String, Double)] = {
+      spark.sqlContext.clearCache()
+      qs.foreach(run(_, dir)) // warmup: JIT, codegen, parquet footers
+      val timed = (1 to passes).map { _ =>
+        spark.sqlContext.clearCache() // pass boundary, as in Bench
+        qs.map { q =>
+          val t0 = System.nanoTime()
+          run(q, dir)
+          q.name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+      qs.map(q => q.name -> timed.map(_(q.name)).min)
+    }
+
+    val base = time(srcDir)
+    val scaled = time(outDir)
+    val baseMap = base.toMap
+    def fmt(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val slopes = scaled.map { case (k, v) => k -> v / baseMap(k) }
+    println(s"""{"metric":"scale_slope","factor":$factor,"passes":$passes,""" +
+      s""""base":${fmt(base)},"scaled":${fmt(scaled)},""" +
+      s""""slope":${fmt(slopes)},"src":"$srcDir","out":"$outDir"}""")
+    spark.stop()
+  }
+}

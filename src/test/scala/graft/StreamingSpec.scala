@@ -16,6 +16,17 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
 
+  /** Stage a single parquet file into a fresh temp directory — the file
+    * stream source only accepts directories.
+    */
+  private def stageDir(file: String): String = {
+    val src = java.nio.file.Paths.get(file)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-an-stream")
+    tmp.toFile.deleteOnExit()
+    java.nio.file.Files.copy(src, tmp.resolve(src.getFileName.toString))
+    tmp.toString
+  }
+
   test("tumbling windows emit on watermark passage and drop late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -84,6 +95,69 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet
     // 2 dupes 1 (same stripped text), 4 dupes 1 across batches
     assert(survivors == Set(1L, 3L, 5L))
+  }
+
+  test("availableNow file stream equals the batch aggregation (X13 on sf0.01)") {
+    import org.apache.spark.sql.functions._
+    // the SAME tumblingAgg code that streams in production, driven as a
+    // bounded availableNow run over the real sf0.01 events parquet, must
+    // reproduce the batch aggregation exactly — the driver-visible
+    // batch-equals-stream check behind the "same code streams" claim.
+    // Append mode can only emit windows the final watermark passed
+    // (end ≤ max event time at delay 0); the batch side is filtered to
+    // that same emittable set before comparing.
+    val dir = "/root/testdata/sf0.01"
+    val batchEvents = graft.util.Tables.events(spark, dir)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source wants a DIRECTORY of files; stage the single
+    // table file into one (what a production landing zone looks like)
+    val streamEvents = spark.readStream.schema(rawSchema)
+      .parquet(stageDir(s"$dir/events.parquet"))
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val q = Streaming.tumblingAgg(streamEvents, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("an_tumbling")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("an_tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    val maxTs = batchEvents.agg(max(col("ts"))).head.getTimestamp(0)
+    // watermark is a no-op on a batch frame, so this is the plain batch agg
+    val want = Streaming.tumblingAgg(batchEvents)
+      .filter(expr("win_start + INTERVAL 1 HOUR") <= lit(maxTs))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream=${got.size} rows, batch=${want.size} rows")
+  }
+
+  test("availableNow dedup stream equals the batch exact-dedup (X32 on sf0.01)") {
+    import org.apache.spark.sql.functions._
+    // one forced micro-batch so first-seen == global keep-min, making the
+    // streaming survivors comparable row-for-row with q27's batch dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val streamDocs = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "10000")
+      .parquet(stageDir(s"$dir/documents.parquet"))
+    val q = Streaming.dedupStream(streamDocs)
+      .toDF("h", "doc_id", "text")
+      .writeStream.format("memory").queryName("an_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("an_dedup").collect()
+      .map(r => (r.getAs[String]("h"), r.getAs[Long]("doc_id"))).toSet
+    val want = docs
+      .select(graft.functions.Hashing.simpleHash(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+      .collect()
+      .map(r => (r.getAs[String]("h"), r.getAs[Long]("keep_id"))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream=${got.size} rows, batch=${want.size} rows")
   }
 
   test("session windows merge within gap and split across it") {
