@@ -97,7 +97,12 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    // a table is a valid corpus only once its parquet commit finished —
+    // the _SUCCESS marker; a bare directory left by an interrupted
+    // generate would otherwise be reused and produce bogus slopes
+    def committed(table: String): Boolean =
+      new java.io.File(s"$outDir/$table.parquet/_SUCCESS").exists()
+    if (!(committed("documents") && committed("embeddings"))) {
       System.err.println(s"[scale] generating ${factor}x corpus at $outDir")
       generate(spark, srcDir, outDir, factor)
     }

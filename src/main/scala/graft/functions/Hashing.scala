@@ -111,4 +111,37 @@ object Hashing {
     */
   def decSumExact(c: Column): Column =
     call_function("graft_decsum_dec", c)
+
+  /** X4 simhash kernel (q30): 60-bit near-dup fingerprint of a token
+    * array — distinct the tokens, md5-prefix-hash each
+    * ([[graft.plans.Md5PrefixLong]], the same native hash the shingle
+    * index uses), count per-bit votes, majority-vote each of the 60 bits
+    * (`2·popcount_j ≥ n`). One tight loop per document; boxed return so
+    * a null or empty token array yields NULL instead of NPE-ing or
+    * majority-voting every bit set on n=0 — callers drop such docs,
+    * matching the explode form's implicit semantics.
+    */
+  def simhash60(ws: Array[String]): java.lang.Long = {
+    if (ws == null || ws.isEmpty) return null
+    val seen = new java.util.HashSet[String]()
+    val cnt = new Array[Int](60)
+    var n = 0
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      if (seen.add(w)) {
+        n += 1
+        val h = graft.plans.Md5PrefixLong.hash(w.getBytes("UTF-8"), 0)
+        var j = 0
+        while (j < 60) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      }
+      i += 1
+    }
+    // n ≥ 1 here: a non-empty array adds at least one distinct token, so
+    // the n=0 all-bits-set degenerate case is unreachable by construction
+    var sh = 0L
+    var j = 0
+    while (j < 60) { if (2L * cnt(j) >= n) sh |= 1L << j; j += 1 }
+    java.lang.Long.valueOf(sh)
+  }
 }

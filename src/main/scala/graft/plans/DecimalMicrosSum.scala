@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EvalMode, Expression, If, IsNotNull, Literal, Or, ShiftRightUnsigned, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, EvalMode, Expression, If, IsNotNull, LeafExpression, LessThan, Literal, Or, ShiftRightUnsigned, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, DoubleType, LongType}
 
 /** Exact decimal sum as an INT128 accumulator — `graft_decsum(col)` where
@@ -26,6 +28,17 @@ import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, 
   * `CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)`: exact integer total,
   * one exact-decimal→nearest-double conversion at the end).
   *
+  * OVERFLOW is detected, never wrapped: every update/merge carries a
+  * branch-free signed-overflow probe on the hi word into an `ovf` buffer
+  * flag (reachable only when per-row inputs approach the full
+  * DECIMAL(38,6) extremes — two ~1e32-unit rows suffice), and the
+  * `decimalOut` evaluator additionally range-checks the representation
+  * gap (int128 totals in [1e38, 1.7e38) micros exceed Decimal(38,6)).
+  * Both follow the session's eval mode captured at PLAN time, exactly
+  * like the built-in `sum(DECIMAL)`'s `CheckOverflowInSum`: ANSI raises
+  * the ARITHMETIC_OVERFLOW SparkArithmeticException
+  * ([[Micros128.sumOverflow]]), legacy yields NULL.
+  *
   * INPUT DOMAIN: exact over the ENTIRE domain of any scale-6 decimal
   * input (precision ≤ 38). Per-row values are converted to int128 micros
   * as a (hi, lo) long pair by [[Micros128]]: the common case (unscaled
@@ -47,11 +60,12 @@ case class DecimalMicrosSum(child: Expression,
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
-  /** decimalOut keeps the EXACT total as DECIMAL(38,6) (int128 micros fit:
-    * |total| < 1.7e32 micros = 1.7e26 units < 1e32) so a second-level
+  /** decimalOut keeps the EXACT total as DECIMAL(38,6) so a second-level
     * aggregation (rollup/cube re-aggregation over first-level groups) can
     * re-sum exactly and round to double ONCE at the very end — the same
-    * value the flat int128 sum produces.
+    * value the flat int128 sum produces. Int128 totals past 38 digits
+    * (the [1e38, 1.7e38)-micros gap) overflow per the captured eval mode
+    * — see [[Int128MicrosToDecimal]].
     */
   override def dataType: DataType =
     if (decimalOut) DecimalType(38, 6) else DoubleType
@@ -68,27 +82,38 @@ case class DecimalMicrosSum(child: Expression,
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
   private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
+  private lazy val ovf = AttributeReference("ovf", BooleanType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, seen)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, seen, ovf)
 
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(0L), Literal(0L), Literal(false))
+    Seq(Literal(0L), Literal(0L), Literal(false), Literal(false))
 
   private def addL(a: Expression, b: Expression): Expression =
     Add(a, b, EvalMode.LEGACY)
 
   /** (hi, lo) += (xHi, xLo) in int128: wrapping lo add, branch-free
     * unsigned carry-out `((a & b) | ((a | b) & ~sum)) >>> 63`, carry into
-    * the hi word.
+    * the hi word. The third element is the signed-overflow probe of the
+    * two-step hi add (a+b, then +carry): for each step the standard
+    * `((a ^ s) & (b ^ s)) < 0` sign test, combined with XOR because over
+    * a two-step chain the wraps can cancel — the total overflows iff
+    * EXACTLY one step wraps (Hacker's Delight multi-word addition). All
+    * bitwise longs, one comparison: stays branch-free and codegen-hot.
     */
   private def add128(hiA: Expression, loA: Expression,
-      xHi: Expression, xLo: Expression): (Expression, Expression) = {
+      xHi: Expression, xLo: Expression): (Expression, Expression, Expression) = {
     val newLo = addL(loA, xLo)
     val carry = ShiftRightUnsigned(
       BitwiseOr(BitwiseAnd(loA, xLo),
         BitwiseAnd(BitwiseOr(loA, xLo), BitwiseNot(newLo))), Literal(63))
-    val newHi = addL(addL(hiA, xHi), carry)
-    (newHi, newLo)
+    val s1 = addL(hiA, xHi)
+    val newHi = addL(s1, carry)
+    val o1 = BitwiseAnd(BitwiseXor(hiA, s1), BitwiseXor(xHi, s1))
+    val o2 = BitwiseAnd(BitwiseXor(s1, newHi), BitwiseXor(carry, newHi))
+    val over = LessThan(BitwiseXor(o1, o2), Literal(0L))
+    (newHi, newLo, over)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
@@ -125,20 +150,30 @@ case class DecimalMicrosSum(child: Expression,
     }
     val xLo = If(contributes, loExpr, Literal(0L))
     val xHi = If(contributes, hiExpr, Literal(0L))
-    val (newHi, newLo) = add128(hi, lo, xHi, xLo)
-    Seq(newHi, newLo, Or(seen, contributes))
+    val (newHi, newLo, over) = add128(hi, lo, xHi, xLo)
+    Seq(newHi, newLo, Or(seen, contributes), Or(ovf, over))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    val (newHi, newLo) = add128(hi.left, lo.left, hi.right, lo.right)
-    Seq(newHi, newLo, Or(seen.left, seen.right))
+    val (newHi, newLo, over) = add128(hi.left, lo.left, hi.right, lo.right)
+    Seq(newHi, newLo, Or(seen.left, seen.right),
+      Or(Or(ovf.left, ovf.right), over))
   }
 
-  override lazy val evaluateExpression: Expression =
-    if (decimalOut)
-      If(seen, Int128MicrosToDecimal(hi, lo), Literal(null, DecimalType(38, 6)))
-    else
-      If(seen, Int128MicrosToDouble(hi, lo), Literal(null, DoubleType))
+  /** ANSI-vs-legacy captured at plan time (as the built-in sum's
+    * `CheckOverflowInSum` does via its `failOnError`): accumulator wrap →
+    * raise (ANSI) or NULL (legacy); the decimalOut representation gap is
+    * checked inside [[Int128MicrosToDecimal]] under the same mode.
+    */
+  override lazy val evaluateExpression: Expression = {
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    val onOverflow: Expression =
+      if (ansi) RaiseDecsumOverflow(dataType) else Literal(null, dataType)
+    val conv: Expression =
+      if (decimalOut) Int128MicrosToDecimal(hi, lo, ansi)
+      else Int128MicrosToDouble(hi, lo)
+    If(seen, If(ovf, onOverflow, conv), Literal(null, dataType))
+  }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DecimalMicrosSum =
@@ -200,12 +235,48 @@ object Micros128 {
     x == x && !java.lang.Double.isInfinite(x) &&
       (java.lang.Math.abs(x) < 4e6 ||
         micros(x).abs().compareTo(MaxUnscaled) < 0 ||
-        (if (ansi) throw new ArithmeticException(
-          s"[NUMERIC_VALUE_OUT_OF_RANGE] graft_decsum: $x cannot be " +
-            "represented as Decimal(20, 6) (the built-in sum's cast " +
-            "raises the same condition under ANSI mode); set " +
-            "spark.sql.ansi.enabled=false for NULL-on-overflow semantics")
+        (if (ansi)
+          // the genuine Spark error CONDITION the built-in sum's ANSI
+          // cast raises (NUMERIC_VALUE_OUT_OF_RANGE.WITH_SUGGESTION,
+          // SQLSTATE 22003) on an ArithmeticException implementing the
+          // public SparkThrowable interface — class/condition-based error
+          // handling sees the same condition from either aggregate. (The
+          // SparkArithmeticException class itself and its
+          // QueryExecutionErrors factory are private[spark]/private[sql];
+          // SparkThrowable is the public contract error handlers match
+          // on.) Message parameters mirror
+          // cannotChangeDecimalPrecisionError's.
+          throw new GraftArithmeticException(
+            "NUMERIC_VALUE_OUT_OF_RANGE.WITH_SUGGESTION",
+            "<value> cannot be represented as Decimal(<precision>, " +
+              "<scale>). If necessary set <config> to \"false\" to " +
+              "bypass this error, and return NULL instead.",
+            Map(
+              "value" -> java.math.BigDecimal.valueOf(x).toPlainString,
+              "precision" -> "20",
+              "scale" -> "6",
+              "config" -> AnsiConfQuoted))
         else false))
+
+  private val AnsiConfQuoted =
+    "\"" + org.apache.spark.sql.internal.SQLConf.ANSI_ENABLED.key + "\""
+
+  /** The built-in decimal sum's overflow condition (what
+    * `QueryExecutionErrors.overflowInSumOfDecimalError` raises: error
+    * class ARITHMETIC_OVERFLOW with the try_sum suggestion, SQLSTATE
+    * 22003) — raised by the ANSI evaluator when the int128 accumulator
+    * wrapped or a decimalOut total exceeds Decimal(38,6).
+    */
+  def sumOverflow(): Nothing =
+    throw new GraftArithmeticException(
+      "ARITHMETIC_OVERFLOW",
+      "<message>.<alternative> If necessary set <config> to \"false\" " +
+        "to bypass this error.",
+      Map(
+        "message" -> "Overflow in sum of decimals",
+        "alternative" -> (" Use 'try_sum' to tolerate overflow and " +
+          "return NULL instead."),
+        "config" -> AnsiConfQuoted))
 
   def dblLo(x: Double): Long = {
     val p = x * 1e6
@@ -227,9 +298,77 @@ object Micros128 {
       java.lang.Math.abs(java.lang.Math.abs(p - n) - 0.5) > 2e-3
     }
 
-  private def micros(x: Double): java.math.BigInteger =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
+  /** One exact conversion per distinct row value, not three: dblInDomain,
+    * dblLo and dblHi each need the same BigInteger on the wide/near-tie
+    * path, and the three update expressions see the same input value in
+    * sequence on the same thread — a one-slot thread-local memo collapses
+    * the up-to-3 BigDecimal constructions per row to 1. (Pure function of
+    * x, so a stale hit across rows with equal values is still correct.)
+    */
+  private final class Memo {
+    var x: Double = 0.0
+    var big: java.math.BigInteger = null
+  }
+  private val memo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+  private def micros(x: Double): java.math.BigInteger = {
+    val m = memo.get()
+    if (m.big == null || m.x != x) {
+      m.x = x
+      m.big = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
+    }
+    m.big
+  }
+}
+
+/** An ArithmeticException carrying a Spark error condition through the
+  * public [[org.apache.spark.SparkThrowable]] interface — what
+  * condition-based error handling (`getCondition`/`getSqlState`) matches
+  * on. The message renders exactly like Spark's own:
+  * `[CONDITION] template-with-params SQLSTATE: nnnnn` (both conditions
+  * used here are SQLSTATE 22003, numeric value out of range).
+  */
+class GraftArithmeticException(
+    condition: String, template: String, params: Map[String, String])
+  extends ArithmeticException(
+    s"[$condition] " + params.foldLeft(template) { case (m, (k, v)) =>
+      m.replace(s"<$k>", v)
+    } + " SQLSTATE: 22003")
+  with org.apache.spark.SparkThrowable {
+
+  override def getCondition: String = condition
+  override def getMessageParameters: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    params.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+}
+
+/** Raises the decimal-sum ARITHMETIC_OVERFLOW condition when evaluated —
+  * the ANSI branch of [[DecimalMicrosSum]]'s overflow check. Runs once
+  * per GROUP inside the evaluator's If, guarded by the `ovf` flag. Real
+  * doGenCode (not CodegenFallback) for the same null-INPUT_ROW reason as
+  * [[Int128MicrosToDouble]].
+  */
+case class RaiseDecsumOverflow(dataType: DataType) extends LeafExpression {
+  override def nullable: Boolean = true
+  override def foldable: Boolean = false
+  override def prettyName: String = "graft_decsum_overflow"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Micros128.sumOverflow()
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val jt = CodeGenerator.javaType(dataType)
+    // the static always throws; the declarations after it keep janino's
+    // reachability analysis happy and the ExprCode contract intact
+    ev.copy(code =
+      code"""
+            |graft.plans.Micros128.sumOverflow();
+            |boolean ${ev.isNull} = true;
+            |$jt ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+            |""".stripMargin)
+  }
 }
 
 /** [[Micros128.decLo]] as a codegen expression. */
@@ -354,23 +493,34 @@ object Int128MicrosToDouble {
 /** Exact (hi·2^64 + unsigned lo) micros as DECIMAL(38,6) — no rounding at
   * all; the [[DecimalMicrosSum]] decimalOut evaluator for re-aggregable
   * exact subtotals.
+  *
+  * An int128 total is NOT always a Decimal(38,6): the accumulator tops
+  * out near 1.7e38 micros while 38 digits end at 1e38, leaving a
+  * representation gap [1e38, 1.7e38) that the accumulator's wrap flag
+  * cannot see. Totals in the gap follow the plan-time-captured eval
+  * mode: ANSI raises the decimal-sum ARITHMETIC_OVERFLOW
+  * ([[Micros128.sumOverflow]]), legacy yields NULL — identical to the
+  * built-in sum's `CheckOverflowInSum` at ITS 38-digit buffer limit.
   */
-case class Int128MicrosToDecimal(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class Int128MicrosToDecimal(left: Expression, right: Expression,
+    ansi: Boolean) extends BinaryExpression {
 
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = DecimalType(38, 6)
   override def prettyName: String = "int128_micros_to_decimal"
 
   override protected def nullSafeEval(hi: Any, lo: Any): Any =
-    Int128MicrosToDecimal.toDecimal(hi.asInstanceOf[Long], lo.asInstanceOf[Long])
+    Int128MicrosToDecimal.toDecimal(
+      hi.asInstanceOf[Long], lo.asInstanceOf[Long], ansi)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev,
-      (h, l) => s"graft.plans.Int128MicrosToDecimal.toDecimal($h, $l)")
+    nullSafeCodeGen(ctx, ev, (h, l) => s"""
+      ${ev.value} = graft.plans.Int128MicrosToDecimal.toDecimal($h, $l, $ansi);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Int128MicrosToDecimal =
@@ -378,9 +528,15 @@ case class Int128MicrosToDecimal(left: Expression, right: Expression)
 }
 
 object Int128MicrosToDecimal {
-  /** Exact int128 micros → Decimal(38,6); always representable. */
-  def toDecimal(hi: Long, lo: Long): Decimal = {
+  private val MaxUnscaled = java.math.BigInteger.TEN.pow(38)
+
+  /** Exact int128 micros → Decimal(38,6); ANSI-raises or legacy-NULLs a
+    * total whose unscaled magnitude needs more than 38 digits.
+    */
+  def toDecimal(hi: Long, lo: Long, ansi: Boolean): Decimal = {
     val total = (BigInt(hi) << 64) | (BigInt(lo) & Int128MicrosToDouble.loMask)
-    Decimal(new java.math.BigDecimal(total.bigInteger, 6), 38, 6)
+    if (total.bigInteger.abs.compareTo(MaxUnscaled) >= 0) {
+      if (ansi) Micros128.sumOverflow() else null
+    } else Decimal(new java.math.BigDecimal(total.bigInteger, 6), 38, 6)
   }
 }

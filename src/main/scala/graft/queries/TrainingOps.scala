@@ -356,27 +356,16 @@ object TrainingOps {
     // DuckDB oracle unchanged.
     Q("q30_simhash",
       (s, d) => {
-        val simhashUdf = udf((ws: Array[String]) => {
-          val seen = new java.util.HashSet[String]()
-          val cnt = new Array[Int](60)
-          var n = 0
-          var i = 0
-          while (i < ws.length) {
-            val w = ws(i)
-            if (seen.add(w)) {
-              n += 1
-              val h = graft.plans.Md5PrefixLong.hash(w.getBytes("UTF-8"), 0)
-              var j = 0
-              while (j < 60) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
-            }
-            i += 1
-          }
-          var sh = 0L
-          var j = 0
-          while (j < 60) { if (2L * cnt(j) >= n) sh |= 1L << j; j += 1 }
-          sh
-        })
+        // the kernel lives in Hashing.simhash60 (unit-tested null/empty
+        // guard; Scala UDFs pass a null reference argument through to the
+        // body, so a null token array must be handled there). Null texts
+        // are dropped at the SCAN (pushed isnotnull filter, matching the
+        // pre-r6 explode form which dropped them implicitly), NOT on the
+        // UDF output: a post-project filter on a deterministic UDF column
+        // gets pushed through the Project and runs the kernel twice/row.
+        val simhashUdf = udf(graft.functions.Hashing.simhash60 _)
         docText(s, d)
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
           .orderBy("doc_id")
       },

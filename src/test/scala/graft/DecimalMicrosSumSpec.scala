@@ -154,17 +154,73 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
       s"builtin=${rd.getDouble(1)} fast=${rd.getDouble(2)}")
 
     // a DOUBLE past the (20,6) range mirrors the built-in's cast under
-    // the session's ANSI mode: out-of-range error, not a silent skip
+    // the session's ANSI mode: the SAME SparkArithmeticException error
+    // class (NUMERIC_VALUE_OUT_OF_RANGE) the built-in sum's cast raises,
+    // so class/SQLSTATE-based error handling cannot tell them apart
     val over = Seq[(Long, java.lang.Double)]((1L, 2e14)).toDF("k", "v")
     val exRef = intercept[Exception] { over.agg(builtin($"v")).collect() }
     val exFast = intercept[Exception] {
       over.agg(call_function("graft_decsum", $"v")).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(exRef).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")))
-    assert(messages(exFast).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
-      messages(exFast).mkString(" | "))
+    val refConds = DecimalMicrosSumSpec.conditions(exRef)
+    val fastConds = DecimalMicrosSumSpec.conditions(exFast)
+    assert(refConds.exists(_.startsWith("NUMERIC_VALUE_OUT_OF_RANGE")), refConds)
+    assert(fastConds.exists(_.startsWith("NUMERIC_VALUE_OUT_OF_RANGE")), fastConds)
+    assert((refConds intersect fastConds)
+      .exists(_.startsWith("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"ref=$refConds fast=$fastConds")
+  }
+
+  test("int128 accumulator wrap and the decimalOut 38-digit gap are detected, never silent") {
+    import spark.implicits._
+    def df(v: String) = Seq(v, v).toDF("s")
+      .select($"s".cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+    // two rows at the DECIMAL(38,6) extreme: ~1e38 micros each, total
+    // ~2e38 > int128 max ~1.7e38 — the accumulator itself wraps
+    val near = "99999999999999999999999999999999.999999"
+    // two 6e31-unit rows: total 1.2e38 micros — int128 holds it exactly,
+    // but 39 unscaled digits exceed Decimal(38,6) (the representation gap)
+    val gap = "60000000000000000000000000000000"
+
+    // ANSI (session default): the built-in sum(DECIMAL(38,6)) raises a
+    // SQLSTATE-22003 overflow — NUMERIC_VALUE_OUT_OF_RANGE when the
+    // per-add precision check trips first, ARITHMETIC_OVERFLOW from
+    // CheckOverflowInSum otherwise; ours raises the decimal-sum
+    // ARITHMETIC_OVERFLOW condition (CheckOverflowInSum's own)
+    val exRef = intercept[Exception] { df(near).agg(sum($"v")).collect() }
+    val exWrap = intercept[Exception] {
+      df(near).agg(call_function("graft_decsum", $"v")).collect()
+    }
+    val exGap = intercept[Exception] {
+      df(gap).agg(call_function("graft_decsum_dec", $"v")).collect()
+    }
+    val refConds = DecimalMicrosSumSpec.conditions(exRef)
+    assert(refConds.exists(c => c == "ARITHMETIC_OVERFLOW" ||
+      c.startsWith("NUMERIC_VALUE_OUT_OF_RANGE")), refConds)
+    assert(DecimalMicrosSumSpec.conditions(exWrap).contains("ARITHMETIC_OVERFLOW"),
+      DecimalMicrosSumSpec.conditions(exWrap))
+    assert(DecimalMicrosSumSpec.conditions(exGap).contains("ARITHMETIC_OVERFLOW"),
+      DecimalMicrosSumSpec.conditions(exGap))
+
+    // the double-out evaluator is NOT affected by the 38-digit gap: the
+    // exact int128 total 1.2e38 micros rounds to 1.2e32 — correct where
+    // the built-in's 38-digit buffer has already overflowed
+    val okGap = df(gap).agg(call_function("graft_decsum", $"v")).collect().head
+    assert(okGap.getDouble(0) == 1.2e32, okGap.getDouble(0))
+
+    // legacy mode: NULL, exactly like the built-in's CheckOverflowInSum
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      assert(df(near).agg(sum($"v")).collect().head.isNullAt(0))
+      assert(df(near).agg(call_function("graft_decsum", $"v"))
+        .collect().head.isNullAt(0))
+      assert(df(gap).agg(call_function("graft_decsum_dec", $"v"))
+        .collect().head.isNullAt(0))
+      // and a non-overflowing legacy sum still produces its value
+      val fine = df("1.5").agg(call_function("graft_decsum", $"v"))
+        .collect().head.getDouble(0)
+      assert(fine == 3.0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
   test("scale-6 decimals of any precision take the direct path (no narrowing cast)") {
@@ -183,4 +239,17 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
     assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
       s"builtin=${r.getDouble(1)} int128=${r.getDouble(2)}")
   }
+}
+
+object DecimalMicrosSumSpec {
+  /** Every Spark error condition (error class) in a failure's cause
+    * chain — task failures arrive wrapped in SparkException layers.
+    */
+  def conditions(t: Throwable): Set[String] =
+    if (t == null) Set.empty
+    else (t match {
+      case st: org.apache.spark.SparkThrowable if st.getCondition != null =>
+        Set(st.getCondition)
+      case _ => Set.empty[String]
+    }) ++ conditions(t.getCause)
 }

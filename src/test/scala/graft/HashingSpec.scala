@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Hashing
 
+import java.nio.file.Files
+
 /** Column-level hashing helpers (F1/A2/F4 + the md5Long base hashes used by
   * minhash/simhash/LSH). Runs on the shared local session.
   */
@@ -118,5 +120,37 @@ class HashingSpec extends AnyFunSuite {
     val vals = Seq.fill(1000)(0.1)
     val s = vals.toDF("v").agg(Hashing.decSum($"v").as("s")).collect().head.getDouble(0)
     assert(s == 100.0) // naive double summation would give 99.9999999999986
+  }
+
+  test("simhash60 kernel: null/empty token arrays yield NULL, never NPE or all-bits") {
+    assert(Hashing.simhash60(null) == null)
+    assert(Hashing.simhash60(Array.empty[String]) == null)
+    // a real array majority-votes over DISTINCT tokens: duplicates don't
+    // change the fingerprint, and a single token's fingerprint is its
+    // own 60-bit hash (every bit count is 0 or 1, 2·c ≥ 1 ⟺ c = 1...
+    // plus the tie bits where 2·0 ≥ 0 fails only for n ≥ 1 when c = 0)
+    val one = Hashing.simhash60(Array("foo"))
+    assert(one != null && one == Hashing.simhash60(Array("foo", "foo", "foo")))
+    assert((one.longValue() >>> 60) == 0L) // 60-bit domain
+  }
+
+  test("q30 survives a null-text document end-to-end (dropped, not NPE)") {
+    // the guard the advisor flagged: a null text reaches the UDF as a
+    // null token array under the old form — pin the query-level behavior
+    // on a tiny corpus containing one
+    val dir = Files.createTempDirectory("graft-nulltext-").toFile.getAbsolutePath
+    try {
+      Seq(
+        (1L, "alpha beta gamma", "en", "web", 16L),
+        (2L, null.asInstanceOf[String], "en", "web", 0L),
+        (3L, "delta epsilon", "en", "web", 13L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q30_simhash")(spark, dir).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // doc 2 dropped
+      assert(out.forall(!_.isNullAt(1)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
