@@ -123,24 +123,48 @@ object AnalyticsOps {
       (s, d) => {
         val terms = Seq("table", "join", "fast")
         // Per-doc length AND per-term term frequencies straight off the
-        // BOUND token array — size/filter HOFs, pure map-side arithmetic
-        // (r6: the r5 form still exploded one row per token and
-        // re-grouped; that explode and its groupBy exchange are deleted —
-        // nothing leaves the document's row). The corpus statistics (N,
-        // avgdl, per-term df) are ONE 1-row broadcast aggregate over the
+        // BOUND token array, in ONE primitive loop (r7: the r6 form used
+        // one size(filter(ws, _===t)) per term — but higher-order
+        // functions evaluate INTERPRETED, never entering codegen, and
+        // three of them walk the array three times; the q30 lesson says a
+        // tight-loop UDF wins ~2× on exactly this shape. r6 had already
+        // deleted the r5 explode and its groupBy exchange — nothing
+        // leaves the document's row). The corpus statistics (N, avgdl,
+        // per-term df) are ONE 1-row broadcast aggregate over the
         // persisted per-doc table, and scoring is a single map-side
         // projection. At 100 TB the per-doc table is one row per document
         // (the thing a scoring pass must touch anyway); nothing here
         // broadcasts anything that grows with the corpus. The two-step
-        // select keeps `ws` a bound column (CollapseProject never inlines
-        // a non-cheap multi-referenced alias), so the tokenize runs once
-        // per document, not once per term.
+        // select keeps the tf array a bound column (CollapseProject never
+        // inlines a non-cheap multi-referenced alias), so the tokenize +
+        // count pass runs once per document, not once per term.
+        val termsArr = terms.toArray
+        val tfUdf = udf((ws: Array[String]) => {
+          // element 0 = dl (token count), then one tf per query term
+          val out = new Array[Long](termsArr.length + 1)
+          if (ws != null) {
+            out(0) = ws.length.toLong
+            var i = 0
+            while (i < ws.length) {
+              val w = ws(i)
+              var j = 0
+              while (j < termsArr.length) {
+                if (w == termsArr(j)) out(j + 1) += 1L
+                j += 1
+              }
+              i += 1
+            }
+          }
+          out
+        })
         val perdoc = graft.util.Caches.transientPersist(
           fanOut(documents(s, d).select(col("doc_id"), col("text")))
-            .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-            .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
-              terms.map(t => size(filter(col("ws"), w => w === t))
-                .cast("long").as(s"tf_$t")): _*))
+            .select(col("doc_id"),
+              tfUdf(split(trim(col("text")), "\\s+")).as("tfs"))
+            .select(col("doc_id") +: col("tfs").getItem(0).as("dl") +:
+              terms.zipWithIndex.map { case (t, j) =>
+                col("tfs").getItem(j + 1).as(s"tf_$t")
+              }: _*))
         // ONE 1-row corpus-stats aggregate (N, total length, per-term
         // document frequencies together) — a single broadcast job instead
         // of two

@@ -170,4 +170,14 @@ class PlanSpec extends AnyFunSuite {
         conf.set("spark.graft.presentationSort.maxBytes", _))
     }
   }
+
+  test("q52 BM25: nothing leaves the document's row before the stats agg") {
+    graft.util.Caches.clearTransient() // plan the per-doc build, not a cache hit
+    val p = plan("q52_bm25_rank")
+    // r5 exploded one row per token (Generate) and re-grouped; r6 swapped
+    // that for three interpreted filter() lambdas; r7 is one primitive
+    // tf-kernel pass — the plan must show neither regression
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
 }
