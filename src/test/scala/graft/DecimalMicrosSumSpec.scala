@@ -223,6 +223,65 @@ class DecimalMicrosSumSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
+  test("randomized extreme-magnitude groups match BigInteger truth; wraps always flag (property)") {
+    import spark.implicits._
+    // the add128 overflow probe is the subtle bit (two-step signed-add
+    // XOR combination): pin it against BigInteger arithmetic on inputs
+    // whose behavior is ORDER-INDEPENDENT, because Spark's partial
+    // aggregation order is nondeterministic —
+    //  * exact groups: sum of |v| < 1e38 micros, so no intermediate wrap
+    //    under ANY order and the total is a representable Decimal(38,6)
+    //  * overflow groups: all values share a sign, so prefix sums are
+    //    monotone and EVERY order wraps (or lands in the 38-digit gap)
+    val rnd = new scala.util.Random(99)
+    def randMicros(maxDigits: Int): BigInt = {
+      val digits = 30 + rnd.nextInt(maxDigits - 29)
+      val s = (1 to digits).map(_ => rnd.nextInt(10)).mkString.dropWhile(_ == '0')
+      if (s.isEmpty) BigInt(1) else BigInt(s)
+    }
+    // ---- exact groups: one job, 25 groups × ~12 rows of ±~1e36 micros
+    val groups = (0 until 25).map { g =>
+      val vals = (0 until 12).map { _ =>
+        val v = randMicros(36) // ≤ ~1e36 each; 12 × 1e36 << 1e38
+        if (rnd.nextBoolean()) v else -v
+      }
+      (g.toLong, vals)
+    }
+    val rows = groups.flatMap { case (g, vs) =>
+      vs.map(v => (g, new java.math.BigDecimal(v.bigInteger, 6).toPlainString))
+    }
+    val got = rows.toDF("k", "s")
+      .select($"k", $"s".cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+      .repartition(7) // force partial/merge int128 paths
+      .groupBy("k").agg(call_function("graft_decsum_dec", $"v").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    groups.foreach { case (g, vs) =>
+      val expected = new java.math.BigDecimal(vs.sum.bigInteger, 6)
+      assert(got(g).compareTo(expected) == 0, s"k=$g: got ${got(g)} want $expected")
+    }
+    // ---- overflow groups: same-sign rows whose total wraps int128 or
+    // lands in the [1e38, 1.7e38) representation gap — both must raise,
+    // never return a wrapped/truncated value
+    (1 to 4).foreach { i =>
+      val sign = if (i % 2 == 0) 1 else -1
+      val n = 2 + rnd.nextInt(3)
+      // each |row| in [6e37, 1e38): n rows total in [1.2e38, 5e38) —
+      // always past the 38-digit limit, sometimes past int128
+      val vs = (0 until n).map { _ =>
+        val v = BigInt("6" + (1 to 37).map(_ => rnd.nextInt(10)).mkString)
+        BigInt(sign) * v
+      }
+      val df = vs.map(v => new java.math.BigDecimal(v.bigInteger, 6).toPlainString)
+        .toDF("s")
+        .select($"s".cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+      val ex = intercept[Exception] {
+        df.agg(call_function("graft_decsum_dec", $"v")).collect()
+      }
+      assert(DecimalMicrosSumSpec.conditions(ex).contains("ARITHMETIC_OVERFLOW"),
+        s"group $i (${vs.mkString(",")}): ${DecimalMicrosSumSpec.conditions(ex)}")
+    }
+  }
+
   test("scale-6 decimals of any precision take the direct path (no narrowing cast)") {
     import spark.implicits._
     // a DECIMAL(38,6) input (e.g. re-aggregating graft_decsum_dec exact
