@@ -42,7 +42,7 @@ object ScaleCheck {
     "q27_dedup_exact", "q28_minhash_sig", "q29_lsh_neardup", "q30_simhash",
     "q31_ngram_jaccard", "q32_cosine_topk", "q33_ivf_neardup",
     "q34_lsh_embed_sig", "q38_fingerprint", "q48_ann_topk",
-    "q50_winnow_fingerprint", "q51_dedup_clusters")
+    "q50_winnow_fingerprint", "q51_dedup_clusters", "q52_bm25_rank")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
