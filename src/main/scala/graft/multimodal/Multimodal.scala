@@ -81,4 +81,104 @@ object Multimodal {
         col("mean_byte"), concat_ws(",", col("byte_hist")).as("hist_csv"))
       .orderBy("doc_id")
   }
+
+  /** A fixed-width "thumbnail" row (resize output). */
+  final case class MediaThumb(doc_id: Long, n_bytes: Int, thumb: Array[Byte])
+
+  /** STUB resize: nearest-neighbor byte downsample to a fixed 32-byte
+    * thumbnail — `out(j) = payload((j·n)/32)` — standing in for a pixel
+    * resize (which needs a codec this container lacks). Deterministic and
+    * byte-slice-expressible, so the WHOLE mapPartitions pipeline is
+    * oracle-checkable; replace the body (not the signature) with a real
+    * scaler in production. Empty payload → empty thumbnail.
+    */
+  def resizeStub(payload: Array[Byte], width: Int): Array[Byte] = {
+    if (payload.length == 0) return Array.emptyByteArray
+    val out = new Array[Byte](width)
+    var j = 0
+    while (j < width) {
+      out(j) = payload((j * payload.length) / width)
+      j += 1
+    }
+    out
+  }
+
+  /** Resize in partition batches — same codec-seam shape as
+    * [[extractFeatures]]: per-partition setup amortizes, payloads never
+    * leave the executor.
+    */
+  def resize(media: Dataset[MediaRow], width: Int): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        MediaThumb(r.doc_id, payload.length, resizeStub(payload, width))
+      }
+    }
+  }
+
+  /** Registry query (q62): 32-byte thumbnails of every payload, hex-coded
+    * so the DuckDB oracle can hash-compare the exact bytes.
+    */
+  def resizeQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    resize(media, 32)
+      .select(col("doc_id"), col("n_bytes"),
+        lower(hex(col("thumb"))).as("thumb_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampler: k fixed-size byte windows at uniform stride —
+    * `frame_i = payload[i·stride, i·stride+frameLen)`, stride =
+    * max(1, n/k) — standing in for video frame extraction. Windows past
+    * the payload end are empty/truncated, exactly like SQL byte
+    * `substring`, which keeps the whole 1→N pipeline oracle-checkable.
+    */
+  def frameSampleStub(payload: Array[Byte], frames: Int, frameLen: Int): Seq[(Int, Array[Byte])] = {
+    val n = payload.length
+    val stride = math.max(1, n / frames)
+    (0 until frames).map { i =>
+      val from = math.min(n, i * stride)
+      val until = math.min(n, from + frameLen)
+      i -> java.util.Arrays.copyOfRange(payload, from, until)
+    }
+  }
+
+  /** Frame-sample in partition batches (1 row → k frame rows) — the video
+    * analog of [[resize]]; a real build swaps the stub for a demuxer
+    * initialized once per partition.
+    */
+  def frameSample(media: Dataset[MediaRow], frames: Int, frameLen: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        frameSampleStub(payload, frames, frameLen).map { case (i, f) =>
+          MediaFrame(r.doc_id, i, f)
+        }
+      }
+    }
+  }
+
+  /** Registry query (q63): 4 frames × 16 bytes per payload with per-frame
+    * digests — the typed 1→N explode the driver gate hash-checks.
+    */
+  def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    frameSample(media, 4, 16)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).as("n_frame"), md5(col("frame")).as("digest"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -710,6 +710,33 @@ object TrainingOps {
         "FROM documents d LEFT JOIN mb USING (doc_id) JOIN hs USING (doc_id) " +
         "ORDER BY doc_id")),
 
+    // Resize: fixed-width nearest-neighbor byte downsample through the
+    // same typed mapPartitions codec seam (stub scaler, real plumbing —
+    // see graft.multimodal.Multimodal.resizeStub). Byte-exact oracle via
+    // the q42/q43 ASCII char==byte identity: the thumbnail's 32 sampled
+    // bytes are 32 substr() picks, hex-compared.
+    Q("q62_media_resize",
+      (s, d) => graft.multimodal.Multimodal.resizeQuery(s, d),
+      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents) " +
+        "SELECT doc_id, n AS n_bytes, lower(hex(encode(" +
+        (0 until 32).map(j => s"substr(text, ($j * n) // 32 + 1, 1)")
+          .mkString(" || ") +
+        "))) AS thumb_hex FROM t ORDER BY doc_id")),
+
+    // Frame-sample: k uniform-stride fixed-size windows per payload — the
+    // video-frame analog of resize, a typed 1→N mapPartitions stage
+    // (stub demuxer, real plumbing). Window arithmetic matches SQL
+    // substring exactly (truncated/empty past the end), so every frame's
+    // digest is oracle-checked.
+    Q("q63_frame_sample",
+      (s, d) => graft.multimodal.Multimodal.frameSampleQuery(s, d),
+      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents), " +
+        "f AS (SELECT doc_id, k AS frame_idx, " +
+        "substr(text, CAST(k * greatest(n // 4, 1) + 1 AS INTEGER), 16) AS frame " +
+        "FROM t, unnest(range(0, 4)) AS u(k)) " +
+        "SELECT doc_id, frame_idx, strlen(frame) AS n_frame, md5(frame) AS digest " +
+        "FROM f ORDER BY doc_id, frame_idx")),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a

@@ -53,4 +53,52 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("doc_id", "media_type", "n_bytes", "mean_byte", "hist_csv"))
     assert(rows.head.getAs[String]("media_type") == "text/plain")
   }
+
+  test("resizeStub: exact nearest-neighbor picks, short and empty payloads") {
+    // payload longer than width: out(j) = payload((j*n)/32)
+    val long = Array.tabulate(100)(_.toByte)
+    val t = Multimodal.resizeStub(long, 32)
+    assert(t.length == 32)
+    (0 until 32).foreach(j => assert(t(j) == long((j * 100) / 32)))
+    // payload SHORTER than the thumbnail: indexes repeat, never overflow
+    val short = Array[Byte](7, 9)
+    val ts = Multimodal.resizeStub(short, 32)
+    assert(ts.length == 32 && ts.forall(b => b == 7 || b == 9))
+    assert(ts(0) == 7 && ts(31) == 9) // (31*2)/32 = 1
+    // single byte → constant thumbnail; empty → empty (not 32 zeros)
+    assert(Multimodal.resizeStub(Array[Byte](42), 32).forall(_ == 42))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 32).isEmpty)
+  }
+
+  test("frameSampleStub: SQL-substring window semantics at the edges") {
+    // n=10, frames=4: stride=2 → windows at 0,2,4,6 truncated to n
+    val p = Array.tabulate(10)(_.toByte)
+    val f = Multimodal.frameSampleStub(p, 4, 16)
+    assert(f.map(_._1) == Seq(0, 1, 2, 3))
+    assert(f(0)._2.sameElements(p.slice(0, 10))) // 0+16 past end → truncates
+    assert(f(3)._2.sameElements(p.slice(6, 10)))
+    // empty payload: 4 empty frames (stride clamps to 1, windows empty)
+    val fe = Multimodal.frameSampleStub(Array.emptyByteArray, 4, 16)
+    assert(fe.length == 4 && fe.forall(_._2.isEmpty))
+    // payload shorter than frame count: later windows start past the end
+    val tiny = Array[Byte](1, 2)
+    val ft = Multimodal.frameSampleStub(tiny, 4, 16)
+    assert(ft(0)._2.sameElements(tiny) && ft(2)._2.isEmpty && ft(3)._2.isEmpty)
+  }
+
+  test("resize/frameSample datasets: 1→1 and 1→k row contracts over batches") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/fake", Array.tabulate(64)(_.toByte)),
+      MediaRow(2L, "video/fake", Array.emptyByteArray)
+    ).toDS().repartition(2)
+    val thumbs = Multimodal.resize(media, 32).collect().sortBy(_.doc_id)
+    assert(thumbs.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(thumbs(0).thumb.length == 32 && thumbs(1).thumb.isEmpty)
+    val frames = Multimodal.frameSample(media, 4, 16).collect()
+      .sortBy(r => (r.doc_id, r.frame_idx))
+    assert(frames.length == 8) // 1→4 per payload
+    assert(frames.take(4).forall(_.frame.length == 16)) // 64/4=16-stride full windows
+    assert(frames.drop(4).forall(_.frame.isEmpty))
+  }
 }
