@@ -32,15 +32,26 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("event_type"), col("n"),
         col("sum_value"))
 
-  /** Session windows per user with a 30-minute gap (streaming q40). */
+  /** Session windows per user with a 30-minute gap (streaming q40).
+    *
+    * CALLER WARNING (pinned in StreamingSpec's X14 check): do NOT apply a
+    * DataFrame `filter` on `sess_start`/`sess_end` ranges to this output
+    * in BATCH mode expecting merged-session semantics — Catalyst pushes
+    * predicates on session_window grouping columns BELOW the
+    * session-merging aggregate, where they apply to the pre-merge
+    * per-event windows; an event whose own window fails the predicate is
+    * dropped before merging, which can silently split or shrink a
+    * session that SHOULD have survived the filter. Filter on collected
+    * results, or on the input rows, instead.
+    */
   def sessionAgg(events: DataFrame, watermark: String = "30 minutes",
       gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), Hashing.decSum(col("value")).as("sum_value"))
-      .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"),
-        col("sum_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
 
   /** Streaming exact dedup (the streaming form of q27): emit only the
     * FIRST document per content hash (F1, [[Hashing.simpleHash]]), with

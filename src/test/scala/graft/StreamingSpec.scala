@@ -183,4 +183,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess(0) == ((ts(0), 3L, 3.0)))
     assert(sess(1) == ((ts(90), 1L, 5.0)))
   }
+
+  test("availableNow session stream equals the batch session aggregation (X14 on sf0.01)") {
+    import org.apache.spark.sql.functions._
+    // the session-window sibling of the X13 check: the SAME sessionAgg
+    // code, driven availableNow over the real events parquet, must equal
+    // the batch computation on every session the final watermark closed
+    // (append mode emits a session once the watermark passes its end)
+    val dir = "/root/testdata/sf0.01"
+    val batchEvents = graft.util.Tables.events(spark, dir)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamEvents = spark.readStream.schema(rawSchema)
+      .parquet(stageDir(s"$dir/events.parquet"))
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val q = Streaming.sessionAgg(streamEvents, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("an_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("sess_start"),
+        r.getAs[Timestamp]("sess_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))
+    val got = spark.table("an_sessions").collect().map(key).toSet
+    val maxTs = batchEvents.agg(max(col("ts"))).head.getTimestamp(0)
+    // Two traps pinned here:
+    //  1. The emittable filter must run DRIVER-SIDE on the collected
+    //     rows. A DataFrame filter on `sess_end` gets pushed BELOW the
+    //     session-merging aggregate (Catalyst treats session_window as an
+    //     ordinary grouping column), where it applies to the PRE-MERGE
+    //     per-event windows — an event whose own 30-min window ends past
+    //     the cutoff is dropped before merging, silently resurrecting an
+    //     unmerged fragment of its session (observed: user 12's 2-event
+    //     session came back as an n=1 fragment).
+    //  2. The event-time watermark is tracked in MILLISECONDS: the final
+    //     watermark is the max event time FLOORED to ms, so a session
+    //     whose µs-precise end lands in the truncated sliver stays open.
+    //     (The tumbling X13 check sees neither: window start/end are
+    //     hour-aligned constants with no sub-ms part, and its filter
+    //     pushes below a tumbling groupBy harmlessly — tumbling windows
+    //     never merge.)
+    val wmMicros = maxTs.toInstant.toEpochMilli * 1000L
+    def endMicros(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val want = Streaming.sessionAgg(batchEvents)
+      .collect().map(key)
+      .filter(t => endMicros(t._3) <= wmMicros).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream=${got.size} rows, batch=${want.size} rows, " +
+        s"onlyStream=${(got -- want).take(3)}, onlyBatch=${(want -- got).take(3)}")
+  }
 }
