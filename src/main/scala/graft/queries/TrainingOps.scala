@@ -740,6 +740,59 @@ object TrainingOps {
         "SELECT doc_id, frame_idx, strlen(frame) AS n_frame, md5(frame) AS digest " +
         "FROM f ORDER BY doc_id, frame_idx")),
 
+    // Repetition-based quality signals (the Gopher-rule family): the
+    // fraction of tokens belonging to words that repeat within the
+    // document, and the share of the most frequent bigram among all
+    // bigrams — the standard "degenerate/templated text" filters a
+    // training pipeline applies after the q36 surface statistics. One
+    // primitive-loop kernel per document (two small hash maps), counts
+    // out as exact integers, fractions formed as integer-ratio doubles —
+    // bit-stable across engines. Map-side except the presentation sort.
+    Q("q64_repetition",
+      (s, d) => {
+        val repUdf = udf((ws: Seq[String]) => {
+          if (ws == null) Array(0L, 0L, 0L, 0L)
+          else {
+            val arr = ws.toArray
+            val wc = new scala.collection.mutable.HashMap[String, Int]()
+            arr.foreach(w => wc.update(w, wc.getOrElse(w, 0) + 1))
+            var rep = 0L
+            wc.valuesIterator.foreach(n => if (n > 1) rep += n)
+            val bc = new scala.collection.mutable.HashMap[String, Int]()
+            var i = 0
+            while (i < arr.length - 1) {
+              val b = arr(i) + " " + arr(i + 1)
+              bc.update(b, bc.getOrElse(b, 0) + 1)
+              i += 1
+            }
+            val top = if (bc.isEmpty) 0L else bc.valuesIterator.max.toLong
+            Array(arr.length.toLong, math.max(arr.length - 1, 0).toLong,
+              top, rep)
+          }
+        })
+        docText(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), repUdf(words(col("text"))).as("c"))
+          .select(col("doc_id"),
+            col("c").getItem(0).as("n_words"),
+            (col("c").getItem(3).cast("double") / col("c").getItem(0))
+              .as("rep_word_frac"),
+            when(col("c").getItem(1) === 0, lit(0.0))
+              .otherwise(col("c").getItem(2).cast("double") / col("c").getItem(1))
+              .as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, unnest(ws) AS w FROM toks), " +
+        "wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2), " +
+        "rep AS (SELECT doc_id, sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS rep_n, CAST(sum(n) AS BIGINT) AS n_words FROM wc GROUP BY 1), " +
+        "bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b FROM toks, unnest(range(1, len(ws))) AS t(i)), " +
+        "bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2), " +
+        "top AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_bigrams FROM bc GROUP BY 1) " +
+        "SELECT r.doc_id, r.n_words, CAST(rep_n AS DOUBLE) / n_words AS rep_word_frac, " +
+        "coalesce(CAST(top_n AS DOUBLE) / nullif(n_bigrams, 0), 0.0) AS top_bigram_frac " +
+        "FROM rep r LEFT JOIN top USING (doc_id) ORDER BY doc_id")),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a
