@@ -180,4 +180,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p)
     assert(!p.contains("lambdafunction"), p)
   }
+
+  test("map-side per-doc kernels (q62/q63/q64): no exchange before the presentation sort") {
+    // the multimodal resize/frame-sample stages and the repetition
+    // kernel are single-pass per document — any hashpartitioning
+    // exchange means a join/groupBy crept back in
+    for (q <- Seq("q62_media_resize", "q63_frame_sample", "q64_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
 }
