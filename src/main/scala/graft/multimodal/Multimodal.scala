@@ -67,16 +67,31 @@ object Multimodal {
     }
   }
 
+  /** The documents table viewed as a media table — text bytes stand in
+    * for payloads (no real media in the corpus); the ONE definition the
+    * three registry queries share so the media shape cannot silently
+    * diverge between them. `dropNullText` matches each query's oracle:
+    * q43's oracle EMITS a (coalesced) row for a null text, so it keeps
+    * them; the q62/q63 oracles filter null texts out (a stub-decoded
+    * empty output would diverge from their NULL propagation otherwise),
+    * so those drop them at the SCAN (pushed isnotnull filter).
+    */
+  private def mediaView(s: SparkSession, d: String,
+      dropNullText: Boolean): Dataset[MediaRow] = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val base = if (dropNullText) docs.filter(col("text").isNotNull) else docs
+    base
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
   /** Registry query (q43): documents' text bytes stand in for media
     * payloads; output is the decoded feature table, stable-ordered.
     */
   def featureQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d)
-      .select(col("doc_id"), lit("text/plain").as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
-    extractFeatures(media)
+    extractFeatures(mediaView(s, d, dropNullText = false))
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         col("mean_byte"), concat_ws(",", col("byte_hist")).as("hist_csv"))
       .orderBy("doc_id")
@@ -97,7 +112,9 @@ object Multimodal {
     val out = new Array[Byte](width)
     var j = 0
     while (j < width) {
-      out(j) = payload((j * payload.length) / width)
+      // long arithmetic: j * length overflows Int for payloads ≥ ~69 MB
+      // (real media sizes), which would index negative and kill the task
+      out(j) = payload(((j.toLong * payload.length) / width).toInt)
       j += 1
     }
     out
@@ -121,12 +138,7 @@ object Multimodal {
     * so the DuckDB oracle can hash-compare the exact bytes.
     */
   def resizeQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d)
-      .select(col("doc_id"), lit("text/plain").as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
-    resize(media, 32)
+    resize(mediaView(s, d, dropNullText = true), 32)
       .select(col("doc_id"), col("n_bytes"),
         lower(hex(col("thumb"))).as("thumb_hex"))
       .orderBy("doc_id")
@@ -171,12 +183,7 @@ object Multimodal {
     * digests — the typed 1→N explode the driver gate hash-checks.
     */
   def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d)
-      .select(col("doc_id"), lit("text/plain").as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
-    frameSample(media, 4, 16)
+    frameSample(mediaView(s, d, dropNullText = true), 4, 16)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame")).as("n_frame"), md5(col("frame")).as("digest"))
       .orderBy("doc_id", "frame_idx")

@@ -720,7 +720,7 @@ object TrainingOps {
     // bytes are 32 substr() picks, hex-compared.
     Q("q62_media_resize",
       (s, d) => graft.multimodal.Multimodal.resizeQuery(s, d),
-      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents) " +
+      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents WHERE text IS NOT NULL) " +
         "SELECT doc_id, n AS n_bytes, lower(hex(encode(" +
         (0 until 32).map(j => s"substr(text, ($j * n) // 32 + 1, 1)")
           .mkString(" || ") +
@@ -733,7 +733,7 @@ object TrainingOps {
     // digest is oracle-checked.
     Q("q63_frame_sample",
       (s, d) => graft.multimodal.Multimodal.frameSampleQuery(s, d),
-      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents), " +
+      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents WHERE text IS NOT NULL), " +
         "f AS (SELECT doc_id, k AS frame_idx, " +
         "substr(text, CAST(k * greatest(n // 4, 1) + 1 AS INTEGER), 16) AS frame " +
         "FROM t, unnest(range(0, 4)) AS u(k)) " +
@@ -750,10 +750,9 @@ object TrainingOps {
     // bit-stable across engines. Map-side except the presentation sort.
     Q("q64_repetition",
       (s, d) => {
-        val repUdf = udf((ws: Seq[String]) => {
-          if (ws == null) Array(0L, 0L, 0L, 0L)
+        val repUdf = udf((arr: Array[String]) => {
+          if (arr == null) Array(0L, 0L, 0L, 0L)
           else {
-            val arr = ws.toArray
             val wc = new scala.collection.mutable.HashMap[String, Int]()
             arr.foreach(w => wc.update(w, wc.getOrElse(w, 0) + 1))
             var rep = 0L
