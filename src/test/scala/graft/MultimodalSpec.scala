@@ -86,6 +86,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ft(0)._2.sameElements(tiny) && ft(2)._2.isEmpty && ft(3)._2.isEmpty)
   }
 
+  test("null-text docs: dropped by q62/q63 (oracle filters), kept by q43 (oracle coalesces)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-null-")
+      .toFile.getAbsolutePath
+    try {
+      Seq(
+        (1L, "alpha beta", "en", "web", 10L),
+        (2L, null.asInstanceOf[String], "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // q62/q63: the null doc must vanish (their oracles' WHERE filters it;
+      // stub-decoding it to empty output would hash-mismatch)
+      val rq = SparkEntry.queries("q62_media_resize")(spark, dir).collect()
+      assert(rq.map(_.getLong(0)).toSeq == Seq(1L))
+      val fq = SparkEntry.queries("q63_frame_sample")(spark, dir).collect()
+      assert(fq.map(_.getLong(0)).distinct.toSeq == Seq(1L) && fq.length == 4)
+      // q43: the null doc SURVIVES with zero features (its oracle emits a
+      // coalesced row for it)
+      val dq = SparkEntry.queries("q43_multimodal_decode")(spark, dir).collect()
+      assert(dq.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(dq(1).getAs[Int]("n_bytes") == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("resize/frameSample datasets: 1→1 and 1→k row contracts over batches") {
     import spark.implicits._
     val media = Seq(
