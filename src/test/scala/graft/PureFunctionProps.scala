@@ -75,4 +75,47 @@ object PureFunctionProps extends Properties("graft.pure") {
       val out = Export.defaultExtension(n, sib.toSet)
       out.contains('.') || sib.contains(n + ".sol")
     }
+
+  private val tokens: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy", "日本"))
+
+  property("simhash60: invariant under token permutation AND duplication") =
+    forAll(tokens, Gen.chooseNum(0L, Long.MaxValue)) { (ws, seed) =>
+      // the fingerprint is a function of the DISTINCT token set — the
+      // guarantee that makes it a near-dup signal: reordering a document
+      // or repeating its phrases must not move it
+      val base = graft.functions.Hashing.simhash60(ws.toArray)
+      val rnd = new scala.util.Random(seed)
+      val shuffledDup = rnd.shuffle(ws ++ ws.take(ws.length / 2)).toArray
+      val again = graft.functions.Hashing.simhash60(shuffledDup)
+      Prop(
+        if (ws.isEmpty) base == null && again == null
+        else base != null && base == again && (base.longValue() >>> 60) == 0L)
+    }
+
+  property("resizeStub: width-bounded, every byte drawn from the payload in order") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.chooseNum(1, 64)) { (bs, w) =>
+      val p = bs.map(_.toByte).toArray
+      val out = graft.multimodal.Multimodal.resizeStub(p, w)
+      Prop(
+        if (p.isEmpty) out.isEmpty
+        else out.length == w && out.zipWithIndex.forall { case (b, j) =>
+          b == p(((j.toLong * p.length) / w).toInt)
+        })
+    }
+
+  property("frameSampleStub: frames tile the payload prefix without gaps or overlap when stride = frameLen") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.chooseNum(1, 8)) { (bs, k) =>
+      val p = bs.map(_.toByte).toArray
+      val stride = math.max(1, p.length / k)
+      val frames = graft.multimodal.Multimodal.frameSampleStub(p, k, stride)
+      // with frameLen == stride the windows are consecutive: concatenating
+      // them reproduces the payload prefix they cover, and indexes are 0..k-1
+      val whole = frames.sortBy(_._1).flatMap(_._2).toArray
+      Prop(frames.map(_._1) == (0 until k) &&
+        whole.sameElements(p.take(whole.length)) &&
+        whole.length == math.min(p.length, k.toLong * stride).toInt)
+    }
 }
