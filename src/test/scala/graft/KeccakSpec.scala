@@ -34,6 +34,14 @@ class KeccakSpec extends AnyFunSuite {
     assert(Keccak.selector("transferFrom(address,address,uint256)") == "0x23b872dd")
   }
 
+  test("ERC-721 / ERC-165 function selectors (published constants)") {
+    assert(Keccak.selector("ownerOf(uint256)") == "0x6352211e")
+    assert(Keccak.selector("safeTransferFrom(address,address,uint256)") == "0x42842e0e")
+    assert(Keccak.selector("setApprovalForAll(address,bool)") == "0xa22cb465")
+    assert(Keccak.selector("isApprovedForAll(address,address)") == "0xe985e9c5")
+    assert(Keccak.selector("supportsInterface(bytes4)") == "0x01ffc9a7")
+  }
+
   test("ERC-20 event topic hashes (full 32-byte digests)") {
     assert(Keccak.hash256Hex("Transfer(address,address,uint256)") ==
       "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
