@@ -246,6 +246,39 @@ object AnalyticsOps {
         "GROUP BY ROLLUP (r_name, n_name) " +
         "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
 
+    // CUBE: all four grouping sets of (region, nation) — rollup (q53)
+    // plus the nation-only marginal and the grand total. Same two-level
+    // design as q53: ONE fact-table pass aggregates at the finest level
+    // with the exact int128 decimal subtotal, then the cube expands only
+    // the tiny (region, nation) group table — the naive GROUP BY CUBE
+    // would Expand every fact row ×4 before the shuffle. Exact decimal
+    // re-addition at every grouping set keeps each marginal
+    // value-identical to a flat sum over its slice.
+    Q("q68_cube",
+      (s, d) => {
+        lineitem(s, d)
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(Hashing.decSumExact(col("l_extendedprice")).as("rev_exact"),
+            count(lit(1)).as("n_base"))
+          .createOrReplaceTempView("g_base68")
+        s.sql("SELECT r_name, n_name, " +
+          "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
+          "CAST(SUM(n_base) AS BIGINT) AS n " +
+          "FROM g_base68 " +
+          "GROUP BY CUBE (r_name, n_name) " +
+          "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+      },
+      Some("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY CUBE (r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
+
     // Exact quantiles (type-7 / linear interpolation, the convention both
     // engines share). Integer-valued doubles make the interpolation
     // arithmetic exact, hence bit-stable. One pass, partial-aggregable.

@@ -792,6 +792,116 @@ object TrainingOps {
         "coalesce(CAST(top_n AS DOUBLE) / nullif(n_bigrams, 0), 0.0) AS top_bigram_frac " +
         "FROM rep r LEFT JOIN top USING (doc_id) ORDER BY doc_id")),
 
+    // Decontamination: flag every training document that shares a shingle
+    // with the held-out eval split (doc_id % 50 == 0 — the benchmark set a
+    // real pipeline must scrub before training). Classic inverted-index
+    // shape over the SHARED shingle index: the eval side collapses to its
+    // distinct 8-byte h1 set (in production a benchmark suite — tiny next
+    // to a 100 TB corpus, so the join broadcasts; here AQE decides), the
+    // train side equi-joins on h1, and the per-doc hit count comes back
+    // with one groupBy on the index's own doc_id partitioning. No pair
+    // ever forms outside a genuinely shared shingle — candidate volume is
+    // bounded by true overlap, not corpus size.
+    Q("q65_decontaminate",
+      (s, d) => {
+        val idx = shingleIndex(s, d).select(col("doc_id"), col("h1"))
+        val eval = idx.filter(col("doc_id") % 50 === 0)
+          .select(col("h1")).distinct()
+        idx.filter(col("doc_id") % 50 =!= 0)
+          .join(eval, "h1")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h1")).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $shCte, $shhCte, " +
+        "ev AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0) " +
+        "SELECT t.doc_id, count(DISTINCT t.h1) AS n_hits " +
+        "FROM shh t JOIN ev USING (h1) WHERE t.doc_id % 50 <> 0 " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // Sequence packing: concatenate the corpus in doc_id order and cut it
+    // into fixed 256-token training sequences — every document lands in
+    // the sequence where its first token falls. The global running token
+    // total is a DISTRIBUTED prefix sum, not a Window.orderBy (which
+    // plans a single-partition sort — the textbook scale killer): bucket
+    // on pid = doc_id DIV 1024 (a pure function of the key — cheap,
+    // deterministic, recompute-safe), run the within-bucket running
+    // total in parallel, and add each bucket's start offset from a
+    // bucket-count-sized side table joined back broadcast. Only that
+    // tiny offsets table is ever single-partition.
+    Q("q66_sequence_pack",
+      (s, d) => {
+        val budget = 256
+        // persisted: (doc_id, n, pid) is 24 bytes/doc — both the offsets
+        // branch and the main branch read it, so without the persist the
+        // corpus would be scanned and tokenized twice. DIV, not /: double
+        // division would lose doc_ids past 2^53.
+        val t = graft.util.Caches.transientPersist(
+          docText(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"),
+              size(words(col("text"))).cast("bigint").as("n"),
+              expr("doc_id DIV 1024").as("pid")))
+        val inBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, -1)
+        val acrossBuckets = org.apache.spark.sql.expressions.Window
+          .orderBy("pid").rowsBetween(Long.MinValue, -1)
+        val offsets = t.groupBy("pid").agg(sum("n").as("pn"))
+          .select(col("pid"),
+            coalesce(sum("pn").over(acrossBuckets), lit(0L)).as("off"))
+        t.withColumn("cbp", coalesce(sum("n").over(inBucket), lit(0L)))
+          .join(broadcast(offsets), "pid")
+          .withColumn("cb", col("cbp") + col("off"))
+          .withColumn("seq_id", expr(s"cb DIV $budget"))
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("seq_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM t) " +
+        "SELECT cb // 256 AS seq_id, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM c GROUP BY 1 ORDER BY 1")),
+
+    // Domain-mixture sampling: re-weight the corpus per source domain with
+    // a DETERMINISTIC Bernoulli — keep a document iff its 60-bit md5 coin
+    // lands under the domain's target rate. Hash-threshold sampling is
+    // the production shape (reproducible across runs/engines, no RNG
+    // state, pure map-side: one partial-agg shuffle of |domains| groups);
+    // the target rate derives from the source id so no domain list is
+    // hardcoded. The same md5-derived coin makes it oracle-exact.
+    Q("q67_domain_mix",
+      (s, d) => {
+        val docs = graft.util.Tables.fanOut(
+          documents(s, d).select(col("doc_id"), col("source")))
+        val coin = pmod(Hashing.md5Long(
+          concat(col("doc_id").cast("string"), lit(":"), col("source"))), lit(1000L))
+        val permille = (lit(100) +
+          lit(180) * pmod(expr("CAST(substring(source, 4) AS INT)"), lit(5)))
+        docs
+          .withColumn("tp", permille)
+          .withColumn("keep", (coin < col("tp")).cast("bigint"))
+          .groupBy("source")
+          .agg(first(col("tp")).as("target_permille"),
+            count(lit(1)).as("n_total"),
+            sum("keep").as("n_kept"))
+          .withColumn("kept_rate",
+            col("n_kept").cast("double") / col("n_total"))
+          .orderBy("source")
+      },
+      Some("WITH t AS (SELECT doc_id, source, " +
+        s"${oMd5Long("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000 AS coin, " +
+        "100 + 180 * (CAST(substr(source, 4) AS INTEGER) % 5) AS tp FROM documents) " +
+        "SELECT source, tp AS target_permille, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN coin < tp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN coin < tp THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS kept_rate " +
+        "FROM t GROUP BY 1, 2 ORDER BY 1")),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a

@@ -1,0 +1,98 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the round-7 pipeline extensions (q65 decontamination,
+  * q66 sequence packing, q67 domain-mixture sampling, q68 cube): each query
+  * is recomputed independently on the driver from the raw sf0.001 parquet
+  * (plain Scala, no Spark operators), so a regression in the distributed
+  * formulation — prefix-sum offsets, hash-threshold coin, grouping-set
+  * marginals — fails against ground truth, not against itself.
+  */
+class PipelineExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir).collect()
+
+  /** (doc_id, source, token count) for every non-null-text document, in
+    * doc_id order — the same tokenization the queries use (trim + split
+    * on runs of whitespace; a trimmed string yields no empty trailing
+    * tokens, so Java's split matches Spark's limit=-1 semantics here).
+    */
+  private lazy val docs: Seq[(Long, String, Long)] = {
+    val rows = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    rows.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+      .sortBy(_._1).toSeq
+  }
+
+  test("q65 decontamination: eval docs never appear; every hit count positive") {
+    val rows = run("q65_decontaminate")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, s"eval doc ${r.getLong(0)} in train output")
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
+  test("q66 sequence packing matches a driver-side fold over the global doc order") {
+    val budget = 256L
+    // ground truth: single sequential pass, running token total
+    var cum = 0L
+    val expected = docs.map { case (id, _, n) =>
+      val seq = cum / budget
+      cum += n
+      (seq, id, n)
+    }.groupBy(_._1).map { case (seq, g) =>
+      (seq, g.size.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max)
+    }.toSet
+    val got = run("q66_sequence_pack")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("q67 domain mix matches a driver-side md5 coin recomputation") {
+    val md = MessageDigest.getInstance("MD5")
+    def coin(docId: Long, source: String): Long = {
+      val hex = md.digest(s"$docId:$source".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000
+    }
+    def permille(source: String): Int = 100 + 180 * (source.substring(3).toInt % 5)
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val kept = g.count { case (id, s, _) => coin(id, s) < permille(s) }.toLong
+      (src, permille(src), g.size.toLong, kept,
+        kept.toDouble / g.size)
+    }.toSet
+    // q67 reads ALL documents (no text filter) — sf0.001 has no null texts,
+    // guard that assumption so a corpus change surfaces loudly
+    val total = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").count()
+    assert(total == docs.size, "null-text docs present; recomputation must not filter them")
+    val got = run("q67_domain_mix")
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("q68 cube contains the rollup rows exactly, plus one marginal per nation") {
+    def key(r: Row) = (Option(r.getString(0)), Option(r.getString(1)))
+    val rollup = run("q53_rollup").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val cube = run("q68_cube").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    // every rollup grouping set appears in the cube with bit-identical values
+    rollup.foreach { case (k, v) =>
+      assert(cube.get(k).contains(v), s"cube diverges from rollup at $k")
+    }
+    // the extra sets are exactly the (NULL, nation) marginals
+    val extras = cube.keySet -- rollup.keySet
+    assert(extras.forall { case (r, n) => r.isEmpty && n.nonEmpty })
+    val nations = cube.keys.flatMap(_._2).toSet
+    assert(extras.size == nations.size)
+  }
+}

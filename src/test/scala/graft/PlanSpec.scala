@@ -191,4 +191,49 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$q:\n$p")
     }
   }
+
+  test("q65 decontamination: eval shingle set broadcasts, equi-join on h1") {
+    val p = plan("q65_decontaminate")
+    // the eval side collapses to distinct h1 and broadcasts; the train
+    // side never shuffles into a pair-forming join wider than the hash
+    assert(p.contains("BroadcastHashJoin [h1#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q66 sequence packing: the corpus prefix sum is bucket-parallel") {
+    graft.util.Caches.clearTransient()
+    val p = plan("q66_sequence_pack")
+    // the running total over corpus rows is a Window PARTITIONED by the
+    // doc_id bucket — a bare Window.orderBy here would plan the whole
+    // corpus into one partition
+    assert("windowspecdefinition\\(pid#\\d+L, doc_id#\\d+L ASC".r
+      .findFirstIn(p).isDefined, p)
+    // the only single-partition requirement is the bucket-count-sized
+    // offsets table (plus the presentation sort's REPARTITION_BY_NUM)
+    assert("Exchange SinglePartition, ENSURE_REQUIREMENTS".r
+      .findAllIn(p).size == 1, p)
+    // offsets join back broadcast; both branches read the persisted
+    // (doc_id, n, pid) frame, not a second corpus scan
+    assert(p.contains("BroadcastHashJoin [pid#"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q67 domain mix: pure map-side coin, one partial-agg shuffle") {
+    val p = plan("q67_domain_mix")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum(keep"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q68 cube: Expand sits above the finest agg, one fact-table scan") {
+    val p = plan("q68_cube")
+    // the naive GROUP BY CUBE expands every lineitem row ×4 before the
+    // shuffle; the two-level form expands only the (region, nation) table
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_graft_decsum_dec"), p)
+    assert("FileScan parquet \\[l_suppkey".r.findAllIn(p).size == 1, p)
+    // Expand's input is an aggregate (rev_exact), not the raw scan
+    assert(p.contains("Expand [[rev_exact"), p)
+  }
 }
