@@ -902,6 +902,54 @@ object TrainingOps {
         "CAST(sum(CASE WHEN coin < tp THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS kept_rate " +
         "FROM t GROUP BY 1, 2 ORDER BY 1")),
 
+    // Vocabulary top-k: the corpus-level heavy hitters (tokenizer/vocab
+    // building). The aggregation is the scale story: hash partial-agg
+    // collapses every in-partition duplicate BEFORE the shuffle, so the
+    // exchange carries each partition's distinct words once — corpus
+    // token volume never crosses the wire — and the final top-100 is a
+    // TakeOrdered (per-partition heads merged on the driver), not a
+    // global sort. (count DESC, word ASC) makes the cut deterministic.
+    Q("q69_vocab_topk",
+      (s, d) => docText(s, d).filter(col("text").isNotNull)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(100),
+      Some("WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT unnest(ws) AS word FROM toks) " +
+        "SELECT word, count(*) AS n FROM w " +
+        "GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 100")),
+
+    // Normalized exact dedup: case-/punctuation-/whitespace-insensitive
+    // duplicate groups — the cheap near-exact pass a pipeline runs before
+    // MinHash (catches reformatted copies that byte-exact q27 misses).
+    // Normalize map-side (lowercase, strip non-alphanumerics, collapse
+    // runs of whitespace — character classes RE2 and Java regex agree
+    // on), then ONE shuffle of 16-byte md5 keys; the canonical survivor
+    // is the min doc_id, the reproducible convention. Group count and
+    // survivor come from the same aggregation pass. All groups are
+    // emitted (the gate corpus has no normalized duplicates, so a dup
+    // filter would check nothing — the md5 of the normalized text pins
+    // the normalization's cross-engine parity on every document).
+    Q("q70_normalized_dedup",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " "))
+        docText(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), md5(norm).as("norm_hash"))
+          .groupBy("norm_hash")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+          .orderBy("norm_hash")
+      },
+      Some("WITH n AS (SELECT doc_id, md5(trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), " +
+        "'\\s+', ' ', 'g'))) AS norm_hash FROM documents WHERE text IS NOT NULL) " +
+        "SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_doc " +
+        "FROM n GROUP BY 1 ORDER BY 1")),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a

@@ -81,6 +81,38 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q69 vocab top-k matches a driver-side count with the same tie-break") {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val texts = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("text").collect()
+    texts.filter(!_.isNullAt(0)).foreach { r =>
+      r.getString(0).trim.split("\\s+").foreach(w =>
+        counts.update(w, counts.getOrElse(w, 0L) + 1L))
+    }
+    val expected = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(100)
+    val got = run("q69_vocab_topk").map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q70 normalized dedup matches a driver-side normalization") {
+    val md = MessageDigest.getInstance("MD5")
+    def normHash(text: String): String = {
+      val norm = text.toLowerCase
+        .replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+      md.digest(norm.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val expected = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), normHash(r.getString(1))))
+      .groupBy(_._2).map { case (h, g) =>
+        (h, g.length.toLong, g.map(_._1).min)
+      }.toSet
+    val got = run("q70_normalized_dedup")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("q68 cube contains the rollup rows exactly, plus one marginal per nation") {
     def key(r: Row) = (Option(r.getString(0)), Option(r.getString(1)))
     val rollup = run("q53_rollup").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap

@@ -226,6 +226,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q69 vocab top-k: map-side combine before the shuffle, TakeOrdered at the top") {
+    val p = plan("q69_vocab_topk")
+    // in-partition duplicates collapse before the exchange; the top-100
+    // is a bounded per-partition head merge, not a global sort
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q70 normalized dedup: one hash shuffle of 16-byte keys, no join") {
+    val p = plan("q70_normalized_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q68 cube: Expand sits above the finest agg, one fact-table scan") {
     val p = plan("q68_cube")
     // the naive GROUP BY CUBE expands every lineitem row ×4 before the
