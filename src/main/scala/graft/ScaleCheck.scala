@@ -42,7 +42,13 @@ object ScaleCheck {
     "q27_dedup_exact", "q28_minhash_sig", "q29_lsh_neardup", "q30_simhash",
     "q31_ngram_jaccard", "q32_cosine_topk", "q33_ivf_neardup",
     "q34_lsh_embed_sig", "q38_fingerprint", "q48_ann_topk",
-    "q50_winnow_fingerprint", "q51_dedup_clusters", "q52_bm25_rank")
+    "q50_winnow_fingerprint", "q51_dedup_clusters", "q52_bm25_rank",
+    // r7: decontamination is pair-structured (train×eval shingle join —
+    // the replica doc_id offset is ≡ 0 mod 50, so each replica keeps its
+    // own eval split and the 10× corpus scales the overlap structure,
+    // not the cross product); sequence packing pins the distributed
+    // prefix sum's slope
+    "q65_decontaminate", "q66_sequence_pack")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {

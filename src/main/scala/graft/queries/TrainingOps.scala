@@ -835,12 +835,20 @@ object TrainingOps {
         // persisted: (doc_id, n, pid) is 24 bytes/doc — both the offsets
         // branch and the main branch read it, so without the persist the
         // corpus would be scanned and tokenized twice. DIV, not /: double
-        // division would lose doc_ids past 2^53.
+        // division would lose doc_ids past 2^53. The ONE exchange is the
+        // pid repartition itself — it is simultaneously the small-scan
+        // fan-out (tokenization runs after it, on all cores) and the
+        // clustering the in-bucket window AND the offsets groupBy both
+        // reuse, so neither plans its own shuffle (the shingle-index
+        // build trick applied to the prefix sum).
         val t = graft.util.Caches.transientPersist(
-          docText(s, d).filter(col("text").isNotNull)
+          documents(s, d).select(col("doc_id"), col("text"))
+            .filter(col("text").isNotNull)
+            .withColumn("pid", expr("doc_id DIV 1024"))
+            .repartition(col("pid"))
             .select(col("doc_id"),
               size(words(col("text"))).cast("bigint").as("n"),
-              expr("doc_id DIV 1024").as("pid")))
+              col("pid")))
         val inBucket = org.apache.spark.sql.expressions.Window
           .partitionBy("pid").orderBy("doc_id")
           .rowsBetween(Long.MinValue, -1)

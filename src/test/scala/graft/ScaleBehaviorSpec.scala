@@ -57,6 +57,21 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(!consumer.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("q66 prefix sum reuses the pid build partitioning: one consumer exchange") {
+    // the (doc_id, n, pid) frame persists hash-partitioned on pid; at
+    // execution the in-bucket window and the offsets groupBy both run
+    // straight off the cached scan, so the consumer side pays exactly
+    // one hashpartitioning exchange — the final seq_id aggregation
+    graft.util.Caches.clearTransient()
+    val df = SparkEntry.queries("q66_sequence_pack")(spark, TestSpark.sfDir)
+    df.count() // force build + cache so the executed plan is adaptive-final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan)
+    val consumer = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert("Exchange hashpartitioning".r.findAllIn(consumer).size == 1, plan)
+    assert(consumer.contains("hashpartitioning(seq_id"), plan)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val conf = spark.conf
     val saved = Seq(
