@@ -958,6 +958,60 @@ object TrainingOps {
         "SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_doc " +
         "FROM n GROUP BY 1 ORDER BY 1")),
 
+    // Fixed-k per-group sampling: exactly 5 documents per language, chosen
+    // by md5 order — the deterministic "take N examples per domain" op
+    // (dataset cards, eval slices, inspection samples). The md5 hex of
+    // the doc_id is the shuffle-proof random order both engines share;
+    // the rank<=5 filter over the per-lang row_number plans through
+    // Spark's WindowGroupLimit, which keeps a 5-row heap PER PARTITION
+    // before the lang shuffle — the partial top-k that makes k-per-group
+    // safe when one group holds half the corpus (plan-pinned).
+    Q("q71_per_group_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        graft.util.Tables.fanOut(
+          documents(s, d).select(col("doc_id"), col("lang")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("doc_id"))
+          .orderBy("lang", "rank")
+      },
+      Some("SELECT lang, rank, doc_id FROM (" +
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM documents) " +
+        "WHERE rank <= 5 ORDER BY lang, rank")),
+
+    // Filter-funnel yield report: the cascade counts a pipeline publishes
+    // with every corpus build (how many documents survive each filter
+    // stage, applied in order: minimum length → language allowlist →
+    // maximum size). ONE conditional-sum pass — four counters in the
+    // same aggregation buffer, no per-stage scan, no intermediate
+    // materialization; at 100 TB this is a single map-side-combined
+    // reduction to one row.
+    Q("q72_filter_funnel",
+      (s, d) => {
+        val nTok = size(words(col("text")))
+        val c1 = col("text").isNotNull && nTok >= 30
+        val c2 = c1 && col("lang").isin("en", "es", "de")
+        val c3 = c2 && col("n_chars") <= 400
+        graft.util.Tables.fanOut(
+          documents(s, d).select(col("text"), col("lang"), col("n_chars")))
+          .agg(count(lit(1)).as("n_total"),
+            sum(c1.cast("bigint")).as("n_min_len"),
+            sum(c2.cast("bigint")).as("n_lang"),
+            sum(c3.cast("bigint")).as("n_max_size"))
+      },
+      Some("SELECT count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_min_len, " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
+        "AND lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang, " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
+        "AND lang IN ('en', 'es', 'de') AND n_chars <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_max_size " +
+        "FROM documents")),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a

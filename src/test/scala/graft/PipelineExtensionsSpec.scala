@@ -113,6 +113,36 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q71 per-group sample matches a driver-side md5-ordered pick") {
+    val md = MessageDigest.getInstance("MD5")
+    def hexOf(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rows = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      g.toSeq.map { case (id, _) => (hexOf(id), id) }.sorted.take(5)
+        .zipWithIndex.map { case ((_, id), i) => (lang, i + 1, id) }
+    }.toSet
+    val got = run("q71_per_group_sample")
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q72 filter funnel matches driver-side cascade counts") {
+    val rows = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("text", "lang", "n_chars").collect()
+    val c1 = rows.filter(r =>
+      !r.isNullAt(0) && r.getString(0).trim.split("\\s+").length >= 30)
+    val c2 = c1.filter(r => Set("en", "es", "de")(r.getString(1)))
+    val c3 = c2.filter(_.getLong(2) <= 400)
+    val got = run("q72_filter_funnel").head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (rows.length.toLong, c1.length.toLong, c2.length.toLong, c3.length.toLong))
+    // the cascade must genuinely narrow on this corpus, or the check is vacuous
+    assert(rows.length > c1.length && c1.length > c2.length && c2.length > c3.length)
+  }
+
   test("q68 cube contains the rollup rows exactly, plus one marginal per nation") {
     def key(r: Row) = (Option(r.getString(0)), Option(r.getString(1)))
     val rollup = run("q53_rollup").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap

@@ -242,6 +242,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q71 per-group sample: partial WindowGroupLimit runs before the shuffle") {
+    val p = plan("q71_per_group_sample")
+    // only ≤5 rows per (group, partition) cross the wire — the rank
+    // filter must push a Partial group-limit below the lang exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    val partialIdx = p.indexOf("row_number(), 5, Partial")
+    val exchIdx = p.indexOf("Exchange hashpartitioning(lang")
+    assert(partialIdx >= 0 && exchIdx >= 0 && exchIdx < partialIdx, p)
+  }
+
+  test("q72 filter funnel: one pass, four counters, no second scan") {
+    val p = plan("q72_filter_funnel")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q68 cube: Expand sits above the finest agg, one fact-table scan") {
     val p = plan("q68_cube")
     // the naive GROUP BY CUBE expands every lineitem row ×4 before the
