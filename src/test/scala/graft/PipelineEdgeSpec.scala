@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-corpus edge cases for the round-7 pipeline operators: null
+  * and empty texts, duplicate and normalization-equivalent documents, an
+  * eval-split member with a contaminated twin, a pid bucket boundary
+  * (doc_id 1023/1024), and a group smaller than the sample size k. The
+  * driver corpus is clean on all of these, so without this spec a
+  * regression in the edge handling would pass the oracle gate unnoticed.
+  */
+class PipelineEdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-edge-")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, "alpha beta gamma alpha beta gamma", "en", "src1", 33L), // eval split
+      (1L, "alpha beta gamma alpha beta gamma", "en", "src1", 33L), // contaminated twin
+      (2L, null.asInstanceOf[String], "de", "src3", 0L),
+      (3L, "", "de", "src3", 0L),
+      (4L, "Word! word", "fr", "src4", 10L), // normalizes to "word word"
+      (5L, "word word", "fr", "src5", 9L), // its normalized duplicate
+      (50L, "delta epsilon zeta eta", "en", "src2", 22L), // eval split
+      (1023L, "x y z", "zh", "src6", 5L), // last doc of pid bucket 0
+      (1024L, "x q", "zh", "src7", 3L)) // first doc of pid bucket 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q65: the duplicated train doc is flagged, eval docs never surface") {
+    val rows = run("q65_decontaminate").map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(1L) && rows(1L) >= 1L) // shares every shingle with eval doc 0
+    assert(!rows.contains(0L) && !rows.contains(50L))
+  }
+
+  test("q66: null dropped, empty counts one token, bucket boundary exact") {
+    // doc order 0,1,3,4,5,50,1023,1024 (doc 2 is null); token counts
+    // 6,6,1,2,2,4,3,2 — cumulative-before 0,6,12,13,15,17,21,24: one
+    // 256-token sequence holding all 8 docs, 26 tokens. doc 1024 starts
+    // pid bucket 1, so its count arrives through the offsets table.
+    val rows = run("q66_sequence_pack")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (0L, 8L, 26L, 0L, 1024L))
+  }
+
+  test("q70: byte-different but normalization-equal docs share a group") {
+    val rows = run("q70_normalized_dedup")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dups = rows.filter(_._2 > 1)
+    // {0,1} identical, {4,5} equal after lower/punct/ws normalization
+    assert(dups.map(d => (d._2, d._3)).toSet == Set((2L, 0L), (2L, 4L)))
+  }
+
+  test("q71: a group smaller than k yields exactly its size in ranks") {
+    val rows = run("q71_per_group_sample")
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val zh = rows.filter(_._1 == "zh")
+    assert(zh.map(_._2).sorted.toSeq == Seq(1, 2))
+    assert(zh.map(_._3).toSet == Set(1023L, 1024L))
+    // no group exceeds k
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+  }
+
+  test("q72: null text fails the length stage, counts cascade") {
+    val r = run("q72_filter_funnel").head
+    // 9 docs total; none has >= 30 tokens -> funnel collapses after stage 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (9L, 0L, 0L, 0L))
+  }
+
+  test("q67/q69: null and empty texts neither crash nor skew the counts") {
+    // q67 samples over ALL 9 docs (no text dependence)
+    assert(run("q67_domain_mix").map(_.getLong(2)).sum == 9L)
+    // q69 counts the empty doc's single empty-string token like the oracle
+    val vocab = run("q69_vocab_topk").map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "word" = 1 from doc 4 ("Word!" is a distinct token) + 2 from doc 5
+    assert(vocab("alpha") == 4L && vocab("word") == 3L && vocab.contains(""))
+  }
+}
