@@ -1012,6 +1012,75 @@ object TrainingOps {
         "AND lang IN ('en', 'es', 'de') AND n_chars <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_max_size " +
         "FROM documents")),
 
+    // Vector-quantization assignment (one k-means E-step): every embedding
+    // assigned to the nearest of 16 fixed centroids (the vec_id < 16
+    // vectors — a deterministic init) by exact squared-L2 over the
+    // 2^20-quantized int64 components. The q34 pattern: the centroid
+    // table is driver-collected (16 rows — closure-sized, like a
+    // broadcast codebook) and the argmin is ONE primitive-loop map stage,
+    // 16×64 integer ops per vector, no join, no explosion; the only
+    // shuffle is the 16-group partial agg. Per-cell distortion sums go
+    // through DECIMAL(38,0) — exact at any corpus size where an int64
+    // running sum would wrap — and surface as the double of that exact
+    // integer, bit-identical on both engines.
+    Q("q73_vq_assign",
+      (s, d) => {
+        val cents: Array[Array[Long]] = embeddings(s, d)
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+          .collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Long](1).toArray)
+        val assign = udf((qv: Seq[Long]) => {
+          var bc = -1L; var bd = Long.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)
+            var dsum = 0L; var i = 0
+            while (i < cv.length) {
+              val df = qv(i) - cv(i); dsum += df * df; i += 1
+            }
+            if (dsum < bd) { bd = dsum; bc = c }
+            c += 1
+          }
+          Array(bc, bd)
+        })
+        graft.util.Tables.fanOut(embeddings(s, d))
+          .select(col("vec_id"), assign(quantize(col("embedding"))).as("a"))
+          .select(col("a").getItem(0).as("cid"), col("a").getItem(1).as("dist"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vec"),
+            sum(col("dist").cast("decimal(38,0)")).cast("double")
+              .as("total_distortion"))
+          .orderBy("cid")
+      },
+      Some(s"WITH ce AS (SELECT vec_id AS cid, $oQuant AS v FROM embeddings WHERE vec_id < 16), " +
+        s"ev AS (SELECT vec_id, $oQuant AS v FROM embeddings), " +
+        "cx AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ce), " +
+        "ex AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        "dist AS (SELECT e.vec_id, c.cid, CAST(SUM((e.x - c.x) * (e.x - c.x)) AS BIGINT) AS d " +
+        "FROM ex e JOIN cx c USING (pos) GROUP BY 1, 2), " +
+        "best AS (SELECT vec_id, cid, d, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist) " +
+        "SELECT cid, count(*) AS n_vec, CAST(SUM(d) AS DOUBLE) AS total_distortion " +
+        "FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1")),
+
+    // Token-length histogram: the corpus length distribution every
+    // pipeline publishes (and cuts its length filters from). Bucket =
+    // tokens DIV 10 capped at 10 — a pure map, then a ≤11-group
+    // partial agg; the whole report is one map-side-combined pass.
+    Q("q74_length_histogram",
+      (s, d) => docText(s, d).filter(col("text").isNotNull)
+        .select(size(words(col("text"))).cast("bigint").as("n_tok"))
+        .selectExpr("least(n_tok DIV 10, 10) AS bucket", "n_tok")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("bucket"),
+      Some("WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT least(n_tok // 10, 10) AS bucket, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY 1 ORDER BY 1")),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a

@@ -143,6 +143,36 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(rows.length > c1.length && c1.length > c2.length && c2.length > c3.length)
   }
 
+  test("q73 VQ assignment matches a driver-side exact-integer argmin") {
+    val vecs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray))
+      .sortBy(_._1)
+    val cents = vecs.filter(_._1 < 16).map(_._2)
+    val assigned = vecs.map { case (_, qv) =>
+      val ds = cents.map(cv => cv.indices.map { i =>
+        val d = qv(i) - cv(i); d * d
+      }.sum)
+      val bd = ds.min
+      (ds.indexOf(bd).toLong, bd)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cid, g) =>
+      (cid, g.length.toLong, g.map(x => BigInt(x._2)).sum.toDouble)
+    }.toSet
+    val got = run("q73_vq_assign")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q74 length histogram matches driver-side bucket counts") {
+    val expected = docs.map(_._3).groupBy(n => math.min(n / 10, 10))
+      .map { case (b, g) => (b, g.size.toLong, g.sum) }.toSet
+    val got = run("q74_length_histogram")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("q68 cube contains the rollup rows exactly, plus one marginal per nation") {
     def key(r: Row) = (Option(r.getString(0)), Option(r.getString(1)))
     val rollup = run("q53_rollup").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap

@@ -260,6 +260,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q73 VQ assign: driver-collected codebook, one map stage, no join") {
+    val p = plan("q73_vq_assign")
+    // the 16-centroid codebook rides the UDF closure — a join or a 16×
+    // row expansion here means the broadcast-codebook design regressed
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q74 length histogram: one map-side-combined pass") {
+    val p = plan("q74_length_histogram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q68 cube: Expand sits above the finest agg, one fact-table scan") {
     val p = plan("q68_cube")
     // the naive GROUP BY CUBE expands every lineitem row ×4 before the
