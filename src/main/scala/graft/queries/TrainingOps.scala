@@ -1081,6 +1081,37 @@ object TrainingOps {
         "SELECT least(n_tok // 10, 10) AS bucket, count(*) AS n_docs, " +
         "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY 1 ORDER BY 1")),
 
+    // Full k-means codebook fit (3 Lloyd iterations, k=8) + final
+    // assignment stats — the trainer behind q73's E-step, exact-integer
+    // throughout (see graft.functions.VectorQuantizer). An iterative fit
+    // has no single-statement SQL equivalent, so this registers with NO
+    // oracle (the driver records the weaker rows-only check; the real
+    // checks — monotone distortion, M-step ground truth, determinism —
+    // live in VectorQuantizerSpec). bench=false for the same reason: with
+    // no DuckDB counterpart in the denominator, timing it would make the
+    // bench ratio incomparable.
+    Q("q75_kmeans_fit",
+      (s, d) => {
+        import graft.functions.VectorQuantizer
+        val (cents, trace) = VectorQuantizer.fit(embeddings(s, d), 8, 3)
+        val assign = udf((qv: Seq[Long]) => {
+          val (bc, bd) = VectorQuantizer.nearest(cents, qv)
+          Array(bc, bd)
+        })
+        graft.util.Tables.fanOut(embeddings(s, d))
+          .select(assign(VectorQuantizer.quantize(col("embedding"))).as("a"))
+          .select(col("a").getItem(0).as("cid"), col("a").getItem(1).as("dist"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vec"),
+            sum(col("dist").cast("decimal(38,0)")).cast("double")
+              .as("total_distortion"))
+          .withColumn("first_iter_distortion", lit(trace.head.toDouble))
+          .withColumn("last_iter_distortion", lit(trace.last.toDouble))
+          .orderBy("cid")
+      },
+      None,
+      bench = false),
+
     // ==== robustness & scale techniques ====================================
 
     // P7 error-row filtering (`main.rs:106-111`): permissive parse of a
