@@ -989,20 +989,13 @@ object TrainingOps {
     // maximum size). ONE conditional-sum pass — four counters in the
     // same aggregation buffer, no per-stage scan, no intermediate
     // materialization; at 100 TB this is a single map-side-combined
-    // reduction to one row.
+    // reduction to one row. The aggregation lives in
+    // Streaming.funnelCounts — the SAME code streams in complete mode
+    // (batch-equals-stream pinned in StreamingSpec).
     Q("q72_filter_funnel",
-      (s, d) => {
-        val nTok = size(words(col("text")))
-        val c1 = col("text").isNotNull && nTok >= 30
-        val c2 = c1 && col("lang").isin("en", "es", "de")
-        val c3 = c2 && col("n_chars") <= 400
+      (s, d) => graft.streaming.Streaming.funnelCounts(
         graft.util.Tables.fanOut(
-          documents(s, d).select(col("text"), col("lang"), col("n_chars")))
-          .agg(count(lit(1)).as("n_total"),
-            sum(c1.cast("bigint")).as("n_min_len"),
-            sum(c2.cast("bigint")).as("n_lang"),
-            sum(c3.cast("bigint")).as("n_max_size"))
-      },
+          documents(s, d).select(col("text"), col("lang"), col("n_chars")))),
       Some("SELECT count(*) AS n_total, " +
         "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_min_len, " +

@@ -96,4 +96,23 @@ object Streaming {
           }
       }
   }
+
+  /** The q72 filter-funnel as a streaming aggregation — the SAME
+    * conditional-sum code runs batch (TrainingOps q72 calls this) and
+    * incremental. A global funnel has no event-time key, so it streams in
+    * COMPLETE mode: every micro-batch re-emits the funnel-so-far — the
+    * live corpus-build dashboard. State is four counters total;
+    * partial aggregation applies map-side before the single-group
+    * shuffle, exactly like the batch plan.
+    */
+  def funnelCounts(docs: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val c1 = col("text").isNotNull && nTok >= 30
+    val c2 = c1 && col("lang").isin("en", "es", "de")
+    val c3 = c2 && col("n_chars") <= 400
+    docs.agg(count(lit(1)).as("n_total"),
+      sum(c1.cast("bigint")).as("n_min_len"),
+      sum(c2.cast("bigint")).as("n_lang"),
+      sum(c3.cast("bigint")).as("n_max_size"))
+  }
 }

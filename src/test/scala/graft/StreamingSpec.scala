@@ -234,4 +234,26 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${got.size} rows, batch=${want.size} rows, " +
         s"onlyStream=${(got -- want).take(3)}, onlyBatch=${(want -- got).take(3)}")
   }
+
+  test("availableNow funnel stream equals the batch filter funnel (X50 on sf0.01)") {
+    // q72's funnelCounts driven as a complete-mode availableNow run over
+    // the real documents parquet — the final micro-batch's funnel must be
+    // the batch counts exactly (a global agg has no watermark to reason
+    // about, so this is the pure same-code-streams check)
+    val dir = "/root/testdata/sf0.01"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDocs = spark.readStream.schema(schema)
+      .parquet(stageDir(s"$dir/documents.parquet"))
+    val q = Streaming.funnelCounts(streamDocs)
+      .writeStream.format("memory").queryName("an_funnel")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("an_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = SparkEntry.queries("q72_filter_funnel")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 1 && want.length == 1 && got.head == want.head)
+    assert(got.head._1 > 0)
+  }
 }
