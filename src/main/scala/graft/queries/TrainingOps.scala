@@ -415,6 +415,41 @@ object TrainingOps {
         "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
         "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5 ORDER BY ida, idb")),
 
+    // Shingle CONTAINMENT (asymmetric Jaccard): |A∩B| / |A| — the measure
+    // that catches a document EMBEDDED in another (quotation, concatenated
+    // crawls, boilerplate wrapping), which symmetric Jaccard misses when
+    // the container is much larger. Same bounded inverted-index self-join
+    // and shared per-doc sizes as q31 — the only change is the
+    // denominator, so the pair volume stays governed by true shingle
+    // overlap; rows carry both directions and surface when either side is
+    // ≥ 0.9 contained.
+    Q("q76_containment",
+      (s, d) => {
+        val sh = shingleIndex(s, d).select("doc_id", "h1")
+        val sz = shingleSizes(s, d)
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.as("za"), col("ida") === col("za.doc_id"))
+          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"),
+            (col("inter").cast("double") / col("za.n")).as("c_a_in_b"),
+            (col("inter").cast("double") / col("zb.n")).as("c_b_in_a"))
+          .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.9)
+          .orderBy("ida", "idb")
+      },
+      Some(s"WITH $shCte, $shhCte, " +
+        "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM shh a " +
+        "JOIN shh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id) " +
+        "SELECT ida, idb, CAST(inter AS DOUBLE) / za.n AS c_a_in_b, " +
+        "CAST(inter AS DOUBLE) / zb.n AS c_b_in_a " +
+        "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
+        "WHERE greatest(CAST(inter AS DOUBLE) / za.n, CAST(inter AS DOUBLE) / zb.n) >= 0.9 " +
+        "ORDER BY ida, idb")),
+
     // ==== similarity search ================================================
 
     // Brute-force cosine top-k against a query vector (the exactness

@@ -76,6 +76,13 @@ class PipelineEdgeSpec extends AnyFunSuite {
       (9L, 0L, 0L, 0L))
   }
 
+  test("q76: identical docs contain each other fully") {
+    val rows = run("q76_containment")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val pair = rows.find(t => t._1 == 0L && t._2 == 1L)
+    assert(pair.exists(t => t._3 == 1.0 && t._4 == 1.0), rows.toSeq)
+  }
+
   test("q67/q69: null and empty texts neither crash nor skew the counts") {
     // q67 samples over ALL 9 docs (no text dependence)
     assert(run("q67_domain_mix").map(_.getLong(2)).sum == 9L)

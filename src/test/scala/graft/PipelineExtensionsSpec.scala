@@ -173,6 +173,21 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q76 containment dominates q31 Jaccard on every shared pair") {
+    // containment = inter/|side| ≥ inter/|union| = jaccard, so every
+    // Jaccard-similar pair must appear at ≥ its jaccard in q76's measure;
+    // and the two directions differ unless the sizes match
+    val jacc = run("q31_ngram_jaccard")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = run("q76_containment")
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case (k, (ca, cb)) =>
+      jacc.get(k).foreach(j => assert(math.max(ca, cb) >= j, s"$k: $ca/$cb vs $j"))
+      assert(ca > 0 && ca <= 1.0 + 1e-12 && cb > 0 && cb <= 1.0 + 1e-12)
+    }
+  }
+
   test("q68 cube contains the rollup rows exactly, plus one marginal per nation") {
     def key(r: Row) = (Option(r.getString(0)), Option(r.getString(1)))
     val rollup = run("q53_rollup").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap

@@ -277,6 +277,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q76 containment: reads the shared index, no extra corpus scan") {
+    val p = plan("q76_containment")
+    // both join sides and the size view come off the cached shingle
+    // index — a FileScan of documents here means the sharing regressed
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("q68 cube: Expand sits above the finest agg, one fact-table scan") {
     val p = plan("q68_cube")
     // the naive GROUP BY CUBE expands every lineitem row ×4 before the
