@@ -47,8 +47,14 @@ object VectorQuantizer {
   }
 
   /** One E+M iteration: assign every vector to `cents`, return the updated
-    * centroids plus the PRE-update total distortion (the quantity Lloyd's
-    * guarantees non-increasing) and per-cell counts.
+    * centroids plus the PRE-update total distortion and per-cell counts.
+    *
+    * Monotonicity caveat: exact Lloyd's guarantees a non-increasing
+    * distortion; the FLOOR-rounded integer mean shifts each centroid
+    * component by δ ∈ [0, 1) quantization units off the true mean, which
+    * can raise the next trace entry by at most N·dim units² (N = corpus
+    * size) — e.g. a cell of near-duplicate vectors one quantization level
+    * apart. The spec asserts the trace within that slack, not strictly.
     */
   private def step(
       qvecs: DataFrame, cents: Array[Array[Long]]):
@@ -89,18 +95,23 @@ object VectorQuantizer {
     (next, distortion, counts.toMap)
   }
 
-  /** Run `iters` fixed Lloyd iterations from the deterministic init.
-    * Returns the final centroids and the per-iteration total distortion
-    * trace (computed against each iteration's INPUT centroids).
+  /** The persisted (vec_id, qv) frame every Lloyd pass re-reads; callers
+    * that need a final assignment over the same vectors (q75) reuse this
+    * cached frame instead of re-scanning and re-quantizing the corpus.
     */
-  def fit(embeddings: DataFrame, k: Int, iters: Int):
-      (Array[Array[Long]], Seq[BigInt]) = {
-    // persisted: every iteration re-reads the quantized vectors; without
-    // the persist each Lloyd pass would re-scan and re-quantize the corpus
-    val qvecs = graft.util.Caches.transientPersist(
+  def quantized(embeddings: DataFrame): DataFrame =
+    graft.util.Caches.transientPersist(
       graft.util.Tables.fanOut(
         embeddings
           .select(col("vec_id"), quantize(col("embedding")).as("qv"))))
+
+  /** Run `iters` fixed Lloyd iterations from the deterministic init over
+    * an already-[[quantized]] frame. Returns the final centroids and the
+    * per-iteration total distortion trace (each computed against that
+    * iteration's INPUT centroids).
+    */
+  def fitQuantized(qvecs: DataFrame, k: Int, iters: Int):
+      (Array[Array[Long]], Seq[BigInt]) = {
     var cents = qvecs.filter(col("vec_id") < k)
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray)
@@ -114,4 +125,9 @@ object VectorQuantizer {
     }
     (cents, trace.toSeq)
   }
+
+  /** [[fitQuantized]] over [[quantized]] raw float embeddings. */
+  def fit(embeddings: DataFrame, k: Int, iters: Int):
+      (Array[Array[Long]], Seq[BigInt]) =
+    fitQuantized(quantized(embeddings), k, iters)
 }

@@ -26,9 +26,10 @@ object TrainingOps {
   // ---- shared text building blocks ---------------------------------------
 
   /** whitespace tokenization, identical to the oracle's
-    * `regexp_split_to_array(trim(text), '\s+')`.
+    * `regexp_split_to_array(trim(text), '\s+')` — the shared canonical
+    * definition (graft.functions.Text), also used by the streaming funnel.
     */
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private def words(c: Column): Column = graft.functions.Text.words(c)
 
   /** (doc_id, text) fanned out of the single-task small-file scan — every
     * downstream tokenize/md5 pass then runs on all cores (Tables.fanOut
@@ -139,6 +140,36 @@ object TrainingOps {
   private def shingleSizes(s: SparkSession, d: String): DataFrame =
     minhashSigWide(s, d).select("doc_id", "n")
 
+  /** Pairwise shingle intersections with both side sizes —
+    * (ida, idb, inter, na, nb), ida < idb — the shared core of every
+    * exact pairwise set measure (q31 Jaccard, q76 containment; the
+    * measures differ only in denominator). The shared shingle index is
+    * both join sides and only (doc_id, h1) is read off it: the
+    * inverted-index self-join shuffles 8-byte hashes, never shingle
+    * text; pair volume is bounded by true overlap, never all-pairs.
+    */
+  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d).select("doc_id", "h1")
+    val sz = shingleSizes(s, d)
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("za"), col("ida") === col("za.doc_id"))
+      .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+      .select(col("ida"), col("idb"), col("inter"),
+        col("za.n").as("na"), col("zb.n").as("nb"))
+  }
+
+  /** Oracle CTEs mirroring [[pairIntersections]] (expect `shh` in scope);
+    * consumers join `iv` with `sz` twice (za/zb) like the Spark side.
+    */
+  private val ivSzCte: String =
+    "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM shh a " +
+      "JOIN shh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)"
+
   /** Tall signature rows (doc_id, band, minh) from the wide form —
     * posexplode is map-side, 8 tiny rows per doc.
     */
@@ -223,7 +254,7 @@ object TrainingOps {
     * oracle-checkable, and at 2^20 the cosine error is < 1e-5.
     */
   private def quantize(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+    graft.functions.VectorQuantizer.quantize(emb)
 
   /** Exact integer dot product as a tight-loop UDF over PRIMITIVE arrays:
     * `Array[Long]` parameters make Spark bulk-copy the unsafe array
@@ -385,32 +416,18 @@ object TrainingOps {
 
     // Exact n-gram Jaccard similarity via inverted shingle index — the
     // brute-force baseline (bounded by shared shingles, not all-pairs);
-    // the LSH pipeline above is the scale path.
+    // the LSH pipeline above is the scale path. The intersection pipeline
+    // is the shared [[pairIntersections]]; only the denominator is q31's.
     Q("q31_ngram_jaccard",
       (s, d) => {
-        // the shared shingle index is both join sides; only (doc_id, h1)
-        // is read off it — the inverted-index self-join shuffles 8-byte
-        // hashes, never shingle text — and the size table is the shared
-        // per-doc counts view
-        val sh = shingleIndex(s, d).select("doc_id", "h1")
-        val sz = shingleSizes(s, d)
-        sh.as("a")
-          .join(sh.as("b"),
-            col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sz.as("za"), col("ida") === col("za.doc_id"))
-          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+        pairIntersections(s, d)
           .select(col("ida"), col("idb"),
             (col("inter").cast("double") /
-              (col("za.n") + col("zb.n") - col("inter"))).as("jacc"))
+              (col("na") + col("nb") - col("inter"))).as("jacc"))
           .filter(col("jacc") >= 0.5)
           .orderBy("ida", "idb")
       },
-      Some(s"WITH $shCte, $shhCte, " +
-        "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM shh a " +
-        "JOIN shh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id) " +
+      Some(s"WITH $shCte, $shhCte, $ivSzCte " +
         "SELECT ida, idb, CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jacc " +
         "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
         "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5 ORDER BY ida, idb")),
@@ -418,32 +435,20 @@ object TrainingOps {
     // Shingle CONTAINMENT (asymmetric Jaccard): |A∩B| / |A| — the measure
     // that catches a document EMBEDDED in another (quotation, concatenated
     // crawls, boilerplate wrapping), which symmetric Jaccard misses when
-    // the container is much larger. Same bounded inverted-index self-join
-    // and shared per-doc sizes as q31 — the only change is the
-    // denominator, so the pair volume stays governed by true shingle
-    // overlap; rows carry both directions and surface when either side is
-    // ≥ 0.9 contained.
+    // the container is much larger. Same bounded [[pairIntersections]]
+    // pipeline as q31 — only the denominators change, so the pair volume
+    // stays governed by true shingle overlap; rows carry both directions
+    // and surface when either side is ≥ 0.9 contained.
     Q("q76_containment",
       (s, d) => {
-        val sh = shingleIndex(s, d).select("doc_id", "h1")
-        val sz = shingleSizes(s, d)
-        sh.as("a")
-          .join(sh.as("b"),
-            col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sz.as("za"), col("ida") === col("za.doc_id"))
-          .join(sz.as("zb"), col("idb") === col("zb.doc_id"))
+        pairIntersections(s, d)
           .select(col("ida"), col("idb"),
-            (col("inter").cast("double") / col("za.n")).as("c_a_in_b"),
-            (col("inter").cast("double") / col("zb.n")).as("c_b_in_a"))
+            (col("inter").cast("double") / col("na")).as("c_a_in_b"),
+            (col("inter").cast("double") / col("nb")).as("c_b_in_a"))
           .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.9)
           .orderBy("ida", "idb")
       },
-      Some(s"WITH $shCte, $shhCte, " +
-        "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM shh a " +
-        "JOIN shh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id) " +
+      Some(s"WITH $shCte, $shhCte, $ivSzCte " +
         "SELECT ida, idb, CAST(inter AS DOUBLE) / za.n AS c_a_in_b, " +
         "CAST(inter AS DOUBLE) / zb.n AS c_b_in_a " +
         "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
@@ -918,6 +923,10 @@ object TrainingOps {
     // state, pure map-side: one partial-agg shuffle of |domains| groups);
     // the target rate derives from the source id so no domain list is
     // hardcoded. The same md5-derived coin makes it oracle-exact.
+    // ASSUMES the corpus contract's 'src<N>' source naming (TESTDATA.md):
+    // a non-numeric suffix casts to NULL here (non-ANSI Spark) but ERRORS
+    // in the DuckDB oracle — a corpus outside the contract fails loudly
+    // on the oracle side rather than silently diverging.
     Q("q67_domain_mix",
       (s, d) => {
         val docs = graft.util.Tables.fanOut(
@@ -1053,24 +1062,20 @@ object TrainingOps {
     // integer, bit-identical on both engines.
     Q("q73_vq_assign",
       (s, d) => {
-        val cents: Array[Array[Long]] = embeddings(s, d)
+        val rows = embeddings(s, d)
           .filter(col("vec_id") < 16)
           .select(col("vec_id"), quantize(col("embedding")).as("qv"))
           .collect()
           .sortBy(_.getLong(0))
-          .map(_.getSeq[Long](1).toArray)
+        // codebook position MUST equal vec_id or cid diverges from the
+        // oracle's vec_id-based labels — fail loudly on a sparse/short
+        // id range instead of silently mislabeling
+        require(rows.length == 16 && rows.map(_.getLong(0)).toSeq == (0L until 16L),
+          s"q73 needs embeddings vec_id 0..15 as centroids; got " +
+            rows.map(_.getLong(0)).mkString(","))
+        val cents: Array[Array[Long]] = rows.map(_.getSeq[Long](1).toArray)
         val assign = udf((qv: Seq[Long]) => {
-          var bc = -1L; var bd = Long.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val cv = cents(c)
-            var dsum = 0L; var i = 0
-            while (i < cv.length) {
-              val df = qv(i) - cv(i); dsum += df * df; i += 1
-            }
-            if (dsum < bd) { bd = dsum; bc = c }
-            c += 1
-          }
+          val (bc, bd) = graft.functions.VectorQuantizer.nearest(cents, qv)
           Array(bc, bd)
         })
         graft.util.Tables.fanOut(embeddings(s, d))
@@ -1121,13 +1126,16 @@ object TrainingOps {
     Q("q75_kmeans_fit",
       (s, d) => {
         import graft.functions.VectorQuantizer
-        val (cents, trace) = VectorQuantizer.fit(embeddings(s, d), 8, 3)
+        // the fit persists the quantized frame; the final assignment is a
+        // pure map over that same cache — no second scan+quantize pass
+        val qvecs = VectorQuantizer.quantized(embeddings(s, d))
+        val (cents, trace) = VectorQuantizer.fitQuantized(qvecs, 8, 3)
         val assign = udf((qv: Seq[Long]) => {
           val (bc, bd) = VectorQuantizer.nearest(cents, qv)
           Array(bc, bd)
         })
-        graft.util.Tables.fanOut(embeddings(s, d))
-          .select(assign(VectorQuantizer.quantize(col("embedding"))).as("a"))
+        qvecs
+          .select(assign(col("qv")).as("a"))
           .select(col("a").getItem(0).as("cid"), col("a").getItem(1).as("dist"))
           .groupBy("cid")
           .agg(count(lit(1)).as("n_vec"),

@@ -106,7 +106,7 @@ object Streaming {
     * shuffle, exactly like the batch plan.
     */
   def funnelCounts(docs: DataFrame): DataFrame = {
-    val nTok = size(split(trim(col("text")), "\\s+"))
+    val nTok = size(graft.functions.Text.words(col("text")))
     val c1 = col("text").isNotNull && nTok >= 30
     val c2 = c1 && col("lang").isin("en", "es", "de")
     val c3 = c2 && col("n_chars") <= 400

@@ -12,11 +12,16 @@ import graft.functions.VectorQuantizer
 class VectorQuantizerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("distortion is non-increasing across Lloyd iterations") {
+  test("distortion is non-increasing across Lloyd iterations (floor-mean slack)") {
     val embs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val n = embs.count()
+    val dim = embs.selectExpr("size(embedding)").head.getInt(0)
     val (_, trace) = VectorQuantizer.fit(embs, 8, 4)
     assert(trace.length == 4)
-    trace.sliding(2).foreach { case Seq(a, b) => assert(b <= a, trace) }
+    // exact Lloyd's is non-increasing; the floor-rounded M-step may cost
+    // up to N·dim quantization units² per step (see the step() scaladoc)
+    val slack = BigInt(n) * dim
+    trace.sliding(2).foreach { case Seq(a, b) => assert(b <= a + slack, trace) }
   }
 
   test("one iteration on a hand-built frame: exact floor-mean centroids") {
@@ -71,9 +76,11 @@ class VectorQuantizerSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.length <= 8)
     val total = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").count()
     assert(rows.map(_.getLong(1)).sum == total)
-    // the reported trace endpoints are non-increasing
+    // the reported trace endpoints decrease up to the floor-mean slack
     // (columns: cid, n_vec, total_distortion, first_iter_d, last_iter_d)
     val r = rows.head
-    assert(r.getDouble(4) <= r.getDouble(3))
+    val dim = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .selectExpr("size(embedding)").head.getInt(0)
+    assert(r.getDouble(4) <= r.getDouble(3) + total.toDouble * dim)
   }
 }
