@@ -83,6 +83,21 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(pair.exists(t => t._3 == 1.0 && t._4 == 1.0), rows.toSeq)
   }
 
+  test("q73: a corpus missing centroid ids fails loudly, never mislabels") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-edge-emb-")
+      .toFile.getAbsolutePath
+    // only 10 vectors — vec_ids 10..15 absent, so positional cids would
+    // silently diverge from the oracle's vec_id labels without the guard
+    (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q73_vq_assign")(spark, d)
+    }
+    assert(e.getMessage.contains("vec_id 0..15"), e.getMessage)
+  }
+
   test("q67/q69: null and empty texts neither crash nor skew the counts") {
     // q67 samples over ALL 9 docs (no text dependence)
     assert(run("q67_domain_mix").map(_.getLong(2)).sum == 9L)
