@@ -99,15 +99,33 @@ object Bench {
       // hide a flaky query behind one lucky pass
       q.name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // failures must be LOUD: a crashed query is excluded from the total,
     // so without this a broken build would bench "faster" than a working one
     val failed = results.collect { case (k, v) if v < 0 => k }
     failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout — BENCH_r07.json
+    // lost q01–q10 to that window. The stdout line therefore rounds
+    // per-query seconds to 1 ms (floor ~60 ms, so 3 decimals lose nothing
+    // a cross-round comparison can see) and omits an empty failed list;
+    // full precision goes to a sidecar file for regression archaeology.
+    def line(fmt: Double => String, failedAlways: Boolean): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val failedJson =
+        if (failed.isEmpty && !failedAlways) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs$failedJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    val out = line(v => f"$v%.3f", failedAlways = false)
+    if (out.length > 2000)
+      System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail window")
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+    scala.util.Try {
+      val w = new java.io.PrintWriter(sidecar, "UTF-8")
+      try w.println(line(_.toString, failedAlways = true)) finally w.close()
+    }
+    println(out)
     spark.stop()
   }
 }

@@ -68,7 +68,34 @@ object Tables {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (plannedPartitions(df) < cores) df.repartition(cores) else df
+  }
+
+  // The probe (`df.rdd.getNumPartitions`) forces physical planning + RDD
+  // DAG construction — ~10–40 ms per call, and fanOut sits under 11 query
+  // builders that Bench re-invokes every pass. The planned partition count
+  // is a pure function of the canonicalized plan (same files, same
+  // maxPartitionBytes), so memoize per (session, semanticHash). The key is
+  // an Int, not the plan itself: a held plan would strongly reference its
+  // session and pin the WeakHashMap entry (same cycle Tables.cache breaks
+  // with soft refs). A semanticHash collision would only mis-skip the
+  // fan-out (perf, never correctness) and is vanishingly unlikely within
+  // one session's query set.
+  private val fanOutCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[Int, Int]]()
+
+  private def plannedPartitions(df: DataFrame): Int = {
+    val perSession = fanOutCache.synchronized {
+      var m = fanOutCache.get(df.sparkSession)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[Int, Int]
+        fanOutCache.put(df.sparkSession, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(
+      df.queryExecution.analyzed.canonicalized.semanticHash(),
+      df.rdd.getNumPartitions)
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
