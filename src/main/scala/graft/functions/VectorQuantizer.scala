@@ -32,6 +32,12 @@ object VectorQuantizer {
 
   /** Squared-L2 argmin of `qv` against `cents`; ties break to the lower
     * centroid id. Returns (bestCid, bestDist).
+    *
+    * Accumulation is overflow-CHECKED (`multiplyExact`/`addExact` — JIT
+    * intrinsics, a predictable never-taken branch in the hot loop): an
+    * embedding far outside the unit-norm convention (component deltas
+    * ≳2^21 at 2^20 quantization over wide dims) must abort like the
+    * DuckDB oracle's BIGINT SUM would, never wrap int64 silently.
     */
   private[graft] def nearest(cents: Array[Array[Long]], qv: Seq[Long]): (Long, Long) = {
     var bc = -1L; var bd = Long.MaxValue
@@ -39,7 +45,11 @@ object VectorQuantizer {
     while (c < cents.length) {
       val cv = cents(c)
       var dsum = 0L; var i = 0
-      while (i < cv.length) { val d = qv(i) - cv(i); dsum += d * d; i += 1 }
+      while (i < cv.length) {
+        val d = qv(i) - cv(i)
+        dsum = Math.addExact(dsum, Math.multiplyExact(d, d))
+        i += 1
+      }
       if (dsum < bd) { bd = dsum; bc = c }
       c += 1
     }
@@ -112,10 +122,16 @@ object VectorQuantizer {
     */
   def fitQuantized(qvecs: DataFrame, k: Int, iters: Int):
       (Array[Array[Long]], Seq[BigInt]) = {
-    var cents = qvecs.filter(col("vec_id") < k)
+    val initRows = qvecs.filter(col("vec_id") < k)
       .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Long](1).toArray)
-    require(cents.length == k, s"need vec_ids 0..${k - 1} for the deterministic init")
+    // q73's stronger check, mirrored: the ids must be EXACTLY 0..k-1 and
+    // distinct — a duplicate id below k would pass a bare count check
+    // while leaving the init dependent on collect()/sortBy order over
+    // equal keys, breaking the bit-determinism this trainer exists for
+    require(initRows.map(_.getLong(0)).toSeq == (0L until k),
+      s"deterministic init needs exactly vec_ids 0..${k - 1}, distinct; " +
+        s"got [${initRows.map(_.getLong(0)).take(k + 1).mkString(",")}]")
+    var cents = initRows.map(_.getSeq[Long](1).toArray)
     val trace = scala.collection.mutable.ArrayBuffer.empty[BigInt]
     val onlyQv = qvecs.select(col("qv"))
     for (_ <- 0 until iters) {

@@ -32,7 +32,10 @@ case class ShingleGenerator(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Iterator.empty
-    val words = t.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // the engine's ONE tokenization (graft.functions.Text.words) — the
+    // explicit class is Java \s verbatim, spelled out so both engines
+    // (and this executor-side copy) visibly share one definition
+    val words = t.asInstanceOf[UTF8String].toString.trim.split("[ \\t\\n\\x0B\\f\\r]+")
     if (words.length < n) return Iterator.empty
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

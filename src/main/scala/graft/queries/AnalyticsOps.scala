@@ -17,6 +17,24 @@ object AnalyticsOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 6))
 
+  /** Run a SQL statement over `df` through a per-invocation temp view.
+    * q53/q68 must go through the SQL front-end (the Dataset
+    * rollup()/cube() path trips Spark 4's ambiguous-self-join detection
+    * on the grouping columns), but a FIXED view name is session-global
+    * state — two concurrent builds would race on
+    * createOrReplaceTempView. The name is made unique per call, and the
+    * view is dropped immediately after `sql` (which analyzes eagerly, so
+    * the returned DataFrame no longer needs it): no catalog residue, no
+    * race window beyond the unique name itself.
+    */
+  private implicit final class SqlOverView(private val df: DataFrame) {
+    def sqlOver(s: SparkSession, prefix: String)(q: String => String): DataFrame = {
+      val v = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(v)
+      try s.sql(q(v)) finally s.catalog.dropTempView(v)
+    }
+  }
+
   /** Connected components (doc_id → min id of its component) over an
     * (ida, idb) pair list. Hybrid execution, the broadcast-join analog:
     * post-LSH candidate graphs are sparse by construction, so below
@@ -160,7 +178,7 @@ object AnalyticsOps {
         val perdoc = graft.util.Caches.transientPersist(
           fanOut(documents(s, d).select(col("doc_id"), col("text")))
             .select(col("doc_id"),
-              tfUdf(split(trim(col("text")), "\\s+")).as("tfs"))
+              tfUdf(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("tfs"))
             .select(col("doc_id") +: col("tfs").getItem(0).as("dl") +:
               terms.zipWithIndex.map { case (t, j) =>
                 col("tfs").getItem(j + 1).as(s"tf_$t")
@@ -194,7 +212,7 @@ object AnalyticsOps {
           .limit(10)
           .orderBy(col("score").desc, col("doc_id").asc)
       },
-      Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), " +
+      Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents), " +
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
         "stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) / count(*) AS avgdl FROM dl), " +
         "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks WHERE w IN ('table', 'join', 'fast') GROUP BY doc_id, w), " +
@@ -230,13 +248,14 @@ object AnalyticsOps {
           .groupBy("r_name", "n_name")
           .agg(Hashing.decSumExact(col("l_extendedprice")).as("rev_exact"),
             count(lit(1)).as("n_base"))
-          .createOrReplaceTempView("g_base53")
-        s.sql("SELECT r_name, n_name, " +
-          "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
-          "CAST(SUM(n_base) AS BIGINT) AS n " +
-          "FROM g_base53 " +
-          "GROUP BY ROLLUP (r_name, n_name) " +
-          "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+          .sqlOver(s, "g_base53") { v =>
+            "SELECT r_name, n_name, " +
+              "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
+              "CAST(SUM(n_base) AS BIGINT) AS n " +
+              s"FROM $v " +
+              "GROUP BY ROLLUP (r_name, n_name) " +
+              "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"
+          }
       },
       Some("SELECT r_name, n_name, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, count(*) AS n " +
@@ -263,13 +282,14 @@ object AnalyticsOps {
           .groupBy("r_name", "n_name")
           .agg(Hashing.decSumExact(col("l_extendedprice")).as("rev_exact"),
             count(lit(1)).as("n_base"))
-          .createOrReplaceTempView("g_base68")
-        s.sql("SELECT r_name, n_name, " +
-          "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
-          "CAST(SUM(n_base) AS BIGINT) AS n " +
-          "FROM g_base68 " +
-          "GROUP BY CUBE (r_name, n_name) " +
-          "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+          .sqlOver(s, "g_base68") { v =>
+            "SELECT r_name, n_name, " +
+              "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
+              "CAST(SUM(n_base) AS BIGINT) AS n " +
+              s"FROM $v " +
+              "GROUP BY CUBE (r_name, n_name) " +
+              "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"
+          }
       },
       Some("SELECT r_name, n_name, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, count(*) AS n " +

@@ -26,8 +26,10 @@ object TrainingOps {
   // ---- shared text building blocks ---------------------------------------
 
   /** whitespace tokenization, identical to the oracle's
-    * `regexp_split_to_array(trim(text), '\s+')` — the shared canonical
-    * definition (graft.functions.Text), also used by the streaming funnel.
+    * `regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')` — the shared
+    * canonical definition (graft.functions.Text, which documents why the
+    * class is explicit: Java and RE2 `\s` differ on VT), also used by the
+    * streaming funnel.
     */
   private def words(c: Column): Column = graft.functions.Text.words(c)
 
@@ -51,7 +53,7 @@ object TrainingOps {
 
   /** Oracle CTE prefix producing the same (doc_id, shingle) rows. */
   private val shCte: String =
-    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
       "FROM toks, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)"
 
@@ -403,7 +405,7 @@ object TrainingOps {
           .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
           .orderBy("doc_id")
       },
-      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents), " +
         "w AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM toks)), " +
         s"h AS (SELECT doc_id, ${oMd5Long("w")} AS h FROM w), " +
         "b AS (SELECT doc_id, COUNT(*) AS n, " +
@@ -577,7 +579,7 @@ object TrainingOps {
         "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(ws) AS s_en, " +
         "len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein')))::DOUBLE / len(ws) AS s_de, " +
         "len(list_filter(ws, w -> w IN ('le','la','les','et','des','un')))::DOUBLE / len(ws) AS s_fr " +
-        "FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)) " +
+        "FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents)) " +
         "ORDER BY doc_id")),
 
     // Quality scoring: length, lexical diversity, stopword ratio → one
@@ -606,7 +608,7 @@ object TrainingOps {
         "len(list_distinct(ws))::DOUBLE / len(ws) AS ttr, " +
         "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(ws) AS stop_ratio, " +
         "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_wlen " +
-        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)) " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents)) " +
         "ORDER BY doc_id")),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -616,12 +618,12 @@ object TrainingOps {
         .select(col("doc_id"),
           size(words(col("text"))).as("ws_tokens"),
           size(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).as("bpe_tokens"),
           length(col("text")).as("n_chars"),
           expr("octet_length(text)").cast("long").as("n_bytes"))
         .orderBy("doc_id"),
-      Some("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens, " +
-        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens, " +
+      Some("SELECT doc_id, len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS bpe_tokens, " +
         "length(text) AS n_chars, strlen(text) AS n_bytes " +
         "FROM documents ORDER BY doc_id")),
 
@@ -821,7 +823,7 @@ object TrainingOps {
               .as("top_bigram_frac"))
           .orderBy("doc_id")
       },
-      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents), " +
         "w AS (SELECT doc_id, unnest(ws) AS w FROM toks), " +
         "wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2), " +
         "rep AS (SELECT doc_id, sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS rep_n, CAST(sum(n) AS BIGINT) AS n_words FROM wc GROUP BY 1), " +
@@ -831,6 +833,48 @@ object TrainingOps {
         "SELECT r.doc_id, r.n_words, CAST(rep_n AS DOUBLE) / n_words AS rep_word_frac, " +
         "coalesce(CAST(top_n AS DOUBLE) / nullif(n_bigrams, 0), 0.0) AS top_bigram_frac " +
         "FROM rep r LEFT JOIN top USING (doc_id) ORDER BY doc_id")),
+
+    // PII scrubbing: detect + redact emails, IPv4s, phone numbers — the
+    // compliance pass every training corpus runs before release. Counts
+    // come off the ORIGINAL text per class; redaction replaces each class
+    // with a fixed tag in one deterministic order (email → IP → phone,
+    // identical in both engines), and the output carries md5(redacted) so
+    // cross-engine parity is pinned on EVERY document even where the
+    // corpus contains no PII (the q70 discipline). Patterns use only
+    // syntax Java regex and RE2 agree on: explicit classes (never \d/\b —
+    // those differ or carry Unicode baggage), {m,n}, non-capturing
+    // groups; both engines match leftmost-first, so alternation order is
+    // part of the contract. NULL text propagates NULL counts/hash in both
+    // engines (the q37 convention). Pure map-side kernel: scan → project,
+    // nothing shuffles before the presentation sort — at 100 TB this runs
+    // at read bandwidth.
+    Q("q77_pii_scrub",
+      (s, d) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+        val ip = "(?:[0-9]{1,3}[.]){3}[0-9]{1,3}"
+        val phone = "(?:[+][0-9]{7,15})|(?:[0-9]{3}-[0-9]{3}-[0-9]{4})"
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+            lit(ip), lit("<IP>")),
+          lit(phone), lit("<PHONE>"))
+        docText(s, d)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(email)).as("n_email"),
+            regexp_count(col("text"), lit(ip)).as("n_ip"),
+            regexp_count(col("text"), lit(phone)).as("n_phone"),
+            md5(redacted).as("clean_hash"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}')) AS n_email, " +
+        "len(regexp_extract_all(text, '(?:[0-9]{1,3}[.]){3}[0-9]{1,3}')) AS n_ip, " +
+        "len(regexp_extract_all(text, '(?:[+][0-9]{7,15})|(?:[0-9]{3}-[0-9]{3}-[0-9]{4})')) AS n_phone, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'(?:[0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'), " +
+        "'(?:[+][0-9]{7,15})|(?:[0-9]{3}-[0-9]{3}-[0-9]{4})', '<PHONE>', 'g')) AS clean_hash " +
+        "FROM documents ORDER BY doc_id")),
 
     // Decontamination: flag every training document that shares a shingle
     // with the held-out eval split (doc_id % 50 == 0 — the benchmark set a
@@ -907,7 +951,7 @@ object TrainingOps {
           .orderBy("seq_id")
       },
       Some("WITH t AS (SELECT doc_id, " +
-        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n " +
+        "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n " +
         "FROM documents WHERE text IS NOT NULL), " +
         "c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM t) " +
@@ -923,18 +967,24 @@ object TrainingOps {
     // state, pure map-side: one partial-agg shuffle of |domains| groups);
     // the target rate derives from the source id so no domain list is
     // hardcoded. The same md5-derived coin makes it oracle-exact.
-    // ASSUMES the corpus contract's 'src<N>' source naming (TESTDATA.md):
-    // a non-numeric suffix casts to NULL here (non-ANSI Spark) but ERRORS
-    // in the DuckDB oracle — a corpus outside the contract fails loudly
-    // on the oracle side rather than silently diverging.
+    // ENFORCES the corpus contract's 'src<N>' source naming (TESTDATA.md)
+    // on BOTH engines: DuckDB's strict cast errors on a non-numeric
+    // suffix, and the Spark side raise_errors on anything outside the
+    // pattern instead of silently NULL-casting (non-ANSI) — a corpus
+    // outside the contract aborts loudly in either engine rather than
+    // diverging at the hash gate (PipelineEdgeSpec pins the abort).
     Q("q67_domain_mix",
       (s, d) => {
         val docs = graft.util.Tables.fanOut(
           documents(s, d).select(col("doc_id"), col("source")))
         val coin = pmod(Hashing.md5Long(
           concat(col("doc_id").cast("string"), lit(":"), col("source"))), lit(1000L))
-        val permille = (lit(100) +
-          lit(180) * pmod(expr("CAST(substring(source, 4) AS INT)"), lit(5)))
+        val srcN = when(col("source").rlike("^src[0-9]+$"),
+          expr("CAST(substring(source, 4) AS INT)"))
+          .otherwise(raise_error(concat(
+            lit("q67_domain_mix: source violates the src<N> corpus contract: "),
+            col("source"))).cast("int"))
+        val permille = lit(100) + lit(180) * pmod(srcN, lit(5))
         docs
           .withColumn("tp", permille)
           .withColumn("keep", (coin < col("tp")).cast("bigint"))
@@ -968,18 +1018,48 @@ object TrainingOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc)
         .limit(100),
-      Some("WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws " +
+      Some("WITH toks AS (SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
         "FROM documents WHERE text IS NOT NULL), " +
         "w AS (SELECT unnest(ws) AS word FROM toks) " +
         "SELECT word, count(*) AS n FROM w " +
         "GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 100")),
 
+    // One BPE merge iteration: corpus-wide adjacent-token-pair counts —
+    // the statistic a tokenizer trainer maximizes each merge round (q69's
+    // vocabulary counterpart one order up). Pair rows explode map-side
+    // from the BOUND token array (zip_with over two slices — the split
+    // runs once per row, the ShingleGeneratorSpec lesson); hash
+    // partial-agg collapses in-partition duplicate pairs before the one
+    // shuffle — corpus pair volume never crosses the wire — and the
+    // top-50 is a TakeOrdered under the total (n DESC, w1, w2) order, so
+    // the cut is deterministic.
+    Q("q78_bpe_merge_pairs",
+      (s, d) => docText(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("ws", words(col("text")))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+        .limit(50),
+      Some("WITH toks AS (SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "p AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM toks, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2) " +
+        "SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2 " +
+        "ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50")),
+
     // Normalized exact dedup: case-/punctuation-/whitespace-insensitive
     // duplicate groups — the cheap near-exact pass a pipeline runs before
     // MinHash (catches reformatted copies that byte-exact q27 misses).
     // Normalize map-side (lowercase, strip non-alphanumerics, collapse
-    // runs of whitespace — character classes RE2 and Java regex agree
-    // on), then ONE shuffle of 16-byte md5 keys; the canonical survivor
+    // whitespace runs — the explicit class, because RE2's and Java's \s
+    // disagree on VT; see graft.functions.Text), then ONE shuffle of
+    // 16-byte md5 keys; the canonical survivor
     // is the min doc_id, the reproducible convention. Group count and
     // survivor come from the same aggregation pass. All groups are
     // emitted (the gate corpus has no normalized duplicates, so a dup
@@ -988,8 +1068,8 @@ object TrainingOps {
     Q("q70_normalized_dedup",
       (s, d) => {
         val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-          "\\s+", " "))
+          regexp_replace(lower(col("text")), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", ""),
+          "[ \\t\\n\\x0B\\f\\r]+", " "))
         docText(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), md5(norm).as("norm_hash"))
           .groupBy("norm_hash")
@@ -997,8 +1077,8 @@ object TrainingOps {
           .orderBy("norm_hash")
       },
       Some("WITH n AS (SELECT doc_id, md5(trim(regexp_replace(" +
-        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), " +
-        "'\\s+', ' ', 'g'))) AS norm_hash FROM documents WHERE text IS NOT NULL) " +
+        "regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm_hash FROM documents WHERE text IS NOT NULL) " +
         "SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_doc " +
         "FROM n GROUP BY 1 ORDER BY 1")),
 
@@ -1041,11 +1121,11 @@ object TrainingOps {
         graft.util.Tables.fanOut(
           documents(s, d).select(col("text"), col("lang"), col("n_chars")))),
       Some("SELECT count(*) AS n_total, " +
-        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 30 " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_min_len, " +
-        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 30 " +
         "AND lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang, " +
-        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30 " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 30 " +
         "AND lang IN ('en', 'es', 'de') AND n_chars <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_max_size " +
         "FROM documents")),
 
@@ -1109,7 +1189,7 @@ object TrainingOps {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("bucket"),
-      Some("WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok " +
+      Some("WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok " +
         "FROM documents WHERE text IS NOT NULL) " +
         "SELECT least(n_tok // 10, 10) AS bucket, count(*) AS n_docs, " +
         "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY 1 ORDER BY 1")),
@@ -1117,12 +1197,16 @@ object TrainingOps {
     // Full k-means codebook fit (3 Lloyd iterations, k=8) + final
     // assignment stats — the trainer behind q73's E-step, exact-integer
     // throughout (see graft.functions.VectorQuantizer). An iterative fit
-    // has no single-statement SQL equivalent, so this registers with NO
-    // oracle (the driver records the weaker rows-only check; the real
-    // checks — monotone distortion, M-step ground truth, determinism —
-    // live in VectorQuantizerSpec). bench=false for the same reason: with
-    // no DuckDB counterpart in the denominator, timing it would make the
-    // bench ratio incomparable.
+    // has no single-statement SQL equivalent, but it IS bit-deterministic
+    // (exact integer arithmetic, doc-id-ordered init, lowest-id tie
+    // break), so the oracle is the q50 pinned-VALUES pattern: the one
+    // correct answer for k=8/iters=3 over the frozen sf0.01 corpus,
+    // generated by tools/pin_oracle.py from a hash-verified run. The
+    // algorithmic checks — monotone distortion, M-step ground truth,
+    // determinism — live in VectorQuantizerSpec. bench=false stands: the
+    // DuckDB side of a pinned oracle is a constant VALUES scan (~1 ms),
+    // so timing the multi-job fit against it would skew the bench ratio's
+    // comparability.
     Q("q75_kmeans_fit",
       (s, d) => {
         import graft.functions.VectorQuantizer
@@ -1145,7 +1229,7 @@ object TrainingOps {
           .withColumn("last_iter_distortion", lit(trace.last.toDouble))
           .orderBy("cid")
       },
-      None,
+      Some(Q.pinned("q75_oracle.sql")),
       bench = false),
 
     // ==== robustness & scale techniques ====================================

@@ -98,6 +98,23 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vec_id 0..15"), e.getMessage)
   }
 
+  test("q67: a source outside the src<N> contract aborts loudly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-edge-src-")
+      .toFile.getAbsolutePath
+    // DuckDB's strict cast would error on 'web1'; without the Spark-side
+    // raise_error the non-ANSI cast NULLs silently and the engines diverge
+    Seq((0L, "alpha", "en", "web1", 5L), (1L, "beta", "en", "src1", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q67_domain_mix")(spark, d).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("src<N> corpus contract")), e.toString)
+  }
+
   test("q67/q69: null and empty texts neither crash nor skew the counts") {
     // q67 samples over ALL 9 docs (no text dependence)
     assert(run("q67_domain_mix").map(_.getLong(2)).sum == 9L)

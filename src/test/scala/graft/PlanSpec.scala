@@ -277,6 +277,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q77 PII scrub: pure map-side kernel, no exchange before the presentation sort") {
+    val p = plan("q77_pii_scrub")
+    // count + redact + hash all live inside the document's row — any
+    // hashpartitioning exchange or join means the kernel stopped being
+    // a single pass at read bandwidth
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q78 BPE merge pairs: map-side combine before the shuffle, TakeOrdered at the top") {
+    val p = plan("q78_bpe_merge_pairs")
+    // in-partition duplicate pairs collapse before the exchange (the
+    // q69 shape); the top-50 is a bounded per-partition head merge
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q76 containment: reads the shared index, no extra corpus scan") {
     val p = plan("q76_containment")
     // both join sides and the size view come off the cached shingle
