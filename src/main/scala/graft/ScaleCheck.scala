@@ -134,14 +134,49 @@ object ScaleCheck {
 
     val base = time(srcDir)
     val scaled = time(outDir)
+
+    // Distributed connected-components exercise: AnalyticsSpec proves
+    // driver≡distributed on toy graphs; this forces the min-label
+    // propagation loop (maxDriverEdges=0) on the REAL corpus at both
+    // scales — parity against the driver union-find path, plus timing,
+    // so the path that survives billions of edges has a measured slope,
+    // not just a spec. Output order is plan-root-pinned, so collected
+    // rows compare positionally.
+    val q51 = qs.find(_.name == "q51_dedup_clusters").get
+    def ccRows(dir: String): Seq[String] = {
+      graft.util.Caches.clearTransient()
+      q51.fn(spark, dir).collect().map(_.toString).toSeq
+    }
+    def ccParityAndTime(dir: String): (Boolean, Double) = {
+      spark.sqlContext.clearCache()
+      val viaDriver = ccRows(dir)
+      spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
+      try {
+        val viaDistributed = ccRows(dir)
+        run(q51, dir) // warmup under the distributed regime
+        val t = (1 to passes).map { _ =>
+          spark.sqlContext.clearCache()
+          val t0 = System.nanoTime()
+          run(q51, dir)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (viaDriver == viaDistributed, t)
+      } finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
+    }
+    val (parityBase, ccBase) = ccParityAndTime(srcDir)
+    val (parityScaled, ccScaled) = ccParityAndTime(outDir)
+
     val baseMap = base.toMap
     def fmt(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val slopes = scaled.map { case (k, v) => k -> v / baseMap(k) }
+    val distcc =
+      f"""{"parity_base":$parityBase,"parity_scaled":$parityScaled,""" +
+        f""""base":$ccBase%.3f,"scaled":$ccScaled%.3f,"slope":${ccScaled / ccBase}%.3f}"""
     println(s"""{"metric":"scale_slope","factor":$factor,"passes":$passes,""" +
       s""""base":${fmt(base)},"scaled":${fmt(scaled)},""" +
-      s""""slope":${fmt(slopes)},"src":"$srcDir","out":"$outDir"}""")
+      s""""slope":${fmt(slopes)},"distcc":$distcc,"src":"$srcDir","out":"$outDir"}""")
     spark.stop()
   }
 }

@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DecimalMicrosSum(children.head, decimalOut = true)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot_long expects exactly two arguments")
+        DotProductLong(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_md5long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5long"),
       (children: Seq[Expression]) => {

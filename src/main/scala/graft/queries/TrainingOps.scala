@@ -258,24 +258,19 @@ object TrainingOps {
   private def quantize(emb: Column): Column =
     graft.functions.VectorQuantizer.quantize(emb)
 
-  /** Exact integer dot product as a tight-loop UDF over PRIMITIVE arrays:
-    * `Array[Long]` parameters make Spark bulk-copy the unsafe array
-    * (`toLongArray`, no boxing) — measured 3× faster than both the
-    * interpreted HOF form (`aggregate(zip_with(...))`) and a `Seq[Long]`
-    * UDF on the pair join. Same exact int64 math either way, so the
-    * oracles are unaffected.
+  /** Exact integer dot product — the native codegen expression
+    * [[graft.plans.DotProductLong]]. History of this hot path: the
+    * interpreted HOF form (`aggregate(zip_with(...))`) lost 3× to a
+    * primitive-`Array[Long]` tight-loop UDF (r6), and the UDF still paid
+    * a per-pair `toLongArray` copy of both sides plus the invoke
+    * round-trip; the Expression reads `getLong(i)` straight off the
+    * unsafe array inside whole-stage codegen — zero copies. Same exact
+    * int64 math throughout, so the oracles are unaffected.
     */
-  private val dotUdf = udf((a: Array[Long], b: Array[Long]) => {
-    var s = 0L
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
+  private def dotQ(a: Column, b: Column): Column =
+    call_function("graft_dot_long", a, b)
 
-  private def dotQ(a: Column, b: Column): Column = dotUdf(a, b)
-
-  private def norm2Q(a: Column): Column = dotUdf(a, a)
+  private def norm2Q(a: Column): Column = call_function("graft_dot_long", a, a)
 
   /** cosine from quantized vectors: exact ints → deterministic doubles. */
   private def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
@@ -382,7 +377,7 @@ object TrainingOps {
     // (doc, word) explode and its groupBy exchange: nothing shuffles
     // before the presentation sort. The per-doc kernel (distinct the
     // tokens, md5 each, count the 60 bit positions, majority-vote) is one
-    // tight-loop UDF over the token array — the dotUdf precedent: the
+    // tight-loop UDF over the token array — the old dotUdf precedent: the
     // declarative form needs 15 interpreted HOF lane-aggregates over a
     // bound hash array (HOFs never enter codegen), measured ~2× slower
     // than this loop calling the same native Md5PrefixLong.hash. Int
