@@ -18,7 +18,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // BENCH-SCALE POSTURE — measured, not assumed: 5-pass A/B at sf0.1
@@ -47,6 +48,20 @@ object Bench {
       // exercises the default-posture sort-merge path).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // BENCH-SCALE POSTURE — single-host, in-memory exchanges: every
+      // shuffle/broadcast/cached-column byte here crosses RAM, never a
+      // NIC or disk worth compressing, so LZ4 is pure CPU tax on tiny
+      // blocks. On a real cluster compression pays for itself in network
+      // and spill bandwidth — production keeps Spark's defaults (ON),
+      // like the AQE/SMJ flags above. Override: SPARK_GRAFT_COMPRESS=true.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

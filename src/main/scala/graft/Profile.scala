@@ -64,6 +64,83 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> exchanges`: per-query exchange
+    // census — queries whose stage count exceeds their semantic minimum
+    // are paying avoidable job floor at bench scale.
+    if (args.length >= 2 && args(1) == "exchanges") {
+      for (q <- SparkEntry.registry.filter(_.bench)) {
+        val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val ex = "Exchange ".r.findAllIn(p).size
+        val kinds = Seq("rangepartitioning", "hashpartitioning",
+          "SinglePartition", "RoundRobinPartitioning")
+          .map(k => s"$k=${s"Exchange $k".r.findAllIn(p).size}")
+          .filterNot(_.endsWith("=0")).mkString(" ")
+        if (ex >= 3) println(s"[exchanges] ${q.name}: $ex ($kinds)")
+        graft.util.Caches.clearTransient()
+      }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> rangesorts`: which benched queries
+    // still plan a range-partitioned sort (sampling job + shuffle) at
+    // this SF — i.e. where the presentation-sort gather did NOT engage?
+    if (args.length >= 2 && args(1) == "rangesorts") {
+      for (q <- SparkEntry.registry.filter(_.bench)) {
+        val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val n = "Exchange rangepartitioning".r.findAllIn(p).size
+        if (n > 0) println(s"[rangesorts] ${q.name}: $n")
+        graft.util.Caches.clearTransient()
+      }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> fanfacts`: the single-row-group
+    // corpus plans every scan as ONE task — is fanning the LINEITEM scan
+    // out (round-robin exchange of the projected columns) before the
+    // partial agg a net win for the TPC-H-shaped family, the way it
+    // measured for the shingle/JSON kernels?
+    if (args.length >= 2 && args(1) == "fanfacts") {
+      import org.apache.spark.sql.functions._
+      val li = graft.util.Tables.lineitem(spark, sfDir)
+      def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        val times = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[fanfacts] $label%-40s ${times.min}%6.3f s")
+      }
+      def q10body(base: org.apache.spark.sql.DataFrame) = base
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(graft.functions.Hashing.decSum(col("l_extendedprice")).as("sum_price"),
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+      t("q10-shape, scan as-is")(q10body(li))
+      t("q10-shape, fanOut projected") {
+        q10body(graft.util.Tables.fanOut(li.select(
+          col("l_shipdate"), col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice"), col("l_quantity"))))
+      }
+      val ord = graft.util.Tables.orders(spark, sfDir)
+      def q09body(o: org.apache.spark.sql.DataFrame) = o
+        .join(broadcast(graft.util.Tables.customer(spark, sfDir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), graft.functions.Hashing.decSum(col("o_totalprice")).as("rev"))
+        .orderBy("c_nationkey")
+      t("q09-shape, scan as-is")(q09body(ord))
+      t("q09-shape, fanOut projected") {
+        q09body(graft.util.Tables.fanOut(ord.select(
+          col("o_custkey"), col("o_totalprice"))))
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> fanout`: does the 1-task documents
     // scan serialize the shingle md5 work?
     if (args.length >= 2 && args(1) == "fanout") {

@@ -81,7 +81,7 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
         _: Intersect | _: GlobalLimit => true
     case Project(_, child) => reducingTop(child)
     case SubqueryAlias(_, child) => reducingTop(child)
-    case Filter(_, child) =>
+    case Filter(cond, child) =>
       child match {
         // rank/row_number filter over a window: top-k per group
         case _: Window => true
@@ -89,9 +89,63 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
         // an outer join kept out of its condition) proves nothing about
         // cardinality — judge the JOIN itself, same as the bare case
         case j: Join => filteringJoin(j)
+        // a constant-threshold Filter over a CACHED derived view (the
+        // shared-materialized-view pattern: q31/q76 measure a threshold
+        // over the persisted pair-intersection table) — the same default-
+        // selectivity assumption filteringJoin applies, surfaced one
+        // level up because the join now hides inside the cached plan
+        case c if constThreshold(cond) && cachedLeaf(c) => true
         case c => reducingTop(c)
       }
     case j: Join => filteringJoin(j)
+    // a cached shared view: its pre-materialization stats inherit the
+    // join-inflated estimates of the plan it caches, so the byte guard
+    // cannot see how small it is — judge the CACHED plan's top by the
+    // same rules instead (q29 presents the persisted verified-pair view
+    // directly under its root sort)
+    case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      reducingTopPhysical(r.cacheBuilder.cachedPlan)
+    case _ => false
+  }
+
+  /** [[reducingTop]]'s judgment applied to a PHYSICAL plan — needed for
+    * InMemoryRelation, which retains only the SparkPlan it caches. Same
+    * semantics: final aggregates and constant-threshold filters reduce;
+    * row-preserving wrappers (project, codegen glue, exchanges) look
+    * through.
+    */
+  private def reducingTopPhysical(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
+    p match {
+      // under AQE the cached plan is wrapped in AdaptiveSparkPlanExec;
+      // judge the plan it adapts
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        reducingTopPhysical(a.inputPlan)
+      case pr: ProjectExec => reducingTopPhysical(pr.child)
+      case w: WholeStageCodegenExec => reducingTopPhysical(w.child)
+      case i: InputAdapter => reducingTopPhysical(i.child)
+      case f: FilterExec =>
+        constThreshold(f.condition) || reducingTopPhysical(f.child)
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+  }
+
+  /** At least one conjunct comparing an expression against a constant —
+    * the shape of a similarity/score threshold.
+    */
+  private def constThreshold(cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case bc: BinaryComparison => bc.right.foldable || bc.left.foldable
+      case _ => false
+    }
+
+  /** The child (through row-preserving wrappers) is a cached relation. */
+  private def cachedLeaf(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+    case Project(_, c) => cachedLeaf(c)
+    case SubqueryAlias(_, c) => cachedLeaf(c)
     case _ => false
   }
 

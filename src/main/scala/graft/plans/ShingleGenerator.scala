@@ -7,18 +7,25 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles as a native Catalyst [[Generator]] (the
-  * 1→N tier `explode` belongs to). One pass over the tokens with a
-  * linked-hash set replaces the HOF pipeline
-  * `explode(array_distinct(transform(sequence(...), …)))` — which builds
-  * the full array, runs an interpreted lambda per shingle and an O(n²)
-  * distinct — in the hottest dedup path (q28/q29/q31/q38).
+/** Word n-gram shingles as a native Catalyst [[Generator]] (the 1→N tier
+  * `explode` belongs to). One pass over the tokens replaces the HOF
+  * pipeline `explode(array_distinct(transform(sequence(...), …)))` —
+  * which builds the full array, runs an interpreted lambda per shingle
+  * and an O(n²) distinct — in the hottest dedup path (q28/q29/q31/q38).
+  *
+  * Two modes, registered as separate SQL functions:
+  *  - `shingles(text, n)` (distinct = true): per-document SET semantics,
+  *    insertion-ordered — what every set-similarity consumer (Jaccard,
+  *    MinHash, containment) wants;
+  *  - `ngrams(text, n)` (distinct = false): every occurrence with
+  *    MULTIPLICITY, corpus-count semantics — what frequency consumers
+  *    (q78 BPE merge-pair counting) want; skips the hash set entirely.
   *
   * Generators are planned through `GenerateExec`; eval-based (codegen
   * fallback) like most built-in generators that produce variable row
   * counts.
   */
-case class ShingleGenerator(child: Expression, n: Int)
+case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -37,10 +44,8 @@ case class ShingleGenerator(child: Expression, n: Int)
     // (and this executor-side copy) visibly share one definition
     val words = t.asInstanceOf[UTF8String].toString.trim.split("[ \\t\\n\\x0B\\f\\r]+")
     if (words.length < n) return Iterator.empty
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
     val sb = new java.lang.StringBuilder
-    while (i <= words.length - n) {
+    def gram(i: Int): String = {
       sb.setLength(0)
       var j = 0
       while (j < n) {
@@ -48,14 +53,28 @@ case class ShingleGenerator(child: Expression, n: Int)
         sb.append(words(i + j))
         j += 1
       }
-      seen.add(sb.toString)
-      i += 1
+      sb.toString
     }
-    val it = seen.iterator()
-    new Iterator[InternalRow] {
-      override def hasNext: Boolean = it.hasNext
-      override def next(): InternalRow =
-        InternalRow(UTF8String.fromString(it.next()))
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= words.length - n) { seen.add(gram(i)); i += 1 }
+      val it = seen.iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow =
+          InternalRow(UTF8String.fromString(it.next()))
+      }
+    } else {
+      val last = words.length - n
+      new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= last
+        override def next(): InternalRow = {
+          val g = gram(i); i += 1
+          InternalRow(UTF8String.fromString(g))
+        }
+      }
     }
   }
 

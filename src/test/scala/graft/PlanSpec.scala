@@ -111,6 +111,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("presentation sort: shared cached views gather — builders and threshold consumers") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1") // decline the byte guard
+      // q29: root sort DIRECTLY over the persisted verified-pair view —
+      // the rule must judge the CACHED plan (const-threshold filter top),
+      // because the view's pre-materialization stats are join-inflated
+      assert(!plan("q29_lsh_neardup").contains("rangepartitioning"),
+        plan("q29_lsh_neardup"))
+      // q31: const-threshold filter over the cached pair-intersection
+      // view — the filteringJoin selectivity argument, one level up
+      assert(!plan("q31_ngram_jaccard").contains("rangepartitioning"),
+        plan("q31_ngram_jaccard"))
+    } finally {
+      graft.util.Caches.clearTransient()
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
+
   test("presentation sort: bare equi-join child has no unconditional gather bypass") {
     // q08's root sort sits over the full FK-join output (every orders
     // row) — not cardinality-reduced, so unlike q33/q09 it rewrites only

@@ -43,4 +43,15 @@ class ShingleGeneratorSpec extends AnyFunSuite {
       .selectExpr("shingles(text, 3) AS s").collect()
     assert(out.isEmpty)
   }
+
+  test("ngrams keeps multiplicity and document order (q78's count semantics)") {
+    import spark.implicits._
+    val out = Seq("a b a b a b").toDF("text")
+      .selectExpr("ngrams(text, 2) AS p").as[String].collect().toSeq
+    // every adjacent pair, with repeats — unlike shingles' set semantics
+    assert(out == Seq("a b", "b a", "a b", "b a", "a b"))
+    val degenerate = Seq(Some("solo"), None, Some("")).toDF("text")
+      .selectExpr("ngrams(text, 2) AS p").collect()
+    assert(degenerate.isEmpty)
+  }
 }
