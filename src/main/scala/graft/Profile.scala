@@ -64,6 +64,76 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> lightfan`: is the fanOut exchange a
+    // net win for LIGHT per-row kernels (one md5 / a couple of regexes
+    // per row), or only for the heavy shingle/JSON pipelines it was
+    // measured on?
+    if (args.length >= 2 && args(1) == "lightfan") {
+      import org.apache.spark.sql.functions._
+      val docs = graft.util.Tables.documents(spark, sfDir)
+      def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        val times = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[lightfan] $label%-40s ${times.min}%6.3f s")
+      }
+      def q70body(base: org.apache.spark.sql.DataFrame) = {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", ""),
+          "[ \\t\\n\\x0B\\f\\r]+", " "))
+        base.filter(col("text").isNotNull)
+          .select(col("doc_id"), md5(norm).as("norm_hash"))
+          .groupBy("norm_hash")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+          .orderBy("norm_hash")
+      }
+      t("q70-shape, fanOut")(q70body(
+        graft.util.Tables.fanOut(docs.select(col("doc_id"), col("text")))))
+      t("q70-shape, scan as-is")(q70body(docs.select(col("doc_id"), col("text"))))
+      def q77body(base: org.apache.spark.sql.DataFrame) = {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+        base.select(col("doc_id"), regexp_count(col("text"), lit(email)).as("n"))
+          .orderBy("doc_id")
+      }
+      t("q77-lite, fanOut")(q77body(
+        graft.util.Tables.fanOut(docs.select(col("doc_id"), col("text")))))
+      t("q77-lite, scan as-is")(q77body(docs.select(col("doc_id"), col("text"))))
+      def q77full(base: org.apache.spark.sql.DataFrame) =
+        SparkEntry.queries("q77_pii_scrub")(spark, sfDir) // fanned form
+      t("q77-full, fanOut (current)")(q77full(null))
+      def q74body(base: org.apache.spark.sql.DataFrame) = base
+        .filter(col("text").isNotNull)
+        .select(size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("bigint").as("n_tok"))
+        .selectExpr("least(n_tok DIV 10, 10) AS bucket", "n_tok")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("bucket")
+      t("q74-shape, fanOut")(q74body(
+        graft.util.Tables.fanOut(docs.select(col("doc_id"), col("text")))))
+      t("q74-shape, scan as-is")(q74body(docs.select(col("doc_id"), col("text"))))
+      def q78body(base: org.apache.spark.sql.DataFrame) = base
+        .selectExpr("ngrams(text, 2) AS pair")
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(50)
+      t("q78-shape, fanOut")(q78body(
+        graft.util.Tables.fanOut(docs.select(col("doc_id"), col("text")))))
+      t("q78-shape, scan as-is")(q78body(docs.select(col("doc_id"), col("text"))))
+      def q69body(base: org.apache.spark.sql.DataFrame) = base
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(100)
+      t("q69-shape, fanOut")(q69body(
+        graft.util.Tables.fanOut(docs.select(col("doc_id"), col("text")))))
+      t("q69-shape, scan as-is")(q69body(docs.select(col("doc_id"), col("text"))))
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> exchanges`: per-query exchange
     // census — queries whose stage count exceeds their semantic minimum
     // are paying avoidable job floor at bench scale.

@@ -33,12 +33,28 @@ object TrainingOps {
     */
   private def words(c: Column): Column = graft.functions.Text.words(c)
 
-  /** (doc_id, text) fanned out of the single-task small-file scan — every
-    * downstream tokenize/md5 pass then runs on all cores (Tables.fanOut
-    * is the identity on an already-parallel scan).
+  /** (doc_id, text) fanned out of the single-task small-file scan — for
+    * kernels whose PER-ROW work dominates the round-robin exchange of
+    * the texts (the shingle+md5 index 2.5×, simhash, the repetition hash
+    * maps, q77's six regex passes; q47's JSON parse is the same call on
+    * events). Tables.fanOut is the identity on an already-parallel scan,
+    * so at cluster scale this costs nothing.
+    *
+    * For LIGHT kernels use [[docTextLean]]: measured at sf0.1, the
+    * exchange LOSES for one-md5/tokenize-and-count shapes — q70-shape
+    * 0.56 → 0.31 s, q74 0.24 → 0.15, q78 0.37 → 0.18, q69 0.29 → 0.13
+    * (Profile lightfan) — because shuffling every text costs more than
+    * the serial scan task saves. At cluster scale the two are identical
+    * (parallel scan ⇒ fanOut is the identity), so the lean form is never
+    * a scale regression — the choice only exists at single-row-group
+    * bench scale.
     */
   private def docText(s: SparkSession, d: String): DataFrame =
     graft.util.Tables.fanOut(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** (doc_id, text) without the fan-out — light per-row kernels. */
+  private def docTextLean(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("text"))
 
   /** (doc_id, shingle) exploded distinct-shingle rows, via the native
     * [[graft.plans.ShingleGenerator]] — one tokenize+dedup pass per row
@@ -985,8 +1001,9 @@ object TrainingOps {
     // diverging at the hash gate (PipelineEdgeSpec pins the abort).
     Q("q67_domain_mix",
       (s, d) => {
-        val docs = graft.util.Tables.fanOut(
-          documents(s, d).select(col("doc_id"), col("source")))
+        // no fan-out: one md5 per row is far below the exchange's cost
+        // (the docTextLean rule), and the partial agg absorbs the rest
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
         val coin = pmod(Hashing.md5Long(
           concat(col("doc_id").cast("string"), lit(":"), col("source"))), lit(1000L))
         val srcN = when(col("source").rlike("^src[0-9]+$"),
@@ -1022,7 +1039,7 @@ object TrainingOps {
     // TakeOrdered (per-partition heads merged on the driver), not a
     // global sort. (count DESC, word ASC) makes the cut deterministic.
     Q("q69_vocab_topk",
-      (s, d) => docText(s, d).filter(col("text").isNotNull)
+      (s, d) => docTextLean(s, d).filter(col("text").isNotNull)
         .select(explode(words(col("text"))).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("n"))
@@ -1050,7 +1067,7 @@ object TrainingOps {
     // token, and then identically in both engines). w1/w2 split off the
     // 50 surviving pairs after the cut.
     Q("q78_bpe_merge_pairs",
-      (s, d) => docText(s, d)
+      (s, d) => docTextLean(s, d)
         .selectExpr("ngrams(text, 2) AS pair")
         .groupBy("pair")
         .agg(count(lit(1)).as("n"))
@@ -1083,7 +1100,7 @@ object TrainingOps {
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", ""),
           "[ \\t\\n\\x0B\\f\\r]+", " "))
-        docText(s, d).filter(col("text").isNotNull)
+        docTextLean(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), md5(norm).as("norm_hash"))
           .groupBy("norm_hash")
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
@@ -1108,8 +1125,9 @@ object TrainingOps {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang")
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        graft.util.Tables.fanOut(
-          documents(s, d).select(col("doc_id"), col("lang")))
+        // no fan-out: the window's own hash exchange on lang immediately
+        // follows, so a round-robin exchange before it is pure waste
+        documents(s, d).select(col("doc_id"), col("lang"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("lang"), col("rank"), col("doc_id"))
@@ -1130,9 +1148,9 @@ object TrainingOps {
     // Streaming.funnelCounts — the SAME code streams in complete mode
     // (batch-equals-stream pinned in StreamingSpec).
     Q("q72_filter_funnel",
+      // no fan-out: tokenize-and-count weight (the docTextLean rule)
       (s, d) => graft.streaming.Streaming.funnelCounts(
-        graft.util.Tables.fanOut(
-          documents(s, d).select(col("text"), col("lang"), col("n_chars")))),
+        documents(s, d).select(col("text"), col("lang"), col("n_chars"))),
       Some("SELECT count(*) AS n_total, " +
         "CAST(sum(CASE WHEN text IS NOT NULL AND len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 30 " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_min_len, " +
@@ -1171,7 +1189,8 @@ object TrainingOps {
           val (bc, bd) = graft.functions.VectorQuantizer.nearest(cents, qv)
           Array(bc, bd)
         })
-        graft.util.Tables.fanOut(embeddings(s, d))
+        // no fan-out: 16×dim integer ops per row (the docTextLean rule)
+        embeddings(s, d)
           .select(col("vec_id"), assign(quantize(col("embedding"))).as("a"))
           .select(col("a").getItem(0).as("cid"), col("a").getItem(1).as("dist"))
           .groupBy("cid")
@@ -1196,7 +1215,7 @@ object TrainingOps {
     // tokens DIV 10 capped at 10 — a pure map, then a ≤11-group
     // partial agg; the whole report is one map-side-combined pass.
     Q("q74_length_histogram",
-      (s, d) => docText(s, d).filter(col("text").isNotNull)
+      (s, d) => docTextLean(s, d).filter(col("text").isNotNull)
         .select(size(words(col("text"))).cast("bigint").as("n_tok"))
         .selectExpr("least(n_tok DIV 10, 10) AS bucket", "n_tok")
         .groupBy("bucket")
