@@ -132,13 +132,22 @@ object Bench {
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs$failedJson,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
-    val out = line(v => f"$v%.3f", failedAlways = false)
+    // Locale.ROOT: Scala's f"" interpolator uses the JVM default locale,
+    // which under comma-decimal locales (de_DE, ...) would emit 22,43 —
+    // invalid JSON
+    val out = line(v => String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v)), failedAlways = false)
     if (out.length > 2000)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail window")
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-    scala.util.Try {
+    try {
       val w = new java.io.PrintWriter(sidecar, "UTF-8")
       try w.println(line(_.toString, failedAlways = true)) finally w.close()
+    } catch {
+      // the sidecar exists for regression archaeology — losing it must
+      // be LOUD (the file's own rule), but must not fail the bench
+      case e: Exception =>
+        System.err.println(s"[bench] WARNING: could not write $sidecar: $e")
     }
     println(out)
     spark.stop()

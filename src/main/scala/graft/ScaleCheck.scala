@@ -167,13 +167,16 @@ object ScaleCheck {
     val (parityScaled, ccScaled) = ccParityAndTime(outDir)
 
     val baseMap = base.toMap
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      // Locale.ROOT: comma-decimal default locales would break the JSON
+      xs.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
         .mkString("{", ",", "}")
     val slopes = scaled.map { case (k, v) => k -> v / baseMap(k) }
     val distcc =
-      f"""{"parity_base":$parityBase,"parity_scaled":$parityScaled,""" +
-        f""""base":$ccBase%.3f,"scaled":$ccScaled%.3f,"slope":${ccScaled / ccBase}%.3f}"""
+      s"""{"parity_base":$parityBase,"parity_scaled":$parityScaled,""" +
+        s""""base":${fmt3(ccBase)},"scaled":${fmt3(ccScaled)},"slope":${fmt3(ccScaled / ccBase)}}"""
     println(s"""{"metric":"scale_slope","factor":$factor,"passes":$passes,""" +
       s""""base":${fmt(base)},"scaled":${fmt(scaled)},""" +
       s""""slope":${fmt(slopes)},"distcc":$distcc,"src":"$srcDir","out":"$outDir"}""")

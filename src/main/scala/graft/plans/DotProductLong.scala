@@ -20,10 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * that is the difference between the dot being the bottleneck and the
   * join's row production being it.
   *
-  * Semantics are IDENTICAL to the UDF form: plain wrapping int64
-  * arithmetic (the quantization contract keeps |x| ≤ 2^21, so a dim-128
-  * dot is ≤ 2^49 — far from wrapping), nulls propagate, and a length
-  * mismatch throws rather than silently truncating.
+  * Semantics: plain wrapping int64 arithmetic (the quantization
+  * contract keeps |x| ≤ 2^21, so a dim-128 dot is ≤ 2^49 — far from
+  * wrapping); a NULL array propagates NULL; a length mismatch or a NULL
+  * ELEMENT throws rather than silently truncating/zeroing — a vector
+  * with a null component is corrupt input (DuckDB's SUM would silently
+  * NULL the whole dot; loud beats silent, the VectorQuantizer
+  * convention).
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,7 +55,13 @@ case class DotProductLong(left: Expression, right: Expression)
         s"graft_dot_long: length mismatch ($n vs ${y.numElements()})")
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot_long: null element at index $i")
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -69,6 +78,10 @@ case class DotProductLong(left: Expression, right: Expression)
          |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_dot_long: null element at index " + $i);
+         |  }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

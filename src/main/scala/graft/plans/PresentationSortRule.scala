@@ -93,7 +93,13 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
         // shared-materialized-view pattern: q31/q76 measure a threshold
         // over the persisted pair-intersection table) — the same default-
         // selectivity assumption filteringJoin applies, surfaced one
-        // level up because the join now hides inside the cached plan
+        // level up because the join now hides inside the cached plan.
+        // constThreshold requires the compared side be a COMPUTED
+        // measure, mirroring filteringJoin's two-sidedness: `jacc >= 0.5`
+        // qualifies (the alias substitutes to inter/(na+nb-inter) when
+        // the filter sits on the view), a bare-column `doc_id >= 0`
+        // never does — a tautological attr-vs-constant conjunct must not
+        // gather a large cached view past the byte guard
         case c if constThreshold(cond) && cachedLeaf(c) => true
         case c => reducingTop(c)
       }
@@ -124,6 +130,8 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
       case pr: ProjectExec => reducingTopPhysical(pr.child)
       case w: WholeStageCodegenExec => reducingTopPhysical(w.child)
       case i: InputAdapter => reducingTopPhysical(i.child)
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        reducingTopPhysical(e.child)
       case f: FilterExec =>
         constThreshold(f.condition) || reducingTopPhysical(f.child)
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
@@ -132,14 +140,20 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
     }
   }
 
-  /** At least one conjunct comparing an expression against a constant —
-    * the shape of a similarity/score threshold.
+  /** At least one conjunct comparing a COMPUTED expression (not a bare
+    * column) against a constant — the shape of a similarity/score
+    * threshold over a derived measure. Bare attr-vs-constant conjuncts
+    * are excluded: they carry no selectivity evidence (`doc_id >= 0`).
     */
-  private def constThreshold(cond: Expression): Boolean =
+  private def constThreshold(cond: Expression): Boolean = {
+    def computed(e: Expression): Boolean =
+      !e.foldable && e.children.nonEmpty // an Attribute/Literal is a leaf
     splitConjunctivePredicates(cond).exists {
-      case bc: BinaryComparison => bc.right.foldable || bc.left.foldable
+      case bc: BinaryComparison if bc.right.foldable => computed(bc.left)
+      case bc: BinaryComparison if bc.left.foldable => computed(bc.right)
       case _ => false
     }
+  }
 
   /** The child (through row-preserving wrappers) is a cached relation. */
   private def cachedLeaf(p: LogicalPlan): Boolean = p match {

@@ -39,10 +39,18 @@ case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Iterator.empty
-    // the engine's ONE tokenization (graft.functions.Text.words) — the
-    // explicit class is Java \s verbatim, spelled out so both engines
-    // (and this executor-side copy) visibly share one definition
-    val words = t.asInstanceOf[UTF8String].toString.trim.split("[ \\t\\n\\x0B\\f\\r]+")
+    // the engine's ONE tokenization (graft.functions.Text.words),
+    // replicated with SQL semantics EXACTLY: SQL trim strips SPACES
+    // only (Java's String.trim also eats \t\n etc., which would drop
+    // the leading empty token the SQL split keeps for "\tfoo"), and
+    // the split must keep trailing empty tokens (Spark's split uses
+    // limit -1; Java's default limit 0 drops them for "foo\t")
+    val s0 = t.asInstanceOf[UTF8String].toString
+    var b0 = 0
+    var e0 = s0.length
+    while (b0 < e0 && s0.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && s0.charAt(e0 - 1) == ' ') e0 -= 1
+    val words = s0.substring(b0, e0).split("[ \\t\\n\\x0B\\f\\r]+", -1)
     if (words.length < n) return Iterator.empty
     val sb = new java.lang.StringBuilder
     def gram(i: Int): String = {

@@ -178,7 +178,7 @@ object AnalyticsOps {
         val perdoc = graft.util.Caches.transientPersist(
           fanOut(documents(s, d).select(col("doc_id"), col("text")))
             .select(col("doc_id"),
-              tfUdf(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("tfs"))
+              tfUdf(graft.functions.Text.words(col("text"))).as("tfs"))
             .select(col("doc_id") +: col("tfs").getItem(0).as("dl") +:
               terms.zipWithIndex.map { case (t, j) =>
                 col("tfs").getItem(j + 1).as(s"tf_$t")

@@ -1006,7 +1006,10 @@ object TrainingOps {
         val docs = documents(s, d).select(col("doc_id"), col("source"))
         val coin = pmod(Hashing.md5Long(
           concat(col("doc_id").cast("string"), lit(":"), col("source"))), lit(1000L))
-        val srcN = when(col("source").rlike("^src[0-9]+$"),
+        // {1,9}: nine digits stay inside int32, so the guarded cast can
+        // never overflow-NULL (a 10+-digit N raise_errors here and
+        // overflow-errors in DuckDB — loud in both engines)
+        val srcN = when(col("source").rlike("^src[0-9]{1,9}$"),
           expr("CAST(substring(source, 4) AS INT)"))
           .otherwise(raise_error(concat(
             lit("q67_domain_mix: source violates the src<N> corpus contract: "),

@@ -51,6 +51,20 @@ class DotProductLongSpec extends AnyFunSuite {
     assert(out(2) == Row(23L))
   }
 
+  test("a null ELEMENT aborts loudly, never reads as zero") {
+    import spark.implicits._
+    // DuckDB's SUM would silently NULL the whole dot; the expression
+    // treats a null component as corrupt input instead
+    val e = intercept[Exception] {
+      Seq(1).toDF("x")
+        .selectExpr("graft_dot_long(array(1L, CAST(NULL AS BIGINT)), array(5L, 7L))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null element")), e.toString)
+  }
+
   test("length mismatch aborts loudly, never truncates") {
     import spark.implicits._
     val e = intercept[Exception] {

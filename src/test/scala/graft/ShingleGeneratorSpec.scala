@@ -44,6 +44,21 @@ class ShingleGeneratorSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("SQL trim/split parity: tab-padded text keeps the empty edge tokens") {
+    import spark.implicits._
+    // SQL trim strips SPACES only and Spark's split keeps empty edge
+    // tokens (limit -1): "\ta b" tokenizes ["", "a", "b"] in Text.words
+    // and the DuckDB oracle — the generator must agree (Java
+    // String.trim/split-default would silently drop both edges)
+    val viaGen = Seq("\ta b", "a b\t").toDF("text")
+      .selectExpr("shingles(text, 3) AS s").as[String].collect().toSeq
+    assert(viaGen == Seq(" a b", "a b "))
+    val viaWords = Seq("\ta b", "a b\t").toDF("text")
+      .select(concat_ws(" ", graft.functions.Text.words(col("text"))).as("s"))
+      .as[String].collect().toSeq
+    assert(viaWords == Seq(" a b", "a b "))
+  }
+
   test("ngrams keeps multiplicity and document order (q78's count semantics)") {
     import spark.implicits._
     val out = Seq("a b a b a b").toDF("text")
