@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The opt-in session table cache (`spark.graft.cacheTables`, Bench's
+  * storage-warmth posture) must be semantically TRANSPARENT: same rows,
+  * same order, for every query — including the ones most sensitive to
+  * scan partitioning (paging, sampling, multiset hashes, collects).
+  */
+class TableCacheSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // the partitioning/order-sensitive corner of the registry, plus one
+  // representative of each scan-heavy family
+  private val sensitive = Seq(
+    "q04_page_scan", "q05_sampled_lookup", "q12_multiset_hash",
+    "q16_collect_roundtrip", "q26_row_id", "q41_sliding_window",
+    "q57_asof_join", "q67_domain_mix", "q78_bpe_merge_pairs")
+
+  test("cacheTables=true returns byte-identical results (rows AND order)") {
+    for (name <- sensitive) {
+      def rows(flag: Boolean): Seq[String] = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        if (flag) spark.conf.set("spark.graft.cacheTables", "true")
+        else spark.conf.unset("spark.graft.cacheTables")
+        try SparkEntry.queries(name)(spark, TestSpark.sfDir)
+          .collect().map(_.toString).toSeq
+        finally spark.conf.unset("spark.graft.cacheTables")
+      }
+      val cold = rows(flag = false)
+      val cached = rows(flag = true)
+      assert(cold == cached, s"$name diverges under the table cache")
+    }
+    spark.sqlContext.clearCache()
+  }
+}
