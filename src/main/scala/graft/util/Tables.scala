@@ -66,14 +66,16 @@ object Tables {
     // fact table, and nothing here does so implicitly.
     if (spark.conf.getOption("spark.graft.cacheTables").contains("true"))
       Caches.sharedIndex(spark, s"table:$path") {
-        // persist PARALLEL: caching the 1-task scan as-is would pin every
-        // cached read to one partition too. Tables above the threshold
-        // spread over the cores first (one exchange at materialization);
-        // tiny dims stay as-is (32 near-empty cached partitions would be
-        // pure scheduling overhead on every consumer).
+        // persist PARALLEL, but SIZE-PROPORTIONAL: caching the 1-task
+        // scan as-is would pin every cached read to one partition, while
+        // always fanning to all cores makes every small join pay ~cores
+        // task launches per stage (measured: q11/q57/q39-class lost
+        // 0.2-0.4 s each at 32 cached partitions). ~1 MB per cached
+        // partition, capped at the core count; tiny dims stay as-is.
         val cores = spark.sparkContext.defaultParallelism
-        if (new java.io.File(path).length > (2L << 20)) raw.repartition(cores)
-        else raw
+        val bytes = new java.io.File(path).length
+        val parts = math.min(cores.toLong, bytes >> 20).toInt
+        if (parts >= 2) raw.repartition(parts) else raw
       }
     else raw
   }
