@@ -875,23 +875,11 @@ object TrainingOps {
     // nothing shuffles before the presentation sort — at 100 TB this runs
     // at read bandwidth.
     Q("q77_pii_scrub",
-      (s, d) => {
-        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
-        val ip = "(?:[0-9]{1,3}[.]){3}[0-9]{1,3}"
-        val phone = "(?:[+][0-9]{7,15})|(?:[0-9]{3}-[0-9]{3}-[0-9]{4})"
-        val redacted = regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
-            lit(ip), lit("<IP>")),
-          lit(phone), lit("<PHONE>"))
-        docText(s, d)
-          .select(col("doc_id"),
-            regexp_count(col("text"), lit(email)).as("n_email"),
-            regexp_count(col("text"), lit(ip)).as("n_ip"),
-            regexp_count(col("text"), lit(phone)).as("n_phone"),
-            md5(redacted).as("clean_hash"))
-          .orderBy("doc_id")
-      },
+      // the kernel lives in Streaming.piiScrub — the SAME code streams
+      // append-mode (batch-equals-stream pinned in StreamingSpec); batch
+      // adds only the presentation sort
+      (s, d) => graft.streaming.Streaming.piiScrub(docText(s, d))
+        .orderBy("doc_id"),
       Some("SELECT doc_id, " +
         "len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}')) AS n_email, " +
         "len(regexp_extract_all(text, '(?:[0-9]{1,3}[.]){3}[0-9]{1,3}')) AS n_ip, " +

@@ -115,4 +115,27 @@ object Streaming {
       sum(c2.cast("bigint")).as("n_lang"),
       sum(c3.cast("bigint")).as("n_max_size"))
   }
+
+  /** The q77 PII scrub as a stream — the SAME per-document kernel runs
+    * batch (TrainingOps q77 calls this, adding only its presentation
+    * sort) and incremental. Stateless map ⇒ APPEND mode with no
+    * watermark, no state store: the per-document scrub a live ingest
+    * pipeline applies before anything lands. Patterns and redaction
+    * order are part of the cross-engine contract — see q77's comment.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+    val ip = "(?:[0-9]{1,3}[.]){3}[0-9]{1,3}"
+    val phone = "(?:[+][0-9]{7,15})|(?:[0-9]{3}-[0-9]{3}-[0-9]{4})"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+        lit(ip), lit("<IP>")),
+      lit(phone), lit("<PHONE>"))
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_email"),
+      regexp_count(col("text"), lit(ip)).as("n_ip"),
+      regexp_count(col("text"), lit(phone)).as("n_phone"),
+      md5(redacted).as("clean_hash"))
+  }
 }

@@ -256,4 +256,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 1 && want.length == 1 && got.head == want.head)
     assert(got.head._1 > 0)
   }
+
+  test("availableNow PII-scrub stream equals the batch q77 (X55 on sf0.01)") {
+    // stateless map ⇒ append mode, no watermark, no state: every
+    // document's counts and redaction hash must be byte-identical to
+    // the batch form (which only adds the presentation sort)
+    val dir = "/root/testdata/sf0.01"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDocs = spark.readStream.schema(schema)
+      .parquet(stageDir(s"$dir/documents.parquet"))
+    val q = Streaming.piiScrub(streamDocs)
+      .writeStream.format("memory").queryName("an_pii")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("an_pii").collect()
+      .map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q77_pii_scrub")(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
