@@ -115,6 +115,33 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("src<N> corpus contract")), e.toString)
   }
 
+  test("q77: known-answer PII detection and redaction (the gate corpus has no PII)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-edge-pii-")
+      .toFile.getAbsolutePath
+    // the oracle gate only proves ENGINE PARITY — a regex that matched
+    // nothing would still hash-match. These vectors pin that the
+    // patterns actually detect and redact.
+    Seq(
+      (0L, "mail a@b.co and x.y+z@mail.example.org, server 10.0.255.1, call +4915123456789 or 555-123-4567", "en", "src1", 90L),
+      (1L, "no pii here, just 1.2.3 and a@b (not a match)", "en", "src1", 40L),
+      (2L, null.asInstanceOf[String], "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q77_pii_scrub")(spark, d).collect()
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert((r0.getInt(1), r0.getInt(2), r0.getInt(3)) == (2, 1, 2),
+      s"counts: ${r0.toString}") // (n_email, n_ip, n_phone): both +49... and 555-123-4567 are phones
+    val expectedRedacted = "mail <EMAIL> and <EMAIL>, server <IP>, call <PHONE> or <PHONE>"
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectedRedacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r0.getString(4) == md5hex, s"redaction hash: ${r0.getString(4)}")
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert((r1.getInt(1), r1.getInt(2), r1.getInt(3)) == (0, 0, 0), r1.toString)
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.isNullAt(1) && r2.isNullAt(4), r2.toString) // NULL text propagates
+  }
+
   test("q67/q69: null and empty texts neither crash nor skew the counts") {
     // q67 samples over ALL 9 docs (no text dependence)
     assert(run("q67_domain_mix").map(_.getLong(2)).sum == 9L)
