@@ -1074,6 +1074,51 @@ object TrainingOps {
         "SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2, n " +
         "FROM g ORDER BY n DESC, pair")),
 
+    // Bigram collocation mining by LIFT — n12·N / (n1·n2), PMI's
+    // argument without the log (log is not identically rounded across
+    // libms, so ranking by the exact-rational lift keeps the operator
+    // hash-comparable; the log is monotone, so the RANKING is PMI's) —
+    // the word2phrase-style phrase detector a tokenizer pipeline runs
+    // before vocabulary building. Composes the corpus statistics already
+    // proven out: ngrams multiplicity pairs (q78) + unigram counts
+    // (q69), both partial-agged before their one shuffle; the unigram
+    // table and the 1-row token total broadcast onto the support-
+    // filtered pairs. All inputs to the division are exact int64 far
+    // inside 2^53, so the double lift is bit-identical across engines.
+    Q("q79_bigram_lift",
+      (s, d) => {
+        val base = docTextLean(s, d).filter(col("text").isNotNull)
+        val uni = base.select(explode(words(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val tot = uni.agg(sum("n").cast("bigint").as("n_tok"))
+        val pairs = base.selectExpr("ngrams(text, 2) AS pair")
+          .groupBy("pair").agg(count(lit(1)).as("n12"))
+          .filter(col("n12") >= 3)
+          .select(expr("split_part(pair, ' ', 1)").as("w1"),
+            expr("split_part(pair, ' ', 2)").as("w2"), col("n12"))
+        pairs
+          .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+            ((col("n12") * col("n_tok")).cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+          .limit(50)
+      },
+      Some("WITH toks AS (SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "wu AS (SELECT unnest(ws) AS w FROM toks), " +
+        "u AS (SELECT w, count(*) AS n FROM wu GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM u), " +
+        "p AS (SELECT ws[i] || ' ' || ws[i+1] AS pair FROM toks, unnest(range(1, len(ws))) AS tt(i) WHERE len(ws) >= 2), " +
+        "pc AS (SELECT pair, count(*) AS n12 FROM p GROUP BY 1 HAVING count(*) >= 3), " +
+        "pp AS (SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2, n12 FROM pc) " +
+        "SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2, " +
+        "CAST(n12 * n_tok AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS lift " +
+        "FROM pp JOIN u u1 ON w1 = u1.w JOIN u u2 ON w2 = u2.w, t " +
+        "ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 50")),
+
     // Normalized exact dedup: case-/punctuation-/whitespace-insensitive
     // duplicate groups — the cheap near-exact pass a pipeline runs before
     // MinHash (catches reformatted copies that byte-exact q27 misses).

@@ -317,6 +317,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q79 bigram lift: unigram stats broadcast onto pairs, TakeOrdered at the top") {
+    val p = plan("q79_bigram_lift")
+    // the unigram table and the 1-row total broadcast — the pair side
+    // (support-filtered) never shuffles into a sort-merge join; the
+    // top-50 is a bounded head merge
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q76 containment: reads the shared index, no extra corpus scan") {
     val p = plan("q76_containment")
     // both join sides and the size view come off the cached shingle
