@@ -48,7 +48,11 @@ object ScaleCheck {
     // own eval split and the 10× corpus scales the overlap structure,
     // not the cross product); sequence packing pins the distributed
     // prefix sum's slope
-    "q65_decontaminate", "q66_sequence_pack")
+    "q65_decontaminate", "q66_sequence_pack",
+    // r8: the tokenizer-statistics aggs — corpus pair/unigram volume
+    // grows 10× but the partial-agg shape should keep the exchanges at
+    // distinct-key volume; these rows pin that claim
+    "q78_bpe_merge_pairs", "q79_bigram_lift")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
