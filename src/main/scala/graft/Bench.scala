@@ -148,25 +148,29 @@ object Bench {
     // per-query seconds to 1 ms (floor ~60 ms, so 3 decimals lose nothing
     // a cross-round comparison can see) and omits an empty failed list;
     // full precision goes to a sidecar file for regression archaeology.
-    def line(fmt: Double => String, failedAlways: Boolean): String = {
+    def line(fmt: Double => String, sidecar: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val failedJson =
-        if (failed.isEmpty && !failedAlways) ""
+        if (failed.isEmpty && !sidecar) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs$failedJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+      // "passes" rides only in the sidecar: every stdout byte competes
+      // with the 2000-char capture window (BenchArtifactSpec pins the
+      // worst-case budget)
+      val passesJson = if (sidecar) s""","passes":$passes""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson,"queries":$qs$failedJson,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // Locale.ROOT: Scala's f"" interpolator uses the JVM default locale,
     // which under comma-decimal locales (de_DE, ...) would emit 22,43 —
     // invalid JSON
     val out = line(v => String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(v)), failedAlways = false)
+      Double.box(v)), sidecar = false)
     if (out.length > 2000)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail window")
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     try {
       val w = new java.io.PrintWriter(sidecar, "UTF-8")
-      try w.println(line(_.toString, failedAlways = true)) finally w.close()
+      try w.println(line(_.toString, sidecar = true)) finally w.close()
     } catch {
       // the sidecar exists for regression archaeology — losing it must
       // be LOUD (the file's own rule), but must not fail the bench

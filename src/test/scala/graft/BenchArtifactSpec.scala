@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver keeps only the LAST 2000 characters of Bench's stdout —
+  * BENCH_r07.json lost its first ten queries to that window. This guard
+  * recomputes the worst-case JSON line length from the CURRENT registry
+  * so the suite fails the moment new queries would push the artifact
+  * past the capture window (the fix is then deliberate — shorter names,
+  * or a tighter format — instead of a silently truncated artifact).
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  test("bench stdout JSON fits the driver's 2000-char tail window at worst case") {
+    val benched = SparkEntry.registry.filter(_.bench)
+    // worst case per entry: "name":99.999 — every query under 100 s,
+    // ~60× the worst observed per-query time even in loaded windows, so
+    // the bound is safely pessimistic without budgeting for a broken run
+    val entries = benched.map(q => q.name.length + 2 + 1 + 6)
+    val prefix = """{"metric":"total","value":99999.999,"unit":"sec","queries":{""".length
+    val suffix = """},"sf":"sf0.001"}""".length
+    val worst = prefix + entries.sum + (entries.size - 1) + suffix
+    assert(worst < 2000,
+      s"projected bench JSON line $worst chars for ${benched.size} benched queries — " +
+        "the driver captures only the last 2000; shorten names or the format")
+  }
+}
