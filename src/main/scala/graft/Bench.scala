@@ -148,12 +148,18 @@ object Bench {
     // per-query seconds to 1 ms (floor ~60 ms, so 3 decimals lose nothing
     // a cross-round comparison can see) and omits an empty failed list;
     // full precision goes to a sidecar file for regression archaeology.
+    // stdout keys are the unique qNN prefix ("q79", not
+    // "q79_bigram_lift") — at 80+ queries the full names alone overflow
+    // the capture window; the sidecar keeps full names and is the
+    // canonical artifact (README "Benchmarks")
+    def key(name: String, sidecar: Boolean): String =
+      if (sidecar) name else name.takeWhile(_ != '_')
     def line(fmt: Double => String, sidecar: Boolean): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val qs = results.map { case (k, v) => "\"" + key(k, sidecar) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val failedJson =
         if (failed.isEmpty && !sidecar) ""
-        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+        else failed.map("\"" + key(_, sidecar) + "\"").mkString(""","failed":[""", ",", "]")
       // "passes" rides only in the sidecar: every stdout byte competes
       // with the 2000-char capture window (BenchArtifactSpec pins the
       // worst-case budget)

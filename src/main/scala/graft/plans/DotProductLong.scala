@@ -20,13 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * that is the difference between the dot being the bottleneck and the
   * join's row production being it.
   *
-  * Semantics: plain wrapping int64 arithmetic (the quantization
-  * contract keeps |x| ≤ 2^21, so a dim-128 dot is ≤ 2^49 — far from
-  * wrapping); a NULL array propagates NULL; a length mismatch or a NULL
-  * ELEMENT throws rather than silently truncating/zeroing — a vector
-  * with a null component is corrupt input (DuckDB's SUM would silently
-  * NULL the whole dot; loud beats silent, the VectorQuantizer
-  * convention).
+  * Semantics: CHECKED int64 arithmetic (Math.multiplyExact/addExact —
+  * JIT intrinsics, same cost as the plain ops on the non-overflow
+  * path). The quantization contract keeps |x| ≤ 2^21, so a dim-128 dot
+  * is ≤ 2^49 — far from overflow — but an out-of-contract vector must
+  * abort loudly, not wrap silently into a wrong-but-plausible
+  * similarity: the VectorQuantizer.nearest convention, and the same
+  * loud-vs-silent call as the NULL-element case below. A NULL array
+  * propagates NULL; a length mismatch or a NULL ELEMENT throws rather
+  * than silently truncating/zeroing — a vector with a null component is
+  * corrupt input (DuckDB's SUM would silently NULL the whole dot).
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,7 +62,7 @@ case class DotProductLong(left: Expression, right: Expression)
       if (x.isNullAt(i) || y.isNullAt(i))
         throw new IllegalArgumentException(
           s"graft_dot_long: null element at index $i")
-      s += x.getLong(i) * y.getLong(i)
+      s = Math.addExact(s, Math.multiplyExact(x.getLong(i), y.getLong(i)))
       i += 1
     }
     s
@@ -82,7 +85,7 @@ case class DotProductLong(left: Expression, right: Expression)
          |    throw new IllegalArgumentException(
          |      "graft_dot_long: null element at index " + $i);
          |  }
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |  $s = java.lang.Math.addExact($s, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
          |}
          |${ev.value} = $s;
        """.stripMargin

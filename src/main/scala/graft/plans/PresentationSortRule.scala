@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.util.Try
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryComparison, Cast, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, Deduplicate, Distinct, Except, Filter, GlobalLimit, Intersect, Join, LogicalPlan, Project, Repartition, Sort, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -146,8 +146,23 @@ case class PresentationSortRule() extends Rule[LogicalPlan] with PredicateHelper
     * are excluded: they carry no selectivity evidence (`doc_id >= 0`).
     */
   private def constThreshold(cond: Expression): Boolean = {
-    def computed(e: Expression): Boolean =
-      !e.foldable && e.children.nonEmpty // an Attribute/Literal is a leaf
+    // Type coercion wraps a bare column compared against a wider-typed
+    // literal in an implicit Cast (`int_col >= 0.5` analyzes as
+    // Cast(int_col) >= 0.5). A cast/aliased attribute is still a bare
+    // column — judging the wrapper as "computed" would let a
+    // tautological attr-vs-constant filter over a cached view qualify
+    // as reducing and bypass the byte guard. Strip the row-preserving
+    // wrappers before the leaf test.
+    @annotation.tailrec
+    def strip(e: Expression): Expression = e match {
+      case c: Cast => strip(c.child)
+      case a: Alias => strip(a.child)
+      case _ => e
+    }
+    def computed(e: Expression): Boolean = {
+      val s = strip(e)
+      !s.foldable && s.children.nonEmpty // an Attribute/Literal is a leaf
+    }
     splitConjunctivePredicates(cond).exists {
       case bc: BinaryComparison if bc.right.foldable => computed(bc.left)
       case bc: BinaryComparison if bc.left.foldable => computed(bc.right)

@@ -85,6 +85,15 @@ object AnalyticsOps {
       var changed = 1L
       var iter = 0
       val maxIter = 64 // propagation rounds = graph diameter; fail loudly past this
+      // Lineage cadence: each round's plan nests the previous round's —
+      // persistence caches the DATA but not the DAG, so planning/closure
+      // cost and the lost-partition recompute path grow linearly with
+      // rounds. Every N rounds (default 8 — large-diameter graphs only;
+      // near-dup components converge in 2–3) localCheckpoint truncates
+      // the lineage to the materialized blocks, bounding per-round cost
+      // at billions of edges.
+      val ckptEvery = s.conf.getOption("spark.graft.cc.checkpointEvery")
+        .map(_.toInt).getOrElse(8).max(1)
       // unpersist must target the PERSISTED references: from round 2 on,
       // `labels` is an unpersisted projection over the previous round's
       // `updated`, so labels.unpersist() would be a silent no-op and every
@@ -93,17 +102,26 @@ object AnalyticsOps {
       while (changed > 0 && iter < maxIter) {
         val nb = edges.join(labels, col("v") === col("doc_id"))
           .groupBy("u").agg(min("cluster_id").as("nbmin"))
-        val updated = graft.util.Caches.transientPersist(
+        var updated = graft.util.Caches.transientPersist(
           labels.join(nb, labels("doc_id") === nb("u"), "left")
             .select(labels("doc_id"),
               least(col("cluster_id"), coalesce(col("nbmin"), col("cluster_id")))
                 .as("new_cid"), col("cluster_id")))
         changed = updated.filter(col("new_cid") =!= col("cluster_id")).count()
+        if (changed > 0 && (iter + 1) % ckptEvery == 0) {
+          val cp = updated.localCheckpoint(true)
+          updated.unpersist()
+          updated = cp
+        }
         prevUpdated.unpersist()
         prevUpdated = updated
         labels = updated.select(col("doc_id"), col("new_cid").as("cluster_id"))
         iter += 1
       }
+      // round counter surfaced: the fixpoint's cost is rounds × (join +
+      // action) — anyone reading a slow run needs this number first
+      System.err.println(s"[graft] cc min-label fixpoint converged in $iter rounds" +
+        s" (checkpoint cadence $ckptEvery, cap $maxIter)")
       // partially-propagated labels are silently WRONG — never return them
       require(changed == 0,
         s"connected components did not converge within $maxIter rounds " +

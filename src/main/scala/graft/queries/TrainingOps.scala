@@ -1081,10 +1081,20 @@ object TrainingOps {
     // the word2phrase-style phrase detector a tokenizer pipeline runs
     // before vocabulary building. Composes the corpus statistics already
     // proven out: ngrams multiplicity pairs (q78) + unigram counts
-    // (q69), both partial-agged before their one shuffle; the unigram
-    // table and the 1-row token total broadcast onto the support-
-    // filtered pairs. All inputs to the division are exact int64 far
-    // inside 2^53, so the double lift is bit-identical across engines.
+    // (q69), both partial-agged before their one shuffle. The unigram
+    // joins carry NO broadcast hint: the vocabulary table is unbounded
+    // at corpus scale (hundreds of millions of distinct tokens on a
+    // web corpus — typo/unicode tail), so a forced broadcast — which
+    // Spark honors regardless of size — would OOM a 100 TB run; the
+    // planner/AQE picks broadcast when the size estimate actually fits
+    // and a shuffle join otherwise, and the join itself prunes uni to
+    // the words present in the support-filtered pairs. Only the 1-row
+    // token total keeps an explicit broadcast (genuinely bounded).
+    // Lift factors are cast to double BEFORE multiplying, in both
+    // engines: at corpus scale n12*n_tok and n1*n2 overflow int64
+    // (non-ANSI Spark would wrap silently while DuckDB errors — a
+    // silent cross-engine divergence); double multiply/divide is
+    // IEEE-754-identical across engines, so hashes still match.
     Q("q79_bigram_lift",
       (s, d) => {
         val base = docTextLean(s, d).filter(col("text").isNotNull)
@@ -1097,12 +1107,12 @@ object TrainingOps {
           .select(expr("split_part(pair, ' ', 1)").as("w1"),
             expr("split_part(pair, ' ', 2)").as("w2"), col("n12"))
         pairs
-          .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), "w1")
-          .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), "w2")
+          .join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")
           .crossJoin(broadcast(tot))
           .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
-            ((col("n12") * col("n_tok")).cast("double") /
-              (col("n1") * col("n2")).cast("double")).as("lift"))
+            ((col("n12").cast("double") * col("n_tok").cast("double")) /
+              (col("n1").cast("double") * col("n2").cast("double"))).as("lift"))
           .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
           .limit(50)
       },
@@ -1115,7 +1125,7 @@ object TrainingOps {
         "pc AS (SELECT pair, count(*) AS n12 FROM p GROUP BY 1 HAVING count(*) >= 3), " +
         "pp AS (SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2, n12 FROM pc) " +
         "SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2, " +
-        "CAST(n12 * n_tok AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS lift " +
+        "(CAST(n12 AS DOUBLE) * CAST(n_tok AS DOUBLE)) / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE)) AS lift " +
         "FROM pp JOIN u u1 ON w1 = u1.w JOIN u u2 ON w2 = u2.w, t " +
         "ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 50")),
 

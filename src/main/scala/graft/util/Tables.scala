@@ -73,7 +73,18 @@ object Tables {
         // 0.2-0.4 s each at 32 cached partitions). ~1 MB per cached
         // partition, capped at the core count; tiny dims stay as-is.
         val cores = spark.sparkContext.defaultParallelism
-        val bytes = new java.io.File(path).length
+        // `File.length` on a DIRECTORY (Spark-written parquet — part
+        // files under a dir, e.g. ScaleCheck's scaled corpus) returns
+        // the ~4 KiB dirent size, which computes parts=0 and silently
+        // leaves the cache at the serial scan's partitioning. Sum the
+        // contained data files instead.
+        val bytes = {
+          val f = new java.io.File(path)
+          if (f.isDirectory)
+            Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum)
+              .getOrElse(0L)
+          else f.length
+        }
         val parts = math.min(cores.toLong, bytes >> 20).toInt
         if (parts >= 2) raw.repartition(parts) else raw
       }

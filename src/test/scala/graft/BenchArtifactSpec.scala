@@ -13,13 +13,24 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("bench stdout JSON fits the driver's 2000-char tail window at worst case") {
     val benched = SparkEntry.registry.filter(_.bench)
-    // worst case per entry: "name":99.999 — every query under 100 s,
+    // stdout keys are the qNN prefix (Bench.key) — they must stay unique
+    // or the queries map silently drops entries
+    val shorts = benched.map(_.name.takeWhile(_ != '_'))
+    assert(shorts.distinct.size == shorts.size,
+      s"duplicate qNN prefixes: ${shorts.diff(shorts.distinct).mkString(",")}")
+    // worst case per entry: "qNN":99.999 — every query under 100 s,
     // ~60× the worst observed per-query time even in loaded windows, so
     // the bound is safely pessimistic without budgeting for a broken run
-    val entries = benched.map(q => q.name.length + 2 + 1 + 6)
+    // (-1.000 for a failed query is the same 6 chars)
+    val entries = shorts.map(_.length + 2 + 1 + 6)
     val prefix = """{"metric":"total","value":99999.999,"unit":"sec","queries":{""".length
     val suffix = """},"sf":"sf0.001"}""".length
-    val worst = prefix + entries.sum + (entries.size - 1) + suffix
+    // Bench appends `"failed":[...]` when any query crashes — budget the
+    // worst case (EVERY query failing) so a crashing pass still yields a
+    // parseable tail, which is exactly when the artifact matters most
+    val failedWorst = ""","failed":[""".length +
+      shorts.map(_.length + 2).sum + (shorts.size - 1) + 1
+    val worst = prefix + entries.sum + (entries.size - 1) + suffix + failedWorst
     assert(worst < 2000,
       s"projected bench JSON line $worst chars for ${benched.size} benched queries — " +
         "the driver captures only the last 2000; shorten names or the format")

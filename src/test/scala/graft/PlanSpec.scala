@@ -317,13 +317,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q79 bigram lift: unigram stats broadcast onto pairs, TakeOrdered at the top") {
+  test("q79 bigram lift: no forced broadcast of the unbounded unigram table") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q79_bigram_lift")(spark, TestSpark.sfDir)
+    // exactly ONE explicit broadcast hint survives analysis: the 1-row
+    // token total. The unigram-table joins must stay planner-gated —
+    // the vocabulary is unbounded at corpus scale, and a broadcast()
+    // hint is honored regardless of size, so a forced broadcast there
+    // is an executor OOM at 100 TB. (At test scale the planner still
+    // chooses broadcast from the size estimate — that's fine; the pin
+    // is that nothing FORCES it.)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.length == 1, hints.mkString("\n"))
     val p = plan("q79_bigram_lift")
-    // the unigram table and the 1-row total broadcast — the pair side
-    // (support-filtered) never shuffles into a sort-merge join; the
-    // top-50 is a bounded head merge
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count"), p)
   }
