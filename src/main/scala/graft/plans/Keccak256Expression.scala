@@ -94,6 +94,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleGenerator(children.head, n, distinct = false)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("posshingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "posshingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "posshingles(text, n) expects two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"posshingles n must be an integer literal, got $other")
+        }
+        ShingleGenerator(children.head, n, positional = true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => {

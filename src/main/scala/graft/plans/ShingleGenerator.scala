@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingles as a native Catalyst [[Generator]] (the 1→N tier
@@ -20,12 +20,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ngrams(text, n)` (distinct = false): every occurrence with
   *    MULTIPLICITY, corpus-count semantics — what frequency consumers
   *    (q78 BPE merge-pair counting) want; skips the hash set entirely.
+  *  - `posshingles(text, n)` (positional = true): distinct shingles
+  *    paired with their FIRST 1-based token position — the per-document
+  *    fingerprint profile substring-level dedup (q80) aligns across
+  *    documents. First-occurrence dedup happens HERE, map-side inside
+  *    the generator, so no per-document min(pos) aggregation (and its
+  *    shuffle) ever exists in the plan.
   *
   * Generators are planned through `GenerateExec`; eval-based (codegen
   * fallback) like most built-in generators that produce variable row
   * counts.
   */
-case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true)
+case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true,
+    positional: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -34,7 +41,10 @@ case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true)
       s"shingles requires STRING input, got ${child.dataType.catalogString}")
 
   override def elementSchema: StructType =
-    StructType(StructField("shingle", StringType) :: Nil)
+    if (positional)
+      StructType(StructField("pos", IntegerType) ::
+        StructField("shingle", StringType) :: Nil)
+    else StructType(StructField("shingle", StringType) :: Nil)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
@@ -63,7 +73,24 @@ case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true)
       }
       sb.toString
     }
-    if (distinct) {
+    if (positional) {
+      // first occurrence per shingle, 1-based (matching the oracle's
+      // unnest(range(1, ...)) convention)
+      val first = new java.util.LinkedHashMap[String, Int]()
+      var i = 0
+      while (i <= words.length - n) {
+        first.putIfAbsent(gram(i), i + 1)
+        i += 1
+      }
+      val it = first.entrySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val e = it.next()
+          InternalRow(e.getValue, UTF8String.fromString(e.getKey))
+        }
+      }
+    } else if (distinct) {
       val seen = new java.util.LinkedHashSet[String]()
       var i = 0
       while (i <= words.length - n) { seen.add(gram(i)); i += 1 }

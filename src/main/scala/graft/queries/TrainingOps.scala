@@ -363,6 +363,112 @@ object TrainingOps {
       "bk AS (SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket " +
       "FROM pr GROUP BY vec_id)"
 
+  /** The sequence packer behind q66 (and q81's BPE-token variant):
+    * concatenate the corpus in doc_id order and cut it into fixed
+    * `budget`-token training sequences — every document lands in the
+    * sequence where its first token falls. The global running token
+    * total is a DISTRIBUTED prefix sum, not a Window.orderBy (which
+    * plans a single-partition sort — the textbook scale killer): bucket
+    * on pid = doc_id DIV 1024 (a pure function of the key — cheap,
+    * deterministic, recompute-safe), run the within-bucket running
+    * total in parallel, and add each bucket's start offset from a
+    * bucket-count-sized side table joined back broadcast. Only that
+    * tiny offsets table is ever single-partition.
+    *
+    * `nExpr` computes the per-doc token count and is evaluated AFTER
+    * the pid repartition: the one exchange is simultaneously the
+    * small-scan fan-out (tokenization runs after it, on all cores) and
+    * the clustering the in-bucket window AND the offsets groupBy both
+    * reuse, so neither plans its own shuffle (the shingle-index build
+    * trick applied to the prefix sum). The (doc_id, n, pid) frame is
+    * persisted: 24 bytes/doc, read by both branches. DIV, not /:
+    * double division would lose doc_ids past 2^53.
+    */
+  private def packSequences(base: DataFrame, nExpr: Column, budget: Int): DataFrame = {
+    val t = graft.util.Caches.transientPersist(
+      base
+        .withColumn("pid", expr("doc_id DIV 1024"))
+        .repartition(col("pid"))
+        .select(col("doc_id"), nExpr.as("n"), col("pid")))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, -1)
+    val acrossBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy("pid").rowsBetween(Long.MinValue, -1)
+    val offsets = t.groupBy("pid").agg(sum("n").as("pn"))
+      .select(col("pid"),
+        coalesce(sum("pn").over(acrossBuckets), lit(0L)).as("off"))
+    t.withColumn("cbp", coalesce(sum("n").over(inBucket), lit(0L)))
+      .join(broadcast(offsets), "pid")
+      .withColumn("cb", col("cbp") + col("off"))
+      .withColumn("seq_id", expr(s"cb DIV $budget"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  /** One left-to-right, NON-OVERLAPPING application of BPE merge
+    * (w1, w2) → "w1_w2" over a token sequence — the apply step of every
+    * BPE trainer round ("a a a" under merge (a,a) yields ["a_a", "a"],
+    * never the overlapping middle pair). Tokens contain no whitespace
+    * (graft.functions.Text.words splits on it), so the merged token
+    * round-trips through the `ngrams` pair kernel unambiguously.
+    */
+  private[graft] def mergePair(ts: Seq[String], w1: String, w2: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = ts.length
+    while (i < n) {
+      if (i < n - 1 && ts(i) == w1 && ts(i + 1) == w2) {
+        out += (w1 + "_" + w2); i += 2
+      } else { out += ts(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE learn+apply: `rounds` driver-loop iterations, each running
+    * q78's corpus pair kernel (ngrams → partial-agged count → top-1,
+    * a ONE-ROW driver collect — the q73-codebook bounded pattern) and
+    * re-tokenizing the corpus under the winning merge. Returns the
+    * final (doc_id, toks) frame. Per-round persists carry the previous
+    * round's materialized tokens into the next round's kernel; the
+    * round-r cache is dropped only after round r+1's action has
+    * populated its own (the clusterLabels unpersist bookkeeping) — at
+    * most two corpus-token caches live at once. Empty tokens are
+    * dropped up front: they only arise from leading/trailing
+    * non-space whitespace and would not round-trip the concat_ws
+    * re-join the pair kernel reads.
+    */
+  private[graft] def bpeLearnApply(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    var toks = graft.util.Caches.transientPersist(
+      documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          filter(words(col("text")), x => x =!= lit("")).as("toks")))
+    var prev: DataFrame = null
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val top = toks.selectExpr("ngrams(concat_ws(' ', toks), 2) AS pair")
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (prev != null) prev.unpersist()
+      if (top.isEmpty) dry = true
+      else {
+        val Array(w1, w2) = top(0).getString(0).split(" ", 2)
+        val applyMerge = udf((ts: Seq[String]) => mergePair(ts, w1, w2))
+        val next = graft.util.Caches.transientPersist(
+          toks.select(col("doc_id"), applyMerge(col("toks")).as("toks")))
+        prev = toks
+        toks = next
+      }
+      r += 1
+    }
+    toks
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -482,6 +588,72 @@ object TrainingOps {
         "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
         "WHERE greatest(CAST(inter AS DOUBLE) / za.n, CAST(inter AS DOUBLE) / zb.n) >= 0.9 " +
         "ORDER BY ida, idb")),
+
+    // Exact SUBSTRING-level dedup: maximal shared token RUNS across
+    // documents — the dedup tier between document-level exact (q27/q70)
+    // and set-based near-dup (q29/q76): it localizes the long verbatim
+    // passage two otherwise-different documents share (the substring
+    // dedup of Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better", re-expressed relationally). Each document is
+    // profiled by its DISTINCT 8-token shingles at their FIRST position
+    // (`posshingles` — first-occurrence dedup happens inside the
+    // generator, map-side, so no min(pos) shuffle exists); the hash is
+    // the 60-bit md5 prefix (8-byte shuffle keys, the shingleIndex
+    // convention — a collision merges identically in both engines).
+    // Shingles shared by more than 64 documents are dropped BEFORE the
+    // self-join: boilerplate shingles are the quadratic hazard (df²
+    // candidate pairs per key), and a df cap is the standard fingerprint-
+    // dedup guard — runs through capped shingles split, identically in
+    // the oracle. Matching shingles align on a DIAGONAL (pa − pb);
+    // a maximal run is a gaps-and-islands group along one diagonal
+    // (consecutive first positions in both documents ⇒ a shared run of
+    // count + 7 tokens). The window partitions by (pair, diagonal) —
+    // volume bounded by true shared shingles, never all-pairs — and runs
+    // of ≥ 12 tokens surface, longest first. The (run_tokens, ida, idb,
+    // start_a, start_b) sort key is unique (diag = start_a − start_b),
+    // so the top-50 cut is deterministic.
+    Q("q80_substring_runs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = graft.util.Caches.transientPersist(
+          docText(s, d)
+            .selectExpr("doc_id", "posshingles(text, 8) AS (pos, shingle)")
+            .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              graft.functions.Hashing.md5Long(col("shingle")).as("h")))
+        val cold = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select("h")
+        val prof = sh.join(cold, "h")
+        val w = Window.partitionBy("ida", "idb", "diag").orderBy("pa")
+        prof.select(col("h"), col("doc_id").as("ida"), col("pos").as("pa"))
+          .join(prof.select(col("h").as("hb"), col("doc_id").as("idb"),
+            col("pos").as("pb")), col("h") === col("hb") && col("ida") < col("idb"))
+          .select(col("ida"), col("idb"), col("pa"), col("pb"),
+            (col("pa") - col("pb")).as("diag"))
+          .withColumn("grp", col("pa") - row_number().over(w))
+          .groupBy("ida", "idb", "diag", "grp")
+          .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+            (count(lit(1)) + 7).as("run_tokens"))
+          .filter(col("run_tokens") >= 12)
+          .select("ida", "idb", "start_a", "start_b", "run_tokens")
+          .orderBy(col("run_tokens").desc, col("ida"), col("idb"),
+            col("start_a"), col("start_b"))
+          .limit(50)
+      },
+      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sh0 AS (SELECT doc_id, i AS pos, " + oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h " +
+        "FROM toks, unnest(range(1, len(ws) - 6)) AS t(i)), " +
+        "sh AS (SELECT doc_id, h, min(pos) AS pos FROM sh0 GROUP BY 1, 2), " +
+        "cold AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64), " +
+        "prof AS (SELECT sh.* FROM sh JOIN cold USING (h)), " +
+        "m AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS pa, b.pos AS pb, " +
+        "a.pos - b.pos AS diag FROM prof a JOIN prof b USING (h) WHERE a.doc_id < b.doc_id), " +
+        "r AS (SELECT ida, idb, diag, pa, pb, " +
+        "pa - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY pa) AS grp FROM m), " +
+        "runs AS (SELECT ida, idb, min(pa) AS start_a, min(pb) AS start_b, " +
+        "count(*) + 7 AS run_tokens FROM r GROUP BY ida, idb, diag, grp) " +
+        "SELECT ida, idb, start_a, start_b, run_tokens FROM runs WHERE run_tokens >= 12 " +
+        "ORDER BY run_tokens DESC, ida, idb, start_a, start_b LIMIT 50")),
 
     // ==== similarity search ================================================
 
@@ -928,42 +1100,10 @@ object TrainingOps {
     // bucket-count-sized side table joined back broadcast. Only that
     // tiny offsets table is ever single-partition.
     Q("q66_sequence_pack",
-      (s, d) => {
-        val budget = 256
-        // persisted: (doc_id, n, pid) is 24 bytes/doc — both the offsets
-        // branch and the main branch read it, so without the persist the
-        // corpus would be scanned and tokenized twice. DIV, not /: double
-        // division would lose doc_ids past 2^53. The ONE exchange is the
-        // pid repartition itself — it is simultaneously the small-scan
-        // fan-out (tokenization runs after it, on all cores) and the
-        // clustering the in-bucket window AND the offsets groupBy both
-        // reuse, so neither plans its own shuffle (the shingle-index
-        // build trick applied to the prefix sum).
-        val t = graft.util.Caches.transientPersist(
-          documents(s, d).select(col("doc_id"), col("text"))
-            .filter(col("text").isNotNull)
-            .withColumn("pid", expr("doc_id DIV 1024"))
-            .repartition(col("pid"))
-            .select(col("doc_id"),
-              size(words(col("text"))).cast("bigint").as("n"),
-              col("pid")))
-        val inBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy("pid").orderBy("doc_id")
-          .rowsBetween(Long.MinValue, -1)
-        val acrossBuckets = org.apache.spark.sql.expressions.Window
-          .orderBy("pid").rowsBetween(Long.MinValue, -1)
-        val offsets = t.groupBy("pid").agg(sum("n").as("pn"))
-          .select(col("pid"),
-            coalesce(sum("pn").over(acrossBuckets), lit(0L)).as("off"))
-        t.withColumn("cbp", coalesce(sum("n").over(inBucket), lit(0L)))
-          .join(broadcast(offsets), "pid")
-          .withColumn("cb", col("cbp") + col("off"))
-          .withColumn("seq_id", expr(s"cb DIV $budget"))
-          .groupBy("seq_id")
-          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
-            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-          .orderBy("seq_id")
-      },
+      (s, d) => packSequences(
+        documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull),
+        size(words(col("text"))).cast("bigint"), 256),
       Some("WITH t AS (SELECT doc_id, " +
         "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n " +
         "FROM documents WHERE text IS NOT NULL), " +
@@ -973,6 +1113,28 @@ object TrainingOps {
         "CAST(sum(n) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM c GROUP BY 1 ORDER BY 1")),
+
+    // BPE learn + APPLY + pack: the stage a real tokenizer pipeline runs
+    // after q78's single merge-round statistic — four driver-loop merge
+    // rounds ([[bpeLearnApply]]: each round re-runs q78's ngrams pair
+    // kernel, takes the top pair by (count DESC, pair ASC) — a one-row
+    // collect — and re-tokenizes the corpus left-to-right
+    // non-overlapping), then the MERGED token counts feed the same
+    // distributed-prefix-sum packer as q66 ([[packSequences]]) — the
+    // whole post-tokenizer data path, BPE tokens in place of whitespace
+    // tokens. Every step is deterministic (no RNG, total tie-break
+    // order), so the sf0.01 output is frozen and the oracle is pinned
+    // VALUES (the q75 pattern; DuckDB cannot express the iterative
+    // left-to-right merge loop relationally) — mergePair's semantics are
+    // unit-pinned in BpeSpec, and the pin was generated by
+    // tools/pin_oracle.py from a hand-verified run. Scale: rounds × (one
+    // pair-count shuffle + one map) with at most two corpus-token caches
+    // live; the merge list a production run would persist is the 4-row
+    // driver state.
+    Q("q81_bpe_apply_pack",
+      (s, d) => packSequences(
+        bpeLearnApply(s, d, 4), size(col("toks")).cast("bigint"), 256),
+      Some(Q.pinned("q81_oracle.sql"))),
 
     // Domain-mixture sampling: re-weight the corpus per source domain with
     // a DETERMINISTIC Bernoulli — keep a document iff its 60-bit md5 coin
