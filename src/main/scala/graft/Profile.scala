@@ -15,6 +15,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // mirror Bench's AQE posture (overridable like Bench): under AQE a
+      // cached relation's output partitioning is not reusable by
+      // consumers (coalescing may change it), which inserts exchanges
+      // Bench never pays — plans read here must be the benched plans
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -60,6 +66,51 @@ object Profile {
         }.min
         println(f"[floor] $name%-22s full ${tFull}%6.3f  plan ${tPlan}%6.3f  exec-prebuilt ${tExec}%6.3f")
       }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> time <query> [passes]`: warmed
+    // min-of-N for one query, bench posture, clear caches per pass
+    if (args.length >= 3 && args(1) == "time") {
+      val fn = SparkEntry.queries(args(2))
+      val passes = args.lift(3).map(_.toInt).getOrElse(5)
+      noop(fn(spark, sfDir))
+      val ts = (1 to passes).map { _ =>
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] ${args(2)} min ${ts.min}%.3f  runs ${ts.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> q53ab`: is q53's r7→r8 bench drift
+    // (0.53 → 0.68 s) a table-cache interaction or co-tenant noise?
+    // Clean A/B: 5 warmed passes per posture, postures interleaved in
+    // two segments each so a load drift during the run hits both arms.
+    if (args.length >= 2 && args(1) == "q53ab") {
+      val fn = SparkEntry.queries("q53_rollup")
+      def seg(cache: Boolean): Seq[Double] = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        if (cache) spark.conf.set("spark.graft.cacheTables", "true")
+        else spark.conf.set("spark.graft.cacheTables", "false")
+        noop(fn(spark, sfDir)) // warm: storage, codegen, (maybe) cache build
+        (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          noop(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
+      val a1 = seg(cache = false); val b1 = seg(cache = true)
+      val a2 = seg(cache = false); val b2 = seg(cache = true)
+      def s(x: Seq[Double]) = x.map(v => f"$v%.3f").mkString(" ")
+      println(f"[q53ab] uncached  min ${(a1 ++ a2).min}%.3f  runs: ${s(a1)} | ${s(a2)}")
+      println(f"[q53ab] cached    min ${(b1 ++ b2).min}%.3f  runs: ${s(b1)} | ${s(b2)}")
       spark.stop()
       return
     }

@@ -52,7 +52,12 @@ object ScaleCheck {
     // r8: the tokenizer-statistics aggs — corpus pair/unigram volume
     // grows 10× but the partial-agg shape should keep the exchanges at
     // distinct-key volume; these rows pin that claim
-    "q78_bpe_merge_pairs", "q79_bigram_lift")
+    "q78_bpe_merge_pairs", "q79_bigram_lift",
+    // r9: substring-run dedup is pair-structured (positional shingle
+    // self-join — cross-replica shingles never match, so run volume
+    // scales 10×); BPE learn+apply is rounds × (pair kernel + map) and
+    // pins the driver-loop pattern's slope
+    "q80_substring_runs", "q81_bpe_apply_pack")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {

@@ -615,14 +615,21 @@ object TrainingOps {
     Q("q80_substring_runs",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val sh = graft.util.Caches.transientPersist(
+        // the profile is persisted PRE-PARTITIONED on h (the shingleIndex
+        // bucketing trick): the df-cap window, and BOTH self-join sides,
+        // reuse this one exchange — the df cap costs no agg+join of its
+        // own, and the self-join plans with no exchange on either side.
+        // Total data movement: this repartition + the (pair, diagonal)
+        // window shuffle (whose groupBy then rides the same clustering).
+        val prof = graft.util.Caches.transientPersist(
           docText(s, d)
             .selectExpr("doc_id", "posshingles(text, 8) AS (pos, shingle)")
             .select(col("doc_id"), col("pos").cast("long").as("pos"),
-              graft.functions.Hashing.md5Long(col("shingle")).as("h")))
-        val cold = sh.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 64).select("h")
-        val prof = sh.join(cold, "h")
+              graft.functions.Hashing.md5Long(col("shingle")).as("h"))
+            .repartition(col("h"))
+            .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+            .filter(col("df") <= 64)
+            .drop("df"))
         val w = Window.partitionBy("ida", "idb", "diag").orderBy("pa")
         prof.select(col("h"), col("doc_id").as("ida"), col("pos").as("pa"))
           .join(prof.select(col("h").as("hb"), col("doc_id").as("idb"),
@@ -1134,7 +1141,11 @@ object TrainingOps {
     Q("q81_bpe_apply_pack",
       (s, d) => packSequences(
         bpeLearnApply(s, d, 4), size(col("toks")).cast("bigint"), 256),
-      Some(Q.pinned("q81_oracle.sql"))),
+      Some(Q.pinned("q81_oracle.sql")),
+      // iterative driver loop against a pinned-VALUES oracle (DuckDB
+      // executes no equivalent work) — bench=false keeps the
+      // bench/baseline ratio comparable, the q75 convention
+      bench = false),
 
     // Domain-mixture sampling: re-weight the corpus per source domain with
     // a DETERMINISTIC Bernoulli — keep a document iff its 60-bit md5 coin

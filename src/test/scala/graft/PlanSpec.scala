@@ -111,6 +111,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("presentation sort: implicit-cast attr-vs-constant filter is NOT a reducing threshold") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "n_chars").persist()
+    try {
+      conf.set("spark.graft.presentationSort.maxBytes", "1") // decline the byte guard
+      // `doc_id >= 0.5` analyzes as Cast(doc_id) >= 0.5 — a BARE column
+      // in an implicit cast, tautological over the int domain. It must
+      // not count as a computed-measure threshold: over a cached view
+      // that would bypass the byte guard and gather an arbitrarily
+      // large relation onto one partition.
+      val p = docs.filter(col("doc_id") >= 0.5).orderBy("doc_id")
+        .queryExecution.explainString(SimpleMode)
+      assert(p.contains("rangepartitioning"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally {
+      docs.unpersist()
+      saved.fold(conf.unset("spark.graft.presentationSort.maxBytes"))(
+        conf.set("spark.graft.presentationSort.maxBytes", _))
+    }
+  }
+
   test("presentation sort: shared cached views gather — builders and threshold consumers") {
     val conf = spark.conf
     val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
@@ -332,6 +356,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q79_bigram_lift")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count"), p)
+  }
+
+  test("q80 substring runs: one profile exchange, self-join reuses its partitioning") {
+    // AQE makes cached-plan output partitioning non-reusable (consumers
+    // re-exchange) — read the plan in the bench posture, where the
+    // partitioning-reuse claim is the one that holds
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q80_substring_runs")
+      // the h-partitioned profile is cached and shared by both join sides
+      assert(p.contains("InMemoryTableScan"), p)
+      // no ENSURE_REQUIREMENTS re-shuffle on h: the df-cap window and the
+      // self-join ride the profile's own REPARTITION_BY_COL exchange
+      assert(!"Exchange hashpartitioning\\(h#\\d+L, \\d+\\), ENSURE_REQUIREMENTS".r
+        .findFirstIn(p).isDefined, p)
+      // runs detection: one (pair, diagonal) shuffle, top-50 is a bounded
+      // head merge, and no all-pairs shape anywhere
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
   test("q76 containment: reads the shared index, no extra corpus scan") {

@@ -34,4 +34,25 @@ class TableCacheSpec extends AnyFunSuite {
     }
     spark.sqlContext.clearCache()
   }
+
+  test("cache sizing sums the part files of a Spark-written parquet DIRECTORY") {
+    // File.length on a directory returns the ~4 KiB dirent size, which
+    // used to compute parts=0 and silently leave the cached table at the
+    // serial scan's partitioning — defeating the parallel-cache purpose
+    // exactly for generated corpora (ScaleCheck) and test fixtures.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cachedir").toString
+    spark.range(0, 200000)
+      .selectExpr("id AS doc_id", "md5(CAST(id AS STRING)) AS text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.cacheTables", "true")
+    try {
+      val df = graft.util.Tables.documents(spark, dir)
+      assert(df.rdd.getNumPartitions >= 2,
+        s"directory-backed cached table stayed at ${df.rdd.getNumPartitions} partition(s)")
+    } finally {
+      spark.conf.unset("spark.graft.cacheTables")
+      spark.sqlContext.clearCache()
+    }
+  }
 }
