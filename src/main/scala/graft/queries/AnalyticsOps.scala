@@ -148,6 +148,45 @@ object AnalyticsOps {
         "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) " +
         "SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
 
+    // Keep-best dedup endpoint: the decision a dedup pipeline actually
+    // ships — per near-dup cluster (q51's labels over q29's verified
+    // pairs), KEEP the highest-quality member (q36's published score,
+    // ties to the smallest id) and drop the rest. Composes the three
+    // kernels rather than re-deriving any of them: the pair list and the
+    // quality features are the corpus's central derived datasets, and the
+    // representative choice must agree with the quality report the
+    // pipeline publishes. Scale: labels ride the hybrid-CC path, the
+    // quality join is doc_id-keyed on the (sparse) clustered subset, and
+    // the argmax is ONE row_number window partitioned by cluster —
+    // cluster sizes are LSH-candidate-bounded, so no window partition can
+    // be corpus-sized.
+    Q("q82_dedup_keep_best",
+      (s, d) => {
+        val labels = clusterLabels(s,
+          TrainingOps.lshPairs(s, d).select("ida", "idb"))
+        val qual = TrainingOps.qualityFeatures(s, d).select("doc_id", "score")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        labels.join(qual, "doc_id")
+          .withColumn("rnk", row_number().over(w))
+          .select(col("doc_id"), col("cluster_id"), col("score"),
+            when(col("rnk") === 1, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
+        "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u), " +
+        TrainingOps.qualCte + ", " +
+        "rk AS (SELECT lab.doc_id, cluster_id, score, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, lab.doc_id) AS rnk " +
+        "FROM lab JOIN qual ON lab.doc_id = qual.doc_id) " +
+        "SELECT doc_id, cluster_id, score, " +
+        "CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM rk ORDER BY doc_id")),
+
     // BM25-style ranking over the documents table. The idf uses the raw
     // odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not
     // correctly-rounded and differs across libm implementations, so the
@@ -316,6 +355,45 @@ object AnalyticsOps {
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY CUBE (r_name, n_name) " +
         "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
+
+    // GROUPING SETS — the general form rollup/cube are sugar for, with an
+    // ASYMMETRIC set list a rollup cannot express ((region, nation) detail
+    // + the nation-only marginal + the grand total, but NOT the
+    // region-only level) plus GROUPING() markers, the standard way
+    // consumers distinguish "NULL because aggregated away" from a NULL
+    // grouping value. Same two-level design as q53/q68: ONE fact-table
+    // pass aggregates at the finest level with the exact int128 decimal
+    // subtotal, then the set expansion touches only the tiny group table.
+    Q("q84_grouping_sets",
+      (s, d) => {
+        lineitem(s, d)
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(Hashing.decSumExact(col("l_extendedprice")).as("rev_exact"),
+            count(lit(1)).as("n_base"))
+          .sqlOver(s, "g_base84") { v =>
+            "SELECT r_name, n_name, " +
+              "CAST(GROUPING(r_name) AS BIGINT) AS g_r, " +
+              "CAST(GROUPING(n_name) AS BIGINT) AS g_n, " +
+              "CAST(SUM(rev_exact) AS DOUBLE) AS revenue, " +
+              "CAST(SUM(n_base) AS BIGINT) AS n " +
+              s"FROM $v " +
+              "GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ()) " +
+              "ORDER BY g_r ASC, g_n ASC, " +
+              "r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"
+          }
+      },
+      Some("SELECT r_name, n_name, " +
+        "CAST(GROUPING(r_name) AS BIGINT) AS g_r, " +
+        "CAST(GROUPING(n_name) AS BIGINT) AS g_n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ()) " +
+        "ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST")),
 
     // Exact quantiles (type-7 / linear interpolation, the convention both
     // engines share). Integer-valued doubles make the interpolation

@@ -310,6 +310,63 @@ object TrainingOps {
   private val oQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
+  /** All within-cell cosine pairs (ida < idb), block-SALTED — the shared
+    * IVF pair kernel: q33 thresholds it into a near-dup report, q85 ranks
+    * it into a kNN graph. `label` plays the coarse-quantizer cell;
+    * pairwise cosine only *within* a cell. Scale: shuffle on cell id
+    * co-locates each cell, pair volume bounded by cell size (the coarse
+    * quantizer's job at 100 TB is exactly to cap it); the self-join is
+    * block-salted so a hot cell cannot serialize one reducer.
+    */
+  private def cellPairCos(s: SparkSession, d: String): DataFrame =
+    // shared+persisted for the lshPairs reason: the verified in-cell pair
+    // list is the embedding family's central derived dataset — q33
+    // thresholds it, q85 consumes it TWICE (both union branches of the
+    // symmetrize read the one cached copy instead of re-running the
+    // salted join per branch). ~|in-cell pairs| rows of 4 scalars.
+    graft.util.Caches.sharedIndex(s, s"cellPairCos:$d")(cellPairCosBuild(s, d))
+
+  private[graft] def cellPairCosBuild(s: SparkSession, d: String): DataFrame = {
+    // quantize + norm once per vector in the pre-join projection; the
+    // per-pair work is only the dot product
+    val B = 4 // block fan-out: a hot cell spreads over B² reducer keys
+    val e = embeddings(s, d)
+      .withColumn("qv", quantize(col("embedding")))
+      .select(col("vec_id"), col("label"), col("qv"), norm2Q(col("qv")).as("n2"))
+      .withColumn("blk", pmod(col("vec_id"), lit(B)))
+    // two-sided block replication — the q49 salting pattern applied to
+    // a self-join: each side explodes ×B over its PARTNER's block, the
+    // equi-key becomes (label, blk_a, blk_b), and every unordered pair
+    // matches exactly once (a's copy with pb = b.blk meets b's copy
+    // with pa = a.blk). One hot cell now lands on B² reducers instead
+    // of one — the named 100 TB scale risk of an un-salted IVF cell —
+    // at the cost of a ×B shuffle of the (tiny) per-vector rows.
+    val a = e.withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
+    val b = e.withColumn("pa", explode(sequence(lit(0), lit(B - 1))))
+    a.as("a").join(b.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.blk") === col("b.pa") && col("a.pb") === col("b.blk")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        col("a.label").as("cell"),
+        cosQ(dotQ(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cos"))
+  }
+
+  /** Oracle CTE chain mirroring [[cellPairCos]] — ends in
+    * `cpc(ida, idb, cell, cos)`. Unthresholded; callers filter/rank.
+    */
+  private val cellPairCosCtes: String =
+    s"ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
+      "ee AS (SELECT vec_id, label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+      "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +
+      "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.label AS cell, " +
+      "CAST(SUM(a.x * b.x) AS BIGINT) AS dot FROM ee a " +
+      "JOIN ee b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id " +
+      "GROUP BY 1, 2, 3), " +
+      "cpc AS (SELECT ida, idb, cell, " +
+      "CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos " +
+      "FROM p JOIN n na ON ida = na.vec_id JOIN n nb ON idb = nb.vec_id)"
+
   /** Random-hyperplane sign buckets (vec_id, bucket): n sign bits from
     * md5-parity ±1 planes.
     *
@@ -468,6 +525,41 @@ object TrainingOps {
     }
     toks
   }
+
+  /** Per-document quality features + composite score — q36's kernel,
+    * shared with the q82 keep-best dedup endpoint (the representative
+    * choice must use the SAME score the quality report publishes). Pure
+    * map-side: the token array is a bound column, so the split runs once
+    * per row; all ratios are int/int doubles — deterministic.
+    */
+  private[queries] def qualityFeatures(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws") // bound column: the split runs once per row
+    val nTok = size(ws)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    documents(s, d)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        (size(array_distinct(ws)).cast("double") / nTok).as("ttr"),
+        (size(filter(ws, w => w.isInCollection(stop))).cast("double") / nTok)
+          .as("stop_ratio"),
+        (aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
+          .cast("double") / nTok).as("avg_wlen"))
+      .withColumn("score",
+        least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.4
+          + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.3)
+  }
+
+  /** Oracle CTE mirroring [[qualityFeatures]] — ends in
+    * `qual(doc_id, n_tokens, ttr, stop_ratio, avg_wlen, score)`.
+    */
+  private[queries] val qualCte: String =
+    "qual AS (SELECT doc_id, n_tokens, ttr, stop_ratio, avg_wlen, " +
+      "least(n_tokens / 50.0, 1.0) * 0.4 + ttr * 0.3 + (1.0 - stop_ratio) * 0.3 AS score " +
+      "FROM (SELECT doc_id, len(ws) AS n_tokens, " +
+      "len(list_distinct(ws))::DOUBLE / len(ws) AS ttr, " +
+      "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(ws) AS stop_ratio, " +
+      "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_wlen " +
+      "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents)))"
 
   // ---- registry ----------------------------------------------------------
 
@@ -699,44 +791,44 @@ object TrainingOps {
     // cell, pairs bounded by cell size; the self-join is block-SALTED so a
     // hot cell cannot serialize one reducer.
     Q("q33_ivf_neardup",
+      (s, d) => cellPairCos(s, d)
+        .filter(col("cos") >= 0.35)
+        .orderBy("ida", "idb"),
+      Some(s"WITH $cellPairCosCtes " +
+        "SELECT ida, idb, cell, cos FROM cpc WHERE cos >= 0.35 ORDER BY ida, idb")),
+
+    // kNN-graph construction: each vector's top-3 in-cell neighbors by
+    // cosine — the input artifact of graph-ANN index builds (NN-descent /
+    // HNSW seeding) and of graph-based semantic dedup. Reuses the shared
+    // salted IVF pair kernel, SYMMETRIZED (a kNN edge list is per-vector,
+    // not per-unordered-pair), then one row_number window per vector.
+    // Scale: pair volume is the q33 story (bounded by cell size, salted);
+    // the symmetrize is a union of two projections of the SAME pair set
+    // (no second join), and the top-k window shuffles each pair row once
+    // on vec_id. Exact int64 dots → deterministic cosines → a stable
+    // ranking (ties broken by neighbor id).
+    Q("q85_knn_graph",
       (s, d) => {
-        // quantize + norm once per vector in the pre-join projection; the
-        // per-pair work is only the dot product
-        val B = 4 // block fan-out: a hot cell spreads over B² reducer keys
-        val e = embeddings(s, d)
-          .withColumn("qv", quantize(col("embedding")))
-          .select(col("vec_id"), col("label"), col("qv"), norm2Q(col("qv")).as("n2"))
-          .withColumn("blk", pmod(col("vec_id"), lit(B)))
-        // two-sided block replication — the q49 salting pattern applied to
-        // a self-join: each side explodes ×B over its PARTNER's block, the
-        // equi-key becomes (label, blk_a, blk_b), and every unordered pair
-        // matches exactly once (a's copy with pb = b.blk meets b's copy
-        // with pa = a.blk). One hot cell now lands on B² reducers instead
-        // of one — the named 100 TB scale risk of an un-salted IVF cell —
-        // at the cost of a ×B shuffle of the (tiny) per-vector rows.
-        val a = e.withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
-        val b = e.withColumn("pa", explode(sequence(lit(0), lit(B - 1))))
-        a.as("a").join(b.as("b"),
-            col("a.label") === col("b.label")
-              && col("a.blk") === col("b.pa") && col("a.pb") === col("b.blk")
-              && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-            col("a.label").as("cell"),
-            cosQ(dotQ(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cos"))
-          .filter(col("cos") >= 0.35)
-          .orderBy("ida", "idb")
+        val pairs = cellPairCos(s, d)
+        val sym = pairs
+          .select(col("ida").as("vec_id"), col("idb").as("nbr"),
+            col("cell"), col("cos"))
+          .unionByName(pairs.select(col("idb").as("vec_id"),
+            col("ida").as("nbr"), col("cell"), col("cos")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("nbr").asc)
+        sym.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("vec_id"), col("rnk"), col("nbr"), col("cell"), col("cos"))
+          .orderBy("vec_id", "rnk")
       },
-      Some(s"WITH ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
-        "ee AS (SELECT vec_id, label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
-        "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +
-        "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.label AS cell, " +
-        "CAST(SUM(a.x * b.x) AS BIGINT) AS dot FROM ee a " +
-        "JOIN ee b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id " +
-        "GROUP BY 1, 2, 3) " +
-        "SELECT ida, idb, cell, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos " +
-        "FROM p JOIN n na ON ida = na.vec_id JOIN n nb ON idb = nb.vec_id " +
-        "WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35 " +
-        "ORDER BY ida, idb")),
+      Some(s"WITH $cellPairCosCtes, " +
+        "sym AS (SELECT ida AS vec_id, idb AS nbr, cell, cos FROM cpc " +
+        "UNION ALL SELECT idb, ida, cell, cos FROM cpc), " +
+        "r AS (SELECT vec_id, nbr, cell, cos, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rnk FROM sym) " +
+        "SELECT vec_id, rnk, nbr, cell, cos FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk")),
 
     // Random-hyperplane LSH signatures: 16 sign bits per vector, planes
     // derived from md5 parity (deterministic on both engines). Bucketing on
@@ -789,32 +881,11 @@ object TrainingOps {
 
     // Quality scoring: length, lexical diversity, stopword ratio → one
     // composite in [0,1]. All ratios are int/int doubles — deterministic.
+    // Kernel shared with q82 (keep-best dedup) via [[qualityFeatures]].
     Q("q36_quality_score",
-      (s, d) => {
-        val ws = col("ws") // bound column: the split runs once per row
-        val nTok = size(ws)
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-        documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .select(col("doc_id"), nTok.as("n_tokens"),
-            (size(array_distinct(ws)).cast("double") / nTok).as("ttr"),
-            (size(filter(ws, w => w.isInCollection(stop))).cast("double") / nTok)
-              .as("stop_ratio"),
-            (aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
-              .cast("double") / nTok).as("avg_wlen"))
-          .withColumn("score",
-            least(col("n_tokens") / lit(50.0), lit(1.0)) * 0.4
-              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.3)
-          .orderBy("doc_id")
-      },
-      Some("SELECT doc_id, n_tokens, ttr, stop_ratio, avg_wlen, " +
-        "least(n_tokens / 50.0, 1.0) * 0.4 + ttr * 0.3 + (1.0 - stop_ratio) * 0.3 AS score " +
-        "FROM (SELECT doc_id, len(ws) AS n_tokens, " +
-        "len(list_distinct(ws))::DOUBLE / len(ws) AS ttr, " +
-        "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE / len(ws) AS stop_ratio, " +
-        "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_wlen " +
-        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents)) " +
-        "ORDER BY doc_id")),
+      (s, d) => qualityFeatures(s, d).orderBy("doc_id"),
+      Some(s"WITH $qualCte SELECT doc_id, n_tokens, ttr, stop_ratio, avg_wlen, score " +
+        "FROM qual ORDER BY doc_id")),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // (letter runs / digit runs / single symbols), plus char/byte lengths.
@@ -1356,6 +1427,40 @@ object TrainingOps {
         "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM documents) " +
         "WHERE rank <= 5 ORDER BY lang, rank")),
+
+    // Weighted (probability-proportional-to-size) Poisson sampling: keep
+    // each document with p = min(1, k·w/W_stratum), w = its size weight —
+    // the quality/size-weighted corpus subsample a mixture builder draws
+    // (expected k docs per stratum, heavier docs favored), where q59/q71
+    // are the UNWEIGHTED tiers. The inclusion coin is the md5-threshold
+    // convention (q59/q67): deterministic, reproducible on any engine and
+    // cluster size, no RNG state. Deliberately transcendental-free — the
+    // Efraimidis–Spirakis exponential-key form needs ln()/pow(), which are
+    // not correctly-rounded and differ across libm builds (the q52
+    // lesson); Poisson-PPS keeps the same weighted-inclusion semantics in
+    // +/×/÷ doubles both engines compute bit-identically. Scale: the
+    // stratum totals are a |strata|-row broadcast (bounded — strata are
+    // languages/domains); the keep decision is pure map-side.
+    Q("q83_pps_sample",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        val tot = docs.groupBy("lang").agg(sum("n_chars").as("w_total"))
+        docs.join(broadcast(tot), "lang")
+          .withColumn("p", least(lit(1.0),
+            (lit(10.0) * col("n_chars")) / col("w_total").cast("double")))
+          .withColumn("u",
+            (Hashing.md5Long(col("doc_id").cast("string")) % 1000000L)
+              .cast("double") / 1000000.0)
+          .filter(col("u") < col("p"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("p"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT lang, sum(n_chars) AS w_total FROM documents GROUP BY 1), " +
+        "s AS (SELECT doc_id, lang, n_chars, " +
+        "least(CAST(1.0 AS DOUBLE), (CAST(10.0 AS DOUBLE) * n_chars) / CAST(w_total AS DOUBLE)) AS p, " +
+        s"CAST(${oMd5Long("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS u " +
+        "FROM documents JOIN t USING (lang)) " +
+        "SELECT doc_id, lang, n_chars, p FROM s WHERE u < p ORDER BY doc_id")),
 
     // Filter-funnel yield report: the cascade counts a pipeline publishes
     // with every corpus build (how many documents survive each filter

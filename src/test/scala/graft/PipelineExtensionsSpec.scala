@@ -202,4 +202,95 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     val nations = cube.keys.flatMap(_._2).toSet
     assert(extras.size == nations.size)
   }
+
+  test("q82 keep-best marks exactly the argmax-quality member of each q51 cluster") {
+    val labels = run("q51_dedup_clusters")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val score = run("q36_quality_score")
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val rows = run("q82_dedup_keep_best")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // domain and labels agree with q51 exactly; scores agree with q36
+    assert(rows.map(t => t._1 -> t._2).toMap == labels)
+    rows.foreach { case (id, _, sc, _) => assert(score(id) == sc) }
+    // per cluster: exactly one keep, and it is the (max score, min id) row
+    rows.groupBy(_._2).foreach { case (cid, g) =>
+      val kept = g.filter(_._4 == 1L)
+      assert(kept.length == 1, s"cluster $cid keeps ${kept.length}")
+      val best = g.minBy { case (id, _, sc, _) => (-sc, id) }
+      assert(kept.head._1 == best._1, s"cluster $cid kept ${kept.head._1}, best $best")
+    }
+  }
+
+  test("q83 PPS sample matches a driver-side weighted-coin recomputation") {
+    val md = MessageDigest.getInstance("MD5")
+    def u(docId: Long): Double = {
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L).toDouble / 1000000.0
+    }
+    val all = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val wTotal = all.groupBy(_._2).map { case (l, g) => l -> g.map(_._3).sum }
+    val expected = all.flatMap { case (id, lang, w) =>
+      // the EXACT arithmetic shape of the query: (10.0 * w) / W in doubles
+      val p = math.min(1.0, (10.0 * w) / wTotal(lang).toDouble)
+      if (u(id) < p) Some((id, lang, w, p)) else None
+    }.sortBy(_._1).toSeq
+    val got = run("q83_pps_sample")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // expected-count sanity: sum of p over the corpus ≈ k per stratum
+    // (≤ k exactly iff some doc hit the p=1 cap)
+    wTotal.keys.foreach { lang =>
+      val sumP = all.filter(_._2 == lang)
+        .map { case (_, _, w) => math.min(1.0, (10.0 * w) / wTotal(lang).toDouble) }.sum
+      assert(sumP <= 10.0 + 1e-9, s"$lang: $sumP")
+    }
+  }
+
+  test("q84 grouping sets = cube minus the region-only marginals, markers consistent") {
+    def key(r: Row) = (Option(r.getString(0)), Option(r.getString(1)))
+    val cube = run("q68_cube").map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val gs = run("q84_grouping_sets")
+      .map(r => (key(r), r.getLong(2), r.getLong(3), (r.getDouble(4), r.getLong(5))))
+    assert(gs.nonEmpty)
+    gs.foreach { case (k, gR, gN, v) =>
+      // every grouping-sets row exists in the cube with bit-identical values
+      assert(cube.get(k).contains(v), s"diverges from cube at $k")
+      // markers match the set the row came from (names are never NULL in
+      // the data, so a NULL name ⟺ aggregated away ⟺ marker = 1)
+      assert((gR == 1L) == k._1.isEmpty && (gN == 1L) == k._2.isEmpty, s"$k: g=($gR,$gN)")
+      // the region-only marginal set is excluded by construction
+      assert(!(gR == 0L && gN == 1L), s"unexpected region-only row $k")
+    }
+    // and nothing else from cube is missing: detail + nation marginals + total
+    val wanted = cube.keySet.filter { case (r, n) => n.nonEmpty || r.isEmpty }
+    assert(gs.map(_._1).toSet == wanted)
+  }
+
+  test("q85 kNN graph matches a driver-side exact top-3 recomputation") {
+    val vecs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = vecs.flatMap { case (id, cell, v) =>
+      vecs.filter(o => o._2 == cell && o._1 != id)
+        .map(o => (o._1, cos(v, o._3)))
+        .sortBy { case (nbr, c) => (-c, nbr) }
+        .take(3).zipWithIndex
+        .map { case ((nbr, c), i) => (id, (i + 1).toLong, nbr, cell, c) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = run("q85_knn_graph")
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSeq
+    assert(got.nonEmpty && got == expected)
+  }
 }

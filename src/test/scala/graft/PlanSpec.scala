@@ -84,11 +84,25 @@ class PlanSpec extends AnyFunSuite {
   // cardinality and must keep the parallel range sort (the round-4
   // 100 TB gather hazard), as must a large exchange-free pipeline.
   test("presentation sort: threshold-filtered self-join rewrites to a gather past the byte guard") {
+    import org.apache.spark.sql.functions.col
     val conf = spark.conf
     val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
     try {
       conf.set("spark.graft.presentationSort.maxBytes", "1") // force the byte guard to decline
-      val p = plan("q33_ivf_neardup") // cos >= 0.35 threshold residual on the self-join
+      // q33's UNCACHED kernel shape: cos >= 0.35 threshold residual on the
+      // salted self-join. (The registry q33 now reads the shared cached
+      // pair table, where `cos` is a bare attribute — over a cached view a
+      // bare-attr threshold must NOT qualify structurally, by the
+      // implicit-cast test below; the structural claim lives here.)
+      // Drop cached plans first: if another test already materialized the
+      // shared pair index, the CacheManager would substitute it into this
+      // build and the uncached shape under test would vanish.
+      spark.sqlContext.clearCache()
+      val p = graft.queries.TrainingOps
+        .cellPairCosBuild(spark, TestSpark.sfDir)
+        .filter(col("cos") >= 0.35)
+        .orderBy("ida", "idb")
+        .queryExecution.explainString(SimpleMode)
       assert(p.contains("SinglePartition"), p)
       assert(!p.contains("rangepartitioning"), p)
     } finally {
@@ -397,5 +411,36 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet \\[l_suppkey".r.findAllIn(p).size == 1, p)
     // Expand's input is an aggregate (rev_exact), not the raw scan
     assert(p.contains("Expand [[rev_exact"), p)
+  }
+
+  test("q84 grouping sets: Expand sits above the finest agg, one fact-table scan") {
+    // the q53/q68 two-level contract, for the general set-list form
+    val p = plan("q84_grouping_sets")
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_graft_decsum_dec"), p)
+    assert("FileScan parquet \\[l_suppkey".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand [[rev_exact"), p)
+  }
+
+  test("q83 pps sample: stratum totals broadcast, keep decision map-side") {
+    val p = plan("q83_pps_sample")
+    // the totals side is a bounded |strata|-row aggregate — broadcast it;
+    // a sort-merge here would shuffle the whole corpus on lang
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the totals aggregate partial-aggregates before its exchange
+    assert(p.contains("partial_sum"), p)
+    // the corpus side joins without its own exchange: the only
+    // hash-partitioning exchange in the plan is the totals aggregate's
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q85 knn graph: both union branches read the shared cached pair table") {
+    val p = plan("q85_knn_graph")
+    // the symmetrize is two projections of the SAME persisted pair set —
+    // re-running the salted self-join per branch doubles the heavy stage
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 }

@@ -30,12 +30,19 @@ class ScaleBehaviorSpec extends AnyFunSuite {
 
   test("q33 IVF self-join is block-salted: the shuffle key carries the block columns") {
     val df = SparkEntry.queries("q33_ivf_neardup")(spark, TestSpark.sfDir)
-    val p = df.queryExecution.optimizedPlan.toString
+    // the pair kernel is a shared+persisted index (r9): the salted join
+    // lives in the InMemoryRelation's BUILD plan, not the consumer plan
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    val p = if (cached.nonEmpty) cached.mkString("\n")
+            else df.queryExecution.optimizedPlan.toString
     // the equi-join key must be (label, blk, pb)↔(label, pa, blk), not bare
     // label — a refactor back to the un-salted cell join (one reducer per
     // hot cell at scale) fails here
     assert(p.contains("pb") && p.contains("pa"), p)
-    val joined = "(?s)Join Inner.*label.*(blk|pa).*".r
+    val joined = "(?s)Join.*label.*(blk|pa).*".r
     assert(joined.findFirstIn(p).isDefined, p)
   }
 
