@@ -57,7 +57,12 @@ object ScaleCheck {
     // self-join — cross-replica shingles never match, so run volume
     // scales 10×); BPE learn+apply is rounds × (pair kernel + map) and
     // pins the driver-loop pattern's slope
-    "q80_substring_runs", "q81_bpe_apply_pack")
+    "q80_substring_runs", "q81_bpe_apply_pack",
+    // r9b: the keep-best endpoint stacks the LSH pair kernel, the CC
+    // labels and the quality join — its slope pins the composed path;
+    // the kNN graph consumes the shared IVF pair index twice plus a
+    // per-vector window, pinning the persisted-kernel reuse at scale
+    "q82_dedup_keep_best", "q85_knn_graph")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {

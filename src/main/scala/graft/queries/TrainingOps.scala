@@ -1373,6 +1373,58 @@ object TrainingOps {
         "FROM pp JOIN u u1 ON w1 = u1.w JOIN u u2 ON w2 = u2.w, t " +
         "ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 50")),
 
+    // Bigram-LM quality scoring — the CCNet/KenLM perplexity-filter shape,
+    // engine-portable: train P(w2|w1) = c12/c1 on the corpus itself, score
+    // each document by its MEAN bigram probability under that model.
+    // Perplexity proper needs ln() (not correctly-rounded — the q52 libm
+    // lesson); the arithmetic mean ranks documents by the same
+    // "how predictable is this text under the corpus model" signal using
+    // only +/×/÷, which both engines compute bit-identically. Each
+    // probability is quantized to a 2^20-scaled int64 (the embedding
+    // convention): floor(c12·2^20/c1) — one IEEE double divide + floor,
+    // identical on both engines — so the per-doc sum is an EXACT integer
+    // aggregate (order-insensitive, hash-stable); c12 ≤ c1 bounds ps ≤
+    // 2^20, so the sum stays < 2^20·n_bigrams, far inside int64 for any
+    // real document. Scale: the model joins are shuffle equi-joins on
+    // pair/w1 with NO broadcast hint (the vocabulary is unbounded at
+    // corpus scale — the q79 lesson); per-doc instances pre-aggregate to
+    // distinct (doc, pair) rows BEFORE touching the model, so join volume
+    // is distinct-bigram bounded, not token bounded.
+    Q("q86_lm_score",
+      (s, d) => {
+        val base = docTextLean(s, d).filter(col("text").isNotNull)
+        val uni = base.select(explode(words(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val big = base.selectExpr("ngrams(text, 2) AS pair")
+          .groupBy("pair").agg(count(lit(1)).as("c12"))
+        val inst = base.selectExpr("doc_id", "ngrams(text, 2) AS pair")
+          .groupBy("doc_id", "pair").agg(count(lit(1)).as("m"))
+        inst.join(big, "pair")
+          .withColumn("w1", expr("split_part(pair, ' ', 1)"))
+          .join(uni.withColumnRenamed("w", "w1"), "w1")
+          .withColumn("ps", floor(col("c12").cast("double") * lit(1048576.0)
+            / col("c1").cast("double")).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum(col("m")).cast("long").as("n_bigrams"),
+            sum(col("m") * col("ps")).as("sps"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sps").cast("double")
+              / (col("n_bigrams").cast("double") * 1048576.0)).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "wu AS (SELECT unnest(ws) AS w FROM toks), " +
+        "u AS (SELECT w, count(*) AS c1 FROM wu GROUP BY 1), " +
+        "p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS pair FROM toks, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2), " +
+        "pc AS (SELECT pair, count(*) AS c12 FROM p GROUP BY 1), " +
+        "inst AS (SELECT doc_id, pair, count(*) AS m FROM p GROUP BY 1, 2), " +
+        "sc AS (SELECT doc_id, m, CAST(floor(CAST(c12 AS DOUBLE) * 1048576.0 / CAST(c1 AS DOUBLE)) AS BIGINT) AS ps " +
+        "FROM inst JOIN pc USING (pair) JOIN u ON split_part(pair, ' ', 1) = u.w) " +
+        "SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(m * ps) AS DOUBLE) / (CAST(SUM(m) AS DOUBLE) * 1048576.0) AS lm_score " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     // Normalized exact dedup: case-/punctuation-/whitespace-insensitive
     // duplicate groups — the cheap near-exact pass a pipeline runs before
     // MinHash (catches reformatted copies that byte-exact q27 misses).
@@ -1461,6 +1513,37 @@ object TrainingOps {
         s"CAST(${oMd5Long("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS u " +
         "FROM documents JOIN t USING (lang)) " +
         "SELECT doc_id, lang, n_chars, p FROM s WHERE u < p ORDER BY doc_id")),
+
+    // Training-shard layout: the deterministic global shuffle + shard
+    // assignment every pipeline runs before writing its
+    // webdataset/TFRecord shards. shard = md5("shard:"||doc) mod S breaks
+    // any source/domain ordering (adjacent docs land on different shards);
+    // pos orders within the shard by the same hash, so the full layout is
+    // reproducible from doc ids alone — no RNG state, identical on any
+    // cluster size (the md5-coin convention). Scale: ONE shuffle on
+    // shard; the per-shard row_number window is bounded BY DESIGN — in
+    // production S is chosen so corpus/S ≈ the target shard file size (a
+    // few hundred MB), so a window partition is never corpus-sized (S=8
+    // mirrors that contract at test scale). The salt prefix decorrelates
+    // the shard coin from q83/q67's sampling coins on the same ids.
+    Q("q87_shard_layout",
+      (s, d) => {
+        val keyed = documents(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("k",
+            Hashing.md5Long(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("shard", (col("k") % 8L).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("k").asc, col("doc_id").asc)
+        keyed
+          .select(col("doc_id"), col("shard"),
+            row_number().over(w).cast("long").as("pos"), col("n_chars"))
+          .orderBy("shard", "pos")
+      },
+      Some("WITH k AS (SELECT doc_id, n_chars, " +
+        s"${oMd5Long("'shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM documents) " +
+        "SELECT doc_id, k % 8 AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos, " +
+        "n_chars FROM k ORDER BY shard, pos")),
 
     // Filter-funnel yield report: the cascade counts a pipeline publishes
     // with every corpus build (how many documents survive each filter

@@ -293,4 +293,59 @@ class PipelineExtensionsSpec extends AnyFunSuite {
       .toSeq
     assert(got.nonEmpty && got == expected)
   }
+
+  test("q86 LM score matches a driver-side corpus-bigram-model recomputation") {
+    val texts = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val c1 = texts.flatMap(_._2).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val c12 = texts.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val expected = texts.flatMap { case (id, ws) =>
+      val bigs = ws.zip(ws.drop(1))
+      if (bigs.isEmpty) None
+      else {
+        // the EXACT arithmetic shape of the query: one double divide +
+        // floor per distinct bigram, then an exact integer sum
+        val sps = bigs.groupBy(identity).map { case (p @ (w1, _), g) =>
+          g.size.toLong * math.floor(c12(p).toDouble * 1048576.0 / c1(w1).toDouble).toLong
+        }.sum
+        Some((id, bigs.size.toLong, sps.toDouble / (bigs.size.toDouble * 1048576.0)))
+      }
+    }.sortBy(_._1).toSeq
+    val got = run("q86_lm_score")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // a self-predictable corpus scores in (0, 1]; the mean probability of
+    // a bigram under a model trained on the same corpus is never 0
+    got.foreach { case (id, _, s) => assert(s > 0.0 && s <= 1.0, s"$id: $s") }
+  }
+
+  test("q87 shard layout matches a driver-side md5-shuffle recomputation") {
+    val md = MessageDigest.getInstance("MD5")
+    def md5Long(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val all = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all
+      .map { case (id, nc) => (id, md5Long(s"shard:$id"), nc) }
+      .groupBy(_._2 % 8).toSeq
+      .flatMap { case (shard, g) =>
+        g.sortBy { case (id, k, _) => (k, id) }.zipWithIndex
+          .map { case ((id, _, nc), i) => (id, shard, (i + 1).toLong, nc) }
+      }
+      .sortBy(t => (t._2, t._3)).toSeq
+    val got = run("q87_shard_layout")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // every shard is populated and positions are dense 1..|shard|
+    assert(got.map(_._2).distinct.size == 8)
+    got.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted == (1L to g.size.toLong))
+    }
+  }
 }

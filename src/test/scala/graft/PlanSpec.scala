@@ -435,6 +435,39 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q86 LM score: instances pre-aggregate to distinct (doc, pair) before the model join") {
+    val p = plan("q86_lm_score")
+    // the (doc_id, pair) count collapses token-volume instances to
+    // distinct-bigram volume BELOW the model join — without it the join
+    // shuffles every token occurrence at corpus scale
+    assert(p.contains("keys=[doc_id"), p)
+    // all three aggregates (inst, big, uni) partial-aggregate map-side
+    assert(p.contains("partial_count"), p)
+    // no cartesian anywhere — every model join is an equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q87 shard layout: one shard shuffle; past the byte guard the sort stays range-parallel") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
+    try {
+      // force the byte guard to decline the gather — the 100 TB regime,
+      // where the corpus-sized layout must keep the parallel range sort
+      conf.set("spark.graft.presentationSort.maxBytes", "1")
+      val p = plan("q87_shard_layout")
+      // one hash exchange total: the window's shuffle on shard
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+      assert(p.contains("Window"), p)
+      assert(p.contains("rangepartitioning"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally {
+      saved match {
+        case Some(v) => conf.set("spark.graft.presentationSort.maxBytes", v)
+        case None => conf.unset("spark.graft.presentationSort.maxBytes")
+      }
+    }
+  }
+
   test("q85 knn graph: both union branches read the shared cached pair table") {
     val p = plan("q85_knn_graph")
     // the symmetrize is two projections of the SAME persisted pair set —
