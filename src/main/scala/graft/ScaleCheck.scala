@@ -127,7 +127,13 @@ object ScaleCheck {
       generate(spark, srcDir, outDir, factor)
     }
 
-    val qs = SparkEntry.registry.filter(q => family.contains(q.name))
+    // SPARK_GRAFT_SCALE_ONLY=q31_ngram_jaccard,q51_dedup_clusters re-runs
+    // a subset — for re-measuring a load-spiked outlier in a quiet window
+    // without repeating the whole family
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = SparkEntry.registry.filter(q => family.contains(q.name)
+      && only.forall(_.contains(q.name)))
     def run(q: graft.queries.Q, dir: String): Unit = {
       graft.util.Caches.clearTransient()
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -156,17 +162,19 @@ object ScaleCheck {
     // so the path that survives billions of edges has a measured slope,
     // not just a spec. Output order is plan-root-pinned, so collected
     // rows compare positionally.
-    val q51 = qs.find(_.name == "q51_dedup_clusters").get
-    def ccRows(dir: String): Seq[String] = {
+    // skipped (not failed) when a SPARK_GRAFT_SCALE_ONLY subset excludes
+    // q51 — the exercise is q51's alternate execution regime
+    val q51Opt = qs.find(_.name == "q51_dedup_clusters")
+    def ccRows(q51: graft.queries.Q, dir: String): Seq[String] = {
       graft.util.Caches.clearTransient()
       q51.fn(spark, dir).collect().map(_.toString).toSeq
     }
-    def ccParityAndTime(dir: String): (Boolean, Double) = {
+    def ccParityAndTime(q51: graft.queries.Q, dir: String): (Boolean, Double) = {
       spark.sqlContext.clearCache()
-      val viaDriver = ccRows(dir)
+      val viaDriver = ccRows(q51, dir)
       spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
       try {
-        val viaDistributed = ccRows(dir)
+        val viaDistributed = ccRows(q51, dir)
         run(q51, dir) // warmup under the distributed regime
         val t = (1 to passes).map { _ =>
           spark.sqlContext.clearCache()
@@ -177,8 +185,9 @@ object ScaleCheck {
         (viaDriver == viaDistributed, t)
       } finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
     }
-    val (parityBase, ccBase) = ccParityAndTime(srcDir)
-    val (parityScaled, ccScaled) = ccParityAndTime(outDir)
+    val ccPair = q51Opt.map { q51 =>
+      (ccParityAndTime(q51, srcDir), ccParityAndTime(q51, outDir))
+    }
 
     val baseMap = base.toMap
     def fmt3(v: Double): String =
@@ -188,9 +197,12 @@ object ScaleCheck {
       xs.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
         .mkString("{", ",", "}")
     val slopes = scaled.map { case (k, v) => k -> v / baseMap(k) }
-    val distcc =
-      s"""{"parity_base":$parityBase,"parity_scaled":$parityScaled,""" +
-        s""""base":${fmt3(ccBase)},"scaled":${fmt3(ccScaled)},"slope":${fmt3(ccScaled / ccBase)}}"""
+    val distcc = ccPair match {
+      case Some(((parityBase, ccBase), (parityScaled, ccScaled))) =>
+        s"""{"parity_base":$parityBase,"parity_scaled":$parityScaled,""" +
+          s""""base":${fmt3(ccBase)},"scaled":${fmt3(ccScaled)},"slope":${fmt3(ccScaled / ccBase)}}"""
+      case None => "null"
+    }
     println(s"""{"metric":"scale_slope","factor":$factor,"passes":$passes,""" +
       s""""base":${fmt(base)},"scaled":${fmt(scaled)},""" +
       s""""slope":${fmt(slopes)},"distcc":$distcc,"src":"$srcDir","out":"$outDir"}""")

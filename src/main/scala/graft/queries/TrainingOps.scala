@@ -1392,13 +1392,19 @@ object TrainingOps {
     // is distinct-bigram bounded, not token bounded.
     Q("q86_lm_score",
       (s, d) => {
-        val base = docTextLean(s, d).filter(col("text").isNotNull)
+        val base = docText(s, d).filter(col("text").isNotNull)
         val uni = base.select(explode(words(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c1"))
-        val big = base.selectExpr("ngrams(text, 2) AS pair")
-          .groupBy("pair").agg(count(lit(1)).as("c12"))
-        val inst = base.selectExpr("doc_id", "ngrams(text, 2) AS pair")
-          .groupBy("doc_id", "pair").agg(count(lit(1)).as("m"))
+        // ONE corpus tokenize pass feeds both the instance table and the
+        // model: c12 derives from inst (Σm per pair), and inst is a
+        // transient-persisted intermediate (the materialized-CTE analog)
+        // both the model agg and the model join read — without it the
+        // ngrams explode + (doc, pair) agg run once per consumer (the
+        // planner's broadcast of the model side defeats ReuseExchange)
+        val inst = graft.util.Caches.transientPersist(
+          base.selectExpr("doc_id", "ngrams(text, 2) AS pair")
+            .groupBy("doc_id", "pair").agg(count(lit(1)).as("m")))
+        val big = inst.groupBy("pair").agg(sum("m").as("c12"))
         inst.join(big, "pair")
           .withColumn("w1", expr("split_part(pair, ' ', 1)"))
           .join(uni.withColumnRenamed("w", "w1"), "w1")

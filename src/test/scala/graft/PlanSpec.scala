@@ -441,8 +441,11 @@ class PlanSpec extends AnyFunSuite {
     // distinct-bigram volume BELOW the model join — without it the join
     // shuffles every token occurrence at corpus scale
     assert(p.contains("keys=[doc_id"), p)
-    // all three aggregates (inst, big, uni) partial-aggregate map-side
+    // aggregates partial-aggregate map-side
     assert(p.contains("partial_count"), p)
+    // the model (c12 = Σm) derives from the SAME persisted instance
+    // table the join reads — one corpus tokenize pass, not two
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
     // no cartesian anywhere — every model join is an equi-join
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
