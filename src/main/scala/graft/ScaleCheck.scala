@@ -61,8 +61,10 @@ object ScaleCheck {
     // r9b: the keep-best endpoint stacks the LSH pair kernel, the CC
     // labels and the quality join — its slope pins the composed path;
     // the kNN graph consumes the shared IVF pair index twice plus a
-    // per-vector window, pinning the persisted-kernel reuse at scale
-    "q82_dedup_keep_best", "q85_knn_graph")
+    // per-vector window, pinning the persisted-kernel reuse at scale;
+    // the LM score is bigram-volume structured (one tokenize pass into
+    // a persisted instance table + three distinct-key exchanges)
+    "q82_dedup_keep_best", "q85_knn_graph", "q86_lm_score")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
