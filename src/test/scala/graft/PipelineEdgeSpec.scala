@@ -150,4 +150,45 @@ class PipelineEdgeSpec extends AnyFunSuite {
     // "word" = 1 from doc 4 ("Word!" is a distinct token) + 2 from doc 5
     assert(vocab("alpha") == 4L && vocab("word") == 3L && vocab.contains(""))
   }
+
+  test("q86: null/sub-bigram docs drop; hand-computed scores; identical docs tie") {
+    val got = run("q86_lm_score")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 2 (null) and doc 3 (empty → one token, no bigram) never surface
+    assert(!got.contains(2L) && !got.contains(3L))
+    // identical docs score identically (the model is corpus-global)
+    assert(got(0L) == got(1L))
+    // hand-computed: doc 1023 "x y z" → (x,y): c12=1, c1(x)=2 (docs
+    // 1023+1024) → p=1/2; (y,z): c12=1, c1(y)=1 → p=1 ⇒ mean 0.75.
+    // doc 1024 "x q" → one bigram at p=1/2.
+    assert(got(1023L) == ((2L, 0.75)) && got(1024L) == ((1L, 0.5)))
+  }
+
+  test("q87: every doc (null text included) gets a shard; positions dense; rerun-stable") {
+    val a = run("q87_shard_layout").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == 9 && a.map(_._1).toSet.contains(2L)) // null-text doc too
+    a.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size.toLong))
+    }
+    // the layout is a pure function of doc ids — rerun-identical
+    val b = run("q87_shard_layout").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("q82: byte-identical twins cluster; exactly one keeps, the smaller id") {
+    val rows = run("q82_dedup_keep_best")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // docs 0 and 1 are byte-identical → same cluster, equal quality
+    assert(byDoc.contains(0L) && byDoc.contains(1L))
+    assert(byDoc(0L)._2 == byDoc(1L)._2 && byDoc(0L)._3 == byDoc(1L)._3)
+    // the tie breaks to the smaller id: 0 keeps, 1 drops
+    assert(byDoc(0L)._4 == 1L && byDoc(1L)._4 == 0L)
+    // every cluster keeps exactly one member
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).sum == 1L, g.mkString(","))
+    }
+  }
 }
