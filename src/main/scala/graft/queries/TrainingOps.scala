@@ -1551,6 +1551,50 @@ object TrainingOps {
         "CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos, " +
         "n_chars FROM k ORDER BY shard, pos")),
 
+    // Per-document TF-IDF keyword extraction: each document's top-3 terms
+    // by tf·idf — the "what is this document about" signal corpus reports
+    // and topic-mixture audits publish (q69 is the CORPUS-level
+    // vocabulary; q52 ranks documents for one query; this is the per-doc
+    // projection). idf is q52's log-free odds ratio (N − df + 0.5)/(df +
+    // 0.5): ln() is not correctly-rounded across libm builds, and the
+    // odds ratio preserves the df ranking in +/÷ doubles both engines
+    // compute bit-identically. Scale: ONE corpus tokenize pass into a
+    // transient-persisted (doc, term, tf) table (the q86 discipline); df
+    // DERIVES from it (Σ over docs) instead of a second pass; the df
+    // join is a planner-gated shuffle equi-join with NO broadcast hint
+    // (unbounded vocabulary — the q79 lesson); only the 1-row doc count
+    // broadcasts. The top-k window partitions by doc — bounded by a
+    // document's distinct-term count, never corpus-sized.
+    Q("q88_tfidf_keywords",
+      (s, d) => {
+        val base = docText(s, d).filter(col("text").isNotNull)
+        val tf = graft.util.Caches.transientPersist(
+          base.select(col("doc_id"), explode(words(col("text"))).as("w"))
+            .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val nd = base.agg(count(lit(1)).as("n_docs"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+        tf.join(dfreq, "w")
+          .crossJoin(broadcast(nd))
+          .withColumn("score", col("tf") *
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("w"), col("tf"), col("score"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL), " +
+        "sc AS (SELECT doc_id, w, tf, tf * ((n_docs - df + 0.5) / (df + 0.5)) AS score " +
+        "FROM tf JOIN dfreq USING (w), nd), " +
+        "r AS (SELECT doc_id, w, tf, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk FROM sc) " +
+        "SELECT doc_id, rnk, w, tf, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk")),
+
     // Filter-funnel yield report: the cascade counts a pipeline publishes
     // with every corpus build (how many documents survive each filter
     // stage, applied in order: minimum length → language allowlist →

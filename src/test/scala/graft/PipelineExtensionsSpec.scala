@@ -322,6 +322,33 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     got.foreach { case (id, _, s) => assert(s > 0.0 && s <= 1.0, s"$id: $s") }
   }
 
+  test("q88 TF-IDF keywords match a driver-side recomputation") {
+    val texts = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val nDocs = texts.length.toLong
+    val tf = texts.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val expected = tf.toSeq.flatMap { case (id, m) =>
+      m.toSeq
+        .map { case (w, t) =>
+          // the EXACT arithmetic shape of the query
+          (w, t, t * ((nDocs - df(w) + 0.5) / (df(w) + 0.5)))
+        }
+        .sortBy { case (w, _, sc) => (-sc, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, t, sc), i) => (id, (i + 1).toLong, w, t, sc) }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q88_tfidf_keywords")
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("q87 shard layout matches a driver-side md5-shuffle recomputation") {
     val md = MessageDigest.getInstance("MD5")
     def md5Long(s: String): Long = {

@@ -471,6 +471,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 TF-IDF: df derives from the persisted tf table — one tokenize pass") {
+    val p = plan("q88_tfidf_keywords")
+    // the df aggregate and the scoring join read the SAME persisted
+    // (doc, term, tf) table — one corpus tokenize pass, not two
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // map-side partial aggregation on both tf and df
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q85 knn graph: both union branches read the shared cached pair table") {
     val p = plan("q85_knn_graph")
     // the symmetrize is two projections of the SAME persisted pair set —
