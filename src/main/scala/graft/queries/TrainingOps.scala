@@ -1595,6 +1595,48 @@ object TrainingOps {
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk FROM sc) " +
         "SELECT doc_id, rnk, w, tf, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk")),
 
+    // Shard manifest: the governance artifact published NEXT TO q87's
+    // shard layout — per shard: document count, token/char budgets, the
+    // doc-id range, and an ORDER-INSENSITIVE content checksum (q12's A2
+    // multiset hash over per-doc content hashes). Order-insensitivity is
+    // the point: any cluster size, any partitioning, any task order
+    // produces the SAME manifest, so two independent corpus builds can be
+    // compared shard-by-shard without re-reading a byte of text. Scale:
+    // one map pass (shard key + content md5 + token count are all
+    // per-row) into one 8-group partial-agg shuffle; the only wide state
+    // is the sorted hash list inside each shard's multiset hash —
+    // production keys the manifest by (shard, sub-bucket = h % B) and
+    // re-hashes the B bucket digests when one digest per shard-file is
+    // required, the documented A2 scale path.
+    Q("q89_shard_manifest",
+      (s, d) => {
+        val keyed = documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .withColumn("shard",
+            (Hashing.md5Long(concat(lit("shard:"), col("doc_id").cast("string"))) % 8L)
+              .cast("long"))
+          .withColumn("h", Hashing.simpleHash(col("text")))
+          .withColumn("toks", size(words(col("text"))).cast("long"))
+        keyed.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"),
+            Hashing.multisetHash(col("h")).as("content_mh"))
+          .orderBy("shard")
+      },
+      Some("WITH k AS (SELECT doc_id, n_chars, " +
+        s"${oMd5Long("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard, " +
+        "md5(regexp_replace(text, '\\s+', '', 'g')) AS h, " +
+        "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS toks " +
+        "FROM documents) " +
+        "SELECT shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc, " +
+        "md5(string_agg(h, '' ORDER BY h)) AS content_mh " +
+        "FROM k GROUP BY shard ORDER BY shard")),
+
     // Filter-funnel yield report: the cascade counts a pipeline publishes
     // with every corpus build (how many documents survive each filter
     // stage, applied in order: minimum length → language allowlist →

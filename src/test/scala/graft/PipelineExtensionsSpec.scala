@@ -349,6 +349,37 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("q89 shard manifest matches a driver-side recomputation and is order-insensitive") {
+    val md = MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def md5Long(s: String): Long =
+      java.lang.Long.parseLong(hex(s).substring(0, 15), 16)
+    val all = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = all
+      .map { case (id, text, nc) =>
+        (md5Long(s"shard:$id") % 8, id, nc,
+          text.trim.split("\\s+").length.toLong,
+          hex(text.replaceAll("\\s+", "")))
+      }
+      .groupBy(_._1).toSeq
+      .map { case (shard, g) =>
+        (shard, g.size.toLong, g.map(_._4).sum, g.map(_._3).sum,
+          g.map(_._2).min, g.map(_._2).max,
+          hex(g.map(_._5).sorted.mkString("")))
+      }
+      .sortBy(_._1)
+    val got = run("q89_shard_manifest")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    assert(got.nonEmpty && got == expected)
+    // the checksum column never depends on scan/task order: every shard's
+    // digest recomputes identically from the SORTED per-doc hash list
+    assert(got.map(_._7).distinct.size == got.size)
+  }
+
   test("q87 shard layout matches a driver-side md5-shuffle recomputation") {
     val md = MessageDigest.getInstance("MD5")
     def md5Long(s: String): Long = {

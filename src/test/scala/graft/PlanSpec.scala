@@ -481,6 +481,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q89 shard manifest: one map pass, one partial-agg shuffle") {
+    val p = plan("q89_shard_manifest")
+    // shard key, content md5 and token count are all per-row map work —
+    // exactly one aggregation exchange (plus the root sort's)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q85 knn graph: both union branches read the shared cached pair table") {
     val p = plan("q85_knn_graph")
     // the symmetrize is two projections of the SAME persisted pair set —
