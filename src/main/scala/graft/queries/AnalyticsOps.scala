@@ -187,6 +187,88 @@ object AnalyticsOps {
         "CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
         "FROM rk ORDER BY doc_id")),
 
+    // Semantic dedup endpoint (the SemDeDup shape, Abbas et al. 2023):
+    // high-cosine in-cell pairs → connected components → per component
+    // KEEP the member LEAST similar to its cell centroid (the paper's
+    // diversity-preserving survivor rule — q82 keeps the quality argmax;
+    // this keeps the embedding-space outlier), ties to the smallest id.
+    // Centroid trick: cosine is scale-invariant, so cosine-to-MEAN equals
+    // cosine-to-SUM — the centroid stays an exact integer sum vector (the
+    // q73/q75 quantization convention), no division, both engines
+    // bit-identical. Scale: edges reuse the SAME shared cellPairCos cache
+    // q33/q85 read (salted, cell-bounded); cell sums come from the
+    // mergeable VectorSum aggregator (map-side partials — #cells×dim
+    // longs shuffle, NOT a ×dim explode of the corpus) and collect as a
+    // bounded codebook (#cells rows — the coarse quantizer caps #cells by
+    // design, the q73 pattern); labels ride the hybrid-CC path; the
+    // argmin is one window over component-bounded partitions. Int64
+    // bounds: |component| ≤ 2^20 × members-per-cell; dot accumulates
+    // members×2^46 — loud multiplyExact/addExact past 2^63 (the
+    // VectorQuantizer convention), with the documented production escape
+    // of re-centering or decimal partials for cells beyond ~2^16 members.
+    Q("q90_semantic_dedup",
+      (s, d) => {
+        val vsum = udaf(graft.functions.VectorSum)
+        val qv = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            TrainingOps.quantize(col("embedding")).as("qv"))
+        // bounded collect: one row per quantizer cell (codebook pattern)
+        val cells = qv.groupBy("label").agg(vsum(col("qv")).as("sv")).collect()
+        val sums: Map[Int, Array[Long]] =
+          cells.map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+        val n2s: Map[Int, Double] =
+          sums.map { case (l, sv) =>
+            l -> sv.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x)).toDouble
+          }
+        val centCos = udf((label: Int, v: Seq[Long]) => {
+          val sv = sums(label)
+          var dot = 0L
+          var n2v = 0L
+          var i = 0
+          while (i < sv.length) {
+            dot = Math.addExact(dot, Math.multiplyExact(v(i), sv(i)))
+            n2v = Math.addExact(n2v, Math.multiplyExact(v(i), v(i)))
+            i += 1
+          }
+          dot.toDouble / (math.sqrt(n2v.toDouble) * math.sqrt(n2s(label)))
+        })
+        val edges = TrainingOps.cellPairCos(s, d)
+          .filter(col("cos") >= 0.35).select("ida", "idb")
+        val labels = clusterLabels(s, edges)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("sem_cluster")
+          .orderBy(col("cent_cos").asc, col("vec_id").asc)
+        qv.select(col("vec_id"), col("label"),
+            centCos(col("label"), col("qv")).as("cent_cos"))
+          .join(labels, qv("vec_id") === labels("doc_id"), "left")
+          .withColumn("sem_cluster", coalesce(col("cluster_id"), col("vec_id")))
+          .withColumn("rnk", row_number().over(w))
+          .select(col("vec_id"), col("sem_cluster"), col("cent_cos"),
+            when(col("rnk") === 1, 1L).otherwise(0L).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some("WITH RECURSIVE " + TrainingOps.cellPairCosCtes + ", " +
+        "pairs AS (SELECT ida, idb FROM cpc WHERE cos >= 0.35), " +
+        "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "lab AS (SELECT u AS vec_id, min(r) AS cid FROM reach GROUP BY u), " +
+        "cs AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sx FROM ee GROUP BY 1, 2), " +
+        "ns AS (SELECT label, CAST(sum(sx * sx) AS BIGINT) AS n2s FROM cs GROUP BY 1), " +
+        "dotc AS (SELECT e.vec_id, CAST(sum(e.x * cs.sx) AS BIGINT) AS dotv " +
+        "FROM ee e JOIN cs ON e.label = cs.label AND e.pos = cs.pos GROUP BY 1), " +
+        "cent AS (SELECT ev.vec_id, ev.label, " +
+        "CAST(dotv AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(ns.n2s AS DOUBLE))) AS cent_cos " +
+        "FROM ev JOIN dotc USING (vec_id) JOIN n ON ev.vec_id = n.vec_id " +
+        "JOIN ns ON ev.label = ns.label), " +
+        "fl AS (SELECT c.vec_id, COALESCE(lab.cid, c.vec_id) AS sem_cluster, c.cent_cos " +
+        "FROM cent c LEFT JOIN lab ON c.vec_id = lab.vec_id), " +
+        "rk AS (SELECT vec_id, sem_cluster, cent_cos, " +
+        "row_number() OVER (PARTITION BY sem_cluster ORDER BY cent_cos ASC, vec_id) AS rnk FROM fl) " +
+        "SELECT vec_id, sem_cluster, cent_cos, " +
+        "CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM rk ORDER BY vec_id")),
+
     // BM25-style ranking over the documents table. The idf uses the raw
     // odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not
     // correctly-rounded and differs across libm implementations, so the

@@ -286,7 +286,7 @@ object TrainingOps {
     * would keep raw doubles; quantization is what makes the operator
     * oracle-checkable, and at 2^20 the cosine error is < 1e-5.
     */
-  private def quantize(emb: Column): Column =
+  private[queries] def quantize(emb: Column): Column =
     graft.functions.VectorQuantizer.quantize(emb)
 
   /** Exact integer dot product — the native codegen expression
@@ -307,7 +307,7 @@ object TrainingOps {
   private def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
-  private val oQuant =
+  private[queries] val oQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
   /** All within-cell cosine pairs (ida < idb), block-SALTED — the shared
@@ -318,7 +318,7 @@ object TrainingOps {
     * quantizer's job at 100 TB is exactly to cap it); the self-join is
     * block-salted so a hot cell cannot serialize one reducer.
     */
-  private def cellPairCos(s: SparkSession, d: String): DataFrame =
+  private[queries] def cellPairCos(s: SparkSession, d: String): DataFrame =
     // shared+persisted for the lshPairs reason: the verified in-cell pair
     // list is the embedding family's central derived dataset — q33
     // thresholds it, q85 consumes it TWICE (both union branches of the
@@ -355,7 +355,7 @@ object TrainingOps {
   /** Oracle CTE chain mirroring [[cellPairCos]] — ends in
     * `cpc(ida, idb, cell, cos)`. Unthresholded; callers filter/rank.
     */
-  private val cellPairCosCtes: String =
+  private[queries] val cellPairCosCtes: String =
     s"ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
       "ee AS (SELECT vec_id, label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
       "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +

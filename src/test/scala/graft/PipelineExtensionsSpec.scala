@@ -223,6 +223,39 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 semantic dedup keeps exactly the argmin-centroid-cos member per component") {
+    val edges = run("q33_ivf_neardup") // cos >= 0.35 — q90's edge set
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = run("q90_semantic_dedup")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every embedding appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // component labels are the min-id closure of the q33 edge set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.sorted.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    rows.foreach { case (id, cid, _, _) =>
+      val expected = if (parent.contains(id)) find(id) else id
+      assert(cid == expected, s"vec $id: cluster $cid, expected $expected")
+    }
+    // per component: exactly one keep — the LEAST-centroid-similar member
+    // (ties to the smallest id); singletons always keep
+    rows.groupBy(_._2).foreach { case (cid, g) =>
+      val kept = g.filter(_._4 == 1L)
+      assert(kept.length == 1, s"cluster $cid keeps ${kept.length}")
+      val outlier = g.minBy { case (id, _, cc, _) => (cc, id) }
+      assert(kept.head._1 == outlier._1, s"cluster $cid kept ${kept.head._1}, outlier $outlier")
+    }
+    // centroid cosines are finite and within the cosine range
+    rows.foreach { case (id, _, cc, _) =>
+      assert(cc >= -1.0000001 && cc <= 1.0000001, s"vec $id cent_cos $cc") }
+  }
+
   test("q83 PPS sample matches a driver-side weighted-coin recomputation") {
     val md = MessageDigest.getInstance("MD5")
     def u(docId: Long): Double = {

@@ -497,4 +497,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("q90 semantic dedup: edges ride the shared pair cache; no blowup joins") {
+    val p = plan("q90_semantic_dedup")
+    // the edge list is the SAME persisted cellPairCos table q33/q85 read —
+    // the threshold filter must not re-run the salted self-join
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
