@@ -269,6 +269,44 @@ object AnalyticsOps {
         "CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
         "FROM rk ORDER BY vec_id")),
 
+    // Per-source corpus datasheet: the one-row-per-source report card a
+    // corpus release ships (Datasheets for Datasets, Gebru et al. 2021) —
+    // volume (docs, tokens), length shape (exact p50/p90 chars), language
+    // spread, and the mean of the SAME q36 quality score the pipeline
+    // publishes (shared qualityFeatures — the q82 rule: every endpoint
+    // must agree with the published quality report). Scale: ONE tokenize
+    // pass (qualityFeatures already computes n_tokens — no second split),
+    // one partial-agg shuffle keyed by source; the percentile buffers are
+    // value→count maps over integer char-lengths (bounded by max doc
+    // length, not by corpus size — the q55 exactness argument); the mean
+    // rides the exact decimal-sum convention so addition order cannot
+    // flip a bit.
+    Q("q91_source_datasheet",
+      (s, d) => {
+        val qual = TrainingOps.qualityFeatures(s, d)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("score"))
+        documents(s, d).select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .join(qual, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("sum_tokens"),
+            countDistinct("lang").as("n_langs"),
+            expr("percentile(n_chars, 0.5)").as("p50_chars"),
+            expr("percentile(n_chars, 0.9)").as("p90_chars"),
+            (sum(dec(col("score"))).cast("double") / count(lit(1)))
+              .as("mean_quality"))
+          .orderBy("source")
+      },
+      Some("WITH " + TrainingOps.qualCte + " " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "count(DISTINCT lang) AS n_langs, " +
+        "quantile_cont(n_chars, 0.5) AS p50_chars, " +
+        "quantile_cont(n_chars, 0.9) AS p90_chars, " +
+        "CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS mean_quality " +
+        "FROM documents JOIN qual USING (doc_id) " +
+        "GROUP BY source ORDER BY source")),
+
     // BM25-style ranking over the documents table. The idf uses the raw
     // odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not
     // correctly-rounded and differs across libm implementations, so the

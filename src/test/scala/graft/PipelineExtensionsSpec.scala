@@ -256,6 +256,47 @@ class PipelineExtensionsSpec extends AnyFunSuite {
       assert(cc >= -1.0000001 && cc <= 1.0000001, s"vec $id cent_cos $cc") }
   }
 
+  test("q91 source datasheet matches a driver-side recomputation") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    val score = run("q36_quality_score").map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    // type-7 (linear-interpolation) quantile over integer values
+    def q7(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted
+      val idx = (s.length - 1) * p
+      val lo = idx.toInt
+      val frac = idx - lo
+      if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo).toDouble
+    }
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, g) =>
+      val toks = g.map(_._5.trim.split("\\s+").length.toLong)
+      // the query's exact mean: each score rounds to DECIMAL(20,6)
+      // (HALF_UP — Spark's double→decimal cast) before the sum
+      val decSum = g.map(t => java.math.BigDecimal.valueOf(score(t._1))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_))
+      (src, g.length.toLong, toks.sum, g.map(_._3).distinct.length.toLong,
+        q7(g.map(_._4), 0.5), q7(g.map(_._4), 0.9),
+        decSum.doubleValue / g.length)
+    }.sortBy(_._1)
+    val got = run("q91_source_datasheet")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.nonEmpty && got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4, s"$g vs $e")
+      // interpolation order differs from this recomputation by ≤1 ulp and
+      // decimal-rounding the scores shifts the mean in the 9th place —
+      // bit-exactness across ENGINES is the oracle hash's job, this spec
+      // pins the VALUES
+      assert(math.abs(g._5 - e._5) < 1e-9 && math.abs(g._6 - e._6) < 1e-9,
+        s"quantiles: $g vs $e")
+      assert(math.abs(g._7 - e._7) < 1e-9, s"mean: $g vs $e")
+    }
+  }
+
   test("q83 PPS sample matches a driver-side weighted-coin recomputation") {
     val md = MessageDigest.getInstance("MD5")
     def u(docId: Long): Double = {

@@ -498,6 +498,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q91 source datasheet: one tokenize pass, partial aggregation, no blowup") {
+    val p = plan("q91_source_datasheet")
+    // qualityFeatures supplies BOTH n_tokens and score — exactly one
+    // regexp split site in the whole plan, not a second tokenize
+    assert("split".r.findAllIn(p.toLowerCase).size >= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial percentile"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("q90 semantic dedup: edges ride the shared pair cache; no blowup joins") {
     val p = plan("q90_semantic_dedup")
     // the edge list is the SAME persisted cellPairCos table q33/q85 read —
