@@ -318,7 +318,7 @@ object TrainingOps {
     * quantizer's job at 100 TB is exactly to cap it); the self-join is
     * block-salted so a hot cell cannot serialize one reducer.
     */
-  private[queries] def cellPairCos(s: SparkSession, d: String): DataFrame =
+  private[graft] def cellPairCos(s: SparkSession, d: String): DataFrame =
     // shared+persisted for the lshPairs reason: the verified in-cell pair
     // list is the embedding family's central derived dataset — q33
     // thresholds it, q85 consumes it TWICE (both union branches of the

@@ -144,31 +144,45 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot represent natively. We read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive a µs timestamp —
-    * truncation, matching DuckDB's `ts::TIMESTAMP` cast.
+  /** Normalize an events frame's `ts` to the canonical pair every consumer
+    * sees — `ts`: TimestampType (µs, UTC session) and `ts_ns`: long nanos
+    * since epoch — regardless of the on-disk representation. The driver's
+    * generator has shipped the column both as parquet TIMESTAMP(NANOS)
+    * (reads as long under `spark.sql.legacy.parquet.nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (reads as timestamp / timestamp_ntz); both land on
+    * the identical derived schema, so a corpus regeneration cannot change
+    * query output types. Pure projection — works on streaming frames too.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          // integer `div`, NOT `/`: Spark's `/` is double division, and
+          // ~1.7e18 ns exceeds the 53-bit exact double range —
+          // floor(ns/1000.0) can be off by 1µs near microsecond boundaries
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // timestamp / timestamp_ntz at µs precision; the NTZ→TZ cast binds
+        // the session timezone, UTC in every in-repo entry point — the same
+        // instant the nanos path derives
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+  /** Events table with the canonical (`ts`, `ts_ns`) schema — see
+    * [[normalizeEventTs]]. Truncation to µs matches DuckDB's
+    * `ts::TIMESTAMP` cast on the nanos representation.
     *
-    * The conf SHOULD be set at SparkSession build time (all in-repo entry
-    * points do); for externally-built sessions this accessor self-heals by
-    * setting the runtime-settable conf — a DOCUMENTED session-wide side
-    * effect (it changes how other nanos-timestamp parquet reads are typed
-    * for the rest of the session), preferred over failing every
-    * events-reading query, and then verified so nanos are never misread.
+    * The nanosAsLong conf SHOULD be set at SparkSession build time (all
+    * in-repo entry points do); for externally-built sessions this accessor
+    * self-heals by setting the runtime-settable conf — a DOCUMENTED
+    * session-wide side effect, preferred over failing every events-reading
+    * query when the corpus carries TIMESTAMP(NANOS) (without the conf that
+    * read throws at schema inference, so nanos are never silently misread).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // self-heal for externally-built sessions (the conf is runtime-settable),
-    // then verify it actually took effect — never silently misread nanos
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
-      "spark.sql.legacy.parquet.nanosAsLong=true is required to read the " +
-        "events table (set it at SparkSession build time, see Verify/Bench)")
-    table(s, d, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      // integer `div`, NOT `/`: Spark's `/` is double division, and ~1.7e18
-      // ns exceeds the 53-bit exact double range — floor(ns/1000.0) can be
-      // off by 1µs near microsecond boundaries
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
 }

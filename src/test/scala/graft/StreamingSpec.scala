@@ -111,10 +111,9 @@ class StreamingSpec extends AnyFunSuite {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source wants a DIRECTORY of files; stage the single
     // table file into one (what a production landing zone looks like)
-    val streamEvents = spark.readStream.schema(rawSchema)
-      .parquet(stageDir(s"$dir/events.parquet"))
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val streamEvents = graft.util.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .parquet(stageDir(s"$dir/events.parquet")))
     val q = Streaming.tumblingAgg(streamEvents, watermark = "0 seconds")
       .writeStream.format("memory").queryName("an_tumbling")
       .outputMode("append")
@@ -193,10 +192,9 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.01"
     val batchEvents = graft.util.Tables.events(spark, dir)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamEvents = spark.readStream.schema(rawSchema)
-      .parquet(stageDir(s"$dir/events.parquet"))
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val streamEvents = graft.util.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .parquet(stageDir(s"$dir/events.parquet")))
     val q = Streaming.sessionAgg(streamEvents, watermark = "0 seconds")
       .writeStream.format("memory").queryName("an_sessions")
       .outputMode("append")
