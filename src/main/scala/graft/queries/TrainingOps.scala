@@ -561,6 +561,112 @@ object TrainingOps {
       "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_wlen " +
       "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents)))"
 
+  /** Per-document bigram-LM score frame — q86's kernel, shared with the
+    * q92 quality-bucket partitioner (the bucket thresholds must derive
+    * from the SAME score the scoring query publishes). Returns
+    * (doc_id, n_bigrams, lm_score); see the q86 registry comment for the
+    * full cross-engine-exactness and scale rationale.
+    */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    val base = docText(s, d).filter(col("text").isNotNull)
+    val uni = base.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    // ONE corpus tokenize pass feeds both the instance table and the
+    // model: c12 derives from inst (Σm per pair), and inst is a
+    // transient-persisted intermediate (the materialized-CTE analog)
+    // both the model agg and the model join read — without it the
+    // ngrams explode + (doc, pair) agg run once per consumer (the
+    // planner's broadcast of the model side defeats ReuseExchange)
+    val inst = graft.util.Caches.transientPersist(
+      base.selectExpr("doc_id", "ngrams(text, 2) AS pair")
+        .groupBy("doc_id", "pair").agg(count(lit(1)).as("m")))
+    val big = inst.groupBy("pair").agg(sum("m").as("c12"))
+    inst.join(big, "pair")
+      .withColumn("w1", expr("split_part(pair, ' ', 1)"))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .withColumn("ps", floor(col("c12").cast("double") * lit(1048576.0)
+        / col("c1").cast("double")).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        sum(col("m") * col("ps")).as("sps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sps").cast("double")
+          / (col("n_bigrams").cast("double") * 1048576.0)).as("lm_score"))
+  }
+
+  /** Oracle CTE chain mirroring [[lmScores]] — ends in
+    * `lm(doc_id, n_bigrams, lm_score)`.
+    */
+  private val lmCtes: String =
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "wu AS (SELECT unnest(ws) AS w FROM toks), " +
+      "u AS (SELECT w, count(*) AS c1 FROM wu GROUP BY 1), " +
+      "p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS pair FROM toks, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2), " +
+      "pc AS (SELECT pair, count(*) AS c12 FROM p GROUP BY 1), " +
+      "inst AS (SELECT doc_id, pair, count(*) AS m FROM p GROUP BY 1, 2), " +
+      "sc AS (SELECT doc_id, m, CAST(floor(CAST(c12 AS DOUBLE) * 1048576.0 / CAST(c1 AS DOUBLE)) AS BIGINT) AS ps " +
+      "FROM inst JOIN pc USING (pair) JOIN u ON split_part(pair, ' ', 1) = u.w), " +
+      "lm AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams, " +
+      "CAST(SUM(m * ps) AS DOUBLE) / (CAST(SUM(m) AS DOUBLE) * 1048576.0) AS lm_score " +
+      "FROM sc GROUP BY doc_id)"
+
+  /** Maximal cross-document shared token runs (≥ 12 tokens) — q80's
+    * kernel, shared with the q93 duplicate-coverage readout. Returns
+    * (ida, idb, start_a, start_b, run_tokens), unlimited; see the q80
+    * registry comment for the positional-shingle / df-cap / diagonal
+    * gaps-and-islands design.
+    */
+  private def substringRuns(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the profile is persisted PRE-PARTITIONED on h (the shingleIndex
+    // bucketing trick): the df-cap window, and BOTH self-join sides,
+    // reuse this one exchange — the df cap costs no agg+join of its
+    // own, and the self-join plans with no exchange on either side.
+    // Total data movement: this repartition + the (pair, diagonal)
+    // window shuffle (whose groupBy then rides the same clustering).
+    val prof = graft.util.Caches.transientPersist(
+      docText(s, d)
+        .selectExpr("doc_id", "posshingles(text, 8) AS (pos, shingle)")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          graft.functions.Hashing.md5Long(col("shingle")).as("h"))
+        .repartition(col("h"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("df") <= 64)
+        .drop("df"))
+    val w = Window.partitionBy("ida", "idb", "diag").orderBy("pa")
+    prof.select(col("h"), col("doc_id").as("ida"), col("pos").as("pa"))
+      .join(prof.select(col("h").as("hb"), col("doc_id").as("idb"),
+        col("pos").as("pb")), col("h") === col("hb") && col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("ida", "idb", "diag", "grp")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + 7).as("run_tokens"))
+      .filter(col("run_tokens") >= 12)
+      .select("ida", "idb", "start_a", "start_b", "run_tokens")
+  }
+
+  /** Oracle CTE chain mirroring [[substringRuns]] PRE-filter — ends in
+    * `runs(ida, idb, start_a, start_b, run_tokens)` (consumers apply the
+    * `run_tokens >= 12` threshold themselves, mirroring the Spark def).
+    */
+  private val runsCtes: String =
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "sh0 AS (SELECT doc_id, i AS pos, " + oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h " +
+      "FROM toks, unnest(range(1, len(ws) - 6)) AS t(i)), " +
+      "sh AS (SELECT doc_id, h, min(pos) AS pos FROM sh0 GROUP BY 1, 2), " +
+      "cold AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64), " +
+      "prof AS (SELECT sh.* FROM sh JOIN cold USING (h)), " +
+      "m AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS pa, b.pos AS pb, " +
+      "a.pos - b.pos AS diag FROM prof a JOIN prof b USING (h) WHERE a.doc_id < b.doc_id), " +
+      "r AS (SELECT ida, idb, diag, pa, pb, " +
+      "pa - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY pa) AS grp FROM m), " +
+      "runs AS (SELECT ida, idb, min(pa) AS start_a, min(pb) AS start_b, " +
+      "count(*) + 7 AS run_tokens FROM r GROUP BY ida, idb, diag, grp)"
+
   // ---- registry ----------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -705,54 +811,71 @@ object TrainingOps {
     // start_a, start_b) sort key is unique (diag = start_a − start_b),
     // so the top-50 cut is deterministic.
     Q("q80_substring_runs",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // the profile is persisted PRE-PARTITIONED on h (the shingleIndex
-        // bucketing trick): the df-cap window, and BOTH self-join sides,
-        // reuse this one exchange — the df cap costs no agg+join of its
-        // own, and the self-join plans with no exchange on either side.
-        // Total data movement: this repartition + the (pair, diagonal)
-        // window shuffle (whose groupBy then rides the same clustering).
-        val prof = graft.util.Caches.transientPersist(
-          docText(s, d)
-            .selectExpr("doc_id", "posshingles(text, 8) AS (pos, shingle)")
-            .select(col("doc_id"), col("pos").cast("long").as("pos"),
-              graft.functions.Hashing.md5Long(col("shingle")).as("h"))
-            .repartition(col("h"))
-            .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-            .filter(col("df") <= 64)
-            .drop("df"))
-        val w = Window.partitionBy("ida", "idb", "diag").orderBy("pa")
-        prof.select(col("h"), col("doc_id").as("ida"), col("pos").as("pa"))
-          .join(prof.select(col("h").as("hb"), col("doc_id").as("idb"),
-            col("pos").as("pb")), col("h") === col("hb") && col("ida") < col("idb"))
-          .select(col("ida"), col("idb"), col("pa"), col("pb"),
-            (col("pa") - col("pb")).as("diag"))
-          .withColumn("grp", col("pa") - row_number().over(w))
-          .groupBy("ida", "idb", "diag", "grp")
-          .agg(min("pa").as("start_a"), min("pb").as("start_b"),
-            (count(lit(1)) + 7).as("run_tokens"))
-          .filter(col("run_tokens") >= 12)
-          .select("ida", "idb", "start_a", "start_b", "run_tokens")
-          .orderBy(col("run_tokens").desc, col("ida"), col("idb"),
-            col("start_a"), col("start_b"))
-          .limit(50)
-      },
-      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "sh0 AS (SELECT doc_id, i AS pos, " + oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h " +
-        "FROM toks, unnest(range(1, len(ws) - 6)) AS t(i)), " +
-        "sh AS (SELECT doc_id, h, min(pos) AS pos FROM sh0 GROUP BY 1, 2), " +
-        "cold AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64), " +
-        "prof AS (SELECT sh.* FROM sh JOIN cold USING (h)), " +
-        "m AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS pa, b.pos AS pb, " +
-        "a.pos - b.pos AS diag FROM prof a JOIN prof b USING (h) WHERE a.doc_id < b.doc_id), " +
-        "r AS (SELECT ida, idb, diag, pa, pb, " +
-        "pa - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY pa) AS grp FROM m), " +
-        "runs AS (SELECT ida, idb, min(pa) AS start_a, min(pb) AS start_b, " +
-        "count(*) + 7 AS run_tokens FROM r GROUP BY ida, idb, diag, grp) " +
+      (s, d) => substringRuns(s, d)
+        .orderBy(col("run_tokens").desc, col("ida"), col("idb"),
+          col("start_a"), col("start_b"))
+        .limit(50),
+      Some(s"WITH $runsCtes " +
         "SELECT ida, idb, start_a, start_b, run_tokens FROM runs WHERE run_tokens >= 12 " +
         "ORDER BY run_tokens DESC, ida, idb, start_a, start_b LIMIT 50")),
+
+    // Duplicate-token coverage — the corpus-level readout of substring
+    // dedup (Lee et al. report "fraction of tokens inside a duplicated
+    // substring" as the headline corpus-health metric): per document, the
+    // share of its tokens covered by the UNION of its ≥ 12-token
+    // cross-document shared runs (q80's kernel, unlimited). The interval
+    // union is gaps-and-islands: per doc, order run intervals by start; a
+    // row opens a new island when its start exceeds the running max end
+    // of all prior intervals. Islands are overlap-free by construction,
+    // so the island-length sum is the exact union size (adjacent islands
+    // need no merge — disjoint lengths sum correctly). Scale: run volume
+    // is q80's bounded story (df-capped shared shingles, never
+    // all-pairs); both windows partition by doc_id (bounded by per-doc
+    // run count); the token-count side is one map pass joined on doc_id.
+    Q("q93_dup_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // consumed twice (both interval directions) — persist, or the
+        // whole shingle self-join runs once per union branch
+        val runs = graft.util.Caches.transientPersist(substringRuns(s, d))
+        val iv = runs.select(col("ida").as("doc_id"), col("start_a").as("st"),
+            (col("start_a") + col("run_tokens") - 1).as("en"))
+          .union(runs.select(col("idb").as("doc_id"), col("start_b").as("st"),
+            (col("start_b") + col("run_tokens") - 1).as("en")))
+        val w = Window.partitionBy("doc_id").orderBy("st", "en")
+        val cov = iv
+          .withColumn("pmax",
+            max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("isl",
+            sum(when(col("pmax").isNull || col("st") > col("pmax"), 1)
+              .otherwise(0))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "isl")
+          .agg(min("st").as("st"), max("en").as("en"))
+          .groupBy("doc_id")
+          .agg(sum(col("en") - col("st") + 1).cast("long").as("dup_tokens"))
+        val nt = docTextLean(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+        cov.join(nt, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+            (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $runsCtes, " +
+        "rr AS (SELECT * FROM runs WHERE run_tokens >= 12), " +
+        "iv AS (SELECT ida AS doc_id, start_a AS st, start_a + run_tokens - 1 AS en FROM rr " +
+        "UNION ALL SELECT idb, start_b, start_b + run_tokens - 1 FROM rr), " +
+        "mx AS (SELECT doc_id, st, en, max(en) OVER (PARTITION BY doc_id ORDER BY st, en " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), " +
+        "gi AS (SELECT doc_id, st, en, SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM mx), " +
+        "mer AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en FROM gi GROUP BY 1, 2), " +
+        "cov AS (SELECT doc_id, CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens FROM mer GROUP BY 1), " +
+        "nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks) " +
+        "SELECT cov.doc_id, n_tokens, dup_tokens, " +
+        "CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_frac " +
+        "FROM cov JOIN nt ON cov.doc_id = nt.doc_id ORDER BY cov.doc_id")),
 
     // ==== similarity search ================================================
 
@@ -1391,45 +1514,62 @@ object TrainingOps {
     // distinct (doc, pair) rows BEFORE touching the model, so join volume
     // is distinct-bigram bounded, not token bounded.
     Q("q86_lm_score",
+      (s, d) => lmScores(s, d).orderBy("doc_id"),
+      Some(s"WITH $lmCtes " +
+        "SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id")),
+
+    // CCNet-style quality-bucket partition: head / middle / tail thirds
+    // of the corpus by the q86 bigram-LM score — the decision endpoint of
+    // the perplexity pipeline (CCNet trains on head+middle, inspects
+    // tail). Thresholds are VALUE-based, derived from an exact score
+    // histogram: each doc's lm_score quantizes to a 2^20 bin (one double
+    // multiply + floor, identical cross-engine), per-bin counts cumulate,
+    // and b1/b2 are the first bins whose cumulative count reaches n/3 and
+    // 2n/3 (exact integer comparisons — 3·cum ≥ n, no division). A
+    // boundary bin goes whole to the lower bucket: value-based splits are
+    // deterministic under ties and reproducible on any cluster size,
+    // unlike an exact-rank ntile whose global sort is also a scale
+    // hazard. Scale: the histogram is ≤ 2^20+1 rows REGARDLESS of corpus
+    // size (the quantization bounds it by design), so the cumulative
+    // window's single partition is bounded, not corpus-sized; the
+    // thresholds are a 1-row broadcast; bucket assignment is map-side;
+    // the final aggregate has 3 groups.
+    Q("q92_quality_buckets",
       (s, d) => {
-        val base = docText(s, d).filter(col("text").isNotNull)
-        val uni = base.select(explode(words(col("text"))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("c1"))
-        // ONE corpus tokenize pass feeds both the instance table and the
-        // model: c12 derives from inst (Σm per pair), and inst is a
-        // transient-persisted intermediate (the materialized-CTE analog)
-        // both the model agg and the model join read — without it the
-        // ngrams explode + (doc, pair) agg run once per consumer (the
-        // planner's broadcast of the model side defeats ReuseExchange)
-        val inst = graft.util.Caches.transientPersist(
-          base.selectExpr("doc_id", "ngrams(text, 2) AS pair")
-            .groupBy("doc_id", "pair").agg(count(lit(1)).as("m")))
-        val big = inst.groupBy("pair").agg(sum("m").as("c12"))
-        inst.join(big, "pair")
-          .withColumn("w1", expr("split_part(pair, ' ', 1)"))
-          .join(uni.withColumnRenamed("w", "w1"), "w1")
-          .withColumn("ps", floor(col("c12").cast("double") * lit(1048576.0)
-            / col("c1").cast("double")).cast("long"))
-          .groupBy("doc_id")
-          .agg(sum(col("m")).cast("long").as("n_bigrams"),
-            sum(col("m") * col("ps")).as("sps"))
-          .select(col("doc_id"), col("n_bigrams"),
-            (col("sps").cast("double")
-              / (col("n_bigrams").cast("double") * 1048576.0)).as("lm_score"))
-          .orderBy("doc_id")
+        import org.apache.spark.sql.expressions.Window
+        // consumed twice (histogram + assignment) — persist, or the
+        // whole q86 kernel runs once per consumer
+        val sc = graft.util.Caches.transientPersist(
+          lmScores(s, d).select(col("doc_id"), col("lm_score"),
+            floor(col("lm_score") * lit(1048576.0)).as("bin")))
+        val hist = sc.groupBy("bin").agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum",
+          sum("c").over(Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = hist.agg(sum("c").cast("long").as("n"))
+        val thr = cum.crossJoin(broadcast(tot))
+          .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("b1"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("b2"))
+        sc.crossJoin(broadcast(thr))
+          .withColumn("bucket",
+            when(col("bin") <= col("b1"), lit("tail"))
+              .when(col("bin") <= col("b2"), lit("middle"))
+              .otherwise(lit("head")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("lm_score").as("lo_score"), max("lm_score").as("hi_score"))
+          .orderBy("bucket")
       },
-      Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "wu AS (SELECT unnest(ws) AS w FROM toks), " +
-        "u AS (SELECT w, count(*) AS c1 FROM wu GROUP BY 1), " +
-        "p AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS pair FROM toks, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2), " +
-        "pc AS (SELECT pair, count(*) AS c12 FROM p GROUP BY 1), " +
-        "inst AS (SELECT doc_id, pair, count(*) AS m FROM p GROUP BY 1, 2), " +
-        "sc AS (SELECT doc_id, m, CAST(floor(CAST(c12 AS DOUBLE) * 1048576.0 / CAST(c1 AS DOUBLE)) AS BIGINT) AS ps " +
-        "FROM inst JOIN pc USING (pair) JOIN u ON split_part(pair, ' ', 1) = u.w) " +
-        "SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams, " +
-        "CAST(SUM(m * ps) AS DOUBLE) / (CAST(SUM(m) AS DOUBLE) * 1048576.0) AS lm_score " +
-        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+      Some(s"WITH $lmCtes, " +
+        "bb AS (SELECT doc_id, lm_score, CAST(floor(lm_score * 1048576.0) AS BIGINT) AS bin FROM lm), " +
+        "h AS (SELECT bin, count(*) AS c FROM bb GROUP BY 1), " +
+        "cu AS (SELECT bin, CAST(SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h), " +
+        "t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h), " +
+        "thr AS (SELECT min(CASE WHEN cum * 3 >= n THEN bin END) AS b1, " +
+        "min(CASE WHEN cum * 3 >= n * 2 THEN bin END) AS b2 FROM cu, t) " +
+        "SELECT CASE WHEN bin <= b1 THEN 'tail' WHEN bin <= b2 THEN 'middle' ELSE 'head' END AS bucket, " +
+        "count(*) AS n_docs, min(lm_score) AS lo_score, max(lm_score) AS hi_score " +
+        "FROM bb, thr GROUP BY 1 ORDER BY 1")),
 
     // Normalized exact dedup: case-/punctuation-/whitespace-insensitive
     // duplicate groups — the cheap near-exact pass a pipeline runs before

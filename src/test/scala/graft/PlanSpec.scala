@@ -522,4 +522,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("q92 quality buckets: shared score table, 1-row broadcast thresholds only") {
+    val p = plan("q92_quality_buckets")
+    // the per-doc score table feeds BOTH the histogram and the bucket
+    // assignment off one persisted copy — without it the whole q86 LM
+    // kernel (corpus tokenize + model joins) runs twice
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // the thresholds reach the assignment as a 1-row broadcast — the only
+    // non-equi join in the plan is that bounded nested-loop; a
+    // CartesianProduct (both sides unbounded) must never appear
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // histogram + final bucket agg both partial-aggregate map-side
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q93 dup coverage: both interval branches read the shared runs table; windows keyed by doc") {
+    val p = plan("q93_dup_coverage")
+    // the runs kernel (shingle self-join + diagonal windows) is the heavy
+    // stage — both union branches must read its persisted output, not
+    // re-run it per interval direction
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Union"), p)
+    // the island windows partition by doc_id — bounded by per-doc run
+    // count, never a corpus-global sort
+    assert(p.contains("Window"), p)
+    assert(p.contains("partitionBy: [doc_id") || p.contains("[doc_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
