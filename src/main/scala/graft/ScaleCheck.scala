@@ -64,7 +64,12 @@ object ScaleCheck {
     // per-vector window, pinning the persisted-kernel reuse at scale;
     // the LM score is bigram-volume structured (one tokenize pass into
     // a persisted instance table + three distinct-key exchanges)
-    "q82_dedup_keep_best", "q85_knn_graph", "q86_lm_score")
+    "q82_dedup_keep_best", "q85_knn_graph", "q86_lm_score",
+    // r9c: quality buckets stack the LM kernel + a quantization-bounded
+    // histogram (the histogram/threshold stages should be scale-FLAT —
+    // only the score pass grows); dup coverage is q80's run volume plus
+    // doc-partitioned windows, so its slope should track q80's
+    "q92_quality_buckets", "q93_dup_coverage")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {

@@ -832,16 +832,29 @@ object TrainingOps {
     // is q80's bounded story (df-capped shared shingles, never
     // all-pairs); both windows partition by doc_id (bounded by per-doc
     // run count); the token-count side is one map pass joined on doc_id.
+    // Coverage is first-occurrence (q80 profiles each shingle at its
+    // first in-doc position, so a doc-internal REPEAT of a shared
+    // passage counts once) — internal repetition is q64's signal, not
+    // dedup's; the oracle computes the identical semantics.
     Q("q93_dup_coverage",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         // consumed twice (both interval directions) — persist, or the
         // whole shingle self-join runs once per union branch
         val runs = graft.util.Caches.transientPersist(substringRuns(s, d))
+        // DISTINCT is load-bearing, not an optimization: the same (st, en)
+        // interval arriving from two partners would TIE in the island
+        // windows' (st, en) sort, and the two window passes (pmax, then
+        // the island sum) may each break the tie in a different order —
+        // measured in DuckDB: the pmax=NULL row sorting second splits one
+        // island into two, double-counting the interval. A union of
+        // intervals is a set; deduping makes (st, en) unique per doc, so
+        // no tie exists in either engine.
         val iv = runs.select(col("ida").as("doc_id"), col("start_a").as("st"),
             (col("start_a") + col("run_tokens") - 1).as("en"))
           .union(runs.select(col("idb").as("doc_id"), col("start_b").as("st"),
             (col("start_b") + col("run_tokens") - 1).as("en")))
+          .distinct()
         val w = Window.partitionBy("doc_id").orderBy("st", "en")
         val cov = iv
           .withColumn("pmax",
@@ -864,8 +877,9 @@ object TrainingOps {
       },
       Some(s"WITH $runsCtes, " +
         "rr AS (SELECT * FROM runs WHERE run_tokens >= 12), " +
-        "iv AS (SELECT ida AS doc_id, start_a AS st, start_a + run_tokens - 1 AS en FROM rr " +
-        "UNION ALL SELECT idb, start_b, start_b + run_tokens - 1 FROM rr), " +
+        "iv AS (SELECT DISTINCT doc_id, st, en FROM (" +
+        "SELECT ida AS doc_id, start_a AS st, start_a + run_tokens - 1 AS en FROM rr " +
+        "UNION ALL SELECT idb, start_b, start_b + run_tokens - 1 FROM rr)), " +
         "mx AS (SELECT doc_id, st, en, max(en) OVER (PARTITION BY doc_id ORDER BY st, en " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), " +
         "gi AS (SELECT doc_id, st, en, SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END) " +
@@ -1659,6 +1673,84 @@ object TrainingOps {
         s"CAST(${oMd5Long("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS u " +
         "FROM documents JOIN t USING (lang)) " +
         "SELECT doc_id, lang, n_chars, p FROM s WHERE u < p ORDER BY doc_id")),
+
+    // Data-constrained epoch planning (the Muennighoff et al. 2023 shape:
+    // when the token budget exceeds unique data, REPEAT sources — but cap
+    // repetition, because value decays past ~4 epochs): allocate a token
+    // budget B = 2·Σavail across sources by WATER-FILLING under per-source
+    // caps of 4 epochs. Ascending-cap water-filling has a closed
+    // relational form: sort sources by cap, prefix-sum, level_i =
+    // (B − prefix_{i−1}) / (m − i + 1); the saturated set is a PREFIX of
+    // the sort (classic water-filling invariant), so k = max saturated i
+    // and λ = (B − prefix_k) / (m − k); alloc = min(cap, λ). All
+    // arithmetic is integer sums and double divides — no libm (the q52
+    // lesson), both engines bit-identical; doubles compare identically
+    // after the same int→double rounding. λ's divisor is never 0: all-
+    // saturated needs B ≥ Σcap, but B = 2·Σavail < 4·Σavail = Σcap.
+    // Scale: per-source token totals are ONE partial-agg shuffle; every
+    // window runs over the |sources|-row table — bounded BY DESIGN
+    // (sources are domains/crawls, not documents), the q83 stratum
+    // argument; the plan table is a 1-row broadcast away from any
+    // downstream per-doc sampler (q67's coin consumes exactly this
+    // epochs column at corpus scale).
+    Q("q94_epoch_plan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // the |sources|-row plan table is consumed by every later stage
+        // (totals, prefix sums, saturation, final allocation) — persist,
+        // or the CORPUS tokenize+agg pass replans once per consumer
+        val caps = graft.util.Caches.transientPersist(
+          documents(s, d).select(col("source"), col("text"))
+            .filter(col("text").isNotNull)
+            .groupBy("source")
+            .agg(sum(size(words(col("text")))).cast("long").as("avail_tokens"))
+            .withColumn("cap_tokens", col("avail_tokens") * 4L))
+        val tot = caps.agg((sum("avail_tokens") * 2L).cast("long").as("budget"),
+          count(lit(1)).as("m"))
+        // the water-fill windows order the BOUNDED source table — never
+        // a corpus-sized single partition
+        val ws = Window.orderBy("cap_tokens", "source")
+        val o = caps.crossJoin(broadcast(tot))
+          .withColumn("i", row_number().over(ws).cast("long"))
+          .withColumn("pfx", coalesce(
+            sum("cap_tokens").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("lvl", (col("budget") - col("pfx")).cast("double")
+            / (col("m") - col("i") + 1).cast("double"))
+          .withColumn("sat", col("cap_tokens").cast("double") <= col("lvl"))
+        val kp = o.agg(
+          coalesce(max(when(col("sat"), col("pfx") + col("cap_tokens"))), lit(0L))
+            .as("pk"),
+          coalesce(max(when(col("sat"), col("i"))), lit(0L)).as("kk"))
+        o.crossJoin(broadcast(kp))
+          .withColumn("lambda", (col("budget") - col("pk")).cast("double")
+            / (col("m") - col("kk")).cast("double"))
+          .withColumn("alloc_tokens",
+            least(col("cap_tokens").cast("double"), col("lambda")))
+          .select(col("source"), col("avail_tokens"), col("cap_tokens"),
+            col("alloc_tokens"),
+            (col("alloc_tokens") / col("avail_tokens").cast("double"))
+              .as("epochs"))
+          .orderBy("source")
+      },
+      Some("WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "av AS (SELECT source, CAST(SUM(len(ws)) AS BIGINT) AS avail_tokens FROM toks GROUP BY 1), " +
+        "cp AS (SELECT source, avail_tokens, avail_tokens * 4 AS cap_tokens FROM av), " +
+        "t AS (SELECT CAST(SUM(avail_tokens) * 2 AS BIGINT) AS budget, count(*) AS m FROM cp), " +
+        "o AS (SELECT source, avail_tokens, cap_tokens, " +
+        "CAST(row_number() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i, " +
+        "CAST(coalesce(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx FROM cp), " +
+        "s AS (SELECT o.*, budget, m, " +
+        "CAST(budget - pfx AS DOUBLE) / CAST(m - i + 1 AS DOUBLE) AS lvl FROM o, t), " +
+        "sat AS (SELECT *, CAST(cap_tokens AS DOUBLE) <= lvl AS is_sat FROM s), " +
+        "k AS (SELECT CAST(coalesce(max(CASE WHEN is_sat THEN pfx + cap_tokens END), 0) AS BIGINT) AS pk, " +
+        "CAST(coalesce(max(CASE WHEN is_sat THEN i END), 0) AS BIGINT) AS kk FROM sat) " +
+        "SELECT source, avail_tokens, cap_tokens, " +
+        "least(CAST(cap_tokens AS DOUBLE), CAST(budget - pk AS DOUBLE) / CAST(m - kk AS DOUBLE)) AS alloc_tokens, " +
+        "least(CAST(cap_tokens AS DOUBLE), CAST(budget - pk AS DOUBLE) / CAST(m - kk AS DOUBLE)) / CAST(avail_tokens AS DOUBLE) AS epochs " +
+        "FROM sat, k ORDER BY source")),
 
     // Training-shard layout: the deterministic global shuffle + shard
     // assignment every pipeline runs before writing its

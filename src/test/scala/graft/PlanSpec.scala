@@ -538,6 +538,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q94 epoch plan: one corpus shuffle; water-fill rides bounded broadcasts") {
+    val p = plan("q94_epoch_plan")
+    // the ONLY corpus-sized data movement is the per-source token agg —
+    // every later stage (prefix sums, saturation, λ) works the
+    // |sources|-row table. The persisted plan table is scanned by several
+    // consumers and each InMemoryTableScan REPRINTS the cached lineage,
+    // so count DISTINCT exchange ids, not text occurrences: one physical
+    // corpus shuffle.
+    val exIds = raw"Exchange hashpartitioning[^\n]*\[plan_id=(\d+)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exIds.size == 1, p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("partial_sum"), p)
+    // budget/m and (k, P_k) reach the plan as 1-row broadcasts — the
+    // nested-loop joins are those bounded singletons, never a
+    // CartesianProduct of unbounded sides
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q93 dup coverage: both interval branches read the shared runs table; windows keyed by doc") {
     val p = plan("q93_dup_coverage")
     // the runs kernel (shingle self-join + diagonal windows) is the heavy
