@@ -576,7 +576,7 @@ object TrainingOps {
   private def lmScores(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"lmScores:$d") { lmScoresBuild(s, d) }
 
-  private def lmScoresBuild(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lmScoresBuild(s: SparkSession, d: String): DataFrame = {
     val base = docText(s, d).filter(col("text").isNotNull)
     val uni = base.select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -636,7 +636,7 @@ object TrainingOps {
       substringRunsBuild(s, d)
     }
 
-  private def substringRunsBuild(s: SparkSession, d: String): DataFrame = {
+  private[graft] def substringRunsBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the profile is persisted PRE-PARTITIONED on h (the shingleIndex
     // bucketing trick): the df-cap window, and BOTH self-join sides,

@@ -80,6 +80,32 @@ object Sink {
     * embedded Derby — the same in-process-database shape as the
     * reference's DuckDB.
     */
+  /** Training-shard writer: materializes a q87-style shard layout
+    * (rows carrying `shard` and in-shard `pos` columns) as one parquet
+    * directory per shard (`shard=K/`) whose file row order IS the
+    * layout order — the webdataset/TFRecord-shard shape a training job
+    * streams sequentially.
+    *
+    * Scale: ONE shuffle (`repartition(numShards, shard)`) co-locates
+    * each shard in a single task, and `sortWithinPartitions(shard, pos)`
+    * orders rows before the writer sees them, so each shard directory
+    * holds that task's files with rows already in reading order —
+    * parquet preserves within-file row order, and a shard never spans
+    * tasks, so read-back order equals layout order with no sort at read
+    * time. Two shards hashing to one task is fine (the dynamic-partition
+    * writer splits directories; each stays sorted). For shards larger
+    * than one sane file, set `spark.sql.files.maxRecordsPerFile` —
+    * files split in order, named so lexical file order preserves row
+    * order within the directory.
+    */
+  def writeShards(layout: DataFrame, path: String, numShards: Int): Unit =
+    layout
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+
   def upsertJdbc(batch: DataFrame, url: String, table: String,
       key: String): Long = {
     val spark = batch.sparkSession

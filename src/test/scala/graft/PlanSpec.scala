@@ -379,17 +379,23 @@ class PlanSpec extends AnyFunSuite {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val p = plan("q80_substring_runs")
+      // build-site plan (the q86-test rationale): the registry plan may be
+      // a bare read of the SHARED runs table once any suite has built it
+      val p = graft.queries.TrainingOps
+        .substringRunsBuild(spark, TestSpark.sfDir)
+        .queryExecution.explainString(SimpleMode)
       // the h-partitioned profile is cached and shared by both join sides
       assert(p.contains("InMemoryTableScan"), p)
       // no ENSURE_REQUIREMENTS re-shuffle on h: the df-cap window and the
       // self-join ride the profile's own REPARTITION_BY_COL exchange
       assert(!"Exchange hashpartitioning\\(h#\\d+L, \\d+\\), ENSURE_REQUIREMENTS".r
         .findFirstIn(p).isDefined, p)
-      // runs detection: one (pair, diagonal) shuffle, top-50 is a bounded
-      // head merge, and no all-pairs shape anywhere
-      assert(p.contains("TakeOrderedAndProject"), p)
+      // no all-pairs shape anywhere in the kernel
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+      // the registry form adds the deterministic top-50 as a bounded head
+      // merge (this holds whether the plan builds or reads the shared
+      // runs table)
+      assert(plan("q80_substring_runs").contains("TakeOrderedAndProject"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
@@ -436,7 +442,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q86 LM score: instances pre-aggregate to distinct (doc, pair) before the model join") {
-    val p = plan("q86_lm_score")
+    // the registry plan may be a bare read of the SHARED score table
+    // (whichever suite built it first) — pin the kernel structure at its
+    // build site, the same plan whichever query materializes it
+    val p = graft.queries.TrainingOps.lmScoresBuild(spark, TestSpark.sfDir)
+      .queryExecution.explainString(SimpleMode)
     // the (doc_id, pair) count collapses token-volume instances to
     // distinct-bigram volume BELOW the model join — without it the join
     // shuffles every token occurrence at corpus scale

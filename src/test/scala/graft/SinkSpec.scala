@@ -29,6 +29,26 @@ class SinkSpec extends AnyFunSuite {
     assert(out(2L) != "x") // existing row 2 not replaced
   }
 
+  test("writeShards: per-shard directories whose read-back order IS the layout order") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-shards").toString + "/s"
+    // the real producer: q87's deterministic layout over the gate corpus
+    val layout = SparkEntry.queries("q87_shard_layout")(
+      spark, "/root/testdata/sf0.001")
+    Sink.writeShards(layout, dir, numShards = 8)
+    val expected = layout.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0))) // (shard,pos,doc)
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(expected.keySet == (0L until 8L).toSet)
+    for (shard <- 0L until 8L) {
+      // no sort on read: within-file parquet order must already be the
+      // layout's in-shard order (the property training jobs stream by)
+      val back = spark.read.parquet(s"$dir/shard=$shard")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      assert(back == expected(shard), s"shard $shard order mismatch")
+    }
+  }
+
   test("upsertJdbc: same conflict-ignore semantics against an embedded JDBC db") {
     import spark.implicits._
     // Spark's bundled embedded Derby — the same in-process-database shape
