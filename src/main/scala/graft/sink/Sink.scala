@@ -80,6 +80,20 @@ object Sink {
     * embedded Derby — the same in-process-database shape as the
     * reference's DuckDB.
     */
+  def upsertJdbc(batch: DataFrame, url: String, table: String,
+      key: String): Long = {
+    val spark = batch.sparkSession
+    val props = new java.util.Properties
+    val existingKeys =
+      scala.util.Try(spark.read.jdbc(url, table, props).select(col(key))
+        // JDBC relations are re-queried per action; snapshot the keys so
+        // the anti-join cannot race the append below
+        .persist()).toOption.filter(df => scala.util.Try(df.count()).isSuccess)
+    try appendFresh(dedupKeepFirst(batch, key), existingKeys, key,
+      _.write.mode(SaveMode.Append).jdbc(url, table, props))
+    finally existingKeys.foreach(_.unpersist())
+  }
+
   /** Training-shard writer: materializes a q87-style shard layout
     * (rows carrying `shard` and in-shard `pos` columns) as one parquet
     * directory per shard (`shard=K/`) whose file row order IS the
@@ -105,19 +119,5 @@ object Sink {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(path)
-
-  def upsertJdbc(batch: DataFrame, url: String, table: String,
-      key: String): Long = {
-    val spark = batch.sparkSession
-    val props = new java.util.Properties
-    val existingKeys =
-      scala.util.Try(spark.read.jdbc(url, table, props).select(col(key))
-        // JDBC relations are re-queried per action; snapshot the keys so
-        // the anti-join cannot race the append below
-        .persist()).toOption.filter(df => scala.util.Try(df.count()).isSuccess)
-    try appendFresh(dedupKeepFirst(batch, key), existingKeys, key,
-      _.write.mode(SaveMode.Append).jdbc(url, table, props))
-    finally existingKeys.foreach(_.unpersist())
-  }
 
 }

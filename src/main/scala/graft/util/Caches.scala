@@ -17,7 +17,7 @@ import org.apache.spark.storage.StorageLevel
   *    shingle index behind the q29/q31/q51 dedup family) — the Spark
   *    analog of a materialized view or the reference's precomputed
   *    `contract`/`function` tables (`/root/reference/src/db.rs:65-84`).
-  *    Built once per (session, key) and re-persisted on demand after any
+  *    Built once per (session, key) and rebuilt on demand after any
   *    global cache clear; the three family queries reuse one copy
   *    instead of re-scanning and re-hashing the corpus three times. At
   *    100 TB this is the difference between one tokenize+hash pass over
@@ -66,12 +66,15 @@ object Caches {
   }
 
   /** Memoized shared index: builds `build` once per (session, name),
-    * persists it, and re-persists the same plan if a global cache clear
-    * (or soft-ref eviction) dropped it. Callers get one cached copy per
-    * session regardless of how many queries consume it. The build runs
-    * under the per-session lock so concurrent first callers cannot both
-    * pay the corpus pass — `build` only CONSTRUCTS the plan (fast);
-    * materialization happens lazily at the callers' actions.
+    * persists it, and RE-RUNS the build if a global cache clear (or
+    * soft-ref eviction) dropped the persisted data — re-running (rather
+    * than re-persisting the stale frame) re-establishes any transient
+    * intermediates the build persists for its own materialization.
+    * Callers get one cached copy per session regardless of how many
+    * queries consume it. The build runs under the per-session lock so
+    * concurrent first callers cannot both pay the corpus pass — `build`
+    * only CONSTRUCTS the plan (fast); materialization happens lazily at
+    * the callers' actions.
     */
   def sharedIndex(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
     val perSession = shared.synchronized {
@@ -85,12 +88,17 @@ object Caches {
     }
     perSession.synchronized {
       Option(perSession.get(name).orNull).flatMap(r => Option(r.get)) match {
-        case Some(df) =>
-          // a sqlContext.clearCache() (bench pass boundary) unpersists
-          // the data but leaves the plan valid — re-persist the same frame
-          if (df.storageLevel == StorageLevel.NONE) df.persist()
-          df
-        case None =>
+        case Some(df) if df.storageLevel != StorageLevel.NONE => df
+        case _ =>
+          // first call, soft-ref eviction, OR a global clearCache (bench
+          // pass boundary) dropped the persisted data. RE-RUN the build
+          // closure rather than re-persisting the stale frame: a build
+          // may transientPersist its own intermediates (lmScores' inst,
+          // substringRuns' prof), and those registrations died with the
+          // clear — re-persisting only the outer frame would silently
+          // materialize with the intermediates uncached, running each
+          // intermediate's subplan once per consumer (the exact
+          // multi-pass regression the inner persists exist to prevent)
           val df = build.persist()
           perSession.put(name, new java.lang.ref.SoftReference(df))
           df

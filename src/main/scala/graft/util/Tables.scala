@@ -161,12 +161,23 @@ object Tables {
           // ~1.7e18 ns exceeds the 53-bit exact double range —
           // floor(ns/1000.0) can be off by 1µs near microsecond boundaries
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall times are UTC by corpus convention, but a bare
+        // NTZ→TZ cast binds the SESSION zone — on a non-UTC
+        // externally-built session that would shift every instant by
+        // the zone offset relative to the nanos representation. Compute
+        // epoch micros as pure WALL arithmetic instead (NTZ − NTZ epoch
+        // is zone-free on any session), then derive the instant from
+        // those micros — no session-zone binding anywhere (pinned for
+        // UTC vs America/New_York in TablesSpec).
+        raw.withColumn("ts_ns",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            * lit(1000L))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ =>
-        // timestamp / timestamp_ntz at µs precision; the NTZ→TZ cast binds
-        // the session timezone, UTC in every in-repo entry point — the same
-        // instant the nanos path derives
-        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-          .withColumn("ts", col("ts").cast("timestamp"))
+        // TimestampType: already an absolute instant (parquet
+        // isAdjustedToUTC) — unix_micros is session-tz-independent
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
 
   /** Events table with the canonical (`ts`, `ts_ns`) schema — see

@@ -576,9 +576,11 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Union"), p)
     // the island windows partition by doc_id — bounded by per-doc run
-    // count, never a corpus-global sort
-    assert(p.contains("Window"), p)
-    assert(p.contains("partitionBy: [doc_id") || p.contains("[doc_id"), p)
+    // count, never a corpus-global sort. WindowExec prints
+    // `Window [funcs], [partition cols], [order]` — match doc_id in the
+    // PARTITION list specifically (a bare "[doc_id" would match any
+    // attribute list and can never fail)
+    assert(raw"Window \[[^\]]*\], \[doc_id#\d+L\]".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 }
