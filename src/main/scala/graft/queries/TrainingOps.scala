@@ -726,6 +726,73 @@ object TrainingOps {
       (s, d) => lshPairs(s, d).orderBy("ida", "idb"),
       Some(s"WITH $lshPairsCtes SELECT ida, idb, jacc FROM pairs ORDER BY ida, idb")),
 
+    // Incremental dedup: the PRODUCTION daily-crawl flow — a new batch
+    // (docs with doc_id ≡ 0 mod 10 stand in for today's arrivals) is
+    // deduplicated AGAINST the standing corpus, not within itself. Two
+    // tiers, exact-first (the cheap gate a pipeline runs before any
+    // near-dup work): (1) content-hash equality against existing docs
+    // (q27's hash), partner = min matching id; (2) verified LSH near-dup
+    // (q29's θ=0.8), partner = best-Jaccard (ties → min id). Every batch
+    // doc gets a verdict row: exact / near / fresh. Scale: the exact
+    // tier shuffles 16-byte hashes once; the near tier is a pure FILTER
+    // over the SHARED verified pair kernel — the incremental flow rides
+    // the same materialized views a full-corpus dedup maintains (at
+    // production the standing side is the persisted fingerprint index
+    // the sink keeps, so a daily batch pays only its own signatures plus
+    // bounded bucket probes — never a corpus rescan). The best-partner
+    // window orders by (jacc DESC, dup_of) — unique per doc, no tie
+    // (the q93 lesson).
+    Q("q95_incremental_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hashed = docTextLean(s, d)
+          .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
+        val isBatch = col("doc_id") % 10 === 0
+        val exact = hashed.filter(isBatch)
+          .join(hashed.filter(!isBatch)
+            .select(col("h"), col("doc_id").as("pid")), "h")
+          .groupBy("doc_id").agg(min("pid").as("exact_of"))
+        val pairs = lshPairs(s, d)
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("jacc").desc, col("near_of"))
+        val near = pairs
+          .filter((col("ida") % 10 === 0) =!= (col("idb") % 10 === 0))
+          .select(
+            when(col("ida") % 10 === 0, col("ida")).otherwise(col("idb"))
+              .as("doc_id"),
+            when(col("ida") % 10 === 0, col("idb")).otherwise(col("ida"))
+              .as("near_of"),
+            col("jacc"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        hashed.filter(isBatch).select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_of").isNotNull, lit("exact"))
+              .when(col("near_of").isNotNull, lit("near"))
+              .otherwise(lit("fresh")).as("verdict"),
+            coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+            when(col("exact_of").isNull, col("jacc")).as("jacc"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $lshPairsCtes, " +
+        "hh AS (SELECT doc_id, md5(regexp_replace(text, '\\s+', '', 'g')) AS h FROM documents), " +
+        "ex AS (SELECT b.doc_id, min(e.doc_id) AS exact_of FROM hh b " +
+        "JOIN hh e ON b.h = e.h AND e.doc_id % 10 <> 0 WHERE b.doc_id % 10 = 0 GROUP BY 1), " +
+        "hits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS doc_id, " +
+        "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, jacc FROM pairs " +
+        "WHERE (ida % 10 = 0) <> (idb % 10 = 0)), " +
+        "nr AS (SELECT doc_id, near_of, jacc FROM (SELECT doc_id, near_of, jacc, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY jacc DESC, near_of) AS rn FROM hits) WHERE rn = 1) " +
+        "SELECT b.doc_id, " +
+        "CASE WHEN exact_of IS NOT NULL THEN 'exact' WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
+        "coalesce(exact_of, near_of) AS dup_of, " +
+        "CASE WHEN exact_of IS NULL THEN jacc END AS jacc " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
+        "LEFT JOIN ex ON b.doc_id = ex.doc_id LEFT JOIN nr ON b.doc_id = nr.doc_id " +
+        "ORDER BY b.doc_id")),
+
     // SimHash: 60-bit near-dup fingerprint; one long per document,
     // computed ENTIRELY inside the document's row — r6 deleted the r5
     // (doc, word) explode and its groupBy exchange: nothing shuffles

@@ -568,6 +568,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q95 incremental dedup: near tier rides the shared pair kernel; hash-keyed exact tier") {
+    val p = plan("q95_incremental_dedup")
+    // the near tier must be a FILTER over the persisted lshPairs table —
+    // re-running the LSH pipeline for the batch view would double the
+    // family's heavy stage
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+    // exact tier: map-side partial min under the hash-equality join
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("q93 dup coverage: both interval branches read the shared runs table; windows keyed by doc") {
     val p = plan("q93_dup_coverage")
     // the runs kernel (shingle self-join + diagonal windows) is the heavy
