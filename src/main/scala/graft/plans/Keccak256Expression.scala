@@ -106,6 +106,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleGenerator(children.head, n, positional = true)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("termfreqs"),
+      new ExpressionInfo(classOf[TermFreqGenerator].getName, "termfreqs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "termfreqs(text, maxN) expects two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"termfreqs maxN must be an integer literal, got $other")
+        }
+        TermFreqGenerator(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => {

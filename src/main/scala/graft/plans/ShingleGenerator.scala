@@ -7,6 +7,25 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Executor-side copy of the engine's ONE tokenization
+  * (graft.functions.Text.words), replicated with SQL semantics EXACTLY:
+  * SQL trim strips SPACES only (Java's String.trim also eats \t\n etc.,
+  * which would drop the leading empty token the SQL split keeps for
+  * "\tfoo"), and the split must keep trailing empty tokens (Spark's split
+  * uses limit -1; Java's default limit 0 drops them for "foo\t"). Shared
+  * by every text generator so there is exactly one place this contract
+  * can drift.
+  */
+private[plans] object SqlTok {
+  def words(s0: String): Array[String] = {
+    var b0 = 0
+    var e0 = s0.length
+    while (b0 < e0 && s0.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && s0.charAt(e0 - 1) == ' ') e0 -= 1
+    s0.substring(b0, e0).split("[ \\t\\n\\x0B\\f\\r]+", -1)
+  }
+}
+
 /** Word n-gram shingles as a native Catalyst [[Generator]] (the 1→N tier
   * `explode` belongs to). One pass over the tokens replaces the HOF
   * pipeline `explode(array_distinct(transform(sequence(...), …)))` —
@@ -49,18 +68,8 @@ case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true,
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Iterator.empty
-    // the engine's ONE tokenization (graft.functions.Text.words),
-    // replicated with SQL semantics EXACTLY: SQL trim strips SPACES
-    // only (Java's String.trim also eats \t\n etc., which would drop
-    // the leading empty token the SQL split keeps for "\tfoo"), and
-    // the split must keep trailing empty tokens (Spark's split uses
-    // limit -1; Java's default limit 0 drops them for "foo\t")
-    val s0 = t.asInstanceOf[UTF8String].toString
-    var b0 = 0
-    var e0 = s0.length
-    while (b0 < e0 && s0.charAt(b0) == ' ') b0 += 1
-    while (e0 > b0 && s0.charAt(e0 - 1) == ' ') e0 -= 1
-    val words = s0.substring(b0, e0).split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    // the engine's ONE tokenization, SQL-exact (see SqlTok above)
+    val words = SqlTok.words(t.asInstanceOf[UTF8String].toString)
     if (words.length < n) return Iterator.empty
     val sb = new java.lang.StringBuilder
     def gram(i: Int): String = {

@@ -285,13 +285,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q69 vocab top-k: map-side combine before the shuffle, TakeOrdered at the top") {
+  test("q69 vocab top-k: a distinct over the term dictionary, TakeOrdered at the top") {
     val p = plan("q69_vocab_topk")
-    // in-partition duplicates collapse before the exchange; the top-100
-    // is a bounded per-partition head merge, not a global sort
-    assert(p.contains("partial_count"), p)
+    // the corpus count is the index row's own cf column (attached at
+    // build time) — q69 is a distinct projection of the term dictionary,
+    // no aggregate of its own; the top-100 is a bounded per-partition
+    // head merge, not a global sort
+    assert(p.contains("InMemoryTableScan"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("q70 normalized dedup: one hash shuffle of 16-byte keys, no join") {
@@ -345,11 +348,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q78 BPE merge pairs: map-side combine before the shuffle, TakeOrdered at the top") {
+  test("q78 BPE merge pairs: a distinct over the term dictionary, TakeOrdered at the top") {
     val p = plan("q78_bpe_merge_pairs")
-    // in-partition duplicate pairs collapse before the exchange (the
-    // q69 shape); the top-50 is a bounded per-partition head merge
-    assert(p.contains("partial_count"), p)
+    // the pair count is the g=2 row's own cf column (the q69 shape);
+    // the top-50 is a bounded per-partition head merge
+    assert(p.contains("InMemoryTableScan"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert(!p.contains("Join"), p)
@@ -369,7 +372,10 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.length == 1, hints.mkString("\n"))
     val p = plan("q79_bigram_lift")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("partial_count"), p)
+    // both corpus statistics read the SHARED term-frequency index (r10)
+    // and partial-sum its pre-collapsed per-doc counts
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_sum"), p)
   }
 
   test("q80 substring runs: one profile exchange, self-join reuses its partitioning") {
@@ -441,21 +447,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
-  test("q86 LM score: instances pre-aggregate to distinct (doc, pair) before the model join") {
+  test("q86 LM score: model instances and both model aggs read the shared term index") {
     // the registry plan may be a bare read of the SHARED score table
     // (whichever suite built it first) — pin the kernel structure at its
     // build site, the same plan whichever query materializes it
     val p = graft.queries.TrainingOps.lmScoresBuild(spark, TestSpark.sfDir)
       .queryExecution.explainString(SimpleMode)
-    // the (doc_id, pair) count collapses token-volume instances to
-    // distinct-bigram volume BELOW the model join — without it the join
-    // shuffles every token occurrence at corpus scale
-    assert(p.contains("keys=[doc_id"), p)
-    // aggregates partial-aggregate map-side
-    assert(p.contains("partial_count"), p)
-    // the model (c12 = Σm) derives from the SAME persisted instance
-    // table the join reads — one corpus tokenize pass, not two
+    // the instance table IS the shared term-frequency index's g=2 tier
+    // (distinct (doc, pair) rows with multiplicity, collapsed map-side
+    // inside the index's generator; c12 rides as the row's own cf
+    // column) and the unigram dictionary is a distinct over the same
+    // index — two reads of ONE cached corpus pass, no tokenize pass and
+    // no model aggregate of q86's own
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // the per-doc score is a partial-aggregated sum keyed by doc
+    assert(p.contains("keys=[doc_id"), p)
+    assert(p.contains("partial_sum"), p)
     // no cartesian anywhere — every model join is an equi-join
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
@@ -481,14 +488,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q88 TF-IDF: df derives from the persisted tf table — one tokenize pass") {
+  test("q88 TF-IDF: scoring is map-side off the term dictionary — no df join") {
     val p = plan("q88_tfidf_keywords")
-    // the df aggregate and the scoring join read the SAME persisted
-    // (doc, term, tf) table — one corpus tokenize pass, not two
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
-    // map-side partial aggregation on both tf and df
-    assert(p.contains("partial_count"), p)
+    // df is the index row's own column: scoring reads the cached index
+    // with NO df aggregate and NO vocabulary join — the only join left
+    // is the 1-row doc-count broadcast, and the only exchange the
+    // per-doc top-k window's
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row n_docs
     assert(p.contains("Window"), p)
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q89 shard manifest: one map pass, one partial-agg shuffle") {

@@ -64,6 +64,53 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(!consumer.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("shared term-frequency index: ONE tokenize pass for the whole statistics family") {
+    // the r10 contract behind q69/q78/q79/q86/q88: the corpus tokenize
+    // pass lives in the shared index's build; every family consumer
+    // reads the cached copy. Bench posture (AQE off — under AQE the
+    // cached partitioning is not reusable and consumers re-exchange,
+    // the documented q80 caveat), index rebuilt under it.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sqlContext.clearCache() // rebuild the shared index under this posture
+      val q69 = SparkEntry.queries("q69_vocab_topk")(spark, TestSpark.sfDir)
+      q69.count() // the ONE tokenize pass: builds + caches the index
+      def generates(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.size
+      // zero Generate nodes in any family consumer plan — a tokenize
+      // pass of a query's own (the r9 shape) regresses this to >0
+      assert(generates(q69) == 0)
+      for (q <- Seq("q78_bpe_merge_pairs", "q79_bigram_lift", "q88_tfidf_keywords"))
+        assert(generates(SparkEntry.queries(q)(spark, TestSpark.sfDir)) == 0, q)
+      assert(generates(
+        graft.queries.TrainingOps.lmScoresBuild(spark, TestSpark.sfDir)) == 0)
+      // and the corpus term aggregation rides the index's persisted term
+      // partitioning: no hashpartitioning exchange in q69's consumer plan
+      // (the build-time exchange inside the InMemoryRelation is the only
+      // term-keyed data movement the family ever pays)
+      val plan = q69.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+      val consumer = plan.substring(0, plan.indexOf("InMemoryRelation"))
+      assert(!consumer.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("q92 histogram is quantization-bounded: bins live in [0, 2^20] at any corpus size") {
+    // the cumulate window's single partition is bounded BY DESIGN —
+    // lm_score is a mean of probabilities in [0, 1], so
+    // floor(score · 2^20) has at most 2^20+1 distinct values REGARDLESS
+    // of corpus size. Pin the invariant that carries the bound (the
+    // range), not just the row count at test scale.
+    val bins = SparkEntry.queries("q86_lm_score")(spark, TestSpark.sfDir)
+      .select(floor(col("lm_score") * lit(1048576.0)).as("bin"))
+    val mm = bins.agg(min("bin"), max("bin"), countDistinct("bin")).head
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) <= 1048576L, mm)
+    assert(mm.getLong(2) <= 1048577L, mm)
+  }
+
   test("q66 prefix sum reuses the pid build partitioning: one consumer exchange") {
     // the (doc_id, n, pid) frame persists hash-partitioned on pid; at
     // execution the in-bucket window and the offsets groupBy both run

@@ -69,4 +69,45 @@ class ShingleGeneratorSpec extends AnyFunSuite {
       .selectExpr("ngrams(text, 2) AS p").collect()
     assert(degenerate.isEmpty)
   }
+
+  test("termfreqs aggregates per-doc counts map-side, both gram tiers, first-seen order") {
+    import spark.implicits._
+    val out = Seq("a b a b c").toDF("text")
+      .selectExpr("termfreqs(text, 2) AS (g, term, tf)")
+      .as[(Int, String, Long)].collect().toSeq
+    // g=1 tier: distinct tokens with occurrence counts, first-seen order;
+    // g=2 tier: distinct adjacent pairs with multiplicity
+    assert(out == Seq((1, "a", 2L), (1, "b", 2L), (1, "c", 1L),
+      (2, "a b", 2L), (2, "b a", 1L), (2, "b c", 1L)))
+  }
+
+  test("termfreqs equals explode(words) unigram counts and ngrams bigram counts") {
+    // the shared-index contract: SUM(tf) per term over the g=1 tier must
+    // equal counting the exploded tokenization, and the g=2 tier must
+    // equal counting ngrams(text, 2) — the consumers' oracles depend on it
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("text").isNotNull).limit(200)
+    val viaTf = docs.selectExpr("doc_id", "termfreqs(text, 2) AS (g, term, tf)")
+    val uniTf = viaTf.filter(col("g") === 1)
+      .groupBy("term").agg(sum("tf").as("n"))
+    val uniRef = docs
+      .select(explode(graft.functions.Text.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    assert(uniTf.exceptAll(uniRef).isEmpty && uniRef.exceptAll(uniTf).isEmpty)
+    val biTf = viaTf.filter(col("g") === 2)
+      .groupBy("term").agg(sum("tf").as("n"))
+    val biRef = docs.selectExpr("ngrams(text, 2) AS term")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    assert(biTf.exceptAll(biRef).isEmpty && biRef.exceptAll(biTf).isEmpty)
+  }
+
+  test("termfreqs degenerate inputs: null yields nothing, empty text one empty token") {
+    import spark.implicits._
+    val out = Seq(Some(""), None).toDF("text")
+      .selectExpr("termfreqs(text, 2) AS (g, term, tf)")
+      .as[(Int, String, Long)].collect().toSeq
+    // "" tokenizes to [""] (the SQL split convention q69's oracle shares);
+    // too short for a bigram, so only the g=1 row appears. NULL emits none.
+    assert(out == Seq((1, "", 1L)))
+  }
 }
