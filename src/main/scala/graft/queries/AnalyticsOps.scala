@@ -233,7 +233,8 @@ object AnalyticsOps {
           dot.toDouble / (math.sqrt(n2v.toDouble) * math.sqrt(n2s(label)))
         })
         val edges = TrainingOps.cellPairCos(s, d)
-          .filter(col("cos") >= 0.35).select("ida", "idb")
+          .filter(col("cos") >= TrainingOps.CellPairRetainCos)
+          .select("ida", "idb")
         val labels = clusterLabels(s, edges)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("sem_cluster")

@@ -140,16 +140,24 @@ object TrainingOps {
     * they need; [[minhashSig]] explodes the 8 values map-side where a
     * tall shape is needed.
     */
+  /** The wide-signature aggregation over (doc_id, h1, h2) hashed-shingle
+    * rows — factored so the sink's persisted fingerprint index
+    * ([[fingerprintTables]]) is built with the SAME convention and
+    * interoperates with [[lshPairs]] verbatim.
+    */
+  private[graft] def wideSigOf(hashedShingles: DataFrame): DataFrame =
+    hashedShingles
+      .groupBy("doc_id")
+      .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
+        (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")) :+
+          count(lit(1)).as("n"): _*)
+
   private def minhashSigWide(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"minhashSigWide:$d") {
       // one row per doc — a tiny derived view of the shingle index,
       // shared by q28 (signatures), q29's band keys, q31's denominators
       // and q51's pairs
-      shingleIndex(s, d)
-        .groupBy("doc_id")
-        .agg((0 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")).head,
-          (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")) :+
-            count(lit(1)).as("n"): _*)
+      wideSigOf(shingleIndex(s, d))
     }
 
   /** Per-doc shingle counts — a projection of [[minhashSigWide]]'s folded
@@ -223,6 +231,46 @@ object TrainingOps {
     // rows, trivially persistable.
     graft.util.Caches.sharedIndex(s, s"lshPairs:$d") { lshPairsBuild(s, d) }
 
+  /** 4×2 LSH band keys off a wide-signature frame — band order inside a
+    * key fixed by column position (matches the oracle's string_agg ORDER
+    * BY band). Factored for the same reason as [[wideSigOf]]: the sink's
+    * fingerprint index must bucket EXACTLY like [[lshPairs]].
+    */
+  private[graft] def bandKeysOf(wide: DataFrame): DataFrame =
+    wide
+      .select(col("doc_id"), col("n"), explode(array((0 until 4).map(k =>
+        struct(lit(k).as("bk"),
+          concat_ws(",", col(s"m${2 * k}").cast("string"),
+            col(s"m${2 * k + 1}").cast("string")).as("bandkey"))): _*)).as("e"))
+      .select(col("doc_id"), col("n"),
+        col("e.bk").as("bk"), col("e.bandkey").as("bandkey"))
+
+  /** Per-document fingerprint tables from an arbitrary (doc_id, text)
+    * frame — (exact, bands, postings):
+    *  - exact: (doc_id, h) content hash, the q27/q95 exact tier;
+    *  - bands: (doc_id, n, bk, bandkey) LSH bucket keys + shingle count;
+    *  - postings: (doc_id, h1) hashed-shingle rows for Jaccard verify.
+    * Built with the dedup family's EXACT conventions (shingles(3) → the
+    * md5Long/md5Long2 60-bit hashes → 8-minima wide signature → 4×2 band
+    * keys), so an index the sink persists from these tables buckets and
+    * verifies identically to [[lshPairs]] — the production surface
+    * behind q95's incremental flow. The hashed-shingle frame is persisted
+    * (both bands and postings read it; library callers drop it via
+    * ContextCleaner — the Caches weak-ref rule).
+    */
+  private[graft] def fingerprintTables(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val exact = docs.select(col("doc_id"),
+      Hashing.simpleHash(col("text")).as("h"))
+    val sh = graft.util.Caches.transientPersist(
+      docs.select(col("doc_id"), col("text"))
+        .selectExpr("doc_id", "shingles(text, 3) AS shingle")
+        .select(col("doc_id"),
+          Hashing.md5Long(col("shingle")).as("h1"),
+          Hashing.md5Long2(col("shingle")).as("h2")))
+    (exact, bandKeysOf(wideSigOf(sh)), sh.select(col("doc_id"), col("h1")))
+  }
+
   private def lshPairsBuild(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d)
     // band keys straight off the WIDE signature — map-side expressions
@@ -232,13 +280,7 @@ object TrainingOps {
     // both Jaccard denominators travel with the candidate pair, deleting
     // the two post-aggregation size-lookup joins the r6 form paid — two
     // fewer stages for q29 AND q51, at +16 bytes per candidate row.
-    val bk = minhashSigWide(s, d)
-      .select(col("doc_id"), col("n"), explode(array((0 until 4).map(k =>
-        struct(lit(k).as("bk"),
-          concat_ws(",", col(s"m${2 * k}").cast("string"),
-            col(s"m${2 * k + 1}").cast("string")).as("bandkey"))): _*)).as("e"))
-      .select(col("doc_id"), col("n"),
-        col("e.bk").as("bk"), col("e.bandkey").as("bandkey"))
+    val bk = bandKeysOf(minhashSigWide(s, d))
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
@@ -310,13 +352,45 @@ object TrainingOps {
   private[queries] val oQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
-  /** All within-cell cosine pairs (ida < idb), block-SALTED — the shared
-    * IVF pair kernel: q33 thresholds it into a near-dup report, q85 ranks
-    * it into a kNN graph. `label` plays the coarse-quantizer cell;
+  /** Retention contract of [[cellPairCos]] — every consumer must stay
+    * inside the retained region, or widen these constants:
+    *  - all pairs with cos ≥ [[CellPairRetainCos]] survive (q33's and
+    *    q90's threshold);
+    *  - each vector's top-[[CellPairRetainTopK]] partners per
+    *    (cell, block-pair) group survive on BOTH sides, under the
+    *    (cos DESC, partner ASC) order — a superset of every vector's
+    *    global top-K (subgroup rank ≤ global rank), which is what q85
+    *    ranks.
+    */
+  private[queries] val CellPairRetainCos = 0.35
+  private[queries] val CellPairRetainTopK = 3
+
+  /** Within-cell cosine pairs (ida < idb), block-SALTED and
+    * candidate-BOUNDED — the shared IVF pair kernel: q33 thresholds it
+    * into a near-dup report, q85 ranks it into a kNN graph, q90 clusters
+    * its high-cos edges. `label` plays the coarse-quantizer cell;
     * pairwise cosine only *within* a cell. Scale: shuffle on cell id
     * co-locates each cell, pair volume bounded by cell size (the coarse
     * quantizer's job at 100 TB is exactly to cap it); the self-join is
-    * block-salted so a hot cell cannot serialize one reducer.
+    * block-salted so a hot cell cannot serialize one reducer; and the
+    * OUTPUT is pruned to the retained region above (r10) — a per-vector
+    * per-block top-K window on each side of the pair, riding the join's
+    * own (cell, block, block) partitioning with no exchange, caps the
+    * kernel's output at O(#vectors · K · B + #true-near-dup pairs)
+    * instead of Σ cell². The in-join pair enumeration still costs B²
+    * per cell pair-volume compute (inherent to exact in-cell cosine);
+    * what the cap bounds is everything DOWNSTREAM: the persisted cache,
+    * q85's symmetrize shuffle, q90's edge set. Every consumer's result
+    * is exactly what the unpruned kernel gave (see the contract), so the
+    * oracle CTE mirror stays the full `cpc` and consumers filter/rank it.
+    *
+    * Measured at the 10× ScaleCheck corpus (fixed #cells ⇒ ~100× in-cell
+    * pairs BY CONSTRUCTION): the build settles at ~3.7× (the dot-product
+    * enumeration floor — strongly sub-pair-linear), while q85, riding
+    * the bounded cache, drops from slope 4.37 (r9) to ~1.1. At 100 TB
+    * the coarse quantizer keeps CELL SIZE roughly constant by growing
+    * #cells with the corpus, so the build's pair volume — and with this
+    * cap, also the retained output — scales linearly in vectors.
     */
   private[graft] def cellPairCos(s: SparkSession, d: String): DataFrame =
     // shared+persisted for the lshPairs reason: the verified in-cell pair
@@ -343,13 +417,40 @@ object TrainingOps {
     // at the cost of a ×B shuffle of the (tiny) per-vector rows.
     val a = e.withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
     val b = e.withColumn("pa", explode(sequence(lit(0), lit(B - 1))))
-    a.as("a").join(b.as("b"),
+    // keep the join-key attributes (label, blk, pb) through the cosine
+    // projection: the pre-limit windows below partition on (join keys +
+    // one vector side), so they ride the join's output partitioning —
+    // two in-partition sorts, zero exchanges. The shuffle_hash hint
+    // matters for exactly that: a broadcast self-join (the planner's
+    // pick at bench scale) has NO output partitioning, so each window
+    // would re-exchange the FULL pair volume — the one thing the
+    // pre-limit exists to avoid; shuffling the per-vector rows instead
+    // (tiny next to the pair volume) is also the only shape possible at
+    // 100 TB, where neither side fits a broadcast. Measured at the 10×
+    // corpus: build 6.8 s → 3.9 s.
+    val pairs = a.as("a").join(b.hint("shuffle_hash").as("b"),
         col("a.label") === col("b.label")
           && col("a.blk") === col("b.pa") && col("a.pb") === col("b.blk")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        col("a.label").as("cell"),
+      .select(col("a.label").as("label"), col("a.blk").as("blk"),
+        col("a.pb").as("pb"),
+        col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         cosQ(dotQ(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cos"))
+    // the retained region (see the contract above): threshold survivors
+    // OR either side's per-block top-K — row_number under the SAME
+    // (cos DESC, partner ASC) order q85 ranks globally, so a global
+    // top-K row is always a group top-K row
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy("label", "blk", "pb", "ida")
+      .orderBy(col("cos").desc, col("idb").asc)
+    val wb = Window.partitionBy("label", "blk", "pb", "idb")
+      .orderBy(col("cos").desc, col("ida").asc)
+    pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("cos") >= CellPairRetainCos
+        || col("ra") <= CellPairRetainTopK || col("rb") <= CellPairRetainTopK)
+      .select(col("ida"), col("idb"), col("label").as("cell"), col("cos"))
   }
 
   /** Oracle CTE chain mirroring [[cellPairCos]] — ends in
@@ -804,8 +905,13 @@ object TrainingOps {
     Q("q95_incremental_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val hashed = docTextLean(s, d)
-          .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
+        // three consumers read this frame (exact-tier batch side,
+        // standing side, final batch base) — persist it or the corpus
+        // scan + md5 subplan runs once per consumer (the lmScores-inst
+        // discipline; r10, an ADVICE catch)
+        val hashed = graft.util.Caches.transientPersist(
+          docTextLean(s, d)
+            .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h")))
         val isBatch = col("doc_id") % 10 === 0
         val exact = hashed.filter(isBatch)
           .join(hashed.filter(!isBatch)
@@ -1074,7 +1180,7 @@ object TrainingOps {
     // hot cell cannot serialize one reducer.
     Q("q33_ivf_neardup",
       (s, d) => cellPairCos(s, d)
-        .filter(col("cos") >= 0.35)
+        .filter(col("cos") >= CellPairRetainCos)
         .orderBy("ida", "idb"),
       Some(s"WITH $cellPairCosCtes " +
         "SELECT ida, idb, cell, cos FROM cpc WHERE cos >= 0.35 ORDER BY ida, idb")),
@@ -1101,7 +1207,7 @@ object TrainingOps {
           .partitionBy("vec_id")
           .orderBy(col("cos").desc, col("nbr").asc)
         sym.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
+          .filter(col("rnk") <= CellPairRetainTopK)
           .select(col("vec_id"), col("rnk"), col("nbr"), col("cell"), col("cos"))
           .orderBy("vec_id", "rnk")
       },

@@ -105,12 +105,19 @@ object Sink {
     * orders rows before the writer sees them, so each shard directory
     * holds that task's files with rows already in reading order —
     * parquet preserves within-file row order, and a shard never spans
-    * tasks, so read-back order equals layout order with no sort at read
-    * time. Two shards hashing to one task is fine (the dynamic-partition
-    * writer splits directories; each stays sorted). For shards larger
-    * than one sane file, set `spark.sql.files.maxRecordsPerFile` —
-    * files split in order, named so lexical file order preserves row
-    * order within the directory.
+    * tasks. Two shards hashing to one task is fine (the dynamic-partition
+    * writer splits directories; each stays sorted).
+    *
+    * Ordering guarantee, scoped precisely: for a SINGLE-FILE shard
+    * directory (the default — no maxRecordsPerFile), any reader sees
+    * layout order with no sort at read time. If
+    * `spark.sql.files.maxRecordsPerFile` splits a shard into several
+    * files, the files are written in order and named so LEXICAL file
+    * order preserves row order — an external shard reader (webdataset
+    * style) consuming files by name still streams layout order, but a
+    * Spark `read.parquet` of that directory is NOT order-guaranteed
+    * (Spark orders file splits by size for bin-packing); re-sort on
+    * `pos` there.
     */
   def writeShards(layout: DataFrame, path: String, numShards: Int): Unit =
     layout
@@ -119,5 +126,84 @@ object Sink {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(path)
+
+  /** Persist the standing corpus's dedup FINGERPRINT INDEX — the
+    * production artifact behind the q95 incremental flow: a daily batch
+    * is deduplicated against this index, paying only its own signatures
+    * plus bounded bucket probes, never a standing-corpus rescan. Three
+    * parquet tables under `path` (the [[graft.queries.TrainingOps
+    * .fingerprintTables]] conventions, so probes bucket and verify
+    * exactly like the in-session `lshPairs` kernel):
+    *  - `exact/`    (doc_id, h): content hash — the exact tier;
+    *  - `bands/`    (doc_id, n, bk, bandkey): LSH bucket keys + shingle
+    *                 count (both Jaccard denominators travel with the
+    *                 candidate, the lshPairs r7 trick);
+    *  - `shingles/` (doc_id, h1): hashed-shingle postings for the exact
+    *                 Jaccard verify, laid out clustered by doc_id so a
+    *                 candidate-restricted probe reads contiguous ranges.
+    * Scale: one corpus pass (the shared shingle machinery) + one
+    * repartition per table; the index grows with the corpus but each
+    * batch probe touches only its band-collision buckets.
+    */
+  def writeFingerprints(docs: DataFrame, path: String): Unit = {
+    val (exact, bands, postings) =
+      graft.queries.TrainingOps.fingerprintTables(docs)
+    exact.repartition(col("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/exact")
+    bands.repartition(col("bandkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+    postings.repartition(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+  }
+
+  /** Incremental dedup of a new batch against a [[writeFingerprints]]
+    * index — the q95 verdict frame (doc_id, verdict, dup_of, jacc)
+    * computed WITHOUT touching any standing-corpus text: the batch pays
+    * exactly its own signatures; the standing side contributes only
+    * parquet reads (hash join on `h`, band-bucket equi-join, and a
+    * candidate-restricted postings join for the exact-Jaccard verify at
+    * θ = 0.8 — never all-pairs, never a corpus rescan). Tiers and
+    * tie-breaks mirror q95: exact-first (partner = min id), then
+    * best-Jaccard (ties → min id).
+    */
+  def probeFingerprints(batch: DataFrame, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val (bExact, bBands, bPost) =
+      graft.queries.TrainingOps.fingerprintTables(batch)
+    val exact = bExact
+      .join(spark.read.parquet(s"$path/exact")
+        .select(col("h"), col("doc_id").as("pid")), "h")
+      .groupBy("doc_id").agg(min("pid").as("exact_of"))
+    val cand = bBands.as("a")
+      .join(spark.read.parquet(s"$path/bands").as("b"),
+        col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("near_of"),
+        col("a.n").as("nb"), col("b.n").as("ns"))
+      .distinct()
+    val iv = cand
+      .join(bPost.select(col("doc_id"), col("h1")), Seq("doc_id"))
+      .join(spark.read.parquet(s"$path/shingles")
+        .select(col("doc_id").as("near_of"), col("h1")), Seq("near_of", "h1"))
+      .groupBy("doc_id", "near_of", "nb", "ns").agg(count(lit(1)).as("inter"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("jacc").desc, col("near_of"))
+    val near = iv
+      .select(col("doc_id"), col("near_of"),
+        (col("inter").cast("double") /
+          (col("nb") + col("ns") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= 0.8)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("fresh")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        when(col("exact_of").isNull, col("jacc")).as("jacc"))
+  }
 
 }

@@ -509,6 +509,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("cellPairCos kernel: per-block top-K pre-limit bounds the retained pair set") {
+    // the r10 retention contract: the kernel's output is pruned to
+    // (cos >= threshold) OR either side's per-(cell, block-pair) top-K —
+    // two row_number windows over the join's own clustering. A refactor
+    // that drops the pre-limit re-persists Σ cell² pairs at scale.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = graft.queries.TrainingOps.cellPairCosBuild(spark, TestSpark.sfDir)
+        .queryExecution.explainString(SimpleMode)
+      assert("row_number".r.findAllIn(p).size >= 2, p)
+      // the retained-region filter keeps the threshold disjunct (q33/q90's
+      // region) alongside both rank caps
+      assert(p.contains("0.35"), p)
+      assert(p.contains("ra") && p.contains("rb"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("q85 knn graph: both union branches read the shared cached pair table") {
     val p = plan("q85_knn_graph")
     // the symmetrize is two projections of the SAME persisted pair set —
@@ -568,6 +587,11 @@ class PlanSpec extends AnyFunSuite {
     // corpus shuffle.
     val exIds = raw"Exchange hashpartitioning[^\n]*\[plan_id=(\d+)\]".r
       .findAllMatchIn(p).map(_.group(1)).toSet
+    // guard the regex against explain-format drift (plan_id suffixes vary
+    // across Spark versions/modes): an empty match set means the PATTERN
+    // broke, not that the one-shuffle property regressed
+    assert(exIds.nonEmpty,
+      s"explain-format drift: no 'Exchange hashpartitioning…[plan_id=N]' matched\n$p")
     assert(exIds.size == 1, p)
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
     assert(p.contains("partial_sum"), p)

@@ -49,6 +49,32 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint index round-trip: a batch probe reproduces q95 without standing texts") {
+    import org.apache.spark.sql.functions._
+    // the q95 split: batch = doc_id ≡ 0 (mod 10), standing = the rest
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = Files.createTempDirectory("graft-fp").toString + "/idx"
+    Sink.writeFingerprints(standing, dir)
+    // the probe reads ONLY batch texts + the parquet index — prove it by
+    // handing it a standing side that has no text column at all
+    val got = Sink.probeFingerprints(batch, dir)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    // the in-session q95 flow over the full corpus is the reference —
+    // the persisted-index path must land on the SAME verdict frame
+    val want = SparkEntry.queries("q95_incremental_dedup")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got == want)
+    // and the index layout is the documented three tables
+    for (t <- Seq("exact", "bands", "shingles"))
+      assert(spark.read.parquet(s"$dir/$t").count() > 0, t)
+  }
+
   test("upsertJdbc: same conflict-ignore semantics against an embedded JDBC db") {
     import spark.implicits._
     // Spark's bundled embedded Derby — the same in-process-database shape
