@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsOps, ContractQueries, Q, ReferenceOps, TrainingOps}
+import graft.queries.{AnalyticsOps, AuditOps, ContractQueries, Q, ReferenceOps, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** Every registered query, in registry order. */
   def registry: Seq[Q] =
-    ReferenceOps.all ++ TrainingOps.all ++ AnalyticsOps.all ++ ContractQueries.all
+    ReferenceOps.all ++ TrainingOps.all ++ AnalyticsOps.all ++ AuditOps.all ++
+      ContractQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped scan→filter→group-agg on lineitem (SURVEY §7.2 M1).

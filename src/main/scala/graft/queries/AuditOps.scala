@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.util.Tables._
+
+/** Corpus-audit endpoints — the reports a pipeline operator reads BEFORE
+  * trusting the cheaper approximate machinery at 100 TB: cross-source
+  * overlap (what dedup across dumps will find), DSIR-shaped importance
+  * weights (what a targeted subsample would keep), ANN recall and MinHash
+  * calibration (how much the approximate tiers diverge from exact ground
+  * truth). All four compose the session-shared kernels (shingle index,
+  * term-frequency index, pair intersections, wide MinHash signatures,
+  * quantized embeddings) — none pays a corpus tokenize/hash pass of its
+  * own.
+  *
+  * Cross-engine exactness follows the house conventions: md5-derived
+  * hashes and coins, exact integer sums, and only correctly-rounded
+  * double ops (+ × ÷ sqrt floor) — no libm transcendentals (the q52
+  * lesson), no order-sensitive double accumulation (every reported
+  * double is a ratio of exact integer sums).
+  */
+object AuditOps {
+
+  import TrainingOps.{oMd5Long, oQuant, quantize, dotQ, norm2Q, cosQ}
+
+  val all: Seq[Q] = Seq(
+
+    // Cross-source n-gram overlap matrix: for every pair of sources, how
+    // many distinct hashed shingles they share, and the source-level
+    // Jaccard — the "how much will dedup across dumps find" report a
+    // curator reads before merging crawls (the cross-dump overlap tables
+    // in the C4/RefinedWeb/FineWeb writeups). Scale: rides the SHARED
+    // shingle index (no tokenize pass of its own); ONE exchange on h1
+    // groups each shingle's distinct source set via collect_set — bounded
+    // by |sources| (tens, never corpus-sized), unlike a doc-level
+    // inverted index whose hot keys fan out df² — and the unordered pair
+    // expansion off the sorted set is map-side (≤ |sources|²/2 rows per
+    // shingle); the final aggregate has ≤ |sources|²/2 groups and the
+    // size join is a bounded |sources|-row broadcast. Output is one row
+    // per co-occurring source pair.
+    Q("q96_source_overlap",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        // the doc_id-keyed source attach rides the index's doc_id
+        // partitioning; the h1 groupBy is the query's one wide exchange.
+        // transient-persisted: the pair expansion AND the per-source
+        // sizes both read it (the q95 hashed-frame lesson).
+        val bySh = graft.util.Caches.transientPersist(
+          TrainingOps.shingleIndex(s, d).select(col("doc_id"), col("h1"))
+            .join(src, "doc_id")
+            .groupBy("h1")
+            .agg(array_sort(collect_set(col("source"))).as("srcs")))
+        val sz = bySh.select(explode(col("srcs")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = bySh
+          .select(explode(expr(
+            "flatten(transform(srcs, (x, i) -> " +
+              "transform(slice(srcs, i + 2, size(srcs)), y -> " +
+              "named_struct('sa', x, 'sb', y))))")).as("p"))
+          .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))),
+            "source_a")
+          .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))),
+            "source_b")
+          .select(col("source_a"), col("source_b"), col("shared"),
+            (col("shared").cast("double") /
+              (col("na") + col("nb") - col("shared")).cast("double")).as("jacc"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"WITH ${TrainingOps.shCte}, ${TrainingOps.shhCte}, " +
+        "ss AS (SELECT DISTINCT dd.source, shh.h1 FROM shh JOIN documents dd USING (doc_id)), " +
+        "sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "count(*) AS shared, " +
+        "CAST(count(*) AS DOUBLE) / CAST(za.n + zb.n - count(*) AS DOUBLE) AS jacc " +
+        "FROM ss a JOIN ss b ON a.h1 = b.h1 AND a.source < b.source " +
+        "JOIN sz za ON a.source = za.source JOIN sz zb ON b.source = zb.source " +
+        "GROUP BY a.source, b.source, za.n, zb.n " +
+        "ORDER BY source_a, source_b")),
+
+    // DSIR-shaped importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // document by how much its hashed-unigram feature mass looks like a
+    // TARGET slice (here lang='en') relative to the raw corpus — the
+    // importance weight a targeted subsample resamples by. Re-expressed
+    // in the engine's exact-arithmetic house style: per-bucket weight
+    // w_b = floor((t_b+1)·2^20 / (r_b+1)) in correctly-rounded double
+    // ops then an exact int64 (the q86 fixed-point convention; the
+    // published log-ratio needs ln(), rejected per the q52 libm lesson —
+    // monotone-equivalent for ranking), and each doc's score is an exact
+    // integer sum Σ tf·w_b over its terms, divided once at the end.
+    // Scale: features ride the SHARED term-frequency index (no tokenize
+    // pass); the lang attach is the one doc-keyed exchange (planner-
+    // gated join — documents is unbounded, no broadcast hint: the q79
+    // lesson); the bucket-mass aggregate has exactly 512 groups and the
+    // weight table is a 512-row broadcast BY CONSTRUCTION; the per-doc
+    // score aggregate rides the persisted attach's partitioning.
+    Q("q97_dsir_weights",
+      (s, d) => {
+        val tfk = TrainingOps.termFreq(s, d).filter(col("g") === 1)
+          .select(col("doc_id"), col("term"), col("tf"))
+          .withColumn("bucket", pmod(Hashing.md5Long(col("term")), lit(512L)))
+        val lang = documents(s, d).select(col("doc_id"), col("lang"))
+        // transient-persisted: bucket masses AND the score aggregate
+        // both read the attach (the q95 hashed-frame lesson)
+        val wl = graft.util.Caches.transientPersist(tfk.join(lang, "doc_id"))
+        val masses = wl.groupBy("bucket")
+          .agg(sum("tf").as("r"),
+            sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("t"))
+        val weights = masses.select(col("bucket"),
+          floor((col("t") + 1).cast("double") * lit(1048576.0)
+            / (col("r") + 1).cast("double")).cast("long").as("ps"))
+        wl.join(broadcast(weights), "bucket")
+          .groupBy("doc_id", "lang")
+          .agg(sum("tf").cast("long").as("n_tokens"),
+            sum(col("tf") * col("ps")).as("sps"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (col("sps").cast("double")
+              / (col("n_tokens").cast("double") * 1048576.0)).as("dsir_score"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, lang, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tok AS (SELECT doc_id, lang, unnest(ws) AS w FROM toks), " +
+        s"tb AS (SELECT doc_id, lang, ${oMd5Long("w")} % 512 AS bucket, " +
+        "count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "m AS (SELECT bucket, SUM(tf) AS r, " +
+        "SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS t FROM tb GROUP BY 1), " +
+        "w AS (SELECT bucket, CAST(floor(CAST(t + 1 AS DOUBLE) * 1048576.0 " +
+        "/ CAST(r + 1 AS DOUBLE)) AS BIGINT) AS ps FROM m) " +
+        "SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(tf * ps) AS DOUBLE) / (CAST(SUM(tf) AS DOUBLE) * 1048576.0) AS dsir_score " +
+        "FROM tb JOIN w USING (bucket) GROUP BY doc_id, lang ORDER BY doc_id")),
+
+    // ANN recall audit: recall@10 of the IVF tier (in-cell search, q33's
+    // coarse quantizer) against exact brute force, on a deterministic
+    // md5-sampled probe panel — the measurement that justifies trusting
+    // the bucketed tier at 100 TB (an approximate index you haven't
+    // measured recall for is a silent-data-loss hazard). Scale: the probe
+    // panel is the ONLY broadcast (an audit runs on a bounded panel by
+    // contract — production passes explicit probe ids; the md5 coin here
+    // is the deterministic stand-in) and both tiers are map-side
+    // pair-enumerations against it: exact = one linear corpus pass
+    // (inherent to ground truth), IVF = the probe's own cell. Both top-10
+    // cuts are rank filters planning partial WindowGroupLimits below the
+    // qid exchange (the q71 trick); the intersect join and per-probe
+    // aggregate are panel-bounded.
+    Q("q98_ann_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embeddings(s, d)
+          .withColumn("qv", quantize(col("embedding")))
+          .select(col("vec_id"), col("label"), col("qv"),
+            norm2Q(col("qv")).as("n2"))
+        val probes = e
+          .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qcell"),
+            col("qv").as("query_v"), col("n2").as("qn2"))
+        val wq = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        def scored(cand: DataFrame): DataFrame = cand
+          .select(col("qid"), col("vec_id"),
+            cosQ(dotQ(col("qv"), col("query_v")), col("n2"), col("qn2")).as("cos"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val exact = scored(e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("qid")))
+        val ivf = scored(e.join(broadcast(probes),
+          col("label") === col("qcell") && col("vec_id") =!= col("qid")))
+        val m = exact.join(ivf, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("matched"))
+        probes.select(col("qid")).join(m, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("matched"), lit(0L)).as("matched"),
+            (coalesce(col("matched"), lit(0L)).cast("double") / 10.0).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"WITH ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
+        "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY 1), " +
+        s"p AS (SELECT vec_id AS qid, label AS qcell FROM ev " +
+        s"WHERE ${oMd5Long("vec_id::VARCHAR")} % 31 = 0), " +
+        "dots AS (SELECT p.qid, e.vec_id, ev.label, " +
+        "CAST(SUM(e.x * q.x) AS BIGINT) AS dot " +
+        "FROM p JOIN ee q ON q.vec_id = p.qid " +
+        "JOIN ee e ON e.pos = q.pos AND e.vec_id <> p.qid " +
+        "JOIN ev ON ev.vec_id = e.vec_id " +
+        "GROUP BY 1, 2, 3), " +
+        "cs AS (SELECT d.qid, d.vec_id, d.label, " +
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cos " +
+        "FROM dots d JOIN n ne ON d.vec_id = ne.vec_id JOIN n nq ON d.qid = nq.vec_id), " +
+        "ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cs) " +
+        "WHERE rk <= 10), " +
+        "iv AS (SELECT qid, vec_id FROM (SELECT cs.qid, cs.vec_id, " +
+        "row_number() OVER (PARTITION BY cs.qid ORDER BY cos DESC, cs.vec_id) AS rk " +
+        "FROM cs JOIN p ON cs.qid = p.qid WHERE cs.label = p.qcell) " +
+        "WHERE rk <= 10), " +
+        "m AS (SELECT ex.qid, count(*) AS matched FROM ex JOIN iv " +
+        "ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id GROUP BY 1) " +
+        "SELECT p.qid, COALESCE(m.matched, 0) AS matched, " +
+        "CAST(COALESCE(m.matched, 0) AS DOUBLE) / 10.0 AS recall " +
+        "FROM p LEFT JOIN m ON p.qid = m.qid ORDER BY p.qid")),
+
+    // MinHash estimator calibration: for every truly-overlapping pair,
+    // compare the 8-lane signature agreement (the estimate LSH banding
+    // acts on) against exact shingle Jaccard, pooled per true-Jaccard
+    // decile — the "can I trust 8 lanes at my threshold" table read
+    // before sizing bands for a 100 TB dedup run. Scale: true Jaccard is
+    // the SHARED pairIntersections kernel (overlap-bounded, never
+    // all-pairs) and the estimate is two doc-keyed joins against the
+    // shared wide-signature frame (one row per doc); the final aggregate
+    // has ≤ 10 groups. Both reported doubles are ratios of exact integer
+    // sums (pooled Jaccard = Σ∩/Σ∪, mean estimate = Σlanes/8n) — no
+    // order-sensitive double accumulation anywhere.
+    Q("q99_minhash_error",
+      (s, d) => {
+        val tj = TrainingOps.pairIntersections(s, d)
+        val sig = TrainingOps.minhashSigWide(s, d)
+        val lanes = (0 until 8)
+          .map(b => when(col(s"a.m$b") === col(s"b.m$b"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        tj.join(sig.as("a"), col("ida") === col("a.doc_id"))
+          .join(sig.as("b"), col("idb") === col("b.doc_id"))
+          .select(col("ida"), col("idb"), col("inter"),
+            (col("na") + col("nb") - col("inter")).as("uni"),
+            lanes.as("lanes"))
+          .withColumn("decile",
+            least(floor(col("inter").cast("double") * 10.0
+              / col("uni").cast("double")), lit(9L)).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_pairs"), sum("lanes").as("sum_lanes"),
+            sum("inter").as("sum_inter"), sum("uni").as("sum_union"))
+          .select(col("decile"), col("n_pairs"),
+            (col("sum_inter").cast("double")
+              / col("sum_union").cast("double")).as("pooled_true"),
+            (col("sum_lanes").cast("double")
+              / (col("n_pairs").cast("double") * 8.0)).as("mean_est"))
+          .orderBy("decile")
+      },
+      Some(s"WITH ${TrainingOps.shCte}, ${TrainingOps.shhCte}, " +
+        s"${TrainingOps.ivSzCte}, ${TrainingOps.sigCte}, " +
+        "ln AS (SELECT iv.ida, iv.idb, " +
+        "SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS lanes " +
+        "FROM iv JOIN sig sa ON sa.doc_id = iv.ida " +
+        "JOIN sig sb ON sb.doc_id = iv.idb AND sb.band = sa.band " +
+        "GROUP BY 1, 2), " +
+        "base AS (SELECT iv.ida, iv.idb, iv.inter, " +
+        "za.n + zb.n - iv.inter AS uni, ln.lanes " +
+        "FROM iv JOIN sz za ON iv.ida = za.doc_id " +
+        "JOIN sz zb ON iv.idb = zb.doc_id " +
+        "JOIN ln ON ln.ida = iv.ida AND ln.idb = iv.idb), " +
+        "dec AS (SELECT least(CAST(floor(CAST(inter AS DOUBLE) * 10.0 " +
+        "/ CAST(uni AS DOUBLE)) AS BIGINT), 9) AS decile, " +
+        "inter, uni, lanes FROM base) " +
+        "SELECT decile, count(*) AS n_pairs, " +
+        "CAST(SUM(inter) AS DOUBLE) / CAST(SUM(uni) AS DOUBLE) AS pooled_true, " +
+        "CAST(SUM(lanes) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 8.0) AS mean_est " +
+        "FROM dec GROUP BY 1 ORDER BY 1"))
+  )
+}

@@ -68,7 +68,7 @@ object TrainingOps {
       .selectExpr("doc_id", "shingles(text, 3) AS shingle")
 
   /** Oracle CTE prefix producing the same (doc_id, shingle) rows. */
-  private val shCte: String =
+  private[queries] val shCte: String =
     "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
       "FROM toks, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3)"
@@ -116,7 +116,7 @@ object TrainingOps {
     }
 
   /** Oracle CTE mirroring [[shingleIndex]]'s h1/h2 (expects `sh` in scope). */
-  private val shhCte: String =
+  private[queries] val shhCte: String =
     s"shh AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh)"
 
   /** DuckDB equivalent of [[Hashing.md5Long]]. */
@@ -152,7 +152,7 @@ object TrainingOps {
         (1 until 8).map(b => min(expr(s"h1 ^ ($b * h2)")).as(s"m$b")) :+
           count(lit(1)).as("n"): _*)
 
-  private def minhashSigWide(s: SparkSession, d: String): DataFrame =
+  private[queries] def minhashSigWide(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"minhashSigWide:$d") {
       // one row per doc — a tiny derived view of the shingle index,
       // shared by q28 (signatures), q29's band keys, q31's denominators
@@ -174,7 +174,7 @@ object TrainingOps {
     * inverted-index self-join shuffles 8-byte hashes, never shingle
     * text; pair volume is bounded by true overlap, never all-pairs.
     */
-  private def pairIntersections(s: SparkSession, d: String): DataFrame =
+  private[queries] def pairIntersections(s: SparkSession, d: String): DataFrame =
     // a SHARED materialized view like the shingle index itself: the
     // inverted-index self-join + intersect counts are the exact common
     // subexpression of every pairwise set measure (q31 Jaccard, q76
@@ -199,7 +199,7 @@ object TrainingOps {
   /** Oracle CTEs mirroring [[pairIntersections]] (expect `shh` in scope);
     * consumers join `iv` with `sz` twice (za/zb) like the Spark side.
     */
-  private val ivSzCte: String =
+  private[queries] val ivSzCte: String =
     "iv AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter FROM shh a " +
       "JOIN shh b ON a.h1 = b.h1 AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)"
@@ -213,7 +213,7 @@ object TrainingOps {
         .as(Seq("band", "minh")))
 
   /** Oracle CTEs mirroring [[minhashSig]] (expects `shh` in scope). */
-  private val sigCte: String =
+  private[queries] val sigCte: String =
     "b AS (SELECT doc_id, j AS band, xor(h1, j * h2) AS h FROM shh, unnest(range(0, 8)) AS u(j)), " +
       "sig AS (SELECT doc_id, band, min(h) AS minh FROM b GROUP BY doc_id, band)"
 
@@ -340,13 +340,13 @@ object TrainingOps {
     * unsafe array inside whole-stage codegen — zero copies. Same exact
     * int64 math throughout, so the oracles are unaffected.
     */
-  private def dotQ(a: Column, b: Column): Column =
+  private[queries] def dotQ(a: Column, b: Column): Column =
     call_function("graft_dot_long", a, b)
 
-  private def norm2Q(a: Column): Column = call_function("graft_dot_long", a, a)
+  private[queries] def norm2Q(a: Column): Column = call_function("graft_dot_long", a, a)
 
   /** cosine from quantized vectors: exact ints → deterministic doubles. */
-  private def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
+  private[queries] def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   private[queries] val oQuant =

@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The audit endpoints (q96–q99) against independent driver-side
+  * recomputations at sf0.001 — every number each report publishes is
+  * re-derived here from the raw parquet with plain Scala collections
+  * (no Spark, no shared kernels), so a regression in any composed kernel
+  * (shingle index, term-frequency index, pair intersections, wide
+  * signatures, quantizer) surfaces as a value diff, not just an oracle
+  * mismatch at the driver gate.
+  */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  // the canonical whitespace tokenization (graft.functions.Text.words)
+  private def words(text: String): Array[String] =
+    text.trim.split("[ \\t\\n\\u000B\\f\\r]+")
+
+  private def h1(s: String): Long =
+    graft.plans.Md5PrefixLong.hash(s.getBytes("UTF-8"), 0)
+  private def h2(s: String): Long =
+    graft.plans.Md5PrefixLong.hash(s.getBytes("UTF-8"), 8)
+
+  /** (doc_id, lang, source, distinct 3-shingle h1 set). */
+  private lazy val docs: Seq[(Long, String, String, Set[Long], Array[String])] =
+    graft.util.Tables.documents(spark, d)
+      .select("doc_id", "lang", "source", "text").collect().toSeq
+      .filter(r => !r.isNullAt(3))
+      .map { r =>
+        val ws = words(r.getString(3))
+        val sh = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        (r.getLong(0), r.getString(1), r.getString(2), sh.map(h1), ws)
+      }
+
+  test("q96 source overlap matches a driver-side shingle-set recomputation") {
+    val bySrc = docs.groupBy(_._3).view
+      .mapValues(_.map(_._4).reduce(_ ++ _)).toMap
+    val expected = (for {
+      (sa, ha) <- bySrc; (sb, hb) <- bySrc if sa < sb
+      shared = (ha & hb).size if shared > 0
+    } yield (sa, sb) ->
+      (shared.toLong, shared.toDouble / (ha.size + hb.size - shared).toDouble))
+      .toMap
+    val got = SparkEntry.queries("q96_source_overlap")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q97 DSIR weights match a driver-side fixed-point recomputation") {
+    val tok = docs.map { case (id, lang, _, _, ws) => (id, lang, ws) }
+    val bucketOf = (w: String) => java.lang.Math.floorMod(h1(w), 512L)
+    val r = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val t = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    tok.foreach { case (_, lang, ws) =>
+      ws.foreach { w =>
+        val b = bucketOf(w)
+        r(b) += 1
+        if (lang == "en") t(b) += 1
+      }
+    }
+    val ps = (b: Long) =>
+      math.floor((t(b) + 1).toDouble * 1048576.0 / (r(b) + 1).toDouble).toLong
+    val expected = tok.map { case (id, lang, ws) =>
+      val sps = ws.map(w => ps(bucketOf(w))).sum
+      id -> (lang, ws.length.toLong,
+        sps.toDouble / (ws.length.toDouble * 1048576.0))
+    }.toMap
+    val got = SparkEntry.queries("q97_dsir_weights")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected)
+  }
+
+  /** (vec_id, label, quantized vector). */
+  private lazy val vecs: Seq[(Long, Int, Array[Long])] =
+    graft.util.Tables.embeddings(spark, d)
+      .select("vec_id", "label", "embedding").collect().toSeq
+      .map { r =>
+        val q = r.getSeq[Float](2).map(x =>
+          math.floor(x.toDouble * 1048576.0).toLong).toArray
+        (r.getLong(0), r.getInt(1), q)
+      }
+
+  test("q98 ANN recall matches a driver-side brute-force recomputation") {
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val probes = vecs.filter(v => java.lang.Math.floorMod(h1(v._1.toString), 31L) == 0L)
+    assert(probes.nonEmpty)
+    def top10(q: (Long, Int, Array[Long]), cand: Seq[(Long, Int, Array[Long])]): Set[Long] =
+      cand.filter(_._1 != q._1)
+        .map(v => (v._1, cos(v._3, q._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val expected = probes.map { p =>
+      val exact = top10(p, vecs)
+      val ivf = top10(p, vecs.filter(_._2 == p._2))
+      p._1 -> (exact & ivf).size.toLong
+    }.toMap
+    val got = SparkEntry.queries("q98_ann_recall")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    SparkEntry.queries("q98_ann_recall")(spark, d).collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("q98 top-10 cuts plan partial WindowGroupLimits below the qid exchange") {
+    val p = SparkEntry.queries("q98_ann_recall")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q99 MinHash calibration matches a driver-side recomputation") {
+    // per-doc signature lanes min(h1 ^ b*h2) over the doc's shingles —
+    // recomputed from shingle STRINGS (not the shared index)
+    val shs = docs.map { case (id, _, _, _, ws) =>
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val sig = shs.view.mapValues { sh =>
+      (0 until 8).map(b => sh.map(s => h1(s) ^ (b * h2(s))).min).toArray
+    }.toMap
+    val hs = shs.view.mapValues(_.map(h1)).toMap
+    val ids = shs.keys.toSeq.sorted
+    case class Acc(var n: Long = 0L, var lanes: Long = 0L,
+      var inter: Long = 0L, var uni: Long = 0L)
+    val acc = scala.collection.mutable.Map.empty[Long, Acc]
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (ida, idb) = (ids(i), ids(j))
+      inter = (hs(ida) & hs(idb)).size.toLong if inter > 0
+    } {
+      val uni = hs(ida).size + hs(idb).size - inter
+      val lanes = (0 until 8).count(b => sig(ida)(b) == sig(idb)(b)).toLong
+      val dec = math.min(math.floor(inter.toDouble * 10.0 / uni.toDouble).toLong, 9L)
+      val a = acc.getOrElseUpdate(dec, Acc())
+      a.n += 1; a.lanes += lanes; a.inter += inter; a.uni += uni
+    }
+    val expected = acc.map { case (dec, a) =>
+      dec -> (a.n, a.inter.toDouble / a.uni.toDouble,
+        a.lanes.toDouble / (a.n.toDouble * 8.0))
+    }.toMap
+    val got = SparkEntry.queries("q99_minhash_error")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected)
+  }
+}
