@@ -116,6 +116,121 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> q96parts`: where does q96's ~2 s go?
+    // Times each prefix of the pipeline (index warm) so the expensive
+    // stage names itself.
+    if (args.length >= 2 && args(1) == "q96parts") {
+      import org.apache.spark.sql.functions._
+      val d = sfDir
+      // warm the shared index like a bench pass would
+      noop(SparkEntry.queries("q29_lsh_neardup")(spark, d))
+      def t(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 3).map { _ =>
+          graft.util.Caches.clearTransient()
+          val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[q96parts] $label%-12s min=${ts.min}%5.3f  runs " +
+          ts.map(v => f"$v%.3f").mkString(" "))
+      }
+      val src = graft.util.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"))
+      def idx = graft.queries.TrainingOps.shingleIndex(spark, d)
+        .select(col("doc_id"), col("h1"))
+      t("index")(idx)
+      t("join")(idx.join(src.hint("shuffle_hash"), "doc_id"))
+      t("collect_set")(idx.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("h1").agg(array_sort(collect_set(col("source"))).as("srcs")))
+      t("rollup")(idx.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("h1").agg(array_sort(collect_set(col("source"))).as("srcs"))
+        .groupBy("srcs").agg(count(lit(1)).as("w")))
+      t("full")(SparkEntry.queries("q96_source_overlap")(spark, d))
+      // the family/bench posture: cache cleared per pass, shingle index
+      // rebuilt (untimed, as q29 pays it in a bench pass), THEN q96
+      def tp(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 3).map { _ =>
+          spark.sqlContext.clearCache()
+          graft.util.Caches.clearTransient()
+          noop(SparkEntry.queries("q29_lsh_neardup")(spark, d)) // untimed warm
+          val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[q96parts] $label%-12s min=${ts.min}%5.3f  runs " +
+          ts.map(v => f"$v%.3f").mkString(" "))
+      }
+      tp("full-pass")(SparkEntry.queries("q96_source_overlap")(spark, d))
+      tp("cs-pass")(idx.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("h1").agg(array_sort(collect_set(col("source"))).as("srcs")))
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> q96ab`: bitmap vs collect_set form,
+    // interleaved reps in pass posture (index rebuilt untimed each rep) —
+    // the q53ab discipline, so a load drift hits both arms.
+    if (args.length >= 2 && args(1) == "q96ab") {
+      import org.apache.spark.sql.functions._
+      val d = sfDir
+      val src = graft.util.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"))
+      def idx = graft.queries.TrainingOps.shingleIndex(spark, d)
+        .select(col("doc_id"), col("h1"))
+      // the full shipping query (collect_set form)
+      def a() = SparkEntry.queries("q96_source_overlap")(spark, d)
+      // the REJECTED bitmap variant (dictionary-encoded bit_or masks),
+      // full to the same output — measured a dead heat with the shipping
+      // form (1.69 vs 1.64 s min at sf0.1), so the simpler form ships
+      def b() = {
+        val dict = src.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        val nw = (dict.length + 63) / 64
+        val idxOf = dict.zipWithIndex.toMap
+        val masks = (0 until nw).map(c =>
+          expr(s"bit_or(CASE WHEN si DIV 64 = $c " +
+            s"THEN shiftleft(1L, CAST(si % 64 AS INT)) ELSE 0L END)")
+            .as(s"mk$c"))
+        val decode = udf((ms: Seq[Long]) =>
+          dict.indices.filter(i => ((ms(i / 64) >> (i % 64)) & 1L) == 1L)
+            .map(dict))
+        val bySet = graft.util.Caches.transientPersist(
+          idx.join(src.hint("shuffle_hash"), "doc_id")
+            .select(col("h1"),
+              element_at(typedLit(idxOf), col("source")).as("si"))
+            .groupBy("h1").agg(masks.head, masks.tail: _*)
+            .groupBy((0 until nw).map(c => col(s"mk$c")): _*)
+            .agg(count(lit(1)).as("w"))
+            .select(decode(array((0 until nw).map(c => col(s"mk$c")): _*))
+              .as("srcs"), col("w")))
+        val sz = bySet.select(explode(col("srcs")).as("source"), col("w"))
+          .groupBy("source").agg(sum("w").as("n"))
+        val pairs = bySet
+          .select(explode(col("srcs")).as("sa"), col("srcs"), col("w"))
+          .select(col("sa"), explode(col("srcs")).as("sb"), col("w"))
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+          .agg(sum("w").as("shared"))
+        pairs
+          .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+          .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("shared"),
+            (col("shared").cast("double") /
+              (col("na") + col("nb") - col("shared")).cast("double")).as("jacc"))
+          .orderBy("source_a", "source_b")
+      }
+      def rep(mk: () => org.apache.spark.sql.DataFrame): Double = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        noop(SparkEntry.queries("q29_lsh_neardup")(spark, d)) // untimed warm
+        val t0 = System.nanoTime(); noop(mk()); (System.nanoTime() - t0) / 1e9
+      }
+      rep(a); rep(() => b()) // warm both
+      val as = collection.mutable.Buffer[Double]()
+      val bs = collection.mutable.Buffer[Double]()
+      (1 to 5).foreach { _ => as += rep(a); bs += rep(() => b()) }
+      println(f"[q96ab] bitmap  min=${as.min}%5.3f runs " + as.map(v => f"$v%.3f").mkString(" "))
+      println(f"[q96ab] colset  min=${bs.min}%5.3f runs " + bs.map(v => f"$v%.3f").mkString(" "))
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> q53ab`: is q53's r7→r8 bench drift
     // (0.53 → 0.68 s) a table-cache interaction or co-tenant noise?
     // Clean A/B: 5 warmed passes per posture, postures interleaved in

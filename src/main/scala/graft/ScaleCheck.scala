@@ -69,7 +69,18 @@ object ScaleCheck {
     // histogram (the histogram/threshold stages should be scale-FLAT —
     // only the score pass grows); dup coverage is q80's run volume plus
     // doc-partitioned windows, so its slope should track q80's
-    "q92_quality_buckets", "q93_dup_coverage")
+    "q92_quality_buckets", "q93_dup_coverage",
+    // r10: the audit family — source overlap is shingle-volume
+    // structured (per-h1 source sets; cross-replica shingles never
+    // match, so set volume scales 10× while |sources| stays fixed);
+    // DSIR rides the term index (unigram volume 10×, fixed 512-bucket
+    // model); MinHash calibration is pairIntersections volume plus two
+    // doc-keyed signature joins. q98_ann_recall is deliberately ABSENT:
+    // its exact ground-truth tier is panel×corpus BY DEFINITION (the
+    // md5-coin panel grows with the corpus, so the product is
+    // super-linear by construction — production passes a fixed probe
+    // panel); the IVF tier's slope is already pinned by q33/q85.
+    "q96_source_overlap", "q97_dsir_weights", "q99_minhash_error")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {

@@ -45,23 +45,40 @@ object AuditOps {
       (s, d) => {
         val src = documents(s, d).select(col("doc_id"), col("source"))
         // the doc_id-keyed source attach rides the index's doc_id
-        // partitioning; the h1 groupBy is the query's one wide exchange.
-        // transient-persisted: the pair expansion AND the per-source
-        // sizes both read it (the q95 hashed-frame lesson).
-        val bySh = graft.util.Caches.transientPersist(
+        // partitioning (shuffle_hash hint: the planner's estimate would
+        // broadcast the INDEX side — its cached 16-byte rows undercut
+        // the documents scan estimate — backwards at any scale; hinted,
+        // only the (doc_id, source) side moves); the h1 groupBy is the
+        // query's one wide exchange. Identical source sets then roll
+        // together BEFORE any pair expansion: word-soup corpora have far
+        // fewer distinct source sets than distinct shingles, so the |S|²
+        // expansion runs over set-profile rows weighted by multiplicity,
+        // never over every shingle. Transient-persisted: the pair
+        // expansion AND the per-source sizes both read it (the q95
+        // hashed-frame lesson). A dictionary-encoded bit_or bitmap form
+        // of this aggregate measured a DEAD HEAT in an interleaved
+        // pass-posture A/B (Profile q96ab: 1.69 vs 1.64 s at sf0.1 — the
+        // cost is the per-pass job floor, not the aggregate), and needs
+        // a source-dictionary collect (an extra corpus pass at scale
+        // unless sources come from metadata) — so the simpler form ships.
+        val bySet = graft.util.Caches.transientPersist(
           TrainingOps.shingleIndex(s, d).select(col("doc_id"), col("h1"))
-            .join(src, "doc_id")
+            .join(src.hint("shuffle_hash"), "doc_id")
             .groupBy("h1")
-            .agg(array_sort(collect_set(col("source"))).as("srcs")))
-        val sz = bySh.select(explode(col("srcs")).as("source"))
-          .groupBy("source").agg(count(lit(1)).as("n"))
-        val pairs = bySh
-          .select(explode(expr(
-            "flatten(transform(srcs, (x, i) -> " +
-              "transform(slice(srcs, i + 2, size(srcs)), y -> " +
-              "named_struct('sa', x, 'sb', y))))")).as("p"))
-          .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
-          .agg(count(lit(1)).as("shared"))
+            .agg(array_sort(collect_set(col("source"))).as("srcs"))
+            .groupBy("srcs").agg(count(lit(1)).as("w")))
+        val sz = bySet.select(explode(col("srcs")).as("source"), col("w"))
+          .groupBy("source").agg(sum("w").as("n"))
+        // unordered-pair expansion as two chained explodes (both plan
+        // codegen'd GenerateExec; an equivalent nested-HOF flatten was
+        // measured ~0.5 s slower at sf0.1 — HOF lambdas never enter
+        // codegen) with the a < b filter deduplicating orientation
+        val pairs = bySet
+          .select(explode(col("srcs")).as("sa"), col("srcs"), col("w"))
+          .select(col("sa"), explode(col("srcs")).as("sb"), col("w"))
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+          .agg(sum("w").as("shared"))
         pairs
           .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))),
             "source_a")
@@ -215,48 +232,76 @@ object AuditOps {
     // decile — the "can I trust 8 lanes at my threshold" table read
     // before sizing bands for a 100 TB dedup run. Scale: true Jaccard is
     // the SHARED pairIntersections kernel (overlap-bounded, never
-    // all-pairs) and the estimate is two doc-keyed joins against the
-    // shared wide-signature frame (one row per doc); the final aggregate
-    // has ≤ 10 groups. Both reported doubles are ratios of exact integer
-    // sums (pooled Jaccard = Σ∩/Σ∪, mean estimate = Σlanes/8n) — no
-    // order-sensitive double accumulation anywhere.
+    // all-pairs), the estimate comes from (band, minh) bucket collisions
+    // (see inline), and the final aggregates have ≤ 10 groups. Both
+    // reported doubles are ratios of exact integer sums (pooled
+    // Jaccard = Σ∩/Σ∪, mean estimate = Σlanes/8n) — no order-sensitive
+    // double accumulation anywhere.
     Q("q99_minhash_error",
       (s, d) => {
-        val tj = TrainingOps.pairIntersections(s, d)
-        val sig = TrainingOps.minhashSigWide(s, d)
-        val lanes = (0 until 8)
-          .map(b => when(col(s"a.m$b") === col(s"b.m$b"), 1L).otherwise(0L))
-          .reduce(_ + _)
-        tj.join(sig.as("a"), col("ida") === col("a.doc_id"))
-          .join(sig.as("b"), col("idb") === col("b.doc_id"))
+        // deciles are a map-side column off the CACHED pair kernel
+        val base = TrainingOps.pairIntersections(s, d)
           .select(col("ida"), col("idb"), col("inter"),
-            (col("na") + col("nb") - col("inter")).as("uni"),
-            lanes.as("lanes"))
+            (col("na") + col("nb") - col("inter")).as("uni"))
           .withColumn("decile",
             least(floor(col("inter").cast("double") * 10.0
               / col("uni").cast("double")), lit(9L)).cast("long"))
-          .groupBy("decile")
-          .agg(count(lit(1)).as("n_pairs"), sum("lanes").as("sum_lanes"),
-            sum("inter").as("sum_inter"), sum("uni").as("sum_union"))
+        // lane agreements via a tall-signature self-join on the
+        // (band, minh) BUCKET — a pair agrees on a lane iff both docs
+        // land in the same bucket, so agreement volume is governed by
+        // actual minhash collisions (≈ Σ jaccard per band), never
+        // |pairs| × 8. The r10-rejected form — two doc-keyed joins
+        // against the wide-signature frame — shuffled the FULL pair
+        // volume twice with 8 lane columns aboard (measured 1.43 s at
+        // sf0.1); here the only pair-volume data movement is the
+        // agree⋈base attach, whose small side the planner broadcasts at
+        // bench scale and shuffles at cluster scale (no hint — the q79
+        // rule; agreement volume is corpus-structured, not bounded).
+        val sig = TrainingOps.minhashSig(s, d)
+        val agree = sig.as("a")
+          .join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.minh") === col("b.minh")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .agg(count(lit(1)).as("lanes"))
+        // true-Jaccard mass per decile needs no join at all (11-group
+        // partial agg over the cached pairs); estimate mass joins the
+        // agreement table to the pair keys to keep ONLY true-overlap
+        // pairs (a cross-shingle hash collision can put a non-
+        // overlapping pair in `agree` — the oracle counts lanes for iv
+        // pairs only, so must this side)
+        val truth = base.groupBy("decile")
+          .agg(count(lit(1)).as("n_pairs"), sum("inter").as("sum_inter"),
+            sum("uni").as("sum_union"))
+        val est = base.select(col("ida"), col("idb"), col("decile"))
+          .join(agree, Seq("ida", "idb"))
+          .groupBy("decile").agg(sum("lanes").as("sum_lanes"))
+        truth.join(est, Seq("decile"), "left")
           .select(col("decile"), col("n_pairs"),
             (col("sum_inter").cast("double")
               / col("sum_union").cast("double")).as("pooled_true"),
-            (col("sum_lanes").cast("double")
+            (coalesce(col("sum_lanes"), lit(0L)).cast("double")
               / (col("n_pairs").cast("double") * 8.0)).as("mean_est"))
           .orderBy("decile")
       },
       Some(s"WITH ${TrainingOps.shCte}, ${TrainingOps.shhCte}, " +
         s"${TrainingOps.ivSzCte}, ${TrainingOps.sigCte}, " +
-        "ln AS (SELECT iv.ida, iv.idb, " +
-        "SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS lanes " +
-        "FROM iv JOIN sig sa ON sa.doc_id = iv.ida " +
-        "JOIN sig sb ON sb.doc_id = iv.idb AND sb.band = sa.band " +
-        "GROUP BY 1, 2), " +
+        // wide (pivoted) signatures, the Spark side's shape — joining the
+        // TALL sig per pair (iv × 8 bands × 2 sides) costs DuckDB ~20×
+        // this plan at sf0.1; the baseline deserves the efficient form
+        "sigw AS (SELECT doc_id, " +
+        (0 until 8).map(b =>
+          s"min(CASE WHEN band = $b THEN minh END) AS m$b").mkString(", ") +
+        " FROM sig GROUP BY doc_id), " +
         "base AS (SELECT iv.ida, iv.idb, iv.inter, " +
-        "za.n + zb.n - iv.inter AS uni, ln.lanes " +
+        "za.n + zb.n - iv.inter AS uni, " +
+        (0 until 8).map(b =>
+          s"(CASE WHEN a.m$b = b.m$b THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS lanes " +
         "FROM iv JOIN sz za ON iv.ida = za.doc_id " +
         "JOIN sz zb ON iv.idb = zb.doc_id " +
-        "JOIN ln ON ln.ida = iv.ida AND ln.idb = iv.idb), " +
+        "JOIN sigw a ON a.doc_id = iv.ida " +
+        "JOIN sigw b ON b.doc_id = iv.idb), " +
         "dec AS (SELECT least(CAST(floor(CAST(inter AS DOUBLE) * 10.0 " +
         "/ CAST(uni AS DOUBLE)) AS BIGINT), 9) AS decile, " +
         "inter, uni, lanes FROM base) " +

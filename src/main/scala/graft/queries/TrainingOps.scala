@@ -94,7 +94,7 @@ object TrainingOps {
     * need off the cached columnar copy, so the extra column costs cache
     * bytes, never shuffle bytes.
     */
-  private[queries] def shingleIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"shingleIndex:$d") {
       // persisted PRE-PARTITIONED on doc_id (the bucketing a real
       // deployment would give the materialized index): the cached
@@ -207,7 +207,7 @@ object TrainingOps {
   /** Tall signature rows (doc_id, band, minh) from the wide form —
     * posexplode is map-side, 8 tiny rows per doc.
     */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
+  private[queries] def minhashSig(s: SparkSession, d: String): DataFrame =
     minhashSigWide(s, d)
       .select(col("doc_id"), posexplode(array((0 until 8).map(b => col(s"m$b")): _*))
         .as(Seq("band", "minh")))
