@@ -177,6 +177,36 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("q100: hand-computed Gopher rules — bullets, ellipsis runs, stopword gate, empty text") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-gopher-")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, "- one\n- two\nplain"), // 2/3 bullet lines
+      (1L, "wait... more...\nok"), // 1/2 ellipsis lines; two '...' runs
+      (2L, null.asInstanceOf[String]), // dropped
+      (3L, ""), // one empty token, one empty line
+      (4L, "the cat sat with the dog and that hat"), // 4 distinct stopwords
+      (5L, "a…\nb")) // unicode ellipsis: line end AND symbol count
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q100_gopher_rules")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 3L, 4L, 5L))
+    def frac(id: Long, i: Int) = rows(id).getDouble(i)
+    // columns: doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    //          ellipsis_frac, alpha_frac, n_stop, passes
+    assert(rows(0L).getLong(1) == 5L && frac(0L, 4) == 2.0 / 3.0)
+    assert(frac(0L, 6) == 3.0 / 5.0) // "-" tokens carry no letter
+    assert(frac(1L, 3) == 2.0 / 3.0) // two '...' runs over 3 words
+    assert(frac(1L, 5) == 0.5)
+    assert(rows(3L).getLong(1) == 1L && frac(3L, 2) == 0.0 &&
+      rows(3L).getInt(8) == 0)
+    assert(rows(4L).getLong(7) == 4L) // the, with, and, that
+    assert(frac(5L, 3) == 0.5 && frac(5L, 5) == 0.5) // U+2026 is 1 char
+    assert(rows.values.forall(_.getInt(8) == 0)) // none passes word-count floor
+  }
+
   test("q82: byte-identical twins cluster; exactly one keeps, the smaller id") {
     val rows = run("q82_dedup_keep_best")
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
