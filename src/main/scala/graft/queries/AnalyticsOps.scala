@@ -308,6 +308,77 @@ object AnalyticsOps {
         "FROM documents JOIN qual USING (doc_id) " +
         "GROUP BY source ORDER BY source")),
 
+    // The composed per-source CURATION FUNNEL — the number every corpus
+    // release reports: how many documents survive quality filtering, then
+    // exact dedup, then near-dup removal, then eval-set decontamination,
+    // as cumulative conjunctions in the pipeline's canonical order. Each
+    // stage predicate is evaluated corpus-wide with the SAME semantics as
+    // its standalone query (q36 score ≥ 0.5; q27 canonical = min doc_id
+    // per content hash; q29's verified θ=0.8 pairs drop the larger id;
+    // q65's eval split with a ≥8-shared-shingle flag), so the funnel is
+    // the join of four existing kernels, not new machinery. Scale: every
+    // join is a doc_id/h equi-join (planner-gated, no broadcast hints —
+    // the dropped/flagged sides are dup/contamination-sized but unbounded
+    // in principle); the pair list and shingle index are the session's
+    // SHARED persisted kernels, so the marginal cost over q29+q65 is four
+    // narrow joins + an 8-column partial agg — where a CTE engine re-pays
+    // the whole LSH chain. ≤|sources| result rows.
+    Q("q101_curation_funnel",
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            graft.functions.Hashing.simpleHash(col("text")).as("h"))
+        val qual = TrainingOps.qualityFeatures(s, d)
+          .select(col("doc_id"), col("score"))
+        val canon = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+        val nd = TrainingOps.lshPairs(s, d)
+          .select(col("idb").as("doc_id")).distinct()
+          .withColumn("neardup", lit(1))
+        val idx = TrainingOps.shingleIndex(s, d)
+          .select(col("doc_id"), col("h1"))
+        val ev = idx.filter(col("doc_id") % 50 === 0).select("h1").distinct()
+        val hits = idx.filter(col("doc_id") % 50 =!= 0).join(ev, "h1")
+          .groupBy("doc_id").agg(countDistinct("h1").as("n_hits"))
+        val s1 = col("score") >= 0.5
+        val s2 = s1 && col("doc_id") === col("keep_id")
+        val s3 = s2 && col("neardup").isNull
+        val s4 = s3 && col("doc_id") % 50 =!= 0 &&
+          coalesce(col("n_hits"), lit(0L)) < 8
+        def cnt(c: org.apache.spark.sql.Column, n: String) =
+          sum(when(c, 1L).otherwise(0L)).as(n)
+        docs.join(qual, "doc_id").join(canon, "h")
+          .join(nd, Seq("doc_id"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            cnt(s1, "n_quality"), cnt(s2, "n_exact"),
+            cnt(s3, "n_neardup"), cnt(s4, "n_clean"))
+          .orderBy("source")
+      },
+      Some("WITH " + TrainingOps.lshPairsCtes + ", " + TrainingOps.qualCte + ", " +
+        "hh AS (SELECT doc_id, source, md5(regexp_replace(text, '\\s+', '', 'g')) AS h " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "canon AS (SELECT h, min(doc_id) AS keep_id FROM hh GROUP BY h), " +
+        "nd AS (SELECT DISTINCT idb AS doc_id FROM pairs), " +
+        "ev2 AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0), " +
+        "hits AS (SELECT t.doc_id, count(DISTINCT t.h1) AS n_hits FROM shh t " +
+        "JOIN ev2 USING (h1) WHERE t.doc_id % 50 <> 0 GROUP BY 1), " +
+        "f AS (SELECT hh.doc_id, hh.source, " +
+        "CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END AS s1, " +
+        "CASE WHEN q.score >= 0.5 AND hh.doc_id = c.keep_id THEN 1 ELSE 0 END AS s2, " +
+        "CASE WHEN q.score >= 0.5 AND hh.doc_id = c.keep_id AND nd.doc_id IS NULL " +
+        "THEN 1 ELSE 0 END AS s3, " +
+        "CASE WHEN q.score >= 0.5 AND hh.doc_id = c.keep_id AND nd.doc_id IS NULL " +
+        "AND hh.doc_id % 50 <> 0 AND coalesce(ht.n_hits, 0) < 8 THEN 1 ELSE 0 END AS s4 " +
+        "FROM hh JOIN qual q USING (doc_id) JOIN canon c USING (h) " +
+        "LEFT JOIN nd ON hh.doc_id = nd.doc_id " +
+        "LEFT JOIN hits ht ON hh.doc_id = ht.doc_id) " +
+        "SELECT source, count(*) AS n_total, CAST(sum(s1) AS BIGINT) AS n_quality, " +
+        "CAST(sum(s2) AS BIGINT) AS n_exact, CAST(sum(s3) AS BIGINT) AS n_neardup, " +
+        "CAST(sum(s4) AS BIGINT) AS n_clean " +
+        "FROM f GROUP BY source ORDER BY source")),
+
     // BM25-style ranking over the documents table. The idf uses the raw
     // odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not
     // correctly-rounded and differs across libm implementations, so the

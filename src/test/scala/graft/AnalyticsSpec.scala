@@ -31,4 +31,21 @@ class AnalyticsSpec extends AnyFunSuite {
     try assert(run() == expected) // forced distributed propagation
     finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
   }
+
+  test("q101: funnel stages are cumulative — monotone non-increasing per source") {
+    val rows = SparkEntry.queries("q101_curation_funnel")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val counts = (1 to 5).map(r.getLong) // n_total..n_clean
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"${r.getString(0)}: $counts")
+      assert(counts.head > 0)
+    }
+    // the stages must actually discriminate somewhere on real data —
+    // an all-equal funnel means a predicate degenerated to TRUE
+    val tot = rows.map(_.getLong(1)).sum
+    val clean = rows.map(_.getLong(5)).sum
+    assert(clean < tot)
+  }
 }
