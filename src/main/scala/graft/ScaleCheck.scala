@@ -80,7 +80,12 @@ object ScaleCheck {
     // md5-coin panel grows with the corpus, so the product is
     // super-linear by construction — production passes a fixed probe
     // panel); the IVF tier's slope is already pinned by q33/q85.
-    "q96_source_overlap", "q97_dsir_weights", "q99_minhash_error")
+    "q96_source_overlap", "q97_dsir_weights", "q99_minhash_error",
+    // r10b: the Gopher rules pin the pure map-side family's slope (should
+    // be ≈1); the curation funnel stacks the LSH pair kernel, the shingle
+    // index and the quality join — the composed-endpoint slope, expected
+    // to track q82's
+    "q100_gopher_rules", "q101_curation_funnel")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {

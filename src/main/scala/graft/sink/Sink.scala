@@ -145,15 +145,27 @@ object Sink {
     * repartition per table; the index grows with the corpus but each
     * batch probe touches only its band-collision buckets.
     */
-  def writeFingerprints(docs: DataFrame, path: String): Unit = {
+  def writeFingerprints(docs: DataFrame, path: String): Unit =
+    writeFp(docs, path, SaveMode.Overwrite)
+
+  /** Append a batch's fingerprints to an existing [[writeFingerprints]]
+    * index — the index-maintenance step after a [[probeFingerprints]]
+    * pass admits its fresh documents (the streaming flow's state write,
+    * [[graft.streaming.Streaming.incrementalDedup]]). Same tables, same
+    * conventions; each call adds only the batch's own rows.
+    */
+  def appendFingerprints(docs: DataFrame, path: String): Unit =
+    writeFp(docs, path, SaveMode.Append)
+
+  private def writeFp(docs: DataFrame, path: String, mode: SaveMode): Unit = {
     val (exact, bands, postings) =
       graft.queries.TrainingOps.fingerprintTables(docs)
     exact.repartition(col("h"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/exact")
+      .write.mode(mode).parquet(s"$path/exact")
     bands.repartition(col("bandkey"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+      .write.mode(mode).parquet(s"$path/bands")
     postings.repartition(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+      .write.mode(mode).parquet(s"$path/shingles")
   }
 
   /** Incremental dedup of a new batch against a [[writeFingerprints]]

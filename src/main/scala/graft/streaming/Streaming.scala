@@ -97,6 +97,50 @@ object Streaming {
       }
   }
 
+  /** Streaming incremental dedup against the PERSISTED fingerprint index
+    * (the streaming form of q95/X74, with X76's index as the state): each
+    * micro-batch of (doc_id, text) rows is probed with
+    * [[graft.sink.Sink.probeFingerprints]] — exact content-hash tier,
+    * then LSH band buckets + exact-Jaccard verify at θ = 0.8 — its
+    * verdict rows (doc_id, verdict, dup_of, jacc, batch_id) are appended
+    * to `outPath`, and the FRESH documents' fingerprints are appended to
+    * the index, so later micro-batches dedup against both the standing
+    * corpus and everything the stream has already admitted.
+    *
+    * Why foreachBatch rather than the state store: the dedup state here
+    * is the corpus-lifetime fingerprint index — it must outlive the
+    * query, survive restarts without checkpoint replay, stay shared with
+    * the batch flow (q95 models it, the sink maintains it), and hold
+    * band/postings tables a GroupState cannot bucket-join. foreachBatch
+    * gives each micro-batch exact batch semantics against that index;
+    * stream order stands in for crawl-day order. Within one micro-batch,
+    * duplicates of each OTHER are all admitted (the q95 convention —
+    * the batch is deduped against the index, not against itself); run
+    * [[dedupStream]] upstream when intra-batch exactness matters.
+    *
+    * Scale: a micro-batch pays its own signatures + band-collision
+    * bucket probes (the X76 contract) — never a standing-corpus rescan;
+    * the index append is one repartition per table over batch-sized
+    * rows.
+    */
+  def incrementalDedup(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = graft.util.Caches.transientPersist(
+          graft.sink.Sink.probeFingerprints(batch, indexPath)
+            .withColumn("batch_id", lit(batchId)))
+        v.write.mode("append").parquet(outPath)
+        val fresh = batch.join(
+          v.filter(col("verdict") === "fresh").select("doc_id"), "doc_id")
+        graft.sink.Sink.appendFingerprints(fresh, indexPath)
+        v.unpersist()
+        ()
+      }
+      .start()
+
   /** The q72 filter-funnel as a streaming aggregation — the SAME
     * conditional-sum code runs batch (TrainingOps q72 calls this) and
     * incremental. A global funnel has no event-time key, so it streams in

@@ -159,6 +159,45 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${got.size} rows, batch=${want.size} rows")
   }
 
+  test("incremental dedup stream: probes the persisted index, admits fresh docs into it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incdedup-")
+      .toFile.getAbsolutePath
+    val toks = (1 to 30).map(i => s"tok$i") // 30 distinct tokens
+    val textB = toks.mkString(" ")
+    val nearB = (toks.init :+ "tokX").mkString(" ") // only the last 3-shingle differs: jacc 27/29
+    // standing corpus: doc 1 (short) and doc 2 (the 30-token text)
+    graft.sink.Sink.writeFingerprints(
+      Seq((1L, "alpha beta gamma delta"), (2L, textB)).toDF("doc_id", "text"),
+      s"$tmp/index")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedup(
+      in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ck")
+    try {
+      // batch 1: exact copy of 1, near-dup of 2, and a novel doc
+      in.addData((10L, "alpha beta gamma delta"), (11L, nearB),
+        (12L, "completely different words here entirely novel content stream"))
+      q.processAllAvailable()
+      // batch 2: exact copy of the doc ADMITTED in batch 1 — proves the
+      // index grew mid-stream
+      in.addData((20L, "completely different words here entirely novel content stream"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("dup_of"))
+          .map(_.toLong))).toMap
+    assert(out(10L) == ("exact", Some(1L)))
+    assert(out(11L)._1 == "near" && out(11L)._2 == Some(2L))
+    assert(out(12L) == ("fresh", None))
+    assert(out(20L) == ("exact", Some(12L)), s"index did not grow: ${out(20L)}")
+  }
+
   test("session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
