@@ -308,6 +308,101 @@ object AuditOps {
         "SELECT decile, count(*) AS n_pairs, " +
         "CAST(SUM(inter) AS DOUBLE) / CAST(SUM(uni) AS DOUBLE) AS pooled_true, " +
         "CAST(SUM(lanes) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 8.0) AS mean_est " +
-        "FROM dec GROUP BY 1 ORDER BY 1"))
+        "FROM dec GROUP BY 1 ORDER BY 1")),
+
+    // Data-expectations audit (the Deequ / Great Expectations shape): the
+    // schema-level invariants a pipeline asserts before a table enters
+    // production — key uniqueness, null bounds, derived-column
+    // consistency, enum domains, referential integrity, constant
+    // embedding dimensionality — as one report row per check with EXACT
+    // violation counts (never a boolean that hides the magnitude).
+    // NULL-comparison semantics are part of the contract: a NULL operand
+    // makes a violation predicate NULL, which counts as NON-violation in
+    // both engines (CASE/when fall through) — nullability itself is its
+    // own check. Scale: every per-table check is one partial-agg scan
+    // (all the checks on a table could fuse into one pass; kept separate
+    // rows here for the report shape), the FK checks are anti-joins on
+    // the key — the join a 100 TB validation pays anyway — and the dim
+    // check's max is a 1-row broadcast. Output is 8 rows.
+    Q("q102_expectations",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        def scan(name: String, df: DataFrame, viol: Column) =
+          df.agg(count(lit(1)).cast("long").as("n_checked"),
+            sum(viol.cast("long")).cast("long").as("n_violations"))
+            .select(lit(name).as("check_name"),
+              col("n_checked"), col("n_violations"))
+        def fk(name: String, child: DataFrame, parent: DataFrame,
+            ck: String, pk: String) =
+          child.agg(count(lit(1)).cast("long").as("n_checked"))
+            .crossJoin(
+              child.join(parent, col(ck) === col(pk), "left_anti")
+                .agg(count(lit(1)).cast("long").as("n_violations")))
+            .select(lit(name).as("check_name"),
+              col("n_checked"), col("n_violations"))
+        val docs = documents(s, d)
+        val ev = events(s, d)
+        val emb = embeddings(s, d)
+        val dmax = emb.agg(max(size(col("embedding"))).as("dmax"))
+        val dims = emb.crossJoin(broadcast(dmax))
+          .agg(count(lit(1)).cast("long").as("n_checked"),
+            sum(when(size(col("embedding")) =!= col("dmax"), 1L)
+              .otherwise(0L)).cast("long").as("n_violations"))
+          .select(lit("embeddings.dim_constant").as("check_name"),
+            col("n_checked"), col("n_violations"))
+        val uniq = docs
+          .agg(count(lit(1)).cast("long").as("n_checked"),
+            (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
+              .as("n_violations"))
+          .select(lit("documents.doc_id_unique").as("check_name"),
+            col("n_checked"), col("n_violations"))
+        Seq(
+          uniq,
+          scan("documents.text_not_null", docs,
+            when(col("text").isNull, 1L).otherwise(0L)),
+          scan("documents.n_chars_consistent", docs,
+            when(col("text").isNotNull &&
+              col("n_chars") =!= length(col("text")).cast("long"), 1L)
+              .otherwise(0L)),
+          scan("events.value_non_negative", ev,
+            when(col("value") < 0, 1L).otherwise(0L)),
+          scan("events.event_type_in_domain", ev,
+            when(!col("event_type").isin(
+              "click", "purchase", "signup", "error", "view"), 1L)
+              .otherwise(0L)),
+          fk("orders.custkey_references_customer",
+            orders(s, d), customer(s, d), "o_custkey", "c_custkey"),
+          fk("lineitem.orderkey_references_orders",
+            lineitem(s, d), orders(s, d), "l_orderkey", "o_orderkey"),
+          dims)
+          .reduce(_ unionAll _)
+          .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+          .orderBy("check_name")
+      },
+      Some("SELECT check_name, n_checked, n_violations, " +
+        "CAST(n_violations = 0 AS INTEGER) AS pass FROM (" +
+        "SELECT 'documents.doc_id_unique' AS check_name, count(*) AS n_checked, " +
+        "count(*) - count(DISTINCT doc_id) AS n_violations FROM documents " +
+        "UNION ALL SELECT 'documents.text_not_null', count(*), " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'documents.n_chars_consistent', count(*), " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'events.value_non_negative', count(*), " +
+        "CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'events.event_type_in_domain', count(*), " +
+        "CAST(sum(CASE WHEN event_type NOT IN ('click','purchase','signup','error','view') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'orders.custkey_references_customer', " +
+        "(SELECT count(*) FROM orders), " +
+        "(SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE c.c_custkey IS NULL) " +
+        "UNION ALL SELECT 'lineitem.orderkey_references_orders', " +
+        "(SELECT count(*) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderkey IS NULL) " +
+        "UNION ALL SELECT 'embeddings.dim_constant', count(*), " +
+        "CAST(sum(CASE WHEN len(embedding) <> (SELECT max(len(embedding)) FROM embeddings) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings" +
+        ") t ORDER BY check_name"))
   )
 }

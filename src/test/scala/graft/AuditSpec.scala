@@ -150,4 +150,41 @@ class AuditSpec extends AnyFunSuite {
       .toMap
     assert(got == expected)
   }
+
+  test("q102 expectations: every check fires on a deliberately dirty corpus") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty-")
+      .toFile.getAbsolutePath
+    Seq( // dup id 1; null text on 3; n_chars wrong on 4
+      (1L, "a b c", "en", "s1", 5L), (1L, "d e f", "en", "s1", 5L),
+      (3L, null.asInstanceOf[String], "en", "s1", 0L),
+      (4L, "ab", "en", "s1", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", -5.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "hover", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((100L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet") // custkey 1 has no customer row
+    Seq((2L, "x")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((999L, 1L)).toDF("l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet") // orderkey 999 has no order
+
+    val got = SparkEntry.queries("q102_expectations")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(got("documents.doc_id_unique") == ((1L, 0)))
+    assert(got("documents.text_not_null") == ((1L, 0)))
+    assert(got("documents.n_chars_consistent") == ((1L, 0)))
+    assert(got("events.value_non_negative") == ((1L, 0)))
+    assert(got("events.event_type_in_domain") == ((1L, 0)))
+    assert(got("orders.custkey_references_customer") == ((1L, 0)))
+    assert(got("lineitem.orderkey_references_orders") == ((1L, 0)))
+    assert(got("embeddings.dim_constant") == ((1L, 0)))
+  }
 }
