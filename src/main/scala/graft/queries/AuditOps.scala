@@ -326,12 +326,37 @@ object AuditOps {
     // check's max is a 1-row broadcast. Output is 8 rows.
     Q("q102_expectations",
       (s, d) => {
-        import org.apache.spark.sql.Column
-        def scan(name: String, df: DataFrame, viol: Column) =
-          df.agg(count(lit(1)).cast("long").as("n_checked"),
-            sum(viol.cast("long")).cast("long").as("n_violations"))
-            .select(lit(name).as("check_name"),
-              col("n_checked"), col("n_violations"))
+        // ALL the checks on a table fuse into ONE aggregation pass (one
+        // scan, one 1-row partial-agg exchange per table — the shape a
+        // 100 TB validation must have); the 1-row wide result unpivots to
+        // report rows with a map-side stack(). FK checks stay anti-joins
+        // on the key; the dim check's max rides the same fused pass via
+        // a self cross-join of its own 1-row aggregate.
+        def viol(c: org.apache.spark.sql.Column) =
+          sum(c.cast("long")).cast("long")
+        val docs = documents(s, d)
+          .agg(count(lit(1)).cast("long").as("c"),
+            (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
+              .as("v_uniq"),
+            viol(when(col("text").isNull, 1L).otherwise(0L)).as("v_null"),
+            viol(when(col("text").isNotNull &&
+              col("n_chars") =!= length(col("text")).cast("long"), 1L)
+              .otherwise(0L)).as("v_chars"))
+          .selectExpr("stack(3, " +
+            "'documents.doc_id_unique', c, v_uniq, " +
+            "'documents.text_not_null', c, v_null, " +
+            "'documents.n_chars_consistent', c, v_chars) " +
+            "AS (check_name, n_checked, n_violations)")
+        val ev = events(s, d)
+          .agg(count(lit(1)).cast("long").as("c"),
+            viol(when(col("value") < 0, 1L).otherwise(0L)).as("v_neg"),
+            viol(when(!col("event_type").isin(
+              "click", "purchase", "signup", "error", "view"), 1L)
+              .otherwise(0L)).as("v_dom"))
+          .selectExpr("stack(2, " +
+            "'events.value_non_negative', c, v_neg, " +
+            "'events.event_type_in_domain', c, v_dom) " +
+            "AS (check_name, n_checked, n_violations)")
         def fk(name: String, child: DataFrame, parent: DataFrame,
             ck: String, pk: String) =
           child.agg(count(lit(1)).cast("long").as("n_checked"))
@@ -340,36 +365,15 @@ object AuditOps {
                 .agg(count(lit(1)).cast("long").as("n_violations")))
             .select(lit(name).as("check_name"),
               col("n_checked"), col("n_violations"))
-        val docs = documents(s, d)
-        val ev = events(s, d)
         val emb = embeddings(s, d)
-        val dmax = emb.agg(max(size(col("embedding"))).as("dmax"))
-        val dims = emb.crossJoin(broadcast(dmax))
+        val dims = emb.crossJoin(
+            broadcast(emb.agg(max(size(col("embedding"))).as("dmax"))))
           .agg(count(lit(1)).cast("long").as("n_checked"),
-            sum(when(size(col("embedding")) =!= col("dmax"), 1L)
-              .otherwise(0L)).cast("long").as("n_violations"))
+            viol(when(size(col("embedding")) =!= col("dmax"), 1L)
+              .otherwise(0L)).as("n_violations"))
           .select(lit("embeddings.dim_constant").as("check_name"),
             col("n_checked"), col("n_violations"))
-        val uniq = docs
-          .agg(count(lit(1)).cast("long").as("n_checked"),
-            (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
-              .as("n_violations"))
-          .select(lit("documents.doc_id_unique").as("check_name"),
-            col("n_checked"), col("n_violations"))
-        Seq(
-          uniq,
-          scan("documents.text_not_null", docs,
-            when(col("text").isNull, 1L).otherwise(0L)),
-          scan("documents.n_chars_consistent", docs,
-            when(col("text").isNotNull &&
-              col("n_chars") =!= length(col("text")).cast("long"), 1L)
-              .otherwise(0L)),
-          scan("events.value_non_negative", ev,
-            when(col("value") < 0, 1L).otherwise(0L)),
-          scan("events.event_type_in_domain", ev,
-            when(!col("event_type").isin(
-              "click", "purchase", "signup", "error", "view"), 1L)
-              .otherwise(0L)),
+        Seq(docs, ev,
           fk("orders.custkey_references_customer",
             orders(s, d), customer(s, d), "o_custkey", "c_custkey"),
           fk("lineitem.orderkey_references_orders",
