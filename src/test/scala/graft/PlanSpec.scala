@@ -613,6 +613,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q101 curation funnel: stage predicates ride the shared pair/shingle kernels") {
+    // warm the kernels the way a session running the dedup family does —
+    // the funnel must then read the persisted pair list and shingle
+    // index, not re-run the LSH chain
+    SparkEntry.queries("q29_lsh_neardup")(spark, TestSpark.sfDir).count()
+    val p = plan("q101_curation_funnel")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q102 expectations: one fused scan per table, stack unpivot") {
+    val p = plan("q102_expectations")
+    // all three documents checks (and both events checks) must share ONE
+    // scan — separate agg subtrees per check would re-read the table
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("stack"), p)
+  }
+
   test("q93 dup coverage: both interval branches read the shared runs table; windows keyed by doc") {
     val p = plan("q93_dup_coverage")
     // the runs kernel (shingle self-join + diagonal windows) is the heavy
