@@ -151,6 +151,23 @@ class AuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q103 snapshot churn: partition identities hold and both diff classes occur") {
+    val rows = SparkEntry.queries("q103_snapshot_churn")(spark, d).collect()
+    assert(rows.nonEmpty)
+    var added = 0L; var removed = 0L; var changed = 0L
+    rows.foreach { r =>
+      val Seq(nOld, nNew, nAdd, nRem, nChg, nUnc) = (1 to 6).map(r.getLong)
+      // every old doc is removed|changed|unchanged; every new doc is
+      // added|changed|unchanged — the diff is a partition of each side
+      assert(nOld == nRem + nChg + nUnc, r.toString)
+      assert(nNew == nAdd + nChg + nUnc, r.toString)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+      added += nAdd; removed += nRem; changed += nChg
+    }
+    // the deterministic snapshot views guarantee all three classes exist
+    assert(added > 0 && removed > 0 && changed > 0)
+  }
+
   test("q102 expectations: every check fires on a deliberately dirty corpus") {
     import spark.implicits._
     import java.sql.Timestamp

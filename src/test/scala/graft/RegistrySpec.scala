@@ -12,7 +12,7 @@ class RegistrySpec extends AnyFunSuite {
   test("query names are unique and well-formed") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
     // every oracle belongs to a registered query
     assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
   }
