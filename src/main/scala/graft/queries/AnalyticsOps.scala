@@ -335,11 +335,7 @@ object AnalyticsOps {
         val nd = TrainingOps.lshPairs(s, d)
           .select(col("idb").as("doc_id")).distinct()
           .withColumn("neardup", lit(1))
-        val idx = TrainingOps.shingleIndex(s, d)
-          .select(col("doc_id"), col("h1"))
-        val ev = idx.filter(col("doc_id") % 50 === 0).select("h1").distinct()
-        val hits = idx.filter(col("doc_id") % 50 =!= 0).join(ev, "h1")
-          .groupBy("doc_id").agg(countDistinct("h1").as("n_hits"))
+        val hits = TrainingOps.contaminationHits(s, d)
         val s1 = col("score") >= 0.5
         val s2 = s1 && col("doc_id") === col("keep_id")
         val s3 = s2 && col("neardup").isNull

@@ -171,10 +171,14 @@ object AuditOps {
     Q("q98_ann_recall",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = embeddings(s, d)
-          .withColumn("qv", quantize(col("embedding")))
-          .select(col("vec_id"), col("label"), col("qv"),
-            norm2Q(col("qv")).as("n2"))
+        // quantize once: the frame feeds both tiers AND the probe panel
+        // (plus the final left join's key side) — the q95 hashed-frame
+        // lesson; without the persist each consumer replays scan+quantize
+        val e = graft.util.Caches.transientPersist(
+          embeddings(s, d)
+            .withColumn("qv", quantize(col("embedding")))
+            .select(col("vec_id"), col("label"), col("qv"),
+              norm2Q(col("qv")).as("n2")))
         val probes = e
           .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
           .select(col("vec_id").as("qid"), col("label").as("qcell"),

@@ -174,6 +174,21 @@ object TrainingOps {
     * inverted-index self-join shuffles 8-byte hashes, never shingle
     * text; pair volume is bounded by true overlap, never all-pairs.
     */
+  /** Decontamination hit counts — (doc_id, n_hits): distinct shingles a
+    * training doc (doc_id % 50 ≠ 0) shares with the eval split
+    * (doc_id % 50 = 0). THE kernel of q65, shared with q101's funnel
+    * stage so the two can never diverge; rides the shared shingle index.
+    */
+  private[queries] def contaminationHits(s: SparkSession, d: String): DataFrame = {
+    val idx = shingleIndex(s, d).select(col("doc_id"), col("h1"))
+    val eval = idx.filter(col("doc_id") % 50 === 0)
+      .select(col("h1")).distinct()
+    idx.filter(col("doc_id") % 50 =!= 0)
+      .join(eval, "h1")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h1")).as("n_hits"))
+  }
+
   private[queries] def pairIntersections(s: SparkSession, d: String): DataFrame =
     // a SHARED materialized view like the shingle index itself: the
     // inverted-index self-join + intersect counts are the exact common
@@ -1619,16 +1634,7 @@ object TrainingOps {
     // ever forms outside a genuinely shared shingle — candidate volume is
     // bounded by true overlap, not corpus size.
     Q("q65_decontaminate",
-      (s, d) => {
-        val idx = shingleIndex(s, d).select(col("doc_id"), col("h1"))
-        val eval = idx.filter(col("doc_id") % 50 === 0)
-          .select(col("h1")).distinct()
-        idx.filter(col("doc_id") % 50 =!= 0)
-          .join(eval, "h1")
-          .groupBy("doc_id")
-          .agg(countDistinct(col("h1")).as("n_hits"))
-          .orderBy("doc_id")
-      },
+      (s, d) => contaminationHits(s, d).orderBy("doc_id"),
       Some(s"WITH $shCte, $shhCte, " +
         "ev AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0) " +
         "SELECT t.doc_id, count(DISTINCT t.h1) AS n_hits " +

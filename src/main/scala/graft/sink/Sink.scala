@@ -146,26 +146,35 @@ object Sink {
     * batch probe touches only its band-collision buckets.
     */
   def writeFingerprints(docs: DataFrame, path: String): Unit =
-    writeFp(docs, path, SaveMode.Overwrite)
+    writeFp(docs, path, "base")
 
-  /** Append a batch's fingerprints to an existing [[writeFingerprints]]
+  /** Add a batch's fingerprints to an existing [[writeFingerprints]]
     * index — the index-maintenance step after a [[probeFingerprints]]
     * pass admits its fresh documents (the streaming flow's state write,
     * [[graft.streaming.Streaming.incrementalDedup]]). Same tables, same
-    * conventions; each call adds only the batch's own rows.
+    * conventions. Each batch owns its `batch=<tag>` partition directory
+    * and the write OVERWRITES that partition, so a replayed batch (the
+    * at-least-once foreachBatch case) replaces its own prior
+    * contribution instead of duplicating rows — duplicated postings
+    * would silently double every future probe's intersection counts.
     */
-  def appendFingerprints(docs: DataFrame, path: String): Unit =
-    writeFp(docs, path, SaveMode.Append)
+  def appendFingerprints(docs: DataFrame, path: String, batch: String): Unit =
+    writeFp(docs, path, batch)
 
-  private def writeFp(docs: DataFrame, path: String, mode: SaveMode): Unit = {
+  private def writeFp(docs: DataFrame, path: String, batch: String): Unit = {
+    // every writer targets its own batch=<tag> partition subdirectory
+    // (standard partition-discovery layout, so index reads of the table
+    // roots see one unified table); Overwrite scoped to that directory
+    // makes every write — base build or batch append — idempotent
+    require(batch.matches("[A-Za-z0-9_-]+"), s"unsafe batch tag: $batch")
     val (exact, bands, postings) =
       graft.queries.TrainingOps.fingerprintTables(docs)
     exact.repartition(col("h"))
-      .write.mode(mode).parquet(s"$path/exact")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/exact/batch=$batch")
     bands.repartition(col("bandkey"))
-      .write.mode(mode).parquet(s"$path/bands")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands/batch=$batch")
     postings.repartition(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode(mode).parquet(s"$path/shingles")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/shingles/batch=$batch")
   }
 
   /** Incremental dedup of a new batch against a [[writeFingerprints]]
@@ -183,13 +192,18 @@ object Sink {
     import org.apache.spark.sql.functions._
     val (bExact, bBands, bPost) =
       graft.queries.TrainingOps.fingerprintTables(batch)
+    // self-match guards: a batch doc whose doc_id is ALREADY indexed (a
+    // replayed batch, or a re-probe of an admitted day) must not be
+    // reported as a duplicate of itself in either tier
     val exact = bExact
       .join(spark.read.parquet(s"$path/exact")
         .select(col("h"), col("doc_id").as("pid")), "h")
+      .filter(col("pid") =!= col("doc_id"))
       .groupBy("doc_id").agg(min("pid").as("exact_of"))
     val cand = bBands.as("a")
       .join(spark.read.parquet(s"$path/bands").as("b"),
-        col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey"))
+        col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
+          && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("near_of"),
         col("a.n").as("nb"), col("b.n").as("ns"))
       .distinct()

@@ -102,10 +102,12 @@ object Streaming {
     * micro-batch of (doc_id, text) rows is probed with
     * [[graft.sink.Sink.probeFingerprints]] — exact content-hash tier,
     * then LSH band buckets + exact-Jaccard verify at θ = 0.8 — its
-    * verdict rows (doc_id, verdict, dup_of, jacc, batch_id) are appended
-    * to `outPath`, and the FRESH documents' fingerprints are appended to
-    * the index, so later micro-batches dedup against both the standing
-    * corpus and everything the stream has already admitted.
+    * verdict rows (doc_id, verdict, dup_of, jacc) land under
+    * `outPath/batch=<id>/`, and the FRESH documents' fingerprints are
+    * written to the index under the batch's own partition, so later
+    * micro-batches dedup against both the standing corpus and everything
+    * the stream has already admitted. Both writes are per-batch-scoped
+    * Overwrites — idempotent under foreachBatch's at-least-once replay.
     *
     * Why foreachBatch rather than the state store: the dedup state here
     * is the corpus-lifetime fingerprint index — it must outlive the
@@ -129,13 +131,20 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // IDEMPOTENT side effects for foreachBatch's at-least-once
+        // contract: both writes are Overwrites scoped to this batch's
+        // own batch=<id> partition directory, so a replayed micro-batch
+        // replaces its prior contribution — an append here would
+        // duplicate verdict rows and, worse, double the replayed batch's
+        // postings in the index (doubling every future probe's
+        // intersection counts). probeFingerprints' self-match guard
+        // keeps a replayed doc from reading as a duplicate of itself.
         val v = graft.util.Caches.transientPersist(
-          graft.sink.Sink.probeFingerprints(batch, indexPath)
-            .withColumn("batch_id", lit(batchId)))
-        v.write.mode("append").parquet(outPath)
+          graft.sink.Sink.probeFingerprints(batch, indexPath))
+        v.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val fresh = batch.join(
           v.filter(col("verdict") === "fresh").select("doc_id"), "doc_id")
-        graft.sink.Sink.appendFingerprints(fresh, indexPath)
+        graft.sink.Sink.appendFingerprints(fresh, indexPath, s"b$batchId")
         v.unpersist()
         ()
       }

@@ -73,6 +73,19 @@ class SinkSpec extends AnyFunSuite {
     // and the index layout is the documented three tables
     for (t <- Seq("exact", "bands", "shingles"))
       assert(spark.read.parquet(s"$dir/$t").count() > 0, t)
+
+    // batch-append idempotency + self-match guard: admitting the batch
+    // and REPLAYING the append (the at-least-once foreachBatch case)
+    // must leave the index with one copy of the batch's rows, and
+    // re-probing the admitted batch must never report a doc as a
+    // duplicate of itself
+    Sink.appendFingerprints(batch, dir, "b0")
+    val once = spark.read.parquet(s"$dir/shingles").count()
+    Sink.appendFingerprints(batch, dir, "b0") // replay
+    assert(spark.read.parquet(s"$dir/shingles").count() == once)
+    val reprobe = Sink.probeFingerprints(batch, dir).collect()
+    assert(reprobe.forall(r => Option(r.get(2)).forall(_ != r.getLong(0))),
+      "self-match leaked through the guard")
   }
 
   test("upsertJdbc: same conflict-ignore semantics against an embedded JDBC db") {

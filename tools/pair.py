@@ -42,7 +42,6 @@ def main():
          tmp, "__oracle_dump_only__"],
         check=True, capture_output=True)
     oracle_path = f"{tmp}/oracle_sql.json"
-    oracle = json.load(open(oracle_path))
 
     load0 = loadavg()
 
