@@ -1593,6 +1593,61 @@ object TrainingOps {
         "AND alpha_frac > 0.8 AND n_stop >= 2 AS INTEGER) AS passes " +
         "FROM s ORDER BY doc_id")),
 
+    // Temperature-balanced language resampling (the mT5/UniMax multilingual
+    // mixing step): token mass per language, target share ∝ mass^(1/τ)
+    // with τ = 2 — deliberately, because mass^(1/2) is sqrt(), the ONE
+    // power correctly rounded by every libm (the q52 lesson bars pow/ln;
+    // τ=2 is also the common published choice) — and a deterministic
+    // md5-coin keep at rate sqrt(min_mass/mass_l), so the
+    // smallest language keeps 100% and each larger one is downsampled
+    // toward the tempered share. The keep threshold is the repo's 2^20
+    // fixed-point convention: floor(rate·2^20) compared against an
+    // integer coin — both engines floor the SAME double, so acceptance
+    // is bit-identical. Scale: one partial-agg pass for masses
+    // (|langs| rows — a bounded code domain, so its broadcast back is
+    // the q83 stratum argument), one map-side keep pass, one final
+    // |langs|-group agg; the doc-level corpus is touched exactly twice
+    // and the persisted base frame makes that one scan.
+    Q("q104_language_temperature",
+      (s, d) => {
+        val base = graft.util.Caches.transientPersist(
+          documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("lang"),
+              size(words(col("text"))).cast("long").as("n_tok"),
+              pmod(Hashing.md5Long(
+                concat(col("doc_id").cast("string"), lit(":lt"))),
+                lit(1048576L)).as("coin")))
+        val mass = base.groupBy("lang")
+          .agg(sum("n_tok").as("mass"), count(lit(1)).as("n_docs"))
+        val rated = mass
+          .crossJoin(broadcast(mass.agg(min("mass").as("min_mass"))))
+          .withColumn("rate",
+            sqrt(col("min_mass").cast("double") / col("mass")))
+          .withColumn("thr", floor(col("rate") * lit(1048576.0)))
+        base.join(broadcast(rated), "lang")
+          .withColumn("keep", (col("coin") < col("thr")).cast("long"))
+          .groupBy("lang")
+          .agg(first("n_docs").as("n_docs"), first("mass").as("mass"),
+            first("rate").as("rate"),
+            sum("keep").as("n_kept"),
+            sum(col("keep") * col("n_tok")).as("kept_mass"))
+          .orderBy("lang")
+      },
+      Some("WITH t AS (SELECT doc_id, lang, " +
+        "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok, " +
+        s"${oMd5Long("CAST(doc_id AS VARCHAR) || ':lt'")} % 1048576 AS coin " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS mass, count(*) AS n_docs FROM t GROUP BY 1), " +
+        "mm AS (SELECT min(mass) AS min_mass FROM m), " +
+        "r AS (SELECT lang, mass, n_docs, " +
+        "sqrt(CAST(min_mass AS DOUBLE) / mass) AS rate, " +
+        "CAST(floor(sqrt(CAST(min_mass AS DOUBLE) / mass) * 1048576.0) AS BIGINT) AS thr " +
+        "FROM m, mm) " +
+        "SELECT t.lang, r.n_docs, r.mass, r.rate, " +
+        "CAST(sum(CASE WHEN coin < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN coin < thr THEN n_tok ELSE 0 END) AS BIGINT) AS kept_mass " +
+        "FROM t JOIN r USING (lang) GROUP BY 1, 2, 3, 4 ORDER BY 1")),
+
     // PII scrubbing: detect + redact emails, IPv4s, phone numbers — the
     // compliance pass every training corpus runs before release. Counts
     // come off the ORIGINAL text per class; redaction replaces each class

@@ -81,6 +81,36 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q104 language temperature matches a driver-side sqrt-rate recomputation") {
+    val md = MessageDigest.getInstance("MD5")
+    def coin(docId: Long): Long = {
+      val hex = md.digest(s"$docId:lt".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1048576
+    }
+    val rows = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .filter(r => !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("[ \\t\\n\\u000B\\f\\r]+").length.toLong))
+    val mass = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val minMass = mass.values.min
+    val expected = rows.groupBy(_._2).map { case (lang, g) =>
+      val rate = math.sqrt(minMass.toDouble / mass(lang))
+      val thr = math.floor(rate * 1048576.0).toLong
+      val kept = g.filter(t => coin(t._1) < thr)
+      (lang, g.size.toLong, mass(lang), rate,
+        kept.size.toLong, kept.map(_._3).sum)
+    }.toSet
+    val got = run("q104_language_temperature")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the smallest language must survive whole (rate 1.0, nothing dropped)
+    val smallest = expected.find(_._3 == minMass).get
+    assert(smallest._4 == 1.0 && smallest._5 == smallest._2)
+  }
+
   test("q69 vocab top-k matches a driver-side count with the same tie-break") {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     val texts = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
