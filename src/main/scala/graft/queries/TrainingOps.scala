@@ -1593,6 +1593,42 @@ object TrainingOps {
         "AND alpha_frac > 0.8 AND n_stop >= 2 AS INTEGER) AS passes " +
         "FROM s ORDER BY doc_id")),
 
+    // Fixed-size overlapping chunk windows (64-token chunks, stride 48 —
+    // 16-token overlap): the document-splitting step a RAG index or a
+    // long-context training pipeline runs before embedding/packing.
+    // Entirely map-side: starts = sequence(0, n-1, stride) exploded on
+    // the document's own row, chunk = slice of the bound token array,
+    // digest = md5 of the space-joined chunk so every chunk is
+    // cross-engine content-pinned (the q43 digest convention).
+    // chunk_idx = start/stride (exact — starts are stride multiples) so
+    // both engines derive the ordinal from the data, not from explode
+    // order. At 100 TB this is an embarrassingly parallel generator with
+    // ~n/stride output rows per doc; the presentation sort is the only
+    // exchange.
+    Q("q105_chunk_windows",
+      (s, d) => {
+        val ws = col("ws")
+        val chunk = slice(ws, col("start") + 1, lit(64))
+        docTextLean(s, d).filter(col("text").isNotNull)
+          .withColumn("ws", words(col("text")))
+          .select(col("doc_id"), ws,
+            explode(sequence(lit(0), size(ws) - 1, lit(48))).as("start"))
+          .select(col("doc_id"),
+            (col("start") / lit(48)).cast("long").as("chunk_idx"),
+            size(chunk).cast("long").as("n_tokens"),
+            md5(array_join(chunk, " ")).as("digest"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS start FROM t), " +
+        "k AS (SELECT doc_id, start // 48 AS chunk_idx, " +
+        "list_slice(ws, start + 1, start + 64) AS chunk FROM c) " +
+        "SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(chunk, ' ')) AS digest " +
+        "FROM k ORDER BY doc_id, chunk_idx")),
+
     // Temperature-balanced language resampling (the mT5/UniMax multilingual
     // mixing step): token mass per language, target share ∝ mass^(1/τ)
     // with τ = 2 — deliberately, because mass^(1/2) is sqrt(), the ONE

@@ -207,6 +207,25 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(rows.values.forall(_.getInt(8) == 0)) // none passes word-count floor
   }
 
+  test("q105: chunk boundaries hand-computed — stride overlap, short tails, 1-token doc") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-chunk-")
+      .toFile.getAbsolutePath
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq((0L, toks(100)), (1L, toks(64)), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q105_chunk_windows")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 100 tokens → starts 0/48/96 → chunk sizes 64, 52, 4
+    assert(got((0L, 0L)) == 64L && got((0L, 1L)) == 52L && got((0L, 2L)) == 4L)
+    // 64 tokens → starts 0/48 → sizes 64, 16 (the 16-token overlap tail)
+    assert(got((1L, 0L)) == 64L && got((1L, 1L)) == 16L)
+    assert(got((2L, 0L)) == 1L) // single token: one chunk
+    assert(got((3L, 0L)) == 1L) // empty text: one empty-token chunk
+    assert(got.size == 7)
+  }
+
   test("q82: byte-identical twins cluster; exactly one keeps, the smaller id") {
     val rows = run("q82_dedup_keep_best")
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
