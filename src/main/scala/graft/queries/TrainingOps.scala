@@ -2477,6 +2477,60 @@ object TrainingOps {
     // equi-join on `bucket` against 7 broadcast probe values — the 100 TB
     // path never scores beyond the probed buckets, and near-boundary
     // neighbors a single probe drops are recovered.
+    // Hard-negative mining (contrastive/retrieval training's negative
+    // sampling): for each probe vector (q98's deterministic md5 panel),
+    // the top-5 IN-CELL vectors whose cosine falls in the hard band
+    // [0.35, 0.75) — similar enough to be informative, below the
+    // near-dup region. Scale: the probe panel is the only broadcast
+    // (bounded audit/mining contract, the q98 argument), candidates are
+    // restricted to the probe's IVF cell (never probe × corpus), cosines
+    // are exact int64-dot ratios (band compares identical doubles in
+    // both engines), and the per-probe top-5 plans a partial
+    // WindowGroupLimit below the qid exchange.
+    Q("q106_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = graft.util.Caches.transientPersist(
+          embeddings(s, d)
+            .withColumn("qv", quantize(col("embedding")))
+            .select(col("vec_id"), col("label"), col("qv"),
+              norm2Q(col("qv")).as("n2")))
+        val probes = e
+          .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qcell"),
+            col("qv").as("query_v"), col("n2").as("qn2"))
+        val wq = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.join(broadcast(probes),
+            col("label") === col("qcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosQ(dotQ(col("qv"), col("query_v")), col("n2"), col("qn2")).as("cos"))
+          .filter(col("cos") >= 0.35 && col("cos") < 0.75)
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("cos"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"WITH ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
+        "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
+        "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY 1), " +
+        s"p AS (SELECT vec_id AS qid, label AS qcell FROM ev " +
+        s"WHERE ${oMd5Long("vec_id::VARCHAR")} % 31 = 0), " +
+        "dots AS (SELECT p.qid, e.vec_id, CAST(SUM(e.x * q.x) AS BIGINT) AS dot " +
+        "FROM p JOIN ee q ON q.vec_id = p.qid " +
+        "JOIN ev ON ev.label = p.qcell AND ev.vec_id <> p.qid " +
+        "JOIN ee e ON e.vec_id = ev.vec_id AND e.pos = q.pos " +
+        "GROUP BY 1, 2), " +
+        "cs AS (SELECT d.qid, d.vec_id, " +
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(ne.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cos " +
+        "FROM dots d JOIN n ne ON d.vec_id = ne.vec_id JOIN n nq ON d.qid = nq.vec_id), " +
+        "b AS (SELECT qid, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk " +
+        "FROM cs WHERE cos >= 0.35 AND cos < 0.75) " +
+        "SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos FROM b " +
+        "WHERE rk <= 5 ORDER BY qid, rk")),
+
     Q("q48_ann_topk",
       (s, d) => {
         val bk = hyperBuckets(s, d, 6)

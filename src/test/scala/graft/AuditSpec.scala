@@ -109,6 +109,28 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q106 hard negatives match a driver-side in-cell band recomputation") {
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val probes = vecs.filter(v => java.lang.Math.floorMod(h1(v._1.toString), 31L) == 0L)
+    val expected = probes.flatMap { p =>
+      vecs.filter(v => v._2 == p._2 && v._1 != p._1)
+        .map(v => (v._1, cos(v._3, p._3)))
+        .filter { case (_, c) => c >= 0.35 && c < 0.75 }
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, c), i) => (p._1, (i + 1).toLong, id, c) }
+    }.toSet
+    val got = SparkEntry.queries("q106_hard_negatives")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the frozen corpus has band pairs — a zero here
+    // means the band or panel drifted
+  }
+
   test("q98 top-10 cuts plan partial WindowGroupLimits below the qid exchange") {
     val p = SparkEntry.queries("q98_ann_recall")(spark, d)
       .queryExecution.executedPlan.toString
