@@ -85,7 +85,12 @@ object ScaleCheck {
     // be ≈1); the curation funnel stacks the LSH pair kernel, the shingle
     // index and the quality join — the composed-endpoint slope, expected
     // to track q82's
-    "q100_gopher_rules", "q101_curation_funnel")
+    "q100_gopher_rules", "q101_curation_funnel",
+    // r10c: chunk windows pin the generator family's slope (map-side,
+    // ~n/stride output rows); hard negatives pin the probe-panel × cell
+    // restriction — the probe panel GROWS with the corpus here (md5
+    // coin), so its slope is the honest audit-shape number, like q96's
+    "q105_chunk_windows", "q106_hard_negatives")
 
   private[graft] def generate(
       spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
