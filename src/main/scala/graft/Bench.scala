@@ -157,9 +157,18 @@ object Bench {
     def line(fmt: Double => String, sidecar: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + key(k, sidecar) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // stdout caps the failed list at 10 names + a count: with 100+
+      // queries an everyone-failed list alone would blow the 2000-char
+      // window, and the first failures + the count are what a broken-run
+      // triage needs; the sidecar always carries the full list
+      val failedShown = if (sidecar) failed else failed.take(10)
       val failedJson =
         if (failed.isEmpty && !sidecar) ""
-        else failed.map("\"" + key(_, sidecar) + "\"").mkString(""","failed":[""", ",", "]")
+        else {
+          val n = if (sidecar) "" else s""""failed_n":${failed.size},"""
+          failedShown.map("\"" + key(_, sidecar) + "\"")
+            .mkString(s""",$n"failed":[""", ",", "]")
+        }
       // "passes" rides only in the sidecar: every stdout byte competes
       // with the 2000-char capture window (BenchArtifactSpec pins the
       // worst-case budget)

@@ -25,11 +25,14 @@ class BenchArtifactSpec extends AnyFunSuite {
     val entries = shorts.map(_.length + 2 + 1 + 6)
     val prefix = """{"metric":"total","value":99999.999,"unit":"sec","queries":{""".length
     val suffix = """},"sf":"sf0.001"}""".length
-    // Bench appends `"failed":[...]` when any query crashes — budget the
-    // worst case (EVERY query failing) so a crashing pass still yields a
-    // parseable tail, which is exactly when the artifact matters most
-    val failedWorst = ""","failed":[""".length +
-      shorts.map(_.length + 2).sum + (shorts.size - 1) + 1
+    // Bench appends `"failed_n":N,"failed":[...]` when queries crash,
+    // capped at the FIRST 10 names on stdout (the sidecar carries the
+    // full list) — budget that worst case so a crashing pass still
+    // yields a parseable tail, which is exactly when the artifact
+    // matters most
+    val failedNames = shorts.sortBy(-_.length).take(10)
+    val failedWorst = s""","failed_n":${shorts.size},"failed":[""".length +
+      failedNames.map(_.length + 2).sum + (failedNames.size - 1) + 1
     val worst = prefix + entries.sum + (entries.size - 1) + suffix + failedWorst
     assert(worst < 2000,
       s"projected bench JSON line $worst chars for ${benched.size} benched queries — " +
