@@ -171,18 +171,11 @@ object AuditOps {
     Q("q98_ann_recall",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // quantize once: the frame feeds both tiers AND the probe panel
-        // (plus the final left join's key side) — the q95 hashed-frame
-        // lesson; without the persist each consumer replays scan+quantize
-        val e = graft.util.Caches.transientPersist(
-          embeddings(s, d)
-            .withColumn("qv", quantize(col("embedding")))
-            .select(col("vec_id"), col("label"), col("qv"),
-              norm2Q(col("qv")).as("n2")))
-        val probes = e
-          .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
-          .select(col("vec_id").as("qid"), col("label").as("qcell"),
-            col("qv").as("query_v"), col("n2").as("qn2"))
+        // the SHARED quantized frame + probe panel (q106 mines the same
+        // panel this audit measures — TrainingOps.quantizedPanel is the
+        // one definition of both); the persist inside it means the five
+        // consumers here pay one scan+quantize
+        val (e, probes) = TrainingOps.quantizedPanel(s, d)
         val wq = Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("vec_id").asc)
         def scored(cand: DataFrame): DataFrame = cand
@@ -328,75 +321,6 @@ object AuditOps {
     // rows here for the report shape), the FK checks are anti-joins on
     // the key — the join a 100 TB validation pays anyway — and the dim
     // check's max is a 1-row broadcast. Output is 8 rows.
-    // Snapshot churn: the crawl-over-crawl diff report (what changed
-    // between two corpus snapshots, per source) — the number a curator
-    // reads before deciding whether a re-crawl warrants a re-dedup and
-    // shard rebuild. Snapshots are deterministic views of the corpus
-    // (old = doc_id % 10 <> 0, new = doc_id % 10 <> 5 — 80% overlap;
-    // re-crawled pages simulated by suffixing text on doc_id % 7 = 0),
-    // so both engines derive identical sides. Diff = ONE full-outer
-    // self-join on doc_id comparing content hashes — the exact-hash
-    // tier's machinery, at snapshot granularity: added (old side NULL),
-    // removed (new side NULL), changed (hashes differ), else unchanged;
-    // churn = changed+added+removed over the union, an integer-ratio
-    // double. Scale: two projections of one table scan, one doc_id
-    // shuffle each side, ≤|sources| result groups — at 100 TB this is
-    // the cheapest question one can ask of two crawls (16-byte hashes,
-    // never text comparison).
-    Q("q103_snapshot_churn",
-      (s, d) => {
-        val base = documents(s, d).filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"), col("text"))
-        val old = base.filter(col("doc_id") % 10 =!= 0)
-          .select(col("doc_id"), col("source").as("src_o"),
-            Hashing.simpleHash(col("text")).as("h_o"))
-        val neu = base.filter(col("doc_id") % 10 =!= 5)
-          .select(col("doc_id"), col("source").as("src_n"),
-            Hashing.simpleHash(
-              when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-                .otherwise(col("text"))).as("h_n"))
-        def cnt(c: org.apache.spark.sql.Column, n: String) =
-          sum(c.cast("long")).cast("long").as(n)
-        old.join(neu, Seq("doc_id"), "full_outer")
-          .select(coalesce(col("src_o"), col("src_n")).as("source"),
-            col("h_o"), col("h_n"))
-          .groupBy("source")
-          .agg(cnt(col("h_o").isNotNull, "n_old"),
-            cnt(col("h_n").isNotNull, "n_new"),
-            cnt(col("h_o").isNull, "n_added"),
-            cnt(col("h_n").isNull, "n_removed"),
-            cnt(col("h_o").isNotNull && col("h_n").isNotNull &&
-              col("h_o") =!= col("h_n"), "n_changed"),
-            cnt(col("h_o").isNotNull && col("h_n").isNotNull &&
-              col("h_o") === col("h_n"), "n_unchanged"))
-          .withColumn("churn",
-            (col("n_added") + col("n_removed") + col("n_changed"))
-              .cast("double") /
-              (col("n_added") + col("n_removed") + col("n_changed") +
-                col("n_unchanged")))
-          .orderBy("source")
-      },
-      Some("WITH base AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL), " +
-        "o AS (SELECT doc_id, source AS src_o, " +
-        "md5(regexp_replace(text, '\\s+', '', 'g')) AS h_o FROM base WHERE doc_id % 10 <> 0), " +
-        "n AS (SELECT doc_id, source AS src_n, " +
-        "md5(regexp_replace(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, " +
-        "'\\s+', '', 'g')) AS h_n FROM base WHERE doc_id % 10 <> 5), " +
-        "f AS (SELECT coalesce(src_o, src_n) AS source, h_o, h_n " +
-        "FROM o FULL OUTER JOIN n USING (doc_id)), " +
-        "g AS (SELECT source, " +
-        "CAST(sum(CASE WHEN h_o IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old, " +
-        "CAST(sum(CASE WHEN h_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
-        "CAST(sum(CASE WHEN h_o IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
-        "CAST(sum(CASE WHEN h_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
-        "CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL AND h_o <> h_n THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
-        "CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL AND h_o = h_n THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged " +
-        "FROM f GROUP BY source) " +
-        "SELECT source, n_old, n_new, n_added, n_removed, n_changed, n_unchanged, " +
-        "CAST(n_added + n_removed + n_changed AS DOUBLE) / " +
-        "(n_added + n_removed + n_changed + n_unchanged) AS churn " +
-        "FROM g ORDER BY source")),
-
     Q("q102_expectations",
       (s, d) => {
         // ALL the checks on a table fuse into ONE aggregation pass (one
@@ -480,6 +404,78 @@ object AuditOps {
         "UNION ALL SELECT 'embeddings.dim_constant', count(*), " +
         "CAST(sum(CASE WHEN len(embedding) <> (SELECT max(len(embedding)) FROM embeddings) " +
         "THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings" +
-        ") t ORDER BY check_name"))
+        ") t ORDER BY check_name")),
+
+    // Snapshot churn: the crawl-over-crawl diff report (what changed
+    // between two corpus snapshots, per source) — the number a curator
+    // reads before deciding whether a re-crawl warrants a re-dedup and
+    // shard rebuild. Snapshots are deterministic views of the corpus
+    // (old = doc_id % 10 <> 0, new = doc_id % 10 <> 5 — 80% overlap;
+    // re-crawled pages simulated by suffixing text on doc_id % 7 = 0),
+    // so both engines derive identical sides. Diff = ONE full-outer
+    // self-join on doc_id comparing content hashes — the exact-hash
+    // tier's machinery, at snapshot granularity: added (old side NULL),
+    // removed (new side NULL), changed (hashes differ), else unchanged;
+    // churn = changed+added+removed over the union, an integer-ratio
+    // double. Scale: both snapshot sides project one transient-persisted
+    // scan (the q95 hashed-frame lesson — Spark does no cross-branch CSE,
+    // so without the persist the full-outer join's two sides would each
+    // pay their own scan+md5), one doc_id shuffle each side, ≤|sources|
+    // result groups — at 100 TB this is the cheapest question one can
+    // ask of two crawls (16-byte hashes, never text comparison).
+    Q("q103_snapshot_churn",
+      (s, d) => {
+        val base = graft.util.Caches.transientPersist(
+          documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("source"), col("text")))
+        val old = base.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("source").as("src_o"),
+            Hashing.simpleHash(col("text")).as("h_o"))
+        val neu = base.filter(col("doc_id") % 10 =!= 5)
+          .select(col("doc_id"), col("source").as("src_n"),
+            Hashing.simpleHash(
+              when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))).as("h_n"))
+        def cnt(c: org.apache.spark.sql.Column, n: String) =
+          sum(c.cast("long")).cast("long").as(n)
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src_o"), col("src_n")).as("source"),
+            col("h_o"), col("h_n"))
+          .groupBy("source")
+          .agg(cnt(col("h_o").isNotNull, "n_old"),
+            cnt(col("h_n").isNotNull, "n_new"),
+            cnt(col("h_o").isNull, "n_added"),
+            cnt(col("h_n").isNull, "n_removed"),
+            cnt(col("h_o").isNotNull && col("h_n").isNotNull &&
+              col("h_o") =!= col("h_n"), "n_changed"),
+            cnt(col("h_o").isNotNull && col("h_n").isNotNull &&
+              col("h_o") === col("h_n"), "n_unchanged"))
+          .withColumn("churn",
+            (col("n_added") + col("n_removed") + col("n_changed"))
+              .cast("double") /
+              (col("n_added") + col("n_removed") + col("n_changed") +
+                col("n_unchanged")))
+          .orderBy("source")
+      },
+      Some("WITH base AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, source AS src_o, " +
+        "md5(regexp_replace(text, '\\s+', '', 'g')) AS h_o FROM base WHERE doc_id % 10 <> 0), " +
+        "n AS (SELECT doc_id, source AS src_n, " +
+        "md5(regexp_replace(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, " +
+        "'\\s+', '', 'g')) AS h_n FROM base WHERE doc_id % 10 <> 5), " +
+        "f AS (SELECT coalesce(src_o, src_n) AS source, h_o, h_n " +
+        "FROM o FULL OUTER JOIN n USING (doc_id)), " +
+        "g AS (SELECT source, " +
+        "CAST(sum(CASE WHEN h_o IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old, " +
+        "CAST(sum(CASE WHEN h_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(sum(CASE WHEN h_o IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+        "CAST(sum(CASE WHEN h_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL AND h_o <> h_n THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+        "CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL AND h_o = h_n THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged " +
+        "FROM f GROUP BY source) " +
+        "SELECT source, n_old, n_new, n_added, n_removed, n_changed, n_unchanged, " +
+        "CAST(n_added + n_removed + n_changed AS DOUBLE) / " +
+        "(n_added + n_removed + n_changed + n_unchanged) AS churn " +
+        "FROM g ORDER BY source")),
   )
 }

@@ -174,6 +174,27 @@ object TrainingOps {
     * inverted-index self-join shuffles 8-byte hashes, never shingle
     * text; pair volume is bounded by true overlap, never all-pairs.
     */
+  /** The quantized-embedding frame + deterministic probe panel shared by
+    * the embedding-audit/mining family (q98 recall, q106 hard negatives)
+    * — THE definition of both, factored so the recall audit and the
+    * mining panel can never drift (the contaminationHits rule): one
+    * transient-persisted scan+quantize per session, probes = the
+    * md5(vec_id) % 31 coin.
+    */
+  private[queries] def quantizedPanel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = graft.util.Caches.transientPersist(
+      graft.util.Tables.embeddings(s, d)
+        .withColumn("qv", quantize(col("embedding")))
+        .select(col("vec_id"), col("label"), col("qv"),
+          norm2Q(col("qv")).as("n2")))
+    val probes = e
+      .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qcell"),
+        col("qv").as("query_v"), col("n2").as("qn2"))
+    (e, probes)
+  }
+
   /** Decontamination hit counts — (doc_id, n_hits): distinct shingles a
     * training doc (doc_id % 50 ≠ 0) shares with the eval split
     * (doc_id % 50 = 0). THE kernel of q65, shared with q101's funnel
@@ -2490,15 +2511,7 @@ object TrainingOps {
     Q("q106_hard_negatives",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = graft.util.Caches.transientPersist(
-          embeddings(s, d)
-            .withColumn("qv", quantize(col("embedding")))
-            .select(col("vec_id"), col("label"), col("qv"),
-              norm2Q(col("qv")).as("n2")))
-        val probes = e
-          .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
-          .select(col("vec_id").as("qid"), col("label").as("qcell"),
-            col("qv").as("query_v"), col("n2").as("qn2"))
+        val (e, probes) = quantizedPanel(s, d)
         val wq = Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("vec_id").asc)
         e.join(broadcast(probes),

@@ -145,8 +145,20 @@ object Sink {
     * repartition per table; the index grows with the corpus but each
     * batch probe touches only its band-collision buckets.
     */
-  def writeFingerprints(docs: DataFrame, path: String): Unit =
+  def writeFingerprints(docs: DataFrame, path: String): Unit = {
+    // a BASE build defines the whole index: clear the table roots first
+    // so it also removes every batch partition earlier streaming runs
+    // appended — without this a rebuild (e.g. the re-dedup a q103 churn
+    // report triggers) would leave stale fingerprints of removed
+    // documents matching future probes
+    val hconf = docs.sparkSession.sessionState.newHadoopConf()
+    for (t <- Seq("exact", "bands", "shingles")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     writeFp(docs, path, "base")
+  }
 
   /** Add a batch's fingerprints to an existing [[writeFingerprints]]
     * index — the index-maintenance step after a [[probeFingerprints]]

@@ -132,19 +132,32 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // IDEMPOTENT side effects for foreachBatch's at-least-once
-        // contract: both writes are Overwrites scoped to this batch's
-        // own batch=<id> partition directory, so a replayed micro-batch
-        // replaces its prior contribution — an append here would
-        // duplicate verdict rows and, worse, double the replayed batch's
-        // postings in the index (doubling every future probe's
-        // intersection counts). probeFingerprints' self-match guard
-        // keeps a replayed doc from reading as a duplicate of itself.
+        // contract, along three axes:
+        //  - the partition tag is (checkpoint-hash, batchId): a replayed
+        //    batch — same checkpoint, same id, same WAL-pinned data —
+        //    OVERWRITES its own partition (an append would duplicate
+        //    verdict rows and postings, doubling future probes'
+        //    intersection counts), while a DIFFERENT checkpoint against
+        //    the same index gets disjoint tags and can never clobber an
+        //    earlier run's admitted fingerprints;
+        //  - probeFingerprints' self-match guard keeps a replayed doc
+        //    from reading as a duplicate of itself;
+        //  - the index append anti-joins against the already-indexed ids,
+        //    so a doc REDELIVERED in a later batch (offset reset, fresh
+        //    checkpoint) — verdicted fresh thanks to that same guard —
+        //    still enters the index exactly once.
+        val runTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(checkpoint.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
         val v = graft.util.Caches.transientPersist(
           graft.sink.Sink.probeFingerprints(batch, indexPath))
         v.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val fresh = batch.join(
-          v.filter(col("verdict") === "fresh").select("doc_id"), "doc_id")
-        graft.sink.Sink.appendFingerprints(fresh, indexPath, s"b$batchId")
+        val known = batch.sparkSession.read
+          .parquet(s"$indexPath/exact").select("doc_id")
+        val fresh = batch
+          .join(v.filter(col("verdict") === "fresh").select("doc_id"), "doc_id")
+          .join(known, Seq("doc_id"), "left_anti")
+        graft.sink.Sink.appendFingerprints(fresh, indexPath, s"c${runTag}b$batchId")
         v.unpersist()
         ()
       }

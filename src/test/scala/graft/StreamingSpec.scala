@@ -186,16 +186,29 @@ class StreamingSpec extends AnyFunSuite {
       // index grew mid-stream
       in.addData((20L, "completely different words here entirely novel content stream"))
       q.processAllAvailable()
+      val postingsAfterAdmit = spark.read.parquet(s"$tmp/index/shingles").count()
+      // batch 3: doc 12 REDELIVERED (offset-reset shape) — the self-match
+      // guard keeps it from reading as its own duplicate, and the
+      // known-ids anti-join keeps its fingerprints from entering twice
+      in.addData((12L, "completely different words here entirely novel content stream"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/index/shingles").count()
+        == postingsAfterAdmit, "redelivered doc duplicated in the index")
     } finally q.stop()
 
     val out = spark.read.parquet(s"$tmp/out").collect()
-      .map(r => r.getAs[Long]("doc_id") ->
+      .map(r => (r.getAs[Number]("batch").longValue(), r.getAs[Long]("doc_id")) ->
         (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("dup_of"))
           .map(_.toLong))).toMap
-    assert(out(10L) == ("exact", Some(1L)))
-    assert(out(11L)._1 == "near" && out(11L)._2 == Some(2L))
-    assert(out(12L) == ("fresh", None))
-    assert(out(20L) == ("exact", Some(12L)), s"index did not grow: ${out(20L)}")
+    assert(out((0L, 10L)) == ("exact", Some(1L)))
+    assert(out((0L, 11L))._1 == "near" && out((0L, 11L))._2 == Some(2L))
+    assert(out((0L, 12L)) == ("fresh", None))
+    assert(out((1L, 20L)) == ("exact", Some(12L)),
+      s"index did not grow: ${out((1L, 20L))}")
+    // the redelivered doc is not its own duplicate (guard), and its
+    // near-dup relation to OTHER index docs is unchanged: 20 was never
+    // admitted (exact dup), so 12's only index presence is itself
+    assert(out((2L, 12L)) == ("fresh", None))
   }
 
   test("session windows merge within gap and split across it") {
