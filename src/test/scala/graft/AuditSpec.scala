@@ -138,6 +138,26 @@ class AuditSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("q106 top-5 cut plans a partial WindowGroupLimit; candidates stay cell-joined") {
+    val p = SparkEntry.queries("q106_hard_negatives")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q104 broadcasts only the bounded lang-rate frames; base scanned once") {
+    val df = SparkEntry.queries("q104_language_temperature")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // both broadcast sides are |langs|-row (rate table) or 1-row
+    // (min-mass) frames; the doc-level base must never broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // one persisted base: the corpus scan feeds mass agg + keep pass
+    // through the cache (InMemoryRelation's printed tree repeats its
+    // child scan, so count cache READS, not scan mentions)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+  }
+
   test("q99 MinHash calibration matches a driver-side recomputation") {
     // per-doc signature lanes min(h1 ^ b*h2) over the doc's shingles —
     // recomputed from shingle STRINGS (not the shared index)
