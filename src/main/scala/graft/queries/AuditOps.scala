@@ -173,8 +173,8 @@ object AuditOps {
         import org.apache.spark.sql.expressions.Window
         // the SHARED quantized frame + probe panel (q106 mines the same
         // panel this audit measures — TrainingOps.quantizedPanel is the
-        // one definition of both); the persist inside it means the five
-        // consumers here pay one scan+quantize
+        // one definition of both); shared-index lifetime, so the five
+        // consumers here AND q106 in the same pass pay one scan+quantize
         val (e, probes) = TrainingOps.quantizedPanel(s, d)
         val wq = Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -418,24 +418,28 @@ object AuditOps {
     // removed (new side NULL), changed (hashes differ), else unchanged;
     // churn = changed+added+removed over the union, an integer-ratio
     // double. Scale: both snapshot sides project one transient-persisted
-    // scan (the q95 hashed-frame lesson — Spark does no cross-branch CSE,
-    // so without the persist the full-outer join's two sides would each
-    // pay their own scan+md5), one doc_id shuffle each side, ≤|sources|
-    // result groups — at 100 TB this is the cheapest question one can
-    // ask of two crawls (16-byte hashes, never text comparison).
+    // scan (the q95 hashed-frame lesson — Spark does no cross-branch
+    // CSE), and the persisted frame carries the TWO 16-byte hashes, not
+    // the text — one scan+hash pass, a fixed-width cache footprint, and
+    // the old/new sides become pure column selections; one doc_id
+    // shuffle each side, ≤|sources| result groups — at 100 TB this is
+    // the cheapest question one can ask of two crawls (16-byte hashes,
+    // never text comparison).
     Q("q103_snapshot_churn",
       (s, d) => {
         val base = graft.util.Caches.transientPersist(
           documents(s, d).filter(col("text").isNotNull)
-            .select(col("doc_id"), col("source"), col("text")))
+            .select(col("doc_id"), col("source"),
+              Hashing.simpleHash(col("text")).as("h_plain"),
+              Hashing.simpleHash(
+                when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+                  .otherwise(col("text"))).as("h_recrawl")))
         val old = base.filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), col("source").as("src_o"),
-            Hashing.simpleHash(col("text")).as("h_o"))
+            col("h_plain").as("h_o"))
         val neu = base.filter(col("doc_id") % 10 =!= 5)
           .select(col("doc_id"), col("source").as("src_n"),
-            Hashing.simpleHash(
-              when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-                .otherwise(col("text"))).as("h_n"))
+            col("h_recrawl").as("h_n"))
         def cnt(c: org.apache.spark.sql.Column, n: String) =
           sum(c.cast("long")).cast("long").as(n)
         old.join(neu, Seq("doc_id"), "full_outer")

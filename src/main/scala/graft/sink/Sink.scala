@@ -146,18 +146,27 @@ object Sink {
     * batch probe touches only its band-collision buckets.
     */
   def writeFingerprints(docs: DataFrame, path: String): Unit = {
-    // a BASE build defines the whole index: clear the table roots first
-    // so it also removes every batch partition earlier streaming runs
-    // appended — without this a rebuild (e.g. the re-dedup a q103 churn
-    // report triggers) would leave stale fingerprints of removed
-    // documents matching future probes
+    // a BASE build defines the whole index, so it must also remove every
+    // batch partition earlier streaming runs appended — stale
+    // fingerprints of removed documents would otherwise match future
+    // probes. Ordering is the crash-safety contract: write the new base
+    // FIRST (partition-scoped overwrite — the index never disappears),
+    // THEN sweep the non-base partitions. A crash between the two leaves
+    // a valid index with some stale batch partitions — re-run the
+    // rebuild to finish the sweep; a delete-first sequence would leave
+    // NO index at all and wedge every probe.
+    writeFp(docs, path, "base")
     val hconf = docs.sparkSession.sessionState.newHadoopConf()
     for (t <- Seq("exact", "bands", "shingles")) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
-      val fs = p.getFileSystem(hconf)
-      if (fs.exists(p)) fs.delete(p, true)
+      val root = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val fs = root.getFileSystem(hconf)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("batch=")
+              && st.getPath.getName != "batch=base")
+            fs.delete(st.getPath, true)
+        }
     }
-    writeFp(docs, path, "base")
   }
 
   /** Add a batch's fingerprints to an existing [[writeFingerprints]]

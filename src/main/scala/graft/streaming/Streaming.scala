@@ -103,11 +103,15 @@ object Streaming {
     * [[graft.sink.Sink.probeFingerprints]] — exact content-hash tier,
     * then LSH band buckets + exact-Jaccard verify at θ = 0.8 — its
     * verdict rows (doc_id, verdict, dup_of, jacc) land under
-    * `outPath/batch=<id>/`, and the FRESH documents' fingerprints are
-    * written to the index under the batch's own partition, so later
-    * micro-batches dedup against both the standing corpus and everything
-    * the stream has already admitted. Both writes are per-batch-scoped
-    * Overwrites — idempotent under foreachBatch's at-least-once replay.
+    * `outPath/run=<id>/batch=<id>/`, and the FRESH documents'
+    * fingerprints are written to the index under the batch's own
+    * (run, batch) partition, so later micro-batches dedup against both
+    * the standing corpus and everything the stream has already admitted.
+    * Both writes are per-batch-scoped Overwrites keyed by the streaming
+    * query's RUN identity (the checkpoint's own query id, which changes
+    * when a checkpoint is wiped) — idempotent under foreachBatch's
+    * at-least-once replay, and collision-free across runs that share an
+    * index or output path.
     *
     * Why foreachBatch rather than the state store: the dedup state here
     * is the corpus-lifetime fingerprint index — it must outlive the
@@ -133,35 +137,70 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // IDEMPOTENT side effects for foreachBatch's at-least-once
         // contract, along three axes:
-        //  - the partition tag is (checkpoint-hash, batchId): a replayed
-        //    batch — same checkpoint, same id, same WAL-pinned data —
+        //  - the partition tag is (RUN id, batchId): a replayed batch —
+        //    same checkpoint state, same id, same WAL-pinned data —
         //    OVERWRITES its own partition (an append would duplicate
         //    verdict rows and postings, doubling future probes'
-        //    intersection counts), while a DIFFERENT checkpoint against
-        //    the same index gets disjoint tags and can never clobber an
-        //    earlier run's admitted fingerprints;
+        //    intersection counts). The run id is the streaming query id
+        //    persisted INSIDE the checkpoint's metadata file — stable
+        //    across restarts of the same checkpoint, fresh when the
+        //    checkpoint is wiped or replaced — so two runs sharing an
+        //    index or output path get disjoint tags and can never
+        //    clobber each other's partitions (a hash of the checkpoint
+        //    PATH would collide after a wipe-and-reuse);
         //  - probeFingerprints' self-match guard keeps a replayed doc
         //    from reading as a duplicate of itself;
-        //  - the index append anti-joins against the already-indexed ids,
-        //    so a doc REDELIVERED in a later batch (offset reset, fresh
-        //    checkpoint) — verdicted fresh thanks to that same guard —
-        //    still enters the index exactly once.
-        val runTag = java.security.MessageDigest.getInstance("MD5")
-          .digest(checkpoint.getBytes("UTF-8"))
-          .take(4).map(b => f"$b%02x").mkString
+        //  - the index append anti-joins against the ids indexed by
+        //    OTHER partitions (this batch's own partition is excluded —
+        //    otherwise a same-batch replay would see its first attempt's
+        //    rows as 'known', write an EMPTY frame over its own
+        //    partition, and erase what it admitted), so a doc
+        //    REDELIVERED in a later batch or a new run still enters the
+        //    index exactly once.
+        val tag = s"c${runIdTag(batch.sparkSession, checkpoint)}b$batchId"
         val v = graft.util.Caches.transientPersist(
           graft.sink.Sink.probeFingerprints(batch, indexPath))
-        v.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        v.write.mode("overwrite")
+          .parquet(s"$outPath/run=${runIdTag(batch.sparkSession, checkpoint)}/batch=$batchId")
         val known = batch.sparkSession.read
-          .parquet(s"$indexPath/exact").select("doc_id")
+          .parquet(s"$indexPath/exact")
+          .filter(col("batch") =!= tag).select("doc_id")
         val fresh = batch
           .join(v.filter(col("verdict") === "fresh").select("doc_id"), "doc_id")
           .join(known, Seq("doc_id"), "left_anti")
-        graft.sink.Sink.appendFingerprints(fresh, indexPath, s"c${runTag}b$batchId")
+        graft.sink.Sink.appendFingerprints(fresh, indexPath, tag)
         v.unpersist()
         ()
       }
       .start()
+
+  /** The streaming query's RUN identity, read from the checkpoint's own
+    * `metadata` file (`{"id": "<uuid>"}`, written by Spark at query
+    * start, before any batch runs): stable across restarts of the same
+    * checkpoint, fresh whenever the checkpoint directory is wiped or
+    * replaced. First 8 hex chars of the id (dashes stripped) — enough to
+    * keep runs disjoint in partition tags. Falls back to a hash of the
+    * checkpoint path if the metadata cannot be read (never expected once
+    * the query has started).
+    */
+  private def runIdTag(spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val id = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse(sys.error(s"no id in $p"))
+      id.replace("-", "").take(8)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(checkpoint.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+    }
 
   /** The q72 filter-funnel as a streaming aggregation — the SAME
     * conditional-sum code runs batch (TrainingOps q72 calls this) and

@@ -147,15 +147,29 @@ class AuditSpec extends AnyFunSuite {
   }
 
   test("q104 broadcasts only the bounded lang-rate frames; base scanned once") {
-    val df = SparkEntry.queries("q104_language_temperature")(spark, d)
-    val p = df.queryExecution.executedPlan.toString
-    // both broadcast sides are |langs|-row (rate table) or 1-row
-    // (min-mass) frames; the doc-level base must never broadcast
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
-    // one persisted base: the corpus scan feeds mass agg + keep pass
-    // through the cache (InMemoryRelation's printed tree repeats its
-    // child scan, so count cache READS, not scan mentions)
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val raw = SparkEntry.queries("q104_language_temperature")(spark, d)
+      .queryExecution.executedPlan
+    val plan: SparkPlan = raw match { // AQE wraps as a leaf — unwrap
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // every broadcast side must sit above an aggregation — the bounded
+    // |langs|-row rate table or the 1-row min-mass, never the doc-level
+    // base frame itself
+    val bx = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bx.nonEmpty, plan.toString)
+    bx.foreach(b => assert(
+      b.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+      s"un-aggregated (unbounded) broadcast side:\n$b"))
+    // the persisted base serves BOTH consumers (mass agg + keep pass)
+    // through cache reads — two InMemoryTableScans, zero extra scans
+    val cacheReads = plan.collect { case i: InMemoryTableScanExec => i }
+    assert(cacheReads.size >= 2, plan.toString)
   }
 
   test("q99 MinHash calibration matches a driver-side recomputation") {

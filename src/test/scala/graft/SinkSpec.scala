@@ -86,6 +86,29 @@ class SinkSpec extends AnyFunSuite {
     val reprobe = Sink.probeFingerprints(batch, dir).collect()
     assert(reprobe.forall(r => Option(r.get(2)).forall(_ != r.getLong(0))),
       "self-match leaked through the guard")
+
+    // SAME-batch replay through the streaming closure's exact logic: the
+    // known-ids read must EXCLUDE the batch's own partition — a naive
+    // known set would make the replay's anti-join empty and the scoped
+    // Overwrite would then ERASE the batch's own admitted fingerprints
+    val tag = "b0"
+    val own = spark.read.parquet(s"$dir/shingles")
+      .where(col("batch") === tag).count()
+    assert(own > 0)
+    val known = spark.read.parquet(s"$dir/exact")
+      .filter(col("batch") =!= tag).select("doc_id")
+    val freshReplay = batch.join(known, Seq("doc_id"), "left_anti")
+    Sink.appendFingerprints(freshReplay, dir, tag)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .where(col("batch") === tag).count() == own,
+      "same-batch replay erased its own partition")
+
+    // base rebuild sweeps batch partitions AFTER the new base lands:
+    // stale appended fingerprints are gone, the base survives
+    Sink.writeFingerprints(standing, dir)
+    val batches = spark.read.parquet(s"$dir/shingles")
+      .select("batch").distinct().collect().map(_.getString(0)).toSet
+    assert(batches == Set("base"), batches.toString)
   }
 
   test("upsertJdbc: same conflict-ignore semantics against an embedded JDBC db") {
