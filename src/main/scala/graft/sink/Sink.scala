@@ -208,21 +208,32 @@ object Sink {
     * tie-breaks mirror q95: exact-first (partner = min id), then
     * best-Jaccard (ties → min id).
     */
-  def probeFingerprints(batch: DataFrame, path: String): DataFrame = {
+  def probeFingerprints(batch: DataFrame, path: String,
+      excludeBatch: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions._
     val (bExact, bBands, bPost) =
       graft.queries.TrainingOps.fingerprintTables(batch)
+    // index reads, optionally EXCLUDING one batch partition: a streaming
+    // replay passes its own tag so the probe sees the index exactly as
+    // the batch's FIRST attempt did — without this, a replayed batch's
+    // intra-batch duplicates (admitted together, the q95 convention)
+    // would read each other from the index, flip to exact/near, and the
+    // scoped Overwrite would then drop their fingerprints
+    def idx(table: String): DataFrame = {
+      val t = spark.read.parquet(s"$path/$table")
+      excludeBatch.fold(t)(tag => t.filter(col("batch") =!= tag))
+    }
     // self-match guards: a batch doc whose doc_id is ALREADY indexed (a
     // replayed batch, or a re-probe of an admitted day) must not be
     // reported as a duplicate of itself in either tier
     val exact = bExact
-      .join(spark.read.parquet(s"$path/exact")
+      .join(idx("exact")
         .select(col("h"), col("doc_id").as("pid")), "h")
       .filter(col("pid") =!= col("doc_id"))
       .groupBy("doc_id").agg(min("pid").as("exact_of"))
     val cand = bBands.as("a")
-      .join(spark.read.parquet(s"$path/bands").as("b"),
+      .join(idx("bands").as("b"),
         col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
           && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("near_of"),
@@ -230,9 +241,16 @@ object Sink {
       .distinct()
     val iv = cand
       .join(bPost.select(col("doc_id"), col("h1")), Seq("doc_id"))
-      .join(spark.read.parquet(s"$path/shingles")
+      .join(idx("shingles")
         .select(col("doc_id").as("near_of"), col("h1")), Seq("near_of", "h1"))
-      .groupBy("doc_id", "near_of", "nb", "ns").agg(count(lit(1)).as("inter"))
+      // countDistinct, not count(*): (near_of, h1) rows are unique in a
+      // healthy index, but a doc can TRANSIENTLY exist in two partitions
+      // (the rebuild window between the new base landing and the stale
+      // batch sweep) — duplicated postings would double `inter` and
+      // inflate Jaccard past 1; distinct counting makes the probe
+      // correct in both states
+      .groupBy("doc_id", "near_of", "nb", "ns")
+      .agg(countDistinct(col("h1")).as("inter"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("jacc").desc, col("near_of"))
     val near = iv

@@ -157,11 +157,20 @@ object Streaming {
         //    partition, and erase what it admitted), so a doc
         //    REDELIVERED in a later batch or a new run still enters the
         //    index exactly once.
-        val tag = s"c${runIdTag(batch.sparkSession, checkpoint)}b$batchId"
+        // computed ONCE per batch: the run id is constant for the query's
+        // lifetime, and the index tag and verdict path must agree — two
+        // reads could diverge if one transiently fell back to the
+        // path-hash, splitting one batch across two run identities
+        val run = runIdTag(batch.sparkSession, checkpoint)
+        val tag = s"c${run}b$batchId"
+        // the probe excludes this batch's own partition so a REPLAY sees
+        // the index exactly as the first attempt did — intra-batch
+        // duplicates stay 'fresh' and the re-append reproduces, never
+        // erases, the partition
         val v = graft.util.Caches.transientPersist(
-          graft.sink.Sink.probeFingerprints(batch, indexPath))
+          graft.sink.Sink.probeFingerprints(batch, indexPath, Some(tag)))
         v.write.mode("overwrite")
-          .parquet(s"$outPath/run=${runIdTag(batch.sparkSession, checkpoint)}/batch=$batchId")
+          .parquet(s"$outPath/run=$run/batch=$batchId")
         val known = batch.sparkSession.read
           .parquet(s"$indexPath/exact")
           .filter(col("batch") =!= tag).select("doc_id")

@@ -87,6 +87,16 @@ class SinkSpec extends AnyFunSuite {
     assert(reprobe.forall(r => Option(r.get(2)).forall(_ != r.getLong(0))),
       "self-match leaked through the guard")
 
+    // a replayed probe that EXCLUDES its own partition must reproduce
+    // the first attempt's verdicts exactly — including intra-batch
+    // duplicates staying 'fresh' (without the exclusion they would read
+    // each other from the index and flip to exact/near)
+    val replayed = Sink.probeFingerprints(batch, dir, Some("b0"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(replayed == got, "replayed probe diverged from the first attempt")
+
     // SAME-batch replay through the streaming closure's exact logic: the
     // known-ids read must EXCLUDE the batch's own partition — a naive
     // known set would make the replay's anti-join empty and the scoped
