@@ -406,6 +406,50 @@ object AuditOps {
         "THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings" +
         ") t ORDER BY check_name")),
 
+    // Train/val/test split assignment + duplicate-leakage audit: assign
+    // every document a deterministic 80/10/10 split (md5 coin — stable
+    // across runs and machines, the q67/q83 convention), then measure
+    // the classic eval-contamination number: how many documents sit in a
+    // content-hash group that SPANS splits (an exact duplicate of a
+    // train doc inside val/test leaks the answer into evaluation). The
+    // near-dup tier of the same audit is q65's decontamination; this is
+    // the exact tier at split granularity. Scale: one shuffle of 16-byte
+    // hashes for the span groups, one hash-keyed join back (leaky side
+    // is duplicate-group-sized, planner-gated), 3 result rows.
+    Q("q107_split_leakage",
+      (s, d) => {
+        val coin = pmod(Hashing.md5Long(
+          concat(col("doc_id").cast("string"), lit(":sp"))), lit(100L))
+        val base = graft.util.Caches.transientPersist(
+          documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("source"),
+              Hashing.simpleHash(col("text")).as("h"),
+              when(coin < 80, "train").when(coin < 90, "val")
+                .otherwise("test").as("split")))
+        val leaky = base.groupBy("h")
+          .agg(countDistinct("split").as("ns"))
+          .filter(col("ns") > 1)
+          .select(col("h"), lit(1L).as("leak"))
+        base.join(leaky, Seq("h"), "left")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            sum(when(col("leak").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("n_leaked"))
+          .orderBy("split")
+      },
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "md5(regexp_replace(text, '\\s+', '', 'g')) AS h, " +
+        s"CASE WHEN ${oMd5Long("CAST(doc_id AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
+        s"WHEN ${oMd5Long("CAST(doc_id AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "l AS (SELECT h, 1 AS leak FROM " +
+        "(SELECT h, count(DISTINCT split) AS ns FROM t GROUP BY h) WHERE ns > 1) " +
+        "SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources, " +
+        "CAST(sum(CASE WHEN l.leak IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked " +
+        "FROM t LEFT JOIN l USING (h) GROUP BY split ORDER BY split")),
+
     // Snapshot churn: the crawl-over-crawl diff report (what changed
     // between two corpus snapshots, per source) — the number a curator
     // reads before deciding whether a re-crawl warrants a re-dedup and

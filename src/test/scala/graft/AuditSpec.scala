@@ -224,6 +224,31 @@ class AuditSpec extends AnyFunSuite {
     assert(added > 0 && removed > 0 && changed > 0)
   }
 
+  test("q107 split leakage: a constructed cross-split duplicate is counted on both sides") {
+    import spark.implicits._
+    def coin(id: Long): Long =
+      java.lang.Math.floorMod(h1(s"$id:sp"), 100L)
+    // pick one train-coin id and one non-train-coin id from the coin
+    // space itself — the split function is the md5 coin, so the leak
+    // must be planted where the coin puts it
+    val ids = (1L to 200L)
+    val trainId = ids.find(coin(_) < 80).get
+    val evalId = ids.find(coin(_) >= 90).get
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak-")
+      .toFile.getAbsolutePath
+    Seq(
+      (trainId, "the shared leaked document body", "s1"),
+      (evalId, "the shared leaked document body", "s2"), // exact dup across splits
+      (ids.find(c => coin(c) < 80 && c != trainId).get, "unique train doc", "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q107_split_leakage")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rows("train") == ((2L, 1L))) // 2 train docs, 1 leaked
+    assert(rows("test")._2 == 1L) // the duplicate's other side
+    assert(!rows.contains("val") || rows("val")._2 == 0L)
+  }
+
   test("q102 expectations: every check fires on a deliberately dirty corpus") {
     import spark.implicits._
     import java.sql.Timestamp
