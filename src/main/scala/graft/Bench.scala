@@ -73,7 +73,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // local-iteration subset (comma-separated full names or qNN
+    // prefixes); unset — the driver's posture — benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benched = SparkEntry.registry.filter(_.bench)
+      .filter(q => only.forall(f =>
+        f(q.name) || f(q.name.takeWhile(_ != '_'))))
 
     // With the session table cache on, re-materialize it at each pass
     // boundary OUTSIDE per-query timing: the DuckDB baseline's files are
@@ -143,6 +149,65 @@ object Bench {
     // so without this a broken build would bench "faster" than a working one
     val failed = results.collect { case (k, v) if v < 0 => k }
     failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
+
+    // ---- same-window pair denominator (BASELINE.md pair methodology,
+    // now IN the driver artifact). A lone numerator reads as a phantom
+    // regression whenever the window was loaded (the r9/r10 verdict
+    // trap); running the DuckDB oracle suite back-to-back in the SAME
+    // window and embedding {spark_s, duckdb_s, ratio, loadavg} makes
+    // every BENCH_rN self-denominated. Degrades loudly-but-gracefully:
+    // any missing driver-side tool (python3/duckdb are not this
+    // library's dependencies) or a failed query skips the pair and
+    // ships the old artifact shape. SPARK_GRAFT_PAIR=false opts out
+    // (local subset iteration).
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val pairJson: Option[String] =
+      if (failed.nonEmpty || only.nonEmpty
+          || sys.env.get("SPARK_GRAFT_PAIR").contains("false")
+          || !new java.io.File("tools/baseline.py").exists()) None
+      else try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-pair-")
+        val oraclePath = tmp.resolve("oracle_sql.json").toString
+        graft.util.OracleJson.write(oraclePath)
+        val duckPasses =
+          sys.env.getOrElse("SPARK_GRAFT_PAIR_DUCK_PASSES", "3")
+        val p = new ProcessBuilder("python3", "tools/baseline.py",
+          sfDir, oraclePath, duckPasses).start()
+        val outBytes = p.getInputStream.readAllBytes()
+        val errBytes = p.getErrorStream.readAllBytes()
+        if (p.waitFor() != 0)
+          throw new RuntimeException(
+            s"baseline.py exit ${p.exitValue()}: ${new String(errBytes, "UTF-8").takeRight(300)}")
+        val lastLine =
+          new String(outBytes, "UTF-8").trim.linesIterator.toSeq.last
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(lastLine)
+        val duckQ = node.get("queries")
+        import scala.jdk.CollectionConverters._
+        val duckMap = duckQ.fieldNames().asScala
+          .map(n => n -> duckQ.get(n).asDouble()).toMap
+        // the honest ratio compares the SAME query set: benched ∩ oracled
+        val common = results.collect {
+          case (k, v) if v >= 0 && duckMap.contains(k) => k
+        }
+        val sparkS = common.map(k => results.toMap.apply(k)).sum
+        val duckS = common.map(duckMap).sum
+        val loadAfter = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        def f3(v: Double) =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        def f2(v: Double) =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        Some(s""""pair":{"spark_s":${f3(sparkS)},"duckdb_s":${f3(duckS)},""" +
+          s""""ratio":${f3(if (duckS > 0) sparkS / duckS else -1.0)},""" +
+          s""""common":${common.size},"duck_passes":$duckPasses,""" +
+          s""""loadavg":[${f2(loadBefore)},${f2(loadAfter)}]}""")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] WARNING: pair denominator skipped: $e")
+          None
+      }
     // The driver keeps only the LAST 2000 chars of stdout — BENCH_r07.json
     // lost q01–q10 to that window. The stdout line therefore rounds
     // per-query seconds to 1 ms (floor ~60 ms, so 3 decimals lose nothing
@@ -173,7 +238,10 @@ object Bench {
       // with the 2000-char capture window (BenchArtifactSpec pins the
       // worst-case budget)
       val passesJson = if (sidecar) s""","passes":$passes""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson,"queries":$qs$failedJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+      // the pair rides on BOTH stdout and sidecar — it is the round
+      // artifact's denominator, not archaeology
+      val pairPart = pairJson.fold("")("," + _)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson,"queries":$qs$failedJson$pairPart,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // Locale.ROOT: Scala's f"" interpolator uses the JVM default locale,
     // which under comma-decimal locales (de_DE, ...) would emit 22,43 —

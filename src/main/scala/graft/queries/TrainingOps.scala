@@ -457,16 +457,14 @@ object TrainingOps {
     val a = e.withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
     val b = e.withColumn("pa", explode(sequence(lit(0), lit(B - 1))))
     // keep the join-key attributes (label, blk, pb) through the cosine
-    // projection: the pre-limit windows below partition on (join keys +
-    // one vector side), so they ride the join's output partitioning —
-    // two in-partition sorts, zero exchanges. The shuffle_hash hint
-    // matters for exactly that: a broadcast self-join (the planner's
-    // pick at bench scale) has NO output partitioning, so each window
-    // would re-exchange the FULL pair volume — the one thing the
-    // pre-limit exists to avoid; shuffling the per-vector rows instead
-    // (tiny next to the pair volume) is also the only shape possible at
-    // 100 TB, where neither side fits a broadcast. Measured at the 10×
-    // corpus: build 6.8 s → 3.9 s.
+    // projection: the fused pre-limit below sorts within the join's own
+    // output partitions — ONE in-partition sort, zero exchanges. The
+    // shuffle_hash hint matters for exactly that: a broadcast self-join
+    // (the planner's pick at bench scale) has NO output partitioning, so
+    // a (label, blk, pb) group could straddle partitions; with the hash
+    // shuffle every group is co-located. Shuffling the per-vector rows
+    // instead (tiny next to the pair volume) is also the only shape
+    // possible at 100 TB, where neither side fits a broadcast.
     val pairs = a.as("a").join(b.hint("shuffle_hash").as("b"),
         col("a.label") === col("b.label")
           && col("a.blk") === col("b.pa") && col("a.pb") === col("b.blk")
@@ -476,20 +474,44 @@ object TrainingOps {
         col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         cosQ(dotQ(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cos"))
     // the retained region (see the contract above): threshold survivors
-    // OR either side's per-block top-K — row_number under the SAME
-    // (cos DESC, partner ASC) order q85 ranks globally, so a global
-    // top-K row is always a group top-K row
-    import org.apache.spark.sql.expressions.Window
-    val wa = Window.partitionBy("label", "blk", "pb", "ida")
-      .orderBy(col("cos").desc, col("idb").asc)
-    val wb = Window.partitionBy("label", "blk", "pb", "idb")
-      .orderBy(col("cos").desc, col("ida").asc)
-    pairs
-      .withColumn("ra", row_number().over(wa))
-      .withColumn("rb", row_number().over(wb))
-      .filter(col("cos") >= CellPairRetainCos
-        || col("ra") <= CellPairRetainTopK || col("rb") <= CellPairRetainTopK)
-      .select(col("ida"), col("idb"), col("label").as("cell"), col("cos"))
+    // OR either side's per-block top-K under the SAME (cos DESC,
+    // partner ASC) order q85 ranks globally, so a global top-K row is
+    // always a group top-K row.
+    //
+    // FUSED (r11): one sort by (group, cos DESC, idb, ida) yields BOTH
+    // window orders at once — per-ida subsequences are ordered
+    // (cos DESC, idb ASC) = wa's order, and per-idb subsequences are
+    // ordered (cos DESC, ida ASC) = wb's order (idb is constant inside
+    // its own subsequence, so the ida tiebreak takes over). Running
+    // per-side counters over that one sorted scan therefore reproduce
+    // the two former row_number ranks EXACTLY (same values, same
+    // tiebreaks — the retained set is bit-identical to the r10 twin-
+    // window form), at the cost of one in-partition sort instead of
+    // two full-pair-volume sort+rank passes. Counter state is bounded
+    // by vectors-per-(cell, block-pair), the same bound the join's
+    // hash table already holds.
+    import s.implicits._
+    val K = CellPairRetainTopK
+    val T = CellPairRetainCos
+    pairs.as[(Int, Long, Int, Long, Long, Double)]
+      .sortWithinPartitions(col("label"), col("blk"), col("pb"),
+        col("cos").desc, col("idb").asc, col("ida").asc)
+      .mapPartitions { it =>
+        val ca = new scala.collection.mutable.HashMap[Long, Int]
+        val cb = new scala.collection.mutable.HashMap[Long, Int]
+        var curL = 0; var curB = 0L; var curP = 0; var first = true
+        it.flatMap { case (l, bk, p, ida, idb, cos) =>
+          if (first || l != curL || bk != curB || p != curP) {
+            ca.clear(); cb.clear(); curL = l; curB = bk; curP = p
+            first = false
+          }
+          val ra = ca.updateWith(ida)(o => Some(o.getOrElse(0) + 1)).get
+          val rb = cb.updateWith(idb)(o => Some(o.getOrElse(0) + 1)).get
+          if (cos >= T || ra <= K || rb <= K) Iterator.single((ida, idb, l, cos))
+          else Iterator.empty
+        }
+      }
+      .toDF("ida", "idb", "cell", "cos")
   }
 
   /** Oracle CTE chain mirroring [[cellPairCos]] — ends in

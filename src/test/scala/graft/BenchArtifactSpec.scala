@@ -33,7 +33,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     val failedNames = shorts.sortBy(-_.length).take(10)
     val failedWorst = s""","failed_n":${shorts.size},"failed":[""".length +
       failedNames.map(_.length + 2).sum + (failedNames.size - 1) + 1
-    val worst = prefix + entries.sum + (entries.size - 1) + suffix + failedWorst
+    // the same-window pair fragment (r11): worst case with 5-digit
+    // seconds on both sides and 3-digit common/pass counts
+    val pairWorst = (""","pair":{"spark_s":99999.999,"duckdb_s":99999.999,""" +
+      """"ratio":99.999,"common":999,"duck_passes":999,""" +
+      """"loadavg":[99.99,99.99]}""").length
+    val worst = prefix + entries.sum + (entries.size - 1) + suffix +
+      failedWorst + pairWorst
     assert(worst < 2000,
       s"projected bench JSON line $worst chars for ${benched.size} benched queries — " +
         "the driver captures only the last 2000; shorten names or the format")

@@ -84,23 +84,26 @@ class PlanSpec extends AnyFunSuite {
   // cardinality and must keep the parallel range sort (the round-4
   // 100 TB gather hazard), as must a large exchange-free pipeline.
   test("presentation sort: threshold-filtered self-join rewrites to a gather past the byte guard") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, length}
     val conf = spark.conf
     val saved = conf.getOption("spark.graft.presentationSort.maxBytes")
     try {
       conf.set("spark.graft.presentationSort.maxBytes", "1") // force the byte guard to decline
-      // q33's UNCACHED kernel shape: cos >= 0.35 threshold residual on the
-      // salted self-join. (The registry q33 now reads the shared cached
-      // pair table, where `cos` is a bare attribute — over a cached view a
-      // bare-attr threshold must NOT qualify structurally, by the
-      // implicit-cast test below; the structural claim lives here.)
-      // Drop cached plans first: if another test already materialized the
-      // shared pair index, the CacheManager would substitute it into this
-      // build and the uncached shape under test would vanish.
-      spark.sqlContext.clearCache()
-      val p = graft.queries.TrainingOps
-        .cellPairCosBuild(spark, TestSpark.sfDir)
-        .filter(col("cos") >= 0.35)
+      // the round-3 q33 regression shape: an inner self-join whose
+      // condition carries a computed-measure-vs-constant threshold
+      // residual (the optimizer merges the post-join filter into the
+      // join). Join-inflated size estimates must not decline the gather
+      // for this shape. (q33's own kernel moved to a typed fused
+      // pre-limit in r11 — an opaque MapPartitions the rule deliberately
+      // does NOT see through, so the structural claim is pinned on the
+      // join shape directly.)
+      val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      val p = docs.as("a")
+        .join(docs.as("b"),
+          col("a.lang") === col("b.lang")
+            && col("a.doc_id") < col("b.doc_id")
+            && length(col("a.text")) + length(col("b.text")) >= 100)
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .orderBy("ida", "idb")
         .queryExecution.explainString(SimpleMode)
       assert(p.contains("SinglePartition"), p)
@@ -509,21 +512,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
-  test("cellPairCos kernel: per-block top-K pre-limit bounds the retained pair set") {
-    // the r10 retention contract: the kernel's output is pruned to
-    // (cos >= threshold) OR either side's per-(cell, block-pair) top-K —
-    // two row_number windows over the join's own clustering. A refactor
-    // that drops the pre-limit re-persists Σ cell² pairs at scale.
+  test("cellPairCos kernel: fused pre-limit — one in-partition sort, no window, no extra exchange") {
+    // the r10 retention contract (cos >= threshold OR either side's
+    // per-(cell, block-pair) top-K), r11-FUSED: one sortWithinPartitions
+    // by (group, cos DESC, idb, ida) + a single counting scan replaces
+    // the two row_number windows. The pinned scale properties:
+    //  - the salted self-join is still the only pair source (no
+    //    cartesian), and its two input shuffles are the ONLY exchanges —
+    //    the pre-limit sort rides the join's output partitioning;
+    //  - the sort is LOCAL (no rangepartitioning — a global sort here
+    //    would re-exchange the full pair volume, the exact cost the
+    //    fusion exists to avoid);
+    //  - no Window operator at all (a refactor back to the twin-window
+    //    form re-pays a second full-pair-volume sort+rank pass).
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sqlContext.clearCache() // judge the uncached build shape
       val p = graft.queries.TrainingOps.cellPairCosBuild(spark, TestSpark.sfDir)
         .queryExecution.explainString(SimpleMode)
-      assert("row_number".r.findAllIn(p).size >= 2, p)
-      // the retained-region filter keeps the threshold disjunct (q33/q90's
-      // region) alongside both rank caps
-      assert(p.contains("0.35"), p)
-      assert(p.contains("ra") && p.contains("rb"), p)
+      assert(p.contains("MapPartitions"), p)
+      assert(!p.toLowerCase.contains("window"), p)
+      assert(!p.contains("rangepartitioning"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
       assert(!p.contains("CartesianProduct"), p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
