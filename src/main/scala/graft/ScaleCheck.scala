@@ -90,13 +90,38 @@ object ScaleCheck {
     // ~n/stride output rows); hard negatives pin the probe-panel × cell
     // restriction — the probe panel GROWS with the corpus here (md5
     // coin), so its slope is the honest audit-shape number, like q96's
-    "q105_chunk_windows", "q106_hard_negatives")
+    "q105_chunk_windows", "q106_hard_negatives",
+    // r11: standing-corpus incremental dedup — exact tier + minhash
+    // filter over the shared pair kernel; named in the r10 verdict's
+    // 100× tier and previously unpinned at any scale
+    "q95_incremental_dedup")
 
-  private[graft] def generate(
-      spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  /** @param refitCells when true, each replica's embeddings land in
+    *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of
+    *   re-fitting the coarse quantizer to the larger corpus, which is
+    *   what production does at 100 TB: #cells grows with the data so
+    *   cell SIZE stays ~constant and pair volume scales linearly.
+    *   When false (the legacy sf1 stress tier), labels stay fixed, so a
+    *   10× corpus grows in-cell pair volume ~100× — a deliberately
+    *   adversarial posture that stops being a meaningful scale-up past
+    *   one decade (at 100× it would be 10,000× the pair volume, an
+    *   input no fixed quantizer would ever be asked to serve). The two
+    *   modes write the same schema; use DISTINCT outDirs — the
+    *   _SUCCESS reuse check cannot tell them apart.
+    */
+  private[graft] def generate(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int, refitCells: Boolean): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val off = 10000000L
+    // rotation must stay inside the vector: k ≥ dim rolls over (k mod
+    // dim). Past one full cycle replica vectors REPEAT an earlier
+    // replica's values — harmless under refitCells (cell-restricted
+    // kernels never compare across replicas) and a slice() error
+    // otherwise, so factors > dim require refitCells.
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    require(factor <= dim || refitCells,
+      s"factor $factor exceeds embedding dim $dim: rotations repeat — use refitCells")
     val docReps = (0 until factor).map { k =>
       if (k == 0) docs
       else {
@@ -110,13 +135,19 @@ object ScaleCheck {
       }
     }
     val embReps = (0 until factor).map { k =>
+      val label =
+        if (refitCells && k > 0) (col("label") + lit(k * 1000000)).as("label")
+        else col("label")
+      val rot = k % dim
       if (k == 0) embs
       else {
         val e = col("embedding")
         val rolled =
-          concat(slice(e, lit(k + 1), size(e) - lit(k)), slice(e, lit(1), lit(k)))
+          if (rot == 0) e
+          else concat(slice(e, lit(rot + 1), size(e) - lit(rot)),
+            slice(e, lit(1), lit(rot)))
         embs.select((col("vec_id") + lit(k * off)).as("vec_id"),
-          rolled.as("embedding"), col("label"))
+          rolled.as("embedding"), label)
       }
     }
     docReps.reduce(_ unionAll _).repartition(32)
@@ -150,9 +181,13 @@ object ScaleCheck {
     // generate would otherwise be reused and produce bogus slopes
     def committed(table: String): Boolean =
       new java.io.File(s"$outDir/$table.parquet/_SUCCESS").exists()
+    // SPARK_GRAFT_SCALE_REFIT=true → quantizer-refit corpus semantics
+    // (see generate's scaladoc); REQUIRED for factors past one decade
+    val refit = sys.env.get("SPARK_GRAFT_SCALE_REFIT").contains("true")
     if (!(committed("documents") && committed("embeddings"))) {
-      System.err.println(s"[scale] generating ${factor}x corpus at $outDir")
-      generate(spark, srcDir, outDir, factor)
+      System.err.println(
+        s"[scale] generating ${factor}x corpus at $outDir (refitCells=$refit)")
+      generate(spark, srcDir, outDir, factor, refit)
     }
 
     // SPARK_GRAFT_SCALE_ONLY=q31_ngram_jaccard,q51_dedup_clusters re-runs

@@ -794,6 +794,141 @@ object AnalyticsOps {
         "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
         "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
         "count(*) FILTER (WHERE event_type = 'view') AS view " +
-        "FROM events GROUP BY user_id % 4 ORDER BY cohort"))
+        "FROM events GROUP BY user_id % 4 ORDER BY cohort")),
+
+    // Corpus-release composite endpoint: the ONE job a pipeline runs to
+    // cut a training corpus — gopher-gate (q100's language-agnostic
+    // shape rules; see releaseCorpus on the stopword gate) → keep-best
+    // near-dup drop (q82's cluster decision) → decontaminate + eval
+    // holdout (q65/q101's threshold) → temperature-resample (q104's τ=2
+    // sqrt rule, masses over the SURVIVORS — resampling after cleaning
+    // is the pipeline semantics) → train/val/test split (q107's coins).
+    // Every stage rides the session's SHARED kernels (shingle index, LSH
+    // pair list, quality features, contamination hits) — the marginal
+    // cost over running the family is five narrow doc_id-keyed joins;
+    // a CTE engine re-pays the whole chain. The result pins MEMBERSHIP,
+    // not just counts: per (split, lang) an order-insensitive id-set
+    // hash (q12's A2 convention — numeric-sorted id list), so a single
+    // doc admitted or dropped differently anywhere in the five stages
+    // hash-mismatches. The filesystem tail (shard layout + writeShards
+    // + zero-leakage audit) is pipeline-shaped and pinned in SinkSpec.
+    Q("q108_corpus_release",
+      (s, d) => releaseCorpus(s, d)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(col("doc_id"))), i => i.cast("string"))))
+            .as("ids_hash"))
+        .orderBy("split", "lang"),
+      Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
+        "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), " +
+        "lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u), " +
+        TrainingOps.qualCte + ", " + TrainingOps.gopherCte + ", " +
+        "relrk AS (SELECT lab.doc_id, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, lab.doc_id) AS rnk " +
+        "FROM lab JOIN qual ON lab.doc_id = qual.doc_id), " +
+        "reldrop AS (SELECT doc_id FROM relrk WHERE rnk > 1), " +
+        "relev AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0), " +
+        "relhits AS (SELECT t.doc_id, count(DISTINCT t.h1) AS n_hits FROM shh t " +
+        "JOIN relev USING (h1) WHERE t.doc_id % 50 <> 0 GROUP BY 1), " +
+        "relbase AS (SELECT d.doc_id, d.lang, " +
+        "CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok, " +
+        s"${TrainingOps.oMd5Long("CAST(d.doc_id AS VARCHAR) || ':lt'")} % 1048576 AS coin " +
+        "FROM documents d JOIN goph g ON d.doc_id = g.doc_id " +
+        "AND g.n_words BETWEEN 50 AND 100000 AND g.mean_word_len BETWEEN 3.0 AND 10.0 " +
+        "AND g.symbol_ratio < 0.1 AND g.bullet_frac < 0.9 " +
+        "AND g.ellipsis_frac < 0.3 AND g.alpha_frac > 0.8 " +
+        "LEFT JOIN reldrop dr ON d.doc_id = dr.doc_id " +
+        "LEFT JOIN relhits ht ON d.doc_id = ht.doc_id " +
+        "WHERE d.text IS NOT NULL AND dr.doc_id IS NULL AND d.doc_id % 50 <> 0 " +
+        "AND coalesce(ht.n_hits, 0) < 8), " +
+        "relm AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS mass FROM relbase GROUP BY 1), " +
+        "relmm AS (SELECT min(mass) AS min_mass FROM relm), " +
+        "relr AS (SELECT lang, CAST(floor(sqrt(CAST(min_mass AS DOUBLE) / mass) * 1048576.0) AS BIGINT) AS thr FROM relm, relmm), " +
+        "relsp AS (SELECT b.doc_id, b.lang, b.n_tok, " +
+        s"CASE WHEN ${TrainingOps.oMd5Long("CAST(b.doc_id AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
+        s"WHEN ${TrainingOps.oMd5Long("CAST(b.doc_id AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM relbase b JOIN relr USING (lang) WHERE coin < thr) " +
+        "SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_hash " +
+        "FROM relsp GROUP BY 1, 2 ORDER BY 1, 2"))
   )
+
+  /** The release pipeline's document-level output — (doc_id, source,
+    * lang, split, n_tok, h): the five q108 stages applied as successive
+    * filters, each decided by the session's SHARED corpus-wide kernel
+    * (gate features, cluster labels, contamination hits are computed
+    * once for the whole corpus — the kernel-sharing contract — and
+    * applied to the pipeline's survivor set). q108 aggregates this frame
+    * into the release manifest; [[graft.sink.Sink.writeShards]] consumes
+    * it for the filesystem tail (SinkSpec). Exact-duplicate leakage
+    * across splits is ZERO by construction: the gate's 50-word floor
+    * guarantees shingles, identical texts therefore share an LSH
+    * cluster, and keep-best retains exactly one member per cluster —
+    * SinkSpec asserts it on the materialized release.
+    *
+    * Scale: the survivor frame transient-persists CARRYING only fixed-
+    * width columns + the 16-byte content hash; masses are a |langs|-row
+    * partial agg broadcast back (the q104 shape); every stage join is
+    * doc_id-keyed and planner-gated (drop/hit sides are dup- and
+    * contamination-sized but unbounded in principle — no broadcast
+    * hints).
+    */
+  private[graft] def releaseCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the gate applies gopher's LANGUAGE-AGNOSTIC document-shape rules;
+    // the 8-stopword conjunct is deliberately omitted — it is an
+    // English-only list (Rae et al. apply it to an English corpus), and
+    // this release spans en/es/de, where gating every language on
+    // English function words would be a bug, not a filter. q100 still
+    // publishes the full rule set (stopword gate included) as the
+    // per-document audit signal.
+    val gate = TrainingOps.gopherFeatures(s, d)
+      .filter(col("n_words").between(50, 100000)
+        && col("mean_word_len").between(3.0, 10.0)
+        && col("symbol_ratio") < 0.1
+        && col("bullet_frac") < 0.9
+        && col("ellipsis_frac") < 0.3
+        && col("alpha_frac") > 0.8)
+      .select("doc_id")
+    val labels = clusterLabels(s,
+      TrainingOps.lshPairs(s, d).select("ida", "idb"))
+    val qual = TrainingOps.qualityFeatures(s, d).select("doc_id", "score")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val nonRep = labels.join(qual, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") > 1).select("doc_id")
+    val hits = TrainingOps.contaminationHits(s, d)
+    val base = graft.util.Caches.transientPersist(
+      documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(graft.functions.Text.words(col("text"))).cast("long").as("n_tok"),
+          Hashing.simpleHash(col("text")).as("h"))
+        .join(gate, "doc_id")
+        .join(nonRep, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_hits"), lit(0L)) < 8)
+        .drop("n_hits")
+        .withColumn("coin", pmod(Hashing.md5Long(
+          concat(col("doc_id").cast("string"), lit(":lt"))), lit(1048576L))))
+    val mass = base.groupBy("lang").agg(sum("n_tok").as("mass"))
+    val rated = mass
+      .crossJoin(broadcast(mass.agg(min("mass").as("min_mass"))))
+      .withColumn("thr",
+        floor(sqrt(col("min_mass").cast("double") / col("mass")) * lit(1048576.0)))
+      .select("lang", "thr")
+    val spCoin = pmod(Hashing.md5Long(
+      concat(col("doc_id").cast("string"), lit(":sp"))), lit(100L))
+    base.join(broadcast(rated), "lang")
+      .filter(col("coin") < col("thr"))
+      .withColumn("split",
+        when(spCoin < 80, "train").when(spCoin < 90, "val").otherwise("test"))
+      .select("doc_id", "source", "lang", "split", "n_tok", "h")
+  }
 }

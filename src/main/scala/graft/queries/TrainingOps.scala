@@ -723,6 +723,83 @@ object TrainingOps {
       "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_wlen " +
       "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws FROM documents)))"
 
+  /** Shared Gopher document-shape rule set (q100's kernel, factored r11
+    * so the corpus-release pipeline reuses the SAME gate): word-count
+    * bounds, mean word length, symbol ratio, bullet/ellipsis line
+    * fractions, alpha-word fraction, the 8-stopword presence gate.
+    * Entirely map-side; every count exact-integer, every fraction an
+    * integer-ratio double (cross-engine bit-identical — q100's contract
+    * comments). No presentation sort — callers add their own.
+    */
+  private[queries] def gopherFeatures(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val txt = col("text")
+    val ws = col("ws")
+    val ls = col("ls")
+    val nW = size(ws)
+    val nL = size(ls)
+    // non-overlapping greedy replace in BOTH engines, so the counts
+    // agree ("....." → one '...' run + 2 residual dots, neither
+    // counted twice); '…' (U+2026) is one code point to both length()s
+    val hashCnt = length(txt) - length(replace(txt, lit("#"), lit("")))
+    val ell3 = ((length(txt) - length(replace(txt, lit("..."), lit(""))))
+      / lit(3)).cast("int")
+    val ell1 = length(txt) - length(replace(txt, lit("…"), lit("")))
+    val bulletL = size(filter(ls, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
+        startswith(ltrim(l), lit("•"))))
+    val ellL = size(filter(ls, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val alphaW = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val nStop = size(filter(array_distinct(transform(ws, w => lower(w))),
+      w => w.isInCollection(stop)))
+    docTextLean(s, d)
+      .filter(txt.isNotNull)
+      .withColumn("ws", words(txt))
+      .withColumn("ls", split(txt, "\n", -1))
+      .select(col("doc_id"),
+        nW.cast("long").as("n_words"),
+        (aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
+          .cast("double") / nW).as("mean_word_len"),
+        ((hashCnt + ell3 + ell1).cast("double") / nW).as("symbol_ratio"),
+        (bulletL.cast("double") / nL).as("bullet_frac"),
+        (ellL.cast("double") / nL).as("ellipsis_frac"),
+        (alphaW.cast("double") / nW).as("alpha_frac"),
+        nStop.cast("long").as("n_stop"))
+      .withColumn("passes",
+        (col("n_words").between(50, 100000)
+          && col("mean_word_len").between(3.0, 10.0)
+          && col("symbol_ratio") < 0.1
+          && col("bullet_frac") < 0.9
+          && col("ellipsis_frac") < 0.3
+          && col("alpha_frac") > 0.8
+          && col("n_stop") >= 2).cast("int"))
+  }
+
+  /** Oracle CTE chain mirroring [[gopherFeatures]] — ends in
+    * `goph(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, n_stop, passes)`.
+    */
+  private[queries] val gopherCte: String =
+    "gopht AS (SELECT doc_id, text, " +
+      "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws, " +
+      "string_split(text, chr(10)) AS ls FROM documents WHERE text IS NOT NULL), " +
+      "gophs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+      "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_word_len, " +
+      "((length(text) - length(replace(text, '#', ''))) " +
+      " + ((length(text) - length(replace(text, '...', ''))) // 3) " +
+      " + (length(text) - length(replace(text, chr(8230), ''))))::DOUBLE / len(ws) AS symbol_ratio, " +
+      "len(list_filter(ls, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') " +
+      "OR starts_with(ltrim(l), chr(8226))))::DOUBLE / len(ls) AS bullet_frac, " +
+      "len(list_filter(ls, l -> ends_with(rtrim(l), '...') " +
+      "OR ends_with(rtrim(l), chr(8230))))::DOUBLE / len(ls) AS ellipsis_frac, " +
+      "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws) AS alpha_frac, " +
+      "CAST(len(list_filter(list_distinct(list_transform(ws, w -> lower(w))), " +
+      "w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM gopht), " +
+      "goph AS (SELECT *, CAST((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+      "AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 " +
+      "AND alpha_frac > 0.8 AND n_stop >= 2 AS INTEGER) AS passes FROM gophs)"
+
   /** The SHARED term-frequency index — (doc_id, g, term, tf) rows,
     * g ∈ {1, 2}: per-document unigram and bigram occurrence counts, one
     * persisted copy per (session, sfDir) reused by the whole
@@ -1574,70 +1651,8 @@ object TrainingOps {
     // element). At 100 TB this is an embarrassingly parallel scan; the
     // presentation sort is the only exchange.
     Q("q100_gopher_rules",
-      (s, d) => {
-        val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        val txt = col("text")
-        val ws = col("ws")
-        val ls = col("ls")
-        val nW = size(ws)
-        val nL = size(ls)
-        // non-overlapping greedy replace in BOTH engines, so the counts
-        // agree ("....." → one '...' run + 2 residual dots, neither
-        // counted twice); '…' (U+2026) is one code point to both length()s
-        val hashCnt = length(txt) - length(replace(txt, lit("#"), lit("")))
-        val ell3 = ((length(txt) - length(replace(txt, lit("..."), lit(""))))
-          / lit(3)).cast("int")
-        val ell1 = length(txt) - length(replace(txt, lit("…"), lit("")))
-        val bulletL = size(filter(ls, l =>
-          startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
-            startswith(ltrim(l), lit("•"))))
-        val ellL = size(filter(ls, l =>
-          endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
-        val alphaW = size(filter(ws, w => w.rlike("[A-Za-z]")))
-        val nStop = size(filter(array_distinct(transform(ws, w => lower(w))),
-          w => w.isInCollection(stop)))
-        docTextLean(s, d)
-          .filter(txt.isNotNull)
-          .withColumn("ws", words(txt))
-          .withColumn("ls", split(txt, "\n", -1))
-          .select(col("doc_id"),
-            nW.cast("long").as("n_words"),
-            (aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
-              .cast("double") / nW).as("mean_word_len"),
-            ((hashCnt + ell3 + ell1).cast("double") / nW).as("symbol_ratio"),
-            (bulletL.cast("double") / nL).as("bullet_frac"),
-            (ellL.cast("double") / nL).as("ellipsis_frac"),
-            (alphaW.cast("double") / nW).as("alpha_frac"),
-            nStop.cast("long").as("n_stop"))
-          .withColumn("passes",
-            (col("n_words").between(50, 100000)
-              && col("mean_word_len").between(3.0, 10.0)
-              && col("symbol_ratio") < 0.1
-              && col("bullet_frac") < 0.9
-              && col("ellipsis_frac") < 0.3
-              && col("alpha_frac") > 0.8
-              && col("n_stop") >= 2).cast("int"))
-          .orderBy("doc_id")
-      },
-      Some("WITH t AS (SELECT doc_id, text, " +
-        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws, " +
-        "string_split(text, chr(10)) AS ls FROM documents WHERE text IS NOT NULL), " +
-        "s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
-        "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_word_len, " +
-        "((length(text) - length(replace(text, '#', ''))) " +
-        " + ((length(text) - length(replace(text, '...', ''))) // 3) " +
-        " + (length(text) - length(replace(text, chr(8230), ''))))::DOUBLE / len(ws) AS symbol_ratio, " +
-        "len(list_filter(ls, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') " +
-        "OR starts_with(ltrim(l), chr(8226))))::DOUBLE / len(ls) AS bullet_frac, " +
-        "len(list_filter(ls, l -> ends_with(rtrim(l), '...') " +
-        "OR ends_with(rtrim(l), chr(8230))))::DOUBLE / len(ls) AS ellipsis_frac, " +
-        "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws) AS alpha_frac, " +
-        "CAST(len(list_filter(list_distinct(list_transform(ws, w -> lower(w))), " +
-        "w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM t) " +
-        "SELECT *, CAST((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
-        "AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 " +
-        "AND alpha_frac > 0.8 AND n_stop >= 2 AS INTEGER) AS passes " +
-        "FROM s ORDER BY doc_id")),
+      (s, d) => gopherFeatures(s, d).orderBy("doc_id"),
+      Some(s"WITH $gopherCte SELECT * FROM goph ORDER BY doc_id")),
 
     // Fixed-size overlapping chunk windows (64-token chunks, stride 48 —
     // 16-token overlap): the document-splitting step a RAG index or a

@@ -145,28 +145,96 @@ object Sink {
     * repartition per table; the index grows with the corpus but each
     * batch probe touches only its band-collision buckets.
     */
+  /** INDEX LIFECYCLE (base / batches / compaction):
+    *  1. [[writeFingerprints]] (re)builds the whole index into the
+    *     `batch=base` partition of each table, via a STAGED write: the
+    *     full data write lands in a dot-prefixed staging directory
+    *     (invisible to partition discovery — the live index serves
+    *     probes untouched for the whole long window), then a
+    *     delete+rename swaps it into `batch=base`, then every OTHER
+    *     root entry is swept — stale `batch=<tag>` partitions of
+    *     earlier streaming runs AND any legacy pre-partition flat
+    *     files (a pre-r11 index left part-files at the table root;
+    *     mixed flat/partitioned layouts break partition discovery, so
+    *     the sweep removes them rather than leaving a wedged table).
+    *     Crash windows: during staging → old index fully intact,
+    *     re-run; between delete and rename (metadata ops, not data
+    *     writes) → no base, re-run the rebuild; after the swap →
+    *     valid index, possibly stale batches until re-run. The swap is
+    *     near-atomic, NOT atomic — after any crash, re-run the rebuild.
+    *  2. [[appendFingerprints]] adds a batch under its own
+    *     `batch=<tag>` partition (scoped overwrite ⇒ replay-idempotent).
+    *  3. [[compactFingerprints]] folds accumulated batch partitions
+    *     into the base with the same staged-swap discipline — the
+    *     small-files maintenance step at production cadence. Run it at
+    *     a quiescent point (no in-flight micro-batch between its probe
+    *     and its append); replay AFTER a compaction stays
+    *     admit-exactly-once because the streaming flow's known-ids
+    *     anti-join sees the folded ids in the base.
+    */
   def writeFingerprints(docs: DataFrame, path: String): Unit = {
-    // a BASE build defines the whole index, so it must also remove every
-    // batch partition earlier streaming runs appended — stale
-    // fingerprints of removed documents would otherwise match future
-    // probes. Ordering is the crash-safety contract: write the new base
-    // FIRST (partition-scoped overwrite — the index never disappears),
-    // THEN sweep the non-base partitions. A crash between the two leaves
-    // a valid index with some stale batch partitions — re-run the
-    // rebuild to finish the sweep; a delete-first sequence would leave
-    // NO index at all and wedge every probe.
-    writeFp(docs, path, "base")
-    val hconf = docs.sparkSession.sessionState.newHadoopConf()
+    writeFpTables(docs, t => s"$path/.staging/$t")
+    swapStagingIntoBase(docs.sparkSession, path)
+  }
+
+  /** Fold every `batch=<tag>` partition into `batch=base` — one
+    * compacted file set per table instead of one per micro-batch (the
+    * small-files failure at production cadence). Reads the index
+    * tables themselves (no corpus re-scan, no fingerprint recompute),
+    * restores each table's physical layout (exact clustered by `h`,
+    * bands by `bandkey`, postings clustered+sorted by `doc_id`), and
+    * swaps with the staged-write discipline above, so probes are
+    * byte-identical before and after and a crash leaves a usable index.
+    */
+  def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    // the staging root sits OUTSIDE the table roots being read — writing
+    // into a subdirectory of a path an active scan is listing would race
+    // the read's file index
+    for (t <- Seq("exact", "bands", "shingles")) {
+      val full = spark.read.parquet(s"$path/$t").drop("batch")
+      shapeFor(t)(full).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/.staging/$t")
+    }
+    swapStagingIntoBase(spark, path)
+  }
+
+  /** Per-table physical layout: the probe-side join keys cluster the
+    * files they probe. */
+  private def shapeFor(t: String): DataFrame => DataFrame = t match {
+    case "exact" => _.repartition(col("h"))
+    case "bands" => _.repartition(col("bandkey"))
+    case "shingles" =>
+      _.repartition(col("doc_id")).sortWithinPartitions("doc_id")
+  }
+
+  /** The near-atomic swap + sweep shared by rebuild and compaction:
+    * delete `batch=base`, rename the staged table into its place, then
+    * sweep every other entry under the table root (stale batch
+    * partitions, legacy flat files, leftover staging). See the
+    * lifecycle note on [[writeFingerprints]] for the crash windows.
+    */
+  private def swapStagingIntoBase(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
     for (t <- Seq("exact", "bands", "shingles")) {
       val root = new org.apache.hadoop.fs.Path(s"$path/$t")
       val fs = root.getFileSystem(hconf)
-      if (fs.exists(root))
-        fs.listStatus(root).foreach { st =>
-          if (st.isDirectory && st.getPath.getName.startsWith("batch=")
-              && st.getPath.getName != "batch=base")
-            fs.delete(st.getPath, true)
-        }
+      val staged = new org.apache.hadoop.fs.Path(s"$path/.staging/$t")
+      val base = new org.apache.hadoop.fs.Path(root, "batch=base")
+      if (!fs.exists(staged))
+        sys.error(s"fingerprint staging missing: $staged")
+      fs.mkdirs(root)
+      if (fs.exists(base)) fs.delete(base, true)
+      if (!fs.rename(staged, base))
+        sys.error(s"fingerprint base swap failed: $staged -> $base")
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName != "batch=base") fs.delete(st.getPath, true)
+      }
     }
+    val stagingRoot = new org.apache.hadoop.fs.Path(s"$path/.staging")
+    val fs = stagingRoot.getFileSystem(hconf)
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
   }
 
   /** Add a batch's fingerprints to an existing [[writeFingerprints]]
@@ -179,23 +247,25 @@ object Sink {
     * contribution instead of duplicating rows — duplicated postings
     * would silently double every future probe's intersection counts.
     */
-  def appendFingerprints(docs: DataFrame, path: String, batch: String): Unit =
-    writeFp(docs, path, batch)
-
-  private def writeFp(docs: DataFrame, path: String, batch: String): Unit = {
-    // every writer targets its own batch=<tag> partition subdirectory
+  def appendFingerprints(docs: DataFrame, path: String, batch: String): Unit = {
+    // every batch targets its own batch=<tag> partition subdirectory
     // (standard partition-discovery layout, so index reads of the table
     // roots see one unified table); Overwrite scoped to that directory
-    // makes every write — base build or batch append — idempotent
-    require(batch.matches("[A-Za-z0-9_-]+"), s"unsafe batch tag: $batch")
+    // makes the append replay-idempotent
+    require(batch.matches("[A-Za-z0-9_-]+") && batch != "base",
+      s"unsafe batch tag: $batch")
+    writeFpTables(docs, t => s"$path/$t/batch=$batch")
+  }
+
+  private def writeFpTables(docs: DataFrame, dir: String => String): Unit = {
     val (exact, bands, postings) =
       graft.queries.TrainingOps.fingerprintTables(docs)
-    exact.repartition(col("h"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/exact/batch=$batch")
-    bands.repartition(col("bandkey"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands/batch=$batch")
-    postings.repartition(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/shingles/batch=$batch")
+    shapeFor("exact")(exact)
+      .write.mode(SaveMode.Overwrite).parquet(dir("exact"))
+    shapeFor("bands")(bands)
+      .write.mode(SaveMode.Overwrite).parquet(dir("bands"))
+    shapeFor("shingles")(postings)
+      .write.mode(SaveMode.Overwrite).parquet(dir("shingles"))
   }
 
   /** Incremental dedup of a new batch against a [[writeFingerprints]]
@@ -222,6 +292,13 @@ object Sink {
     // scoped Overwrite would then drop their fingerprints
     def idx(table: String): DataFrame = {
       val t = spark.read.parquet(s"$path/$table")
+      // fail FAST and named on a legacy (pre-partition-layout) index: it
+      // has no `batch` column to scope by, and the generic analyzer
+      // error would not say "rebuild the index" — writeFingerprints into
+      // an empty directory migrates it
+      if (excludeBatch.isDefined && !t.columns.contains("batch"))
+        sys.error(s"$path/$table is a legacy unpartitioned fingerprint " +
+          "index (no batch column); rebuild it with writeFingerprints")
       excludeBatch.fold(t)(tag => t.filter(col("batch") =!= tag))
     }
     // self-match guards: a batch doc whose doc_id is ALREADY indexed (a

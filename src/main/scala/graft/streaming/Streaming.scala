@@ -130,7 +130,18 @@ object Streaming {
     * rows.
     */
   def incrementalDedup(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the run id is resolved from the checkpoint metadata ONCE (on the
+    // first batch — the file exists as soon as the query has started)
+    // and cached for the query's lifetime: re-reading it per batch
+    // meant a transient metadata-read failure during a REPLAY could
+    // mint a different tag, leaving the first attempt's verdict
+    // partition in place (duplicate verdict rows for one batchId) and
+    // splitting the batch's index rows across two run identities. With
+    // the cache, a failed first resolution fails the batch — the
+    // restart retries — and a later flake can never change the tag.
+    val cachedRun =
+      new java.util.concurrent.atomic.AtomicReference[String]()
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -157,11 +168,13 @@ object Streaming {
         //    partition, and erase what it admitted), so a doc
         //    REDELIVERED in a later batch or a new run still enters the
         //    index exactly once.
-        // computed ONCE per batch: the run id is constant for the query's
-        // lifetime, and the index tag and verdict path must agree — two
-        // reads could diverge if one transiently fell back to the
-        // path-hash, splitting one batch across two run identities
-        val run = runIdTag(batch.sparkSession, checkpoint)
+        // query-lifetime cached (see cachedRun above): resolved on the
+        // first batch, never re-read, so the tag is stable across
+        // replays by construction
+        val run = Option(cachedRun.get).getOrElse {
+          cachedRun.compareAndSet(null, runIdTag(batch.sparkSession, checkpoint))
+          cachedRun.get
+        }
         val tag = s"c${run}b$batchId"
         // the probe excludes this batch's own partition so a REPLAY sees
         // the index exactly as the first attempt did — intra-batch
@@ -182,34 +195,31 @@ object Streaming {
         ()
       }
       .start()
+  }
 
   /** The streaming query's RUN identity, read from the checkpoint's own
     * `metadata` file (`{"id": "<uuid>"}`, written by Spark at query
     * start, before any batch runs): stable across restarts of the same
     * checkpoint, fresh whenever the checkpoint directory is wiped or
     * replaced. First 8 hex chars of the id (dashes stripped) — enough to
-    * keep runs disjoint in partition tags. Falls back to a hash of the
-    * checkpoint path if the metadata cannot be read (never expected once
-    * the query has started).
+    * keep runs disjoint in partition tags. A read failure FAILS the
+    * calling batch (foreachBatch retries after restart) — the old
+    * fallback to a checkpoint-path hash could mint a second identity
+    * for the same run on a transient flake, breaking the replay
+    * idempotency the tag exists for.
     */
   private def runIdTag(spark: org.apache.spark.sql.SparkSession,
-      checkpoint: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val id = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
-        .findFirstMatchIn(txt).map(_.group(1))
-        .getOrElse(sys.error(s"no id in $p"))
-      id.replace("-", "").take(8)
-    } catch {
-      case scala.util.control.NonFatal(_) =>
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(checkpoint.getBytes("UTF-8"))
-          .take(4).map(b => f"$b%02x").mkString
-    }
+      checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val id = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(sys.error(s"no id in $p"))
+    id.replace("-", "").take(8)
+  }
 
   /** The q72 filter-funnel as a streaming aggregation — the SAME
     * conditional-sum code runs batch (TrainingOps q72 calls this) and

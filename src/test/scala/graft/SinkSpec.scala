@@ -121,6 +121,134 @@ class SinkSpec extends AnyFunSuite {
     assert(batches == Set("base"), batches.toString)
   }
 
+  test("fingerprint compaction: probes byte-identical, replay post-compaction admits exactly once") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 7)
+    val day1 = docs.filter(col("doc_id") % 10 === 8)
+    val day2 = docs.filter(col("doc_id") % 10 === 9)
+    val probe = docs.filter(col("doc_id") % 10 === 0) // never admitted
+    val dir = Files.createTempDirectory("graft-fpc").toString + "/idx"
+    Sink.writeFingerprints(standing, dir)
+    Sink.appendFingerprints(day1, dir, "c1b0")
+    Sink.appendFingerprints(day2, dir, "c1b1")
+    def verdicts() = Sink.probeFingerprints(probe, dir)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    val before = verdicts()
+    assert(before.nonEmpty)
+    // premise: the batch partitions exist pre-compaction (the
+    // small-files state being folded)
+    assert(spark.read.parquet(s"$dir/shingles").select("batch")
+      .distinct().count() == 3)
+    Sink.compactFingerprints(spark, dir)
+    // post-compaction layout: ONE base partition per table, nothing else
+    for (t <- Seq("exact", "bands", "shingles")) {
+      val batches = spark.read.parquet(s"$dir/$t")
+        .select("batch").distinct().collect().map(_.getString(0)).toSet
+      assert(batches == Set("base"), s"$t: $batches")
+    }
+    // the probe is byte-identical across the fold
+    assert(verdicts() == before, "compaction changed probe verdicts")
+
+    // a REPLAY of day2 after its partition was folded into the base,
+    // through the streaming closure's exact logic: the own-partition
+    // exclusion is now a no-op (the rows live in base), so the
+    // known-ids anti-join is what keeps the admit exactly-once
+    val tag = "c1b1"
+    val v = Sink.probeFingerprints(day2, dir, Some(tag))
+    val known = spark.read.parquet(s"$dir/exact")
+      .filter(col("batch") =!= tag).select("doc_id")
+    val fresh = day2
+      .join(v.filter(col("verdict") === "fresh").select("doc_id"), "doc_id")
+      .join(known, Seq("doc_id"), "left_anti")
+    Sink.appendFingerprints(fresh, dir, tag)
+    // every admitted doc's fingerprints exist EXACTLY once
+    assert(spark.read.parquet(s"$dir/exact")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "replay post-compaction duplicated index rows")
+    val day2Ids = day2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = spark.read.parquet(s"$dir/exact")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(day2Ids.subsetOf(indexed), "replay dropped admitted docs")
+  }
+
+  test("legacy flat fingerprint index: scoped probe fails fast, rebuild migrates") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = Files.createTempDirectory("graft-fpl").toString + "/idx"
+    // fabricate the pre-r11 layout: unpartitioned tables at each root
+    val (exact, bands, postings) =
+      graft.queries.TrainingOps.fingerprintTables(standing)
+    exact.write.parquet(s"$dir/exact")
+    bands.write.parquet(s"$dir/bands")
+    postings.write.parquet(s"$dir/shingles")
+    // a batch-scoped probe must name the problem, not throw an
+    // unresolved-column analyzer error
+    val e = intercept[RuntimeException] {
+      Sink.probeFingerprints(batch, dir, Some("c1b0")).collect()
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    // the rebuild sweeps the flat files along with stale partitions —
+    // no mixed flat/partitioned layout survives
+    Sink.writeFingerprints(standing, dir)
+    for (t <- Seq("exact", "bands", "shingles")) {
+      val root = new java.io.File(s"$dir/$t")
+      assert(root.listFiles().map(_.getName).toSet == Set("batch=base"),
+        root.listFiles().map(_.getName).mkString(","))
+    }
+    assert(Sink.probeFingerprints(batch, dir, Some("c1b0")).count() > 0)
+  }
+
+  test("q108 release tail: shard round-trip preserves layout order, zero cross-split leakage") {
+    import org.apache.spark.sql.functions._
+    // the materialized release (the relational prefix q108 oracles),
+    // sharded with q87's deterministic md5 layout inside each split —
+    // the webdataset-style artifact a training job actually reads
+    val rel = graft.queries.AnalyticsOps
+      .releaseCorpus(spark, TestSpark.sfDir).cache()
+    assert(rel.count() > 0)
+    // zero-leakage BY CONSTRUCTION (the releaseCorpus contract): no
+    // content hash may span two splits — the gate's 50-word floor
+    // guarantees shingles, so exact dups share a cluster and keep-best
+    // left at most one of them
+    assert(rel.groupBy("h").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count() == 0,
+      "exact-duplicate content leaked across splits")
+    // and the eval holdout never ships
+    assert(rel.filter(col("doc_id") % 50 === 0).count() == 0)
+
+    val nShards = 4
+    val layout = rel
+      .withColumn("k", graft.functions.Hashing.md5Long(
+        concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard", (col("k") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("split", "shard").orderBy(col("k").asc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+    val dir = Files.createTempDirectory("graft-rel").toString
+    for (sp <- Seq("train", "val", "test")) {
+      Sink.writeShards(layout.filter(col("split") === sp).drop("split"),
+        s"$dir/$sp", nShards)
+      val want = layout.filter(col("split") === sp)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      for ((shard, docs) <- want) {
+        val back = spark.read.parquet(s"$dir/$sp/shard=$shard")
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(back == docs, s"$sp shard $shard order mismatch")
+      }
+    }
+    rel.unpersist()
+  }
+
   test("upsertJdbc: same conflict-ignore semantics against an embedded JDBC db") {
     import spark.implicits._
     // Spark's bundled embedded Derby — the same in-process-database shape
