@@ -116,6 +116,47 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> q40ab`: the built-in session_window
+    // aggregation vs the gaps-and-islands window form (one user_id
+    // exchange; lag + running-sum ride ONE in-partition sort; the
+    // (user_id, sid) aggregate rides the same user_id partitioning) —
+    // same result set, pinned by sorted-collect equality here.
+    if (args.length >= 2 && args(1) == "q40ab") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val cur = SparkEntry.queries("q40_session_window")
+      def islands = {
+        val ev = graft.util.Tables.events(spark, sfDir)
+        val wOrd = Window.partitionBy("user_id").orderBy("ts")
+        val gap = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(wOrd))
+        ev.withColumn("brk",
+            when(gap.isNull || gap >= 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("sess_start"), count(lit(1)).as("n_events"),
+            graft.functions.Hashing.decSum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("sess_start"), col("n_events"),
+            col("sum_value"))
+          .orderBy("user_id", "sess_start")
+      }
+      val a = cur(spark, sfDir).collect().map(_.toString).toSeq
+      val b = islands.collect().map(_.toString).toSeq
+      println(s"[q40ab] results equal: ${a == b} (${a.size} rows)")
+      noop(cur(spark, sfDir)); noop(islands) // warm
+      def best(mk: => org.apache.spark.sql.DataFrame): Double =
+        (1 to 5).map { _ =>
+          spark.sqlContext.clearCache()
+          val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
+        }.min
+      println(f"[q40ab] session_window ${best(cur(spark, sfDir))}%.3f  " +
+        f"islands ${best(islands)}%.3f")
+      islands.explain("formatted")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> q96parts`: where does q96's ~2 s go?
     // Times each prefix of the pipeline (index warm) so the expensive
     // stage names itself.

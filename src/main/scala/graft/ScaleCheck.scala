@@ -164,7 +164,13 @@ object ScaleCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitioning must scale with the DATA, not the host: a
+      // 100× corpus through a fixed 32 partitions makes each reduce
+      // partition 100× — the q31 sf10 spill experiment below pins the
+      // cost. Overridable so the sf10 tier can run the honest posture
+      // (partitions sized to the corpus, or AQE on via SPARK_GRAFT_AQE).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",

@@ -1483,16 +1483,38 @@ object TrainingOps {
         "count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type")),
 
-    // Session windows (30-minute gap) per user — `session_window` in Spark,
-    // gaps-and-islands in the oracle. Works identically under streaming
-    // with a watermark.
+    // Session windows (30-minute gap) per user, gaps-and-islands form:
+    // lag → break flag → running-sum session id → (user, sid) aggregate.
+    // The break test and running sum ride ONE in-partition sort on the
+    // single user_id exchange, and the aggregate's (user_id, sid) keys
+    // are a superset of that partitioning, so the whole query moves data
+    // ONCE — where the built-in `session_window` aggregation plans the
+    // UpdatingSessions machinery (an extra sort + merging-aggregate
+    // stage) for its streaming-state generality batch never uses.
+    // Measured (Profile q40ab, sf0.1): 0.643 → 0.453 s, results
+    // bit-identical; the remaining ~0.45 s is the exchange+window job
+    // floor, BASELINE.md r11. The built-in stays the STREAMING form
+    // ([[graft.streaming.Streaming.sessionAgg]] — with a watermark it is
+    // the only shape whose state store merges late sessions); batch
+    // picks the cheaper equivalent plan, the engine's usual liberty.
     Q("q40_session_window",
-      (s, d) => events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), Hashing.decSum(col("value")).as("sum_value"))
-        .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"),
-          col("sum_value"))
-        .orderBy("user_id", "sess_start"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("user_id").orderBy("ts")
+        val gap = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(wOrd))
+        events(s, d)
+          .withColumn("brk",
+            when(gap.isNull || gap >= 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("sess_start"), count(lit(1)).as("n_events"),
+            Hashing.decSum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("sess_start"), col("n_events"),
+            col("sum_value"))
+          .orderBy("user_id", "sess_start")
+      },
       Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events), " +
         "l AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
         "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
