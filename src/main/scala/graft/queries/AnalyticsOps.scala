@@ -130,6 +130,35 @@ object AnalyticsOps {
     }
   }
 
+  /** SHARED cluster labels over the LSH-verified pair set — the dedup
+    * family's third materialized view (beside the shingle index and the
+    * pair list): q51 publishes it, q82's keep-best and q108's release
+    * drop by it. One label computation per (session, corpus) instead of
+    * one per consumer; the driver union-find (or the distributed
+    * min-label loop past the threshold) runs inside the shared build.
+    */
+  private[graft] def lshClusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"lshLabels:$d")(
+      clusterLabels(s, TrainingOps.lshPairs(s, d).select("ida", "idb")))
+
+  /** SHARED keep-best ranking — labels ⋈ quality score, `row_number`
+    * per cluster under (score DESC, doc_id): the dedup DECISION table.
+    * q82 publishes it; q108's release drops every rnk > 1 row by it.
+    * Clustered-docs-sized (sparse), so the cache is tiny; sharing it
+    * saves each further consumer the corpus-wide quality pass and the
+    * rank window.
+    */
+  private[graft] def keepBestRanks(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"lshKeepBest:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      lshClusterLabels(s, d)
+        .join(TrainingOps.qualityFeatures(s, d).select("doc_id", "score"),
+          "doc_id")
+        .withColumn("rnk", row_number().over(w))
+    }
+
   val all: Seq[Q] = Seq(
 
     // Near-dup CLUSTERS: connected components over the verified LSH pairs
@@ -140,8 +169,7 @@ object AnalyticsOps {
     // dedup-keep-one pass feeds the training pipeline. Oracle: recursive
     // CTE reachability with the same min-label semantics.
     Q("q51_dedup_clusters",
-      (s, d) => clusterLabels(s, TrainingOps.lshPairs(s, d).select("ida", "idb"))
-        .orderBy("doc_id"),
+      (s, d) => lshClusterLabels(s, d).orderBy("doc_id"),
       Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
         "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
         "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
@@ -161,19 +189,10 @@ object AnalyticsOps {
     // cluster sizes are LSH-candidate-bounded, so no window partition can
     // be corpus-sized.
     Q("q82_dedup_keep_best",
-      (s, d) => {
-        val labels = clusterLabels(s,
-          TrainingOps.lshPairs(s, d).select("ida", "idb"))
-        val qual = TrainingOps.qualityFeatures(s, d).select("doc_id", "score")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("cluster_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        labels.join(qual, "doc_id")
-          .withColumn("rnk", row_number().over(w))
-          .select(col("doc_id"), col("cluster_id"), col("score"),
-            when(col("rnk") === 1, 1L).otherwise(0L).as("keep"))
-          .orderBy("doc_id")
-      },
+      (s, d) => keepBestRanks(s, d)
+        .select(col("doc_id"), col("cluster_id"), col("score"),
+          when(col("rnk") === 1, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id"),
       Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
         "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
         "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
@@ -887,6 +906,9 @@ object AnalyticsOps {
     // English function words would be a bug, not a filter. q100 still
     // publishes the full rule set (stopword gate included) as the
     // per-document audit signal.
+    // the gate carries n_words out as the release's token count — same
+    // words() tokenizer, so re-tokenizing the corpus for n_tok would be
+    // a second identical pass
     val gate = TrainingOps.gopherFeatures(s, d)
       .filter(col("n_words").between(50, 100000)
         && col("mean_word_len").between(3.0, 10.0)
@@ -894,20 +916,12 @@ object AnalyticsOps {
         && col("bullet_frac") < 0.9
         && col("ellipsis_frac") < 0.3
         && col("alpha_frac") > 0.8)
-      .select("doc_id")
-    val labels = clusterLabels(s,
-      TrainingOps.lshPairs(s, d).select("ida", "idb"))
-    val qual = TrainingOps.qualityFeatures(s, d).select("doc_id", "score")
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val nonRep = labels.join(qual, "doc_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") > 1).select("doc_id")
+      .select(col("doc_id"), col("n_words").as("n_tok"))
+    val nonRep = keepBestRanks(s, d).filter(col("rnk") > 1).select("doc_id")
     val hits = TrainingOps.contaminationHits(s, d)
     val base = graft.util.Caches.transientPersist(
       documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"), col("lang"),
-          size(graft.functions.Text.words(col("text"))).cast("long").as("n_tok"),
           Hashing.simpleHash(col("text")).as("h"))
         .join(gate, "doc_id")
         .join(nonRep, Seq("doc_id"), "left_anti")

@@ -24,7 +24,7 @@ import graft.util.Tables._
   */
 object AuditOps {
 
-  import TrainingOps.{oMd5Long, oQuant, quantize, dotQ, norm2Q, cosQ}
+  import TrainingOps.{oMd5Long, oQuant, quantize, dotQ, norm2Q, cosQ, shCte, shhCte}
 
   val all: Seq[Q] = Seq(
 
@@ -525,5 +525,91 @@ object AuditOps {
         "CAST(n_added + n_removed + n_changed AS DOUBLE) / " +
         "(n_added + n_removed + n_changed + n_unchanged) AS churn " +
         "FROM g ORDER BY source")),
+
+    // Memorization screen (r11): the top-10 most-repeated n-grams across
+    // the corpus with their document frequency -- the report a curator
+    // reads for verbatim-memorization risk (boilerplate, licenses,
+    // templated spam: exactly the strings a model regurgitates; the
+    // Carlini-style screen's corpus-side half). Two-tier shape, and the
+    // ORDER of the tiers is the scale story: frequency is computed
+    // entirely over the SHARED hashed-shingle index (8-byte h1 groups --
+    // no text ever shuffles; per-h1 row count IS the doc frequency since
+    // the index is distinct per (doc, shingle)), the top-10 selection is
+    // a TakeOrdered under (df DESC, h1) -- both engines break ties on
+    // the same md5-derived key -- and only THEN is n-gram text recovered:
+    // one generator pass over the corpus filtered map-side by the
+    // broadcast 10-row top set. A text-first design would shuffle
+    // token-volume strings; this shuffles token-volume int64s once
+    // (already paid by the family's shared index) and strings never.
+    Q("q109_memorization_ngrams",
+      (s, d) => {
+        val dfc = TrainingOps.shingleIndex(s, d)
+          .groupBy("h1").agg(count(lit(1)).as("n_docs"))
+        val top = dfc.orderBy(col("n_docs").desc, col("h1").asc).limit(10)
+        val txt = documents(s, d).select(col("doc_id"), col("text"))
+          .selectExpr("shingles(text, 3) AS ngram")
+          .select(Hashing.md5Long(col("ngram")).as("h1"), col("ngram"))
+          .join(broadcast(top), "h1")
+          .select(col("ngram"), col("n_docs")).distinct()
+        txt.orderBy(col("n_docs").desc, col("ngram").asc)
+      },
+      Some(s"WITH $shCte, $shhCte, " +
+        "dfc AS (SELECT h1, CAST(count(*) AS BIGINT) AS n_docs FROM shh GROUP BY 1), " +
+        "top AS (SELECT h1, n_docs FROM dfc ORDER BY n_docs DESC, h1 LIMIT 10), " +
+        s"txt AS (SELECT DISTINCT ${oMd5Long("shingle")} AS h1, shingle FROM sh) " +
+        "SELECT t.shingle AS ngram, x.n_docs FROM top x JOIN txt t USING (h1) " +
+        "ORDER BY n_docs DESC, ngram")),
+
+    // NEAR-dup split leakage (r11): q107 counts EXACT duplicates spanning
+    // train/val/test; this is the near-dup tier of the same
+    // eval-contamination audit -- every LSH-verified pair (jacc >= 0.8)
+    // whose endpoints landed in different splits, summarized per
+    // unordered split pair with the leaked-document count and the worst
+    // Jaccard. The release pipeline (q108) drops near-dups BEFORE
+    // splitting, so its output audits to zero here by construction; this
+    // query is the check one runs on a corpus that split FIRST. Scale:
+    // rides the SHARED verified-pair list (never re-derives candidates);
+    // the split coins are map-side md5s of the pair's own ids; <= 3
+    // result groups.
+    Q("q110_neardup_split_leakage",
+      (s, d) => {
+        def splitOf(id: org.apache.spark.sql.Column) = {
+          val coin = pmod(Hashing.md5Long(
+            concat(id.cast("string"), lit(":sp"))), lit(100L))
+          when(coin < 80, "train").when(coin < 90, "val").otherwise("test")
+        }
+        val leaks = graft.util.Caches.transientPersist(
+          TrainingOps.lshPairs(s, d)
+            .withColumn("sa", splitOf(col("ida")))
+            .withColumn("sb", splitOf(col("idb")))
+            .filter(col("sa") =!= col("sb"))
+            .select(least(col("sa"), col("sb")).as("s1"),
+              greatest(col("sa"), col("sb")).as("s2"),
+              col("ida"), col("idb"), col("jacc")))
+        val pairsAgg = leaks.groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n_pairs"), max("jacc").as("max_jacc"))
+        val docsAgg = leaks
+          .select(col("s1"), col("s2"),
+            explode(array(col("ida"), col("idb"))).as("doc"))
+          .distinct()
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_docs"))
+        pairsAgg.join(docsAgg, Seq("s1", "s2"))
+          .select(col("s1"), col("s2"), col("n_pairs"), col("n_docs"),
+            col("max_jacc"))
+          .orderBy("s1", "s2")
+      },
+      Some("WITH " + TrainingOps.lshPairsCtes + ", " +
+        "sp AS (SELECT ida, idb, jacc, " +
+        s"CASE WHEN ${oMd5Long("CAST(ida AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
+        s"WHEN ${oMd5Long("CAST(ida AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' ELSE 'test' END AS sa, " +
+        s"CASE WHEN ${oMd5Long("CAST(idb AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
+        s"WHEN ${oMd5Long("CAST(idb AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' ELSE 'test' END AS sb " +
+        "FROM pairs), " +
+        "x AS (SELECT least(sa, sb) AS s1, greatest(sa, sb) AS s2, ida, idb, jacc " +
+        "FROM sp WHERE sa <> sb), " +
+        "pa AS (SELECT s1, s2, count(*) AS n_pairs, max(jacc) AS max_jacc FROM x GROUP BY 1, 2), " +
+        "da AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_docs FROM " +
+        "(SELECT s1, s2, ida AS doc FROM x UNION SELECT s1, s2, idb FROM x) GROUP BY 1, 2) " +
+        "SELECT s1, s2, n_pairs, n_docs, max_jacc FROM pa JOIN da USING (s1, s2) ORDER BY s1, s2")),
   )
 }

@@ -203,15 +203,19 @@ object TrainingOps {
     * (doc_id % 50 = 0). THE kernel of q65, shared with q101's funnel
     * stage so the two can never diverge; rides the shared shingle index.
     */
-  private[queries] def contaminationHits(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d).select(col("doc_id"), col("h1"))
-    val eval = idx.filter(col("doc_id") % 50 === 0)
-      .select(col("h1")).distinct()
-    idx.filter(col("doc_id") % 50 =!= 0)
-      .join(eval, "h1")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("h1")).as("n_hits"))
-  }
+  private[queries] def contaminationHits(s: SparkSession, d: String): DataFrame =
+    // SHARED (r11): q65 publishes it, q101's funnel and q108's release
+    // both gate on it — one eval-overlap join per (session, corpus),
+    // hit-count-sized result (bounded by true overlap)
+    graft.util.Caches.sharedIndex(s, s"contamHits:$d") {
+      val idx = shingleIndex(s, d).select(col("doc_id"), col("h1"))
+      val eval = idx.filter(col("doc_id") % 50 === 0)
+        .select(col("h1")).distinct()
+      idx.filter(col("doc_id") % 50 =!= 0)
+        .join(eval, "h1")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h1")).as("n_hits"))
+    }
 
   private[queries] def pairIntersections(s: SparkSession, d: String): DataFrame =
     // a SHARED materialized view like the shingle index itself: the
