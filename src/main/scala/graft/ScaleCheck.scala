@@ -94,7 +94,16 @@ object ScaleCheck {
     // r11: standing-corpus incremental dedup — exact tier + minhash
     // filter over the shared pair kernel; named in the r10 verdict's
     // 100× tier and previously unpinned at any scale
-    "q95_incremental_dedup")
+    "q95_incremental_dedup",
+    // r11b: the corpus-release composite stacks gate + keep-best +
+    // decontamination + resample + split over every shared kernel — its
+    // slope is the whole stack's story (replica structure: langs,
+    // eval-split offsets and gate features are all replica-consistent,
+    // so the funnel's proportions scale, not its semantics); the
+    // memorization screen pins the hash-first report shape (df over the
+    // shared index + a text-recovery pass bounded by the broadcast top
+    // set)
+    "q108_corpus_release", "q109_memorization_ngrams")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

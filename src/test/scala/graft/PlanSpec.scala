@@ -548,6 +548,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  /** Shingle-generator sites in the CONSUMER plan — cached relations
+    * count zero (their embedded build plan legitimately tokenizes; the
+    * explain string prints it under InMemoryTableScan, so a raw text
+    * count would see it).
+    */
+  private def consumerGenSites(name: String): Int = {
+    def cnt(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p match {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => 0
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+          (if (g.generator.isInstanceOf[graft.plans.ShingleGenerator]) 1 else 0) +
+            g.children.map(cnt).sum
+        case other => other.children.map(cnt).sum
+      }
+    cnt(SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan)
+  }
+
+  test("q82/q108 ride the shared keep-best rank table; q108 never re-tokenizes for n_tok") {
+    // the dedup DECISION kernels (labels, keep-best ranks, contamination
+    // hits) are session-shared indexes (r11): the first consumer builds,
+    // the rest must plan a cache read — a refactor back to per-consumer
+    // builds re-pays the corpus-wide quality pass per query
+    SparkEntry.queries("q82_dedup_keep_best")(spark, TestSpark.sfDir).count()
+    val p82 = plan("q82_dedup_keep_best")
+    assert(p82.contains("InMemoryTableScan"), p82)
+    val p108 = plan("q108_corpus_release")
+    // q108's consumer plan: cache reads for ranks + hits, and ZERO
+    // tokenize-generator sites outside cached builds — the gate's
+    // n_words doubles as n_tok, so a second corpus tokenize pass (the
+    // pre-r11 shape) is a regression this pins out
+    assert(p108.contains("InMemoryTableScan"), p108)
+    assert(consumerGenSites("q108_corpus_release") == 0, p108)
+    // the only non-equi join allowed is the 1-row min-mass broadcast
+    // attach (the q104 pattern); an unbroadcast cartesian is a blowup
+    assert(!p108.contains("CartesianProduct"), p108)
+    assert(!p108.replace("BroadcastNestedLoopJoin", "")
+      .contains("NestedLoop"), p108)
+  }
+
+  test("q109 memorization screen: df rides the shared index; text recovery is top-set-bounded") {
+    SparkEntry.queries("q28_minhash_sig")(spark, TestSpark.sfDir).count() // build index
+    val p = plan("q109_memorization_ngrams")
+    // frequency tier: a cache read of the shingle index, not a fresh
+    // tokenize; selection: TakeOrdered (no global sort of the df table)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("TakeOrdered"), p)
+    // text tier: exactly one generator pass outside cached builds,
+    // joined to the broadcast top set (strings never shuffle corpus-wide)
+    assert(consumerGenSites("q109_memorization_ngrams") == 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q91 source datasheet: one tokenize pass, partial aggregation, no blowup") {
     val p = plan("q91_source_datasheet")
     // qualityFeatures supplies BOTH n_tokens and score — exactly one
