@@ -70,6 +70,39 @@ object Cli {
       }
       if (v.values.exists(_ > 0)) 1 else 0
 
+    case "release" :: sfDir :: outDir :: rest if rest.size <= 1 =>
+      // the q108 corpus-release composite, materialized: per-split shard
+      // directories (q87's deterministic md5 layout inside each split)
+      // plus the membership-pinning manifest — the training-data analog
+      // of pre-process+index-functions as ONE idempotent job
+      import org.apache.spark.sql.functions._
+      val nShards = rest.headOption.map(_.toInt).getOrElse(8)
+      val rel = graft.queries.AnalyticsOps.releaseCorpus(spark, sfDir).cache()
+      val layout = rel
+        .withColumn("k", graft.functions.Hashing.md5Long(
+          concat(lit("shard:"), col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(col("k"), lit(nShards.toLong)))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("split", "shard")
+            .orderBy(col("k").asc, col("doc_id").asc)).cast("long"))
+      for (sp <- Seq("train", "val", "test"))
+        Sink.writeShards(layout.filter(col("split") === sp)
+          .select("doc_id", "source", "lang", "n_tok", "h", "shard", "pos"),
+          s"$outDir/$sp", nShards)
+      val manifest = rel.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("split", "lang")
+      manifest.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/manifest")
+      val rows = manifest.collect()
+      rel.unpersist()
+      rows.foreach(r => println(s"[graft] release: ${r.getString(0)}/${
+        r.getString(1)} docs=${r.getLong(2)} tokens=${r.getLong(3)}"))
+      println(s"[graft] release: ${rows.map(_.getLong(2)).sum} docs -> " +
+        s"$outDir/{train,val,test} ($nShards shards each) + manifest")
+      0
+
     case other =>
       System.err.println(
         s"""usage: graft.Cli <command>
@@ -77,6 +110,7 @@ object Cli {
            |  index-functions <dbDir>
            |  export-source <dbDir> <contractId> <outDir>
            |  validate <dbDir>
+           |  release <sfDir> <outDir> [numShards]
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI command surface — each command's components are pinned in
+  * their own specs (ContractPipelineSpec, SchemasSpec, SinkSpec); this
+  * drives the command layer itself: argument dispatch, exit codes, and
+  * the `release` command's on-disk artifact.
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("release: shards + manifest land, membership matches the q108 kernel") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cli-rel").toString
+    assert(Cli.run(spark, List("release", TestSpark.sfDir, out, "4")) == 0)
+    val rel = graft.queries.AnalyticsOps.releaseCorpus(spark, TestSpark.sfDir)
+      .select("doc_id", "split").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    for (sp <- Seq("train", "val", "test")) {
+      val back = spark.read.parquet(s"$out/$sp")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(back == rel.getOrElse(sp, Set.empty), s"split $sp membership")
+    }
+    val manifest = spark.read.parquet(s"$out/manifest")
+    assert(manifest.agg(sum("n_docs")).head.getLong(0)
+      == rel.values.map(_.size).sum)
+  }
+
+  test("unknown command exits 2") {
+    assert(Cli.run(spark, List("frobnicate")) == 2)
+  }
+}

@@ -15,6 +15,61 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("fused cellPairCos pre-limit is bit-identical to the twin-window form") {
+    // the r11 fusion's correctness argument: one sort by (group,
+    // cos DESC, idb, ida) yields BOTH window orders — per-ida
+    // subsequences are (cos DESC, idb), per-idb subsequences are
+    // (cos DESC, ida) because idb is constant within its own group — so
+    // running counters reproduce the two former row_number ranks
+    // EXACTLY, tie-breaks included. This pins that argument against the
+    // r10 twin-window implementation, reconstructed verbatim from the
+    // kernel's own unpruned pair enumeration.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    spark.sqlContext.clearCache()
+    val fused = graft.queries.TrainingOps
+      .cellPairCosBuild(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the old form: full in-cell pairs (plain self-join — block salting
+    // only partitions the join; the retained-region groups are
+    // reconstructed from pmod(vec_id, 4) directly), two row_number
+    // windows, same disjunctive filter
+    val B = 4
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576.0).cast("long")).as("qv"))
+    val withN = emb.withColumn("n2",
+      aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    val pairs = withN.as("a").join(withN.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        pmod(col("a.vec_id"), lit(B)).as("blk"),
+        pmod(col("b.vec_id"), lit(B)).as("pb"),
+        col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        (aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          / (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+          .as("cos"))
+    val wa = Window.partitionBy("label", "blk", "pb", "ida")
+      .orderBy(col("cos").desc, col("idb").asc)
+    val wb = Window.partitionBy("label", "blk", "pb", "idb")
+      .orderBy(col("cos").desc, col("ida").asc)
+    val twin = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("cos") >= 0.35 || col("ra") <= 3 || col("rb") <= 3)
+      .select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(fused == twin,
+      s"fused-only: ${(fused -- twin).take(5)}  twin-only: ${(twin -- fused).take(5)}")
+    assert(fused.nonEmpty)
+  }
+
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, TestSpark.sfDir).collect()
 
