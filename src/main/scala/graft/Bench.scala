@@ -170,15 +170,26 @@ object Bench {
         val tmp = java.nio.file.Files.createTempDirectory("graft-pair-")
         val oraclePath = tmp.resolve("oracle_sql.json").toString
         graft.util.OracleJson.write(oraclePath)
-        val duckPasses =
-          sys.env.getOrElse("SPARK_GRAFT_PAIR_DUCK_PASSES", "3")
+        // defensive parse (the passes convention above): a typo'd env
+        // var must not corrupt the artifact JSON it gets embedded into
+        val duckPasses = scala.util.Try(
+          sys.env("SPARK_GRAFT_PAIR_DUCK_PASSES").trim.toInt)
+          .getOrElse(3).max(1)
         val p = new ProcessBuilder("python3", "tools/baseline.py",
-          sfDir, oraclePath, duckPasses).start()
+          sfDir, oraclePath, duckPasses.toString).start()
+        // drain stderr CONCURRENTLY: reading stdout to EOF first would
+        // deadlock against a child blocked on a full stderr pipe
+        val errBuf = new java.io.ByteArrayOutputStream()
+        val drainer = new Thread(() =>
+          p.getErrorStream.transferTo(errBuf): Unit)
+        drainer.setDaemon(true)
+        drainer.start()
         val outBytes = p.getInputStream.readAllBytes()
-        val errBytes = p.getErrorStream.readAllBytes()
-        if (p.waitFor() != 0)
+        if (p.waitFor() != 0) {
+          drainer.join(2000)
           throw new RuntimeException(
-            s"baseline.py exit ${p.exitValue()}: ${new String(errBytes, "UTF-8").takeRight(300)}")
+            s"baseline.py exit ${p.exitValue()}: ${errBuf.toString("UTF-8").takeRight(300)}")
+        }
         val lastLine =
           new String(outBytes, "UTF-8").trim.linesIterator.toSeq.last
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -188,10 +199,11 @@ object Bench {
         val duckMap = duckQ.fieldNames().asScala
           .map(n => n -> duckQ.get(n).asDouble()).toMap
         // the honest ratio compares the SAME query set: benched ∩ oracled
+        val rm = results.toMap
         val common = results.collect {
           case (k, v) if v >= 0 && duckMap.contains(k) => k
         }
-        val sparkS = common.map(k => results.toMap.apply(k)).sum
+        val sparkS = common.map(rm).sum
         val duckS = common.map(duckMap).sum
         val loadAfter = java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage

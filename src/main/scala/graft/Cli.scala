@@ -70,11 +70,15 @@ object Cli {
       }
       if (v.values.exists(_ > 0)) 1 else 0
 
-    case "release" :: sfDir :: outDir :: rest if rest.size <= 1 =>
+    case "release" :: sfDir :: outDir :: rest
+        if rest.size <= 1
+          && rest.headOption.forall(a => scala.util.Try(a.toInt).toOption.exists(_ > 0)) =>
       // the q108 corpus-release composite, materialized: per-split shard
       // directories (q87's deterministic md5 layout inside each split)
       // plus the membership-pinning manifest — the training-data analog
-      // of pre-process+index-functions as ONE idempotent job
+      // of pre-process+index-functions as ONE idempotent job. A
+      // non-numeric/non-positive shard count falls through to the usage
+      // case (exit 2), like every other malformed invocation.
       import org.apache.spark.sql.functions._
       val nShards = rest.headOption.map(_.toInt).getOrElse(8)
       val rel = graft.queries.AnalyticsOps.releaseCorpus(spark, sfDir).cache()

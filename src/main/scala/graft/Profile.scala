@@ -123,34 +123,28 @@ object Profile {
     // same result set, pinned by sorted-collect equality here.
     if (args.length >= 2 && args(1) == "q40ab") {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val cur = SparkEntry.queries("q40_session_window")
-      def islands = {
-        val ev = graft.util.Tables.events(spark, sfDir)
-        val wOrd = Window.partitionBy("user_id").orderBy("ts")
-        val gap = unix_micros(col("ts")) -
-          unix_micros(lag(col("ts"), 1).over(wOrd))
-        ev.withColumn("brk",
-            when(gap.isNull || gap >= 1800L * 1000000L, 1L).otherwise(0L))
-          .withColumn("sid", sum("brk").over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "sid")
-          .agg(min("ts").as("sess_start"), count(lit(1)).as("n_events"),
-            graft.functions.Hashing.decSum(col("value")).as("sum_value"))
-          .select(col("user_id"), col("sess_start"), col("n_events"),
-            col("sum_value"))
-          .orderBy("user_id", "sess_start")
-      }
-      val a = cur(spark, sfDir).collect().map(_.toString).toSeq
+      // the BUILT-IN session_window baseline is constructed inline:
+      // registry q40 IS the islands form since r11, so reading it here
+      // would compare the rewrite against itself
+      def builtin = graft.util.Tables.events(spark, sfDir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Hashing.decSum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start")
+      def islands = SparkEntry.queries("q40_session_window")(spark, sfDir)
+      val a = builtin.collect().map(_.toString).toSeq
       val b = islands.collect().map(_.toString).toSeq
       println(s"[q40ab] results equal: ${a == b} (${a.size} rows)")
-      noop(cur(spark, sfDir)); noop(islands) // warm
+      noop(builtin); noop(islands) // warm
       def best(mk: => org.apache.spark.sql.DataFrame): Double =
         (1 to 5).map { _ =>
           spark.sqlContext.clearCache()
           val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
         }.min
-      println(f"[q40ab] session_window ${best(cur(spark, sfDir))}%.3f  " +
+      println(f"[q40ab] session_window ${best(builtin)}%.3f  " +
         f"islands ${best(islands)}%.3f")
       islands.explain("formatted")
       spark.stop()

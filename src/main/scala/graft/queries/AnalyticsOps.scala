@@ -856,10 +856,7 @@ object AnalyticsOps {
         "relbase AS (SELECT d.doc_id, d.lang, " +
         "CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok, " +
         s"${TrainingOps.oMd5Long("CAST(d.doc_id AS VARCHAR) || ':lt'")} % 1048576 AS coin " +
-        "FROM documents d JOIN goph g ON d.doc_id = g.doc_id " +
-        "AND g.n_words BETWEEN 50 AND 100000 AND g.mean_word_len BETWEEN 3.0 AND 10.0 " +
-        "AND g.symbol_ratio < 0.1 AND g.bullet_frac < 0.9 " +
-        "AND g.ellipsis_frac < 0.3 AND g.alpha_frac > 0.8 " +
+        "FROM documents d JOIN goph g ON d.doc_id = g.doc_id AND g.shape_pass = 1 " +
         "LEFT JOIN reldrop dr ON d.doc_id = dr.doc_id " +
         "LEFT JOIN relhits ht ON d.doc_id = ht.doc_id " +
         "WHERE d.text IS NOT NULL AND dr.doc_id IS NULL AND d.doc_id % 50 <> 0 " +
@@ -868,9 +865,7 @@ object AnalyticsOps {
         "relmm AS (SELECT min(mass) AS min_mass FROM relm), " +
         "relr AS (SELECT lang, CAST(floor(sqrt(CAST(min_mass AS DOUBLE) / mass) * 1048576.0) AS BIGINT) AS thr FROM relm, relmm), " +
         "relsp AS (SELECT b.doc_id, b.lang, b.n_tok, " +
-        s"CASE WHEN ${TrainingOps.oMd5Long("CAST(b.doc_id AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
-        s"WHEN ${TrainingOps.oMd5Long("CAST(b.doc_id AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' " +
-        "ELSE 'test' END AS split " +
+        s"${TrainingOps.oSplitOf("b.doc_id")} AS split " +
         "FROM relbase b JOIN relr USING (lang) WHERE coin < thr) " +
         "SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_hash " +
@@ -899,23 +894,16 @@ object AnalyticsOps {
     */
   private[graft] def releaseCorpus(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the gate applies gopher's LANGUAGE-AGNOSTIC document-shape rules;
-    // the 8-stopword conjunct is deliberately omitted — it is an
-    // English-only list (Rae et al. apply it to an English corpus), and
-    // this release spans en/es/de, where gating every language on
-    // English function words would be a bug, not a filter. q100 still
-    // publishes the full rule set (stopword gate included) as the
-    // per-document audit signal.
-    // the gate carries n_words out as the release's token count — same
+    // the gate is gopherFeatures' shape_pass — the LANGUAGE-AGNOSTIC
+    // rule set; the 8-stopword conjunct is deliberately omitted (an
+    // English-only list: this release spans en/es/de, where gating
+    // every language on English function words would be a bug, not a
+    // filter — q100's `passes` still publishes it as the audit signal).
+    // The gate carries n_words out as the release's token count — same
     // words() tokenizer, so re-tokenizing the corpus for n_tok would be
-    // a second identical pass
+    // a second identical pass.
     val gate = TrainingOps.gopherFeatures(s, d)
-      .filter(col("n_words").between(50, 100000)
-        && col("mean_word_len").between(3.0, 10.0)
-        && col("symbol_ratio") < 0.1
-        && col("bullet_frac") < 0.9
-        && col("ellipsis_frac") < 0.3
-        && col("alpha_frac") > 0.8)
+      .filter(col("shape_pass") === 1)
       .select(col("doc_id"), col("n_words").as("n_tok"))
     val nonRep = keepBestRanks(s, d).filter(col("rnk") > 1).select("doc_id")
     val hits = TrainingOps.contaminationHits(s, d)
@@ -937,12 +925,9 @@ object AnalyticsOps {
       .withColumn("thr",
         floor(sqrt(col("min_mass").cast("double") / col("mass")) * lit(1048576.0)))
       .select("lang", "thr")
-    val spCoin = pmod(Hashing.md5Long(
-      concat(col("doc_id").cast("string"), lit(":sp"))), lit(100L))
     base.join(broadcast(rated), "lang")
       .filter(col("coin") < col("thr"))
-      .withColumn("split",
-        when(spCoin < 80, "train").when(spCoin < 90, "val").otherwise("test"))
+      .withColumn("split", TrainingOps.splitOf(col("doc_id")))
       .select("doc_id", "source", "lang", "split", "n_tok", "h")
   }
 }

@@ -418,14 +418,11 @@ object AuditOps {
     // is duplicate-group-sized, planner-gated), 3 result rows.
     Q("q107_split_leakage",
       (s, d) => {
-        val coin = pmod(Hashing.md5Long(
-          concat(col("doc_id").cast("string"), lit(":sp"))), lit(100L))
         val base = graft.util.Caches.transientPersist(
           documents(s, d).filter(col("text").isNotNull)
             .select(col("doc_id"), col("source"),
               Hashing.simpleHash(col("text")).as("h"),
-              when(coin < 80, "train").when(coin < 90, "val")
-                .otherwise("test").as("split")))
+              TrainingOps.splitOf(col("doc_id")).as("split")))
         val leaky = base.groupBy("h")
           .agg(countDistinct("split").as("ns"))
           .filter(col("ns") > 1)
@@ -440,9 +437,7 @@ object AuditOps {
       },
       Some("WITH t AS (SELECT doc_id, source, " +
         "md5(regexp_replace(text, '\\s+', '', 'g')) AS h, " +
-        s"CASE WHEN ${oMd5Long("CAST(doc_id AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
-        s"WHEN ${oMd5Long("CAST(doc_id AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' " +
-        "ELSE 'test' END AS split " +
+        s"${TrainingOps.oSplitOf("doc_id")} AS split " +
         "FROM documents WHERE text IS NOT NULL), " +
         "l AS (SELECT h, 1 AS leak FROM " +
         "(SELECT h, count(DISTINCT split) AS ns FROM t GROUP BY h) WHERE ns > 1) " +
@@ -573,15 +568,10 @@ object AuditOps {
     // result groups.
     Q("q110_neardup_split_leakage",
       (s, d) => {
-        def splitOf(id: org.apache.spark.sql.Column) = {
-          val coin = pmod(Hashing.md5Long(
-            concat(id.cast("string"), lit(":sp"))), lit(100L))
-          when(coin < 80, "train").when(coin < 90, "val").otherwise("test")
-        }
         val leaks = graft.util.Caches.transientPersist(
           TrainingOps.lshPairs(s, d)
-            .withColumn("sa", splitOf(col("ida")))
-            .withColumn("sb", splitOf(col("idb")))
+            .withColumn("sa", TrainingOps.splitOf(col("ida")))
+            .withColumn("sb", TrainingOps.splitOf(col("idb")))
             .filter(col("sa") =!= col("sb"))
             .select(least(col("sa"), col("sb")).as("s1"),
               greatest(col("sa"), col("sb")).as("s2"),
@@ -600,10 +590,8 @@ object AuditOps {
       },
       Some("WITH " + TrainingOps.lshPairsCtes + ", " +
         "sp AS (SELECT ida, idb, jacc, " +
-        s"CASE WHEN ${oMd5Long("CAST(ida AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
-        s"WHEN ${oMd5Long("CAST(ida AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' ELSE 'test' END AS sa, " +
-        s"CASE WHEN ${oMd5Long("CAST(idb AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
-        s"WHEN ${oMd5Long("CAST(idb AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' ELSE 'test' END AS sb " +
+        s"${TrainingOps.oSplitOf("ida")} AS sa, " +
+        s"${TrainingOps.oSplitOf("idb")} AS sb " +
         "FROM pairs), " +
         "x AS (SELECT least(sa, sb) AS s1, greatest(sa, sb) AS s2, ida, idb, jacc " +
         "FROM sp WHERE sa <> sb), " +

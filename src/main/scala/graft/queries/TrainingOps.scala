@@ -123,6 +123,25 @@ object TrainingOps {
   private[queries] def oMd5Long(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT"
 
+  /** THE deterministic 80/10/10 train/val/test assignment (':sp' md5
+    * coin). One expression shared by q107's exact-leakage audit, q110's
+    * near-dup tier and q108's release split, so the cross-query
+    * contract — the release audits to ZERO leakage — cannot drift when
+    * a salt, modulus or threshold changes: every assigner moves
+    * together or the q108/q110 oracles mismatch.
+    */
+  private[queries] def splitOf(id: Column): Column = {
+    val coin = pmod(Hashing.md5Long(
+      concat(id.cast("string"), lit(":sp"))), lit(100L))
+    when(coin < 80, "train").when(coin < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]]. */
+  private[queries] def oSplitOf(sqlExpr: String): String =
+    s"CASE WHEN ${oMd5Long(s"CAST($sqlExpr AS VARCHAR) || ':sp'")} % 100 < 80 THEN 'train' " +
+      s"WHEN ${oMd5Long(s"CAST($sqlExpr AS VARCHAR) || ':sp'")} % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END"
+
   /** DuckDB equivalent of [[Hashing.md5Long2]]. */
   private def oMd5Long2(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 17, 15))::BIGINT"
@@ -490,10 +509,23 @@ object TrainingOps {
     // per-side counters over that one sorted scan therefore reproduce
     // the two former row_number ranks EXACTLY (same values, same
     // tiebreaks — the retained set is bit-identical to the r10 twin-
-    // window form), at the cost of one in-partition sort instead of
-    // two full-pair-volume sort+rank passes. Counter state is bounded
-    // by vectors-per-(cell, block-pair), the same bound the join's
-    // hash table already holds.
+    // window form, pinned in PipelineExtensionsSpec), at the cost of
+    // one in-partition sort instead of two full-pair-volume sort+rank
+    // passes. Counter state is bounded by vectors-per-(cell,
+    // block-pair), the same bound the join's hash table already holds.
+    //
+    // AQE caveat: the exact-rank guarantee assumes each (label, blk,
+    // pb) group is physically contained in one task — true for the
+    // hash-shuffled join's output. If AQE's skew splitting ever breaks
+    // a hot reduce partition into sub-tasks, counters restart per
+    // fragment and ranks UNDERCOUNT, so the filter retains a bounded
+    // SUPERSET (≤ fragments × K extra per group): every consumer stays
+    // correct (the contract is superset-closed: thresholds and global
+    // top-K survive any superset), the output bound degrades
+    // gracefully by exactly the split factor, and nothing is silently
+    // wrong — but bit-identity with the twin-window form holds only
+    // under unsplit groups (the posture Verify/Bench run and the specs
+    // pin).
     import s.implicits._
     val K = CellPairRetainTopK
     val T = CellPairRetainCos
@@ -770,14 +802,19 @@ object TrainingOps {
         (ellL.cast("double") / nL).as("ellipsis_frac"),
         (alphaW.cast("double") / nW).as("alpha_frac"),
         nStop.cast("long").as("n_stop"))
-      .withColumn("passes",
+      // shape_pass: the six LANGUAGE-AGNOSTIC document-shape conjuncts —
+      // the release pipeline's gate (releaseCorpus filters on THIS
+      // column, so the thresholds live in exactly one place); passes
+      // adds the English-only stopword conjunct for the full audit
+      .withColumn("shape_pass",
         (col("n_words").between(50, 100000)
           && col("mean_word_len").between(3.0, 10.0)
           && col("symbol_ratio") < 0.1
           && col("bullet_frac") < 0.9
           && col("ellipsis_frac") < 0.3
-          && col("alpha_frac") > 0.8
-          && col("n_stop") >= 2).cast("int"))
+          && col("alpha_frac") > 0.8).cast("int"))
+      .withColumn("passes",
+        (col("shape_pass") === 1 && col("n_stop") >= 2).cast("int"))
   }
 
   /** Oracle CTE chain mirroring [[gopherFeatures]] — ends in
@@ -800,9 +837,10 @@ object TrainingOps {
       "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws) AS alpha_frac, " +
       "CAST(len(list_filter(list_distinct(list_transform(ws, w -> lower(w))), " +
       "w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM gopht), " +
-      "goph AS (SELECT *, CAST((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+      "goph0 AS (SELECT *, CAST((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
       "AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 " +
-      "AND alpha_frac > 0.8 AND n_stop >= 2 AS INTEGER) AS passes FROM gophs)"
+      "AND alpha_frac > 0.8 AS INTEGER) AS shape_pass FROM gophs), " +
+      "goph AS (SELECT *, CAST(shape_pass = 1 AND n_stop >= 2 AS INTEGER) AS passes FROM goph0)"
 
   /** The SHARED term-frequency index — (doc_id, g, term, tf) rows,
     * g ∈ {1, 2}: per-document unigram and bigram occurrence counts, one
@@ -1495,8 +1533,10 @@ object TrainingOps {
     // ONCE — where the built-in `session_window` aggregation plans the
     // UpdatingSessions machinery (an extra sort + merging-aggregate
     // stage) for its streaming-state generality batch never uses.
-    // Measured (Profile q40ab, sf0.1): 0.643 → 0.453 s, results
-    // bit-identical; the remaining ~0.45 s is the exchange+window job
+    // Measured (Profile q40ab, sf0.1; harness corrected r11 review —
+    // the baseline arm constructs the built-in inline): 0.376 → 0.254 s
+    // quiet / 0.643 → 0.453 s loaded, results bit-identical; the
+    // remaining ~0.4 s bench figure is the exchange+window job
     // floor, BASELINE.md r11. The built-in stays the STREAMING form
     // ([[graft.streaming.Streaming.sessionAgg]] — with a watermark it is
     // the only shape whose state store merges late sessions); batch
