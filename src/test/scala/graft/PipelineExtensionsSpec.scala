@@ -15,6 +15,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q40 gaps-and-islands form equals the built-in session_window aggregation") {
+    // the r11 rewrite's contract: batch picks the cheaper equivalent
+    // plan (one user_id exchange) while the built-in stays the
+    // streaming form — equivalence pinned here on the real events table
+    import org.apache.spark.sql.functions._
+    val builtin = graft.util.Tables.events(spark, TestSpark.sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Hashing.decSum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+      .collect().map(_.toString).toSeq
+    val islands = run("q40_session_window").map(_.toString).toSeq
+    assert(islands == builtin)
+    assert(islands.nonEmpty)
+  }
+
   test("fused cellPairCos pre-limit is bit-identical to the twin-window form") {
     // the r11 fusion's correctness argument: one sort by (group,
     // cos DESC, idb, ida) yields BOTH window orders — per-ida
