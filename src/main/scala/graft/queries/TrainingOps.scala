@@ -526,6 +526,19 @@ object TrainingOps {
     // wrong — but bit-identity with the twin-window form holds only
     // under unsplit groups (the posture Verify/Bench run and the specs
     // pin).
+    cellPairPreLimit(s, pairs)
+  }
+
+  /** The fused retained-region pass over a (label, blk, pb, ida, idb,
+    * cos) pair frame — factored behind its own seam so the
+    * fragmentation-degradation property (the AQE caveat above) is
+    * testable directly: fed a frame whose groups straddle partitions,
+    * the counters restart per fragment, ranks undercount, and the
+    * output is a bounded SUPERSET of the co-partitioned result
+    * (pinned in PipelineExtensionsSpec).
+    */
+  private[graft] def cellPairPreLimit(
+      s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val K = CellPairRetainTopK
     val T = CellPairRetainCos

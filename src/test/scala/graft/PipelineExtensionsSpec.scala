@@ -33,6 +33,69 @@ class PipelineExtensionsSpec extends AnyFunSuite {
     assert(islands.nonEmpty)
   }
 
+  /** Full in-cell pairs (plain self-join — block salting only
+    * partitions the join; the retained-region groups are reconstructed
+    * from pmod(vec_id, 4) directly), the kernel's exact pre-limit input
+    * shape (label, blk, pb, ida, idb, cos).
+    */
+  private def rawCellPairs = {
+    import org.apache.spark.sql.functions._
+    val B = 4
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576.0).cast("long")).as("qv"))
+    val withN = emb.withColumn("n2",
+      aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    withN.as("a").join(withN.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        pmod(col("a.vec_id"), lit(B)).as("blk"),
+        // the kernel's pb is INT (sequence() element); match the typed
+        // pre-limit's encoder
+        pmod(col("b.vec_id"), lit(B)).cast("int").as("pb"),
+        col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        (aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          / (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+          .as("cos"))
+  }
+
+  test("fused pre-limit degrades to a bounded superset when groups fragment") {
+    // the documented AQE-skew caveat, measured: feed the pre-limit a
+    // frame whose (label, blk, pb) groups straddle partitions — the
+    // counters restart per fragment, ranks undercount, and the output
+    // must contain the co-partitioned result (no retained row is ever
+    // LOST to fragmentation) while every consumer contract still holds
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = rawCellPairs.cache()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val co = ids(graft.queries.TrainingOps.cellPairPreLimit(spark,
+      pairs.repartition(col("label"), col("blk"), col("pb"))))
+    val frag = ids(graft.queries.TrainingOps.cellPairPreLimit(spark,
+      pairs.repartition(13)))
+    assert(co.subsetOf(frag), s"fragmentation LOST rows: ${(co -- frag).take(5)}")
+    // consumer contract 1: the threshold region (q33/q90) is exactly
+    // present either way
+    val thr = ids(pairs.filter(col("cos") >= 0.35).select("ida", "idb"))
+    assert(thr.subsetOf(co) && thr.subsetOf(frag))
+    // consumer contract 2: every vector's GLOBAL top-3 partners under
+    // (cos DESC, partner ASC) — what q85 ranks — survive in both
+    val ga = Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)
+    val gb = Window.partitionBy("idb").orderBy(col("cos").desc, col("ida").asc)
+    val top = ids(pairs
+      .withColumn("ra", row_number().over(ga))
+      .withColumn("rb", row_number().over(gb))
+      .filter(col("ra") <= 3 || col("rb") <= 3).select("ida", "idb"))
+    assert(top.subsetOf(co), s"global top-K outside co-partitioned: ${(top -- co).take(5)}")
+    assert(top.subsetOf(frag))
+    pairs.unpersist()
+  }
+
   test("fused cellPairCos pre-limit is bit-identical to the twin-window form") {
     // the r11 fusion's correctness argument: one sort by (group,
     // cos DESC, idb, ida) yields BOTH window orders — per-ida
@@ -49,29 +112,7 @@ class PipelineExtensionsSpec extends AnyFunSuite {
       .cellPairCosBuild(spark, TestSpark.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // the old form: full in-cell pairs (plain self-join — block salting
-    // only partitions the join; the retained-region groups are
-    // reconstructed from pmod(vec_id, 4) directly), two row_number
-    // windows, same disjunctive filter
-    val B = 4
-    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1048576.0).cast("long")).as("qv"))
-    val withN = emb.withColumn("n2",
-      aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-    val pairs = withN.as("a").join(withN.as("b"),
-        col("a.label") === col("b.label")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
-        pmod(col("a.vec_id"), lit(B)).as("blk"),
-        pmod(col("b.vec_id"), lit(B)).as("pb"),
-        col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        (aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double")
-          / (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
-          .as("cos"))
+    val pairs = rawCellPairs
     val wa = Window.partitionBy("label", "blk", "pb", "ida")
       .orderBy(col("cos").desc, col("idb").asc)
     val wb = Window.partitionBy("label", "blk", "pb", "idb")
