@@ -195,16 +195,24 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(rows.keySet == Set(0L, 1L, 3L, 4L, 5L))
     def frac(id: Long, i: Int) = rows(id).getDouble(i)
     // columns: doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-    //          ellipsis_frac, alpha_frac, n_stop, passes
+    //          ellipsis_frac, alpha_frac, n_stop, shape_pass, passes —
+    //          the pass flags asserted BY NAME (r11 added shape_pass at
+    //          index 8; a positional getInt(8) would silently retarget)
+    def flag(id: Long, name: String) =
+      rows(id).getInt(rows(id).fieldIndex(name))
     assert(rows(0L).getLong(1) == 5L && frac(0L, 4) == 2.0 / 3.0)
     assert(frac(0L, 6) == 3.0 / 5.0) // "-" tokens carry no letter
     assert(frac(1L, 3) == 2.0 / 3.0) // two '...' runs over 3 words
     assert(frac(1L, 5) == 0.5)
     assert(rows(3L).getLong(1) == 1L && frac(3L, 2) == 0.0 &&
-      rows(3L).getInt(8) == 0)
+      flag(3L, "passes") == 0)
     assert(rows(4L).getLong(7) == 4L) // the, with, and, that
     assert(frac(5L, 3) == 0.5 && frac(5L, 5) == 0.5) // U+2026 is 1 char
-    assert(rows.values.forall(_.getInt(8) == 0)) // none passes word-count floor
+    // none passes the 50-word floor — on EITHER flag: shape_pass (the
+    // release gate) and passes (the full audit) both gate on n_words
+    rows.keySet.foreach { id =>
+      assert(flag(id, "shape_pass") == 0 && flag(id, "passes") == 0, id)
+    }
   }
 
   test("q105: chunk boundaries hand-computed — stride overlap, short tails, 1-token doc") {
