@@ -599,5 +599,37 @@ object AuditOps {
         "da AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_docs FROM " +
         "(SELECT s1, s2, ida AS doc FROM x UNION SELECT s1, s2, idb FROM x) GROUP BY 1, 2) " +
         "SELECT s1, s2, n_pairs, n_docs, max_jacc FROM pa JOIN da USING (s1, s2) ORDER BY s1, s2")),
+
+    // Contamination PROVENANCE (r11): the detail tier under q65's
+    // per-train-doc hit counts -- which (train doc, eval doc) pairs
+    // share enough shingles to matter (the q101 release threshold,
+    // >= 8), with the shared-shingle count. This is the row a curator
+    // actually inspects before deleting a training document: not "doc
+    // 123 overlaps the eval split" (q65) but "doc 123 leaks eval doc
+    // 450 through 17 shared n-grams". Scale: rides the SHARED shingle
+    // index; the train x eval join is bounded by TRUE overlap (a pair
+    // appears only through a genuinely shared h1, never by corpus
+    // size), and the (train, eval) aggregate is overlap-bounded too;
+    // the threshold keeps the report human-sized.
+    Q("q111_contamination_pairs",
+      (s, d) => {
+        val idx = TrainingOps.shingleIndex(s, d)
+          .select(col("doc_id"), col("h1"))
+        val ev = idx.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("h1"))
+        val tr = idx.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id").as("train_id"), col("h1"))
+        tr.join(ev, "h1")
+          .groupBy("train_id", "eval_id")
+          .agg(countDistinct("h1").as("n_shared"))
+          .filter(col("n_shared") >= 8)
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"WITH $shCte, $shhCte, " +
+        "ev AS (SELECT doc_id AS eval_id, h1 FROM shh WHERE doc_id % 50 = 0), " +
+        "tr AS (SELECT doc_id AS train_id, h1 FROM shh WHERE doc_id % 50 <> 0) " +
+        "SELECT train_id, eval_id, CAST(count(DISTINCT h1) AS BIGINT) AS n_shared " +
+        "FROM tr JOIN ev USING (h1) GROUP BY 1, 2 HAVING count(DISTINCT h1) >= 8 " +
+        "ORDER BY train_id, eval_id")),
   )
 }
