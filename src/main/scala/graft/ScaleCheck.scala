@@ -103,7 +103,12 @@ object ScaleCheck {
     // memorization screen pins the hash-first report shape (df over the
     // shared index + a text-recovery pass bounded by the broadcast top
     // set)
-    "q108_corpus_release", "q109_memorization_ngrams")
+    "q108_corpus_release", "q109_memorization_ngrams",
+    // r11c: near-dup split leakage rides the shared pair list (its
+    // marginal slope pins the pair-consumer path); contamination
+    // provenance is q65's overlap-bounded join at (train, eval) pair
+    // granularity
+    "q110_neardup_split_leakage", "q111_contamination_pairs")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -602,6 +602,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q110/q111 ride shared kernels: cache reads, overlap-bounded joins, no blowup") {
+    // build the shared pair list + shingle index first (any family
+    // consumer does); the audits must then plan CACHE reads
+    SparkEntry.queries("q29_lsh_neardup")(spark, TestSpark.sfDir).count()
+    val p110 = plan("q110_neardup_split_leakage")
+    assert(p110.contains("InMemoryTableScan"), p110)
+    assert(!p110.contains("CartesianProduct") && !p110.contains("NestedLoop"), p110)
+    val p111 = plan("q111_contamination_pairs")
+    assert(p111.contains("InMemoryTableScan"), p111)
+    assert(consumerGenSites("q111_contamination_pairs") == 0, p111)
+    assert(!p111.contains("CartesianProduct") && !p111.contains("NestedLoop"), p111)
+  }
+
   test("q91 source datasheet: one tokenize pass, partial aggregation, no blowup") {
     val p = plan("q91_source_datasheet")
     // qualityFeatures supplies BOTH n_tokens and score — exactly one
