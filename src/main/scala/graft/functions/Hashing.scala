@@ -42,9 +42,44 @@ object Hashing {
   /** A2: aggregate — order-insensitive multiset hash of already-hashed
     * elements. Commutative by construction (sort before concat), so it is
     * safe under Spark's nondeterministic partial-aggregation order.
+    *
+    * BOUNDED GROUPS ONLY (the reference's own use: a contract's file
+    * set, `plain_contract.rs:169-177`): the `collect_list` buffer holds
+    * every element of the group, so a corpus-sized group is a
+    * single-task memory blowup. Manifest-tier digests (per-split id
+    * sets, per-shard content checksums) use [[multisetDigest]], whose
+    * buffer is O(1).
     */
   def multisetHash(elementHash: Column): Column =
     md5(concat_ws("", sort_array(collect_list(elementHash))))
+
+  /** Exact int128 sum of int64s ([[graft.plans.HashSum128]]) as
+    * DECIMAL(38,0) — the O(1)-buffer commutative combine under
+    * [[multisetDigest]]. DuckDB mirror: `sum(BIGINT)` (exact HUGEINT).
+    */
+  def hashSum(c: Column): Column =
+    call_function("graft_hashsum", c)
+
+  /** A2 at MANIFEST TIER: order-insensitive multiset digest with an
+    * O(1) aggregation buffer — for groups that are corpus-sized (q108's
+    * per-(split, lang) release id sets, q89's per-shard content
+    * checksums), where [[multisetHash]]'s collect_list buffer would hold
+    * billions of elements in one reduce task. Each element contributes
+    * its two independent 60-bit md5-derived halves ([[md5Long]] /
+    * [[md5Long2]] of the element's string form); both halves are summed
+    * EXACTLY in int128 ([[hashSum]] — mergeable, partial-aggregable,
+    * order-free by commutativity), and the digest is the md5 of
+    * `"<sum1>:<sum2>"`. `concat` (not concat_ws) so an all-NULL group
+    * yields NULL — the same value DuckDB's
+    * `md5(CAST(sum(h1) AS VARCHAR) || ':' || CAST(sum(h2) AS VARCHAR))`
+    * produces there. Collision tradeoff documented on [[graft.plans
+    * .HashSum128]] (~2^-120 for differing multisets).
+    */
+  def multisetDigest(element: Column): Column = {
+    val e = element.cast("string")
+    md5(concat(hashSum(md5Long(e)).cast("string"), lit(":"),
+      hashSum(md5Long2(e)).cast("string")))
+  }
 
   /** F4: row id = simple_hash of the concatenated natural-key parts — the
     * reference derives ids with `simple_hash` (`functions.rs:31` →

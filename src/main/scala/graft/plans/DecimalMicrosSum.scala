@@ -90,31 +90,9 @@ case class DecimalMicrosSum(child: Expression,
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(0L), Literal(0L), Literal(false), Literal(false))
 
-  private def addL(a: Expression, b: Expression): Expression =
-    Add(a, b, EvalMode.LEGACY)
-
-  /** (hi, lo) += (xHi, xLo) in int128: wrapping lo add, branch-free
-    * unsigned carry-out `((a & b) | ((a | b) & ~sum)) >>> 63`, carry into
-    * the hi word. The third element is the signed-overflow probe of the
-    * two-step hi add (a+b, then +carry): for each step the standard
-    * `((a ^ s) & (b ^ s)) < 0` sign test, combined with XOR because over
-    * a two-step chain the wraps can cancel — the total overflows iff
-    * EXACTLY one step wraps (Hacker's Delight multi-word addition). All
-    * bitwise longs, one comparison: stays branch-free and codegen-hot.
-    */
   private def add128(hiA: Expression, loA: Expression,
-      xHi: Expression, xLo: Expression): (Expression, Expression, Expression) = {
-    val newLo = addL(loA, xLo)
-    val carry = ShiftRightUnsigned(
-      BitwiseOr(BitwiseAnd(loA, xLo),
-        BitwiseAnd(BitwiseOr(loA, xLo), BitwiseNot(newLo))), Literal(63))
-    val s1 = addL(hiA, xHi)
-    val newHi = addL(s1, carry)
-    val o1 = BitwiseAnd(BitwiseXor(hiA, s1), BitwiseXor(xHi, s1))
-    val o2 = BitwiseAnd(BitwiseXor(s1, newHi), BitwiseXor(carry, newHi))
-    val over = LessThan(BitwiseXor(o1, o2), Literal(0L))
-    (newHi, newLo, over)
-  }
+      xHi: Expression, xLo: Expression): (Expression, Expression, Expression) =
+    Int128Arith.add128(hiA, loA, xHi, xLo)
 
   override lazy val updateExpressions: Seq[Expression] = {
     // a non-contributing input adds (0, 0) and leaves `seen` untouched.
@@ -178,6 +156,39 @@ case class DecimalMicrosSum(child: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DecimalMicrosSum =
     copy(child = newChildren.head)
+}
+
+/** The int128 buffer-add shared by the two-long-word aggregates
+  * ([[DecimalMicrosSum]], [[HashSum128]]) — expression-level multi-word
+  * addition with a branch-free overflow probe.
+  */
+private[plans] object Int128Arith {
+
+  private def addL(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  /** (hi, lo) += (xHi, xLo) in int128: wrapping lo add, branch-free
+    * unsigned carry-out `((a & b) | ((a | b) & ~sum)) >>> 63`, carry into
+    * the hi word. The third element is the signed-overflow probe of the
+    * two-step hi add (a+b, then +carry): for each step the standard
+    * `((a ^ s) & (b ^ s)) < 0` sign test, combined with XOR because over
+    * a two-step chain the wraps can cancel — the total overflows iff
+    * EXACTLY one step wraps (Hacker's Delight multi-word addition). All
+    * bitwise longs, one comparison: stays branch-free and codegen-hot.
+    */
+  def add128(hiA: Expression, loA: Expression,
+      xHi: Expression, xLo: Expression): (Expression, Expression, Expression) = {
+    val newLo = addL(loA, xLo)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(loA, xLo),
+        BitwiseAnd(BitwiseOr(loA, xLo), BitwiseNot(newLo))), Literal(63))
+    val s1 = addL(hiA, xHi)
+    val newHi = addL(s1, carry)
+    val o1 = BitwiseAnd(BitwiseXor(hiA, s1), BitwiseXor(xHi, s1))
+    val o2 = BitwiseAnd(BitwiseXor(s1, newHi), BitwiseXor(carry, newHi))
+    val over = LessThan(BitwiseXor(o1, o2), Literal(0L))
+    (newHi, newLo, over)
+  }
 }
 
 /** Per-row int128-micros conversion statics shared by the

@@ -125,6 +125,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductLong(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hashsum"),
+      new ExpressionInfo(classOf[HashSum128].getName, "graft_hashsum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_hashsum expects exactly one argument")
+        HashSum128(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_md5long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5long"),
       (children: Seq[Expression]) => {

@@ -827,18 +827,22 @@ object AnalyticsOps {
     // cost over running the family is five narrow doc_id-keyed joins;
     // a CTE engine re-pays the whole chain. The result pins MEMBERSHIP,
     // not just counts: per (split, lang) an order-insensitive id-set
-    // hash (q12's A2 convention — numeric-sorted id list), so a single
-    // doc admitted or dropped differently anywhere in the five stages
-    // hash-mismatches. The filesystem tail (shard layout + writeShards
-    // + zero-leakage audit) is pipeline-shaped and pinned in SinkSpec.
+    // digest — the MERGEABLE multiset digest (Hashing.multisetDigest,
+    // r12: exact int128 sums of each id's md5 halves), NOT the A2
+    // sorted-list hash, because the (train, en) group is corpus-sized
+    // and a collect_list buffer there holds billions of ids in one
+    // reduce task. The digest's combine is commutative + associative,
+    // so it partial-aggregates map-side and is identical under any
+    // partitioning; a single doc admitted or dropped differently
+    // anywhere in the five stages still hash-mismatches. The filesystem
+    // tail (shard layout + writeShards + zero-leakage audit) is
+    // pipeline-shaped and pinned in SinkSpec.
     Q("q108_corpus_release",
       (s, d) => releaseCorpus(s, d)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tok").as("n_tokens"),
-          md5(concat_ws(",", transform(
-            sort_array(collect_list(col("doc_id"))), i => i.cast("string"))))
-            .as("ids_hash"))
+          Hashing.multisetDigest(col("doc_id")).as("ids_hash"))
         .orderBy("split", "lang"),
       Some("WITH RECURSIVE " + TrainingOps.lshPairsCtes + ", " +
         "edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs), " +
@@ -868,7 +872,7 @@ object AnalyticsOps {
         s"${TrainingOps.oSplitOf("b.doc_id")} AS split " +
         "FROM relbase b JOIN relr USING (lang) WHERE coin < thr) " +
         "SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
-        "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_hash " +
+        s"${TrainingOps.oMultisetDigest("CAST(doc_id AS VARCHAR)")} AS ids_hash " +
         "FROM relsp GROUP BY 1, 2 ORDER BY 1, 2"))
   )
 

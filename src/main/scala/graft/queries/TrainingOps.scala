@@ -146,6 +146,16 @@ object TrainingOps {
   private def oMd5Long2(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 17, 15))::BIGINT"
 
+  /** DuckDB twin of [[Hashing.multisetDigest]] (as an aggregate over
+    * `sqlExpr`'s rows): DuckDB's `sum(BIGINT)` is an exact HUGEINT
+    * (int128) sum — the same exact total [[graft.plans.HashSum128]]
+    * carries — so the two engines render identical digit strings into
+    * the final md5. `||` nulls through like the Spark side's `concat`.
+    */
+  private[queries] def oMultisetDigest(sqlExpr: String): String =
+    s"md5(CAST(sum(${oMd5Long(sqlExpr)}) AS VARCHAR) || ':' || " +
+      s"CAST(sum(${oMd5Long2(sqlExpr)}) AS VARCHAR))"
+
   /** WIDE MinHash signature + per-doc size (doc_id, m0..m7, n):
     * double-hashing family h_i = h1 ⊕ (i·h2) from two 60-bit md5-derived
     * hashes (i·h2 < 2^63, so no overflow; xor is engine-identical on
@@ -2410,17 +2420,19 @@ object TrainingOps {
 
     // Shard manifest: the governance artifact published NEXT TO q87's
     // shard layout — per shard: document count, token/char budgets, the
-    // doc-id range, and an ORDER-INSENSITIVE content checksum (q12's A2
-    // multiset hash over per-doc content hashes). Order-insensitivity is
-    // the point: any cluster size, any partitioning, any task order
-    // produces the SAME manifest, so two independent corpus builds can be
-    // compared shard-by-shard without re-reading a byte of text. Scale:
-    // one map pass (shard key + content md5 + token count are all
-    // per-row) into one 8-group partial-agg shuffle; the only wide state
-    // is the sorted hash list inside each shard's multiset hash —
-    // production keys the manifest by (shard, sub-bucket = h % B) and
-    // re-hashes the B bucket digests when one digest per shard-file is
-    // required, the documented A2 scale path.
+    // doc-id range, and an ORDER-INSENSITIVE content checksum.
+    // Order-insensitivity is the point: any cluster size, any
+    // partitioning, any task order produces the SAME manifest, so two
+    // independent corpus builds can be compared shard-by-shard without
+    // re-reading a byte of text. Scale: one map pass (shard key +
+    // content md5 + token count are all per-row) into one 8-group
+    // partial-agg shuffle, and EVERY column of that shuffle carries an
+    // O(1) buffer: the checksum is the MERGEABLE multiset digest
+    // (Hashing.multisetDigest — exact int128 sums of the per-doc hash
+    // halves, r12), not the A2 sorted-list hash, whose collect_list
+    // buffer would hold a corpus-sized shard's every hash in one reduce
+    // task. The A2 form stays where the reference uses it (q12's
+    // per-contract file sets — bounded groups).
     Q("q89_shard_manifest",
       (s, d) => {
         val keyed = documents(s, d)
@@ -2436,7 +2448,7 @@ object TrainingOps {
             sum("n_chars").as("sum_chars"),
             min("doc_id").as("min_doc"),
             max("doc_id").as("max_doc"),
-            Hashing.multisetHash(col("h")).as("content_mh"))
+            Hashing.multisetDigest(col("h")).as("content_mh"))
           .orderBy("shard")
       },
       Some("WITH k AS (SELECT doc_id, n_chars, " +
@@ -2447,7 +2459,7 @@ object TrainingOps {
         "SELECT shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc, " +
-        "md5(string_agg(h, '' ORDER BY h)) AS content_mh " +
+        s"${oMultisetDigest("h")} AS content_mh " +
         "FROM k GROUP BY shard ORDER BY shard")),
 
     // Filter-funnel yield report: the cascade counts a pipeline publishes

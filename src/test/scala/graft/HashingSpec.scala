@@ -49,6 +49,27 @@ class HashingSpec extends AnyFunSuite {
     assert(agg(a) == md5Hex("h1h2h3")) // sorted concat
   }
 
+  test("multisetDigest: order/partitioning-insensitive, element-sensitive, hand-computable") {
+    // the MANIFEST-TIER digest (O(1) buffer): same multiset → same digest
+    // under any row order and partitioning; one changed element → a
+    // different digest; and the value is exactly
+    // md5(sum(md5Long(e)) + ":" + sum(md5Long2(e))) — the DuckDB mirror.
+    val es = (1 to 500).map(i => s"elem$i")
+    def digest(elems: Seq[String], parts: Int): String =
+      elems.map(("g", _)).toDF("k", "e").repartition(parts)
+        .groupBy("k").agg(Hashing.multisetDigest($"e").as("d"))
+        .collect().head.getString(1)
+    val d1 = digest(es, 1)
+    assert(digest(scala.util.Random.shuffle(es), 16) == d1)
+    assert(digest(es.updated(3, "elemX"), 16) != d1)
+    assert(digest(es :+ "elem1", 16) != d1) // multiset, not set: multiplicity counts
+    def half(e: String, from: Int): BigInt =
+      BigInt(md5Hex(e).substring(from, from + 15), 16)
+    val s1 = es.map(half(_, 0)).sum
+    val s2 = es.map(half(_, 16)).sum
+    assert(d1 == md5Hex(s"$s1:$s2"))
+  }
+
   test("rowIdTrusted equals rowId on whitespace-free key parts") {
     val df = Seq((7L, 2), (123L, 9)).toDF("a", "b")
     val both = df.select(Hashing.rowId($"a", lit("|"), $"b").as("strict"),

@@ -98,6 +98,29 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("manifest digests are mergeable: no collect_list buffer in any manifest plan") {
+    // the r11 verdict's scale-killer: an A2 sorted-list hash at manifest
+    // tier buffers a corpus-sized group's every element in one reduce
+    // task. q108 (per-(split,lang) release id sets) and q89 (per-shard
+    // content checksums) must aggregate through the O(1)-buffer
+    // graft_hashsum digest — assert the buffer shape in the PLAN, cached
+    // kernels included, so a refactor back to collect_list fails here.
+    for (q <- Seq("q108_corpus_release", "q89_shard_manifest")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan.toString
+      }
+      val p = df.queryExecution.optimizedPlan.toString + cached.mkString("\n")
+      assert(!p.contains("collect_list"), s"$q plan buffers a full group: $p")
+      assert(p.contains("graft_hashsum"), s"$q lost the mergeable digest: $p")
+    }
+    // the A2 form SURVIVES where the reference uses it — q12's groups are
+    // per-contract file sets, bounded by construction
+    val q12 = SparkEntry.queries("q12_multiset_hash")(spark, TestSpark.sfDir)
+    assert(q12.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
+
   test("q92 histogram is quantization-bounded: bins live in [0, 2^20] at any corpus size") {
     // the cumulate window's single partition is bounded BY DESIGN —
     // lm_score is a mean of probabilities in [0, 1], so
