@@ -162,10 +162,22 @@ object Bench {
     // (local subset iteration).
     val loadBefore = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // EVERY skip branch is loud and names its reason (not only the
+    // exception path): a misconfigured run — bench launched from a
+    // directory without tools/baseline.py, a subset filter, a failed
+    // query — must not quietly ship a denominator-less artifact
+    val skipReason: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_PAIR").contains("false"))
+        Some("SPARK_GRAFT_PAIR=false")
+      else if (failed.nonEmpty) Some(s"${failed.size} queries failed")
+      else if (only.nonEmpty) Some("SPARK_GRAFT_BENCH_ONLY subset")
+      else if (!new java.io.File("tools/baseline.py").exists())
+        Some(s"tools/baseline.py not found under ${new java.io.File(".").getAbsolutePath}")
+      else None
+    skipReason.foreach(r =>
+      System.err.println(s"[bench] NOTE: pair denominator skipped: $r"))
     val pairJson: Option[String] =
-      if (failed.nonEmpty || only.nonEmpty
-          || sys.env.get("SPARK_GRAFT_PAIR").contains("false")
-          || !new java.io.File("tools/baseline.py").exists()) None
+      if (skipReason.isDefined) None
       else try {
         val tmp = java.nio.file.Files.createTempDirectory("graft-pair-")
         val oraclePath = tmp.resolve("oracle_sql.json").toString

@@ -531,17 +531,27 @@ object AuditOps {
     // no text ever shuffles; per-h1 row count IS the doc frequency since
     // the index is distinct per (doc, shingle)), the top-10 selection is
     // a TakeOrdered under (df DESC, h1) -- both engines break ties on
-    // the same md5-derived key -- and only THEN is n-gram text recovered:
-    // one generator pass over the corpus filtered map-side by the
-    // broadcast 10-row top set. A text-first design would shuffle
-    // token-volume strings; this shuffles token-volume int64s once
-    // (already paid by the family's shared index) and strings never.
+    // the same md5-derived key -- and only THEN is n-gram text recovered.
+    // Recovery (r12) never re-tokenizes the corpus: the index's POSTINGS
+    // already name exactly which doc_ids contain a top-10 h1, so the
+    // documents scan is semi-joined down to those docs (bounded by the
+    // top set's df) before the one recovery shingle pass, which is then
+    // filtered map-side by the broadcast 10-row top set. Recovering
+    // from ALL posting docs (not one per h1) keeps a hypothetical
+    // 60-bit h1 collision engine-identical with the oracle, which
+    // surfaces every distinct colliding shingle. A text-first design
+    // would shuffle token-volume strings; this shuffles token-volume
+    // int64s once (already paid by the family's shared index) and
+    // strings never.
     Q("q109_memorization_ngrams",
       (s, d) => {
-        val dfc = TrainingOps.shingleIndex(s, d)
-          .groupBy("h1").agg(count(lit(1)).as("n_docs"))
+        val idx = TrainingOps.shingleIndex(s, d)
+        val dfc = idx.groupBy("h1").agg(count(lit(1)).as("n_docs"))
         val top = dfc.orderBy(col("n_docs").desc, col("h1").asc).limit(10)
+        val postings = idx.join(broadcast(top.select("h1")), "h1")
+          .select("doc_id").distinct()
         val txt = documents(s, d).select(col("doc_id"), col("text"))
+          .join(postings, Seq("doc_id"), "left_semi")
           .selectExpr("shingles(text, 3) AS ngram")
           .select(Hashing.md5Long(col("ngram")).as("h1"), col("ngram"))
           .join(broadcast(top), "h1")
@@ -607,18 +617,31 @@ object AuditOps {
     // actually inspects before deleting a training document: not "doc
     // 123 overlaps the eval split" (q65) but "doc 123 leaks eval doc
     // 450 through 17 shared n-grams". Scale: rides the SHARED shingle
-    // index; the train x eval join is bounded by TRUE overlap (a pair
-    // appears only through a genuinely shared h1, never by corpus
-    // size), and the (train, eval) aggregate is overlap-bounded too;
-    // the threshold keeps the report human-sized.
+    // index, and (r12) the train side is SEMI-JOIN-GATED against the
+    // cached contaminationHits >= 8 frame BEFORE the h1 pair join --
+    // lossless, since a pair's n_shared(t, e) can never exceed t's
+    // total eval-overlap count n_hits(t), so only train docs that can
+    // appear in the report ever enter the expansion. Without the gate
+    // the join volume is sum over h1 of df_train(h1) * df_eval(h1): one
+    // boilerplate shingle in 10^6 train x 10^4 eval docs makes 10^10
+    // pairs before the threshold applies. The gate bounds the train
+    // side by TRUE contamination; the residual hazard (a boilerplate
+    // shingle shared by many GATED train docs and many eval docs) is
+    // the q31-style df-cap's territory -- apply a per-h1 df cap (both
+    // engines) if a real corpus exhibits it; uncapped is the exact
+    // semantics and stays the default.
     Q("q111_contamination_pairs",
       (s, d) => {
         val idx = TrainingOps.shingleIndex(s, d)
           .select(col("doc_id"), col("h1"))
         val ev = idx.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("eval_id"), col("h1"))
+        val eligible = TrainingOps.contaminationHits(s, d)
+          .filter(col("n_hits") >= 8)
+          .select(col("doc_id").as("train_id"))
         val tr = idx.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id").as("train_id"), col("h1"))
+          .join(eligible, Seq("train_id"), "left_semi")
         tr.join(ev, "h1")
           .groupBy("train_id", "eval_id")
           .agg(countDistinct("h1").as("n_shared"))
@@ -627,7 +650,13 @@ object AuditOps {
       },
       Some(s"WITH $shCte, $shhCte, " +
         "ev AS (SELECT doc_id AS eval_id, h1 FROM shh WHERE doc_id % 50 = 0), " +
-        "tr AS (SELECT doc_id AS train_id, h1 FROM shh WHERE doc_id % 50 <> 0) " +
+        // the same lossless gate, mirrored: train docs with >= 8 distinct
+        // eval-overlapping shingles (q65's n_hits kernel)
+        "evh AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0), " +
+        "hits AS (SELECT t.doc_id, count(DISTINCT t.h1) AS n_hits FROM shh t " +
+        "JOIN evh USING (h1) WHERE t.doc_id % 50 <> 0 GROUP BY 1), " +
+        "tr AS (SELECT doc_id AS train_id, h1 FROM shh WHERE doc_id % 50 <> 0 " +
+        "AND doc_id IN (SELECT doc_id FROM hits WHERE n_hits >= 8)) " +
         "SELECT train_id, eval_id, CAST(count(DISTINCT h1) AS BIGINT) AS n_shared " +
         "FROM tr JOIN ev USING (h1) GROUP BY 1, 2 HAVING count(DISTINCT h1) >= 8 " +
         "ORDER BY train_id, eval_id")),

@@ -151,17 +151,22 @@ object Sink {
     *     full data write lands in a dot-prefixed staging directory
     *     (invisible to partition discovery — the live index serves
     *     probes untouched for the whole long window), then a
-    *     delete+rename swaps it into `batch=base`, then every OTHER
-    *     root entry is swept — stale `batch=<tag>` partitions of
-    *     earlier streaming runs AND any legacy pre-partition flat
-    *     files (a pre-r11 index left part-files at the table root;
-    *     mixed flat/partitioned layouts break partition discovery, so
-    *     the sweep removes them rather than leaving a wedged table).
+    *     set-aside+rename swaps it into `batch=base` (the old base is
+    *     renamed to `.old-base`, never deleted before the new one is
+    *     in place), then every OTHER root entry is swept — the aside
+    *     dir, stale `batch=<tag>` partitions of earlier streaming runs
+    *     AND any legacy pre-partition flat files (a pre-r11 index left
+    *     part-files at the table root; mixed flat/partitioned layouts
+    *     break partition discovery, so the sweep removes them rather
+    *     than leaving a wedged table).
     *     Crash windows: during staging → old index fully intact,
-    *     re-run; between delete and rename (metadata ops, not data
-    *     writes) → no base, re-run the rebuild; after the swap →
-    *     valid index, possibly stale batches until re-run. The swap is
-    *     near-atomic, NOT atomic — after any crash, re-run the rebuild.
+    *     re-run; between the two renames (metadata ops, not data
+    *     writes) → no live base but `.old-base` is a complete
+    *     recoverable index (rename it back, or just re-run the
+    *     rebuild); after the swap → valid index, possibly stale
+    *     batches until re-run. The swap is near-atomic, NOT atomic —
+    *     but every window leaves a complete index generation on disk
+    *     (see [[swapStagingIntoBase]]).
     *  2. [[appendFingerprints]] adds a batch under its own
     *     `batch=<tag>` partition (scoped overwrite ⇒ replay-idempotent).
     *  3. [[compactFingerprints]] folds accumulated batch partitions
@@ -209,10 +214,18 @@ object Sink {
   }
 
   /** The near-atomic swap + sweep shared by rebuild and compaction:
-    * delete `batch=base`, rename the staged table into its place, then
-    * sweep every other entry under the table root (stale batch
-    * partitions, legacy flat files, leftover staging). See the
-    * lifecycle note on [[writeFingerprints]] for the crash windows.
+    * set the live `batch=base` ASIDE (rename to the dot-prefixed
+    * `.old-base`, invisible to partition discovery), rename the staged
+    * table into its place, then sweep every other root entry (the
+    * aside dir, stale batch partitions, legacy flat files, leftover
+    * staging). At no point is the old index DELETED before the new one
+    * is in place: a crash (or a non-atomic object-store rename) between
+    * the two renames leaves `.old-base` fully intact — recover by
+    * renaming it back to `batch=base`, or re-run the rebuild (its
+    * staging write ignores the aside dir and the swap sweeps it). A
+    * rename-in failure rolls the aside back, so a FAILED swap still
+    * leaves a serving index. See the lifecycle note on
+    * [[writeFingerprints]].
     */
   private def swapStagingIntoBase(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
@@ -222,12 +235,21 @@ object Sink {
       val fs = root.getFileSystem(hconf)
       val staged = new org.apache.hadoop.fs.Path(s"$path/.staging/$t")
       val base = new org.apache.hadoop.fs.Path(root, "batch=base")
+      val aside = new org.apache.hadoop.fs.Path(root, ".old-base")
       if (!fs.exists(staged))
         sys.error(s"fingerprint staging missing: $staged")
       fs.mkdirs(root)
-      if (fs.exists(base)) fs.delete(base, true)
-      if (!fs.rename(staged, base))
-        sys.error(s"fingerprint base swap failed: $staged -> $base")
+      // a leftover aside from an interrupted earlier swap: the staged
+      // data supersedes both generations — clear the slot first
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(base) && !fs.rename(base, aside))
+        sys.error(s"fingerprint base set-aside failed: $base -> $aside")
+      if (!fs.rename(staged, base)) {
+        // roll back so the failure leaves a SERVING index, not a hole
+        if (fs.exists(aside)) fs.rename(aside, base)
+        sys.error(s"fingerprint base swap failed: $staged -> $base " +
+          "(previous base restored)")
+      }
       fs.listStatus(root).foreach { st =>
         if (st.getPath.getName != "batch=base") fs.delete(st.getPath, true)
       }

@@ -285,4 +285,48 @@ class AuditSpec extends AnyFunSuite {
     assert(got("lineitem.orderkey_references_orders") == ((1L, 0)))
     assert(got("embeddings.dim_constant") == ((1L, 0)))
   }
+
+  test("q111 pair expansion is gated: train side semi-joins contaminationHits before the h1 join") {
+    // the r11 verdict's hot-shingle hazard: ungated, the train x eval
+    // join fans out df_train(h1) * df_eval(h1) per shingle. The gate is
+    // lossless (n_shared(t,e) <= n_hits(t)) and must be IN the plan —
+    // a refactor back to the ungated expansion fails here.
+    val df = SparkEntry.queries("q111_contamination_pairs")(spark, d)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q109 text recovery is postings-bounded: the Generate sits above a semi join, and " +
+      "the gated result is identical to an ungated recomputation") {
+    val df = SparkEntry.queries("q109_memorization_ngrams")(spark, d)
+    df.count() // build + cache the shared shingle index
+    // string-form plan: under AQE the physical tree hides inside
+    // AdaptiveSparkPlanExec, but toString renders the whole tree
+    val whole = df.queryExecution.executedPlan.toString
+    // judge only the CONSUMER plan — the cached shingle index's build
+    // plan (inside the rendered InMemoryRelation) legitimately carries
+    // its own corpus-wide Generate
+    val p = whole.substring(0, whole.indexOf("InMemoryRelation"))
+    // exactly ONE recovery Generate in the consumer plan, and the semi
+    // join (the postings gate) sits BELOW it — deeper in the printed
+    // tree — so its input is the posting docs, never the corpus
+    val gen = p.indexOf("Generate shinglegenerator")
+    assert(gen >= 0 && p.indexOf("Generate shinglegenerator", gen + 1) < 0, whole)
+    val semi = p.indexOf("LeftSemi")
+    assert(semi > gen, whole)
+    // identity vs the r11 corpus-wide recovery
+    import org.apache.spark.sql.functions._
+    val idx = graft.queries.TrainingOps.shingleIndex(spark, d)
+    val top = idx.groupBy("h1").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("h1").asc).limit(10)
+    val ungated = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .selectExpr("shingles(text, 3) AS ngram")
+      .select(graft.functions.Hashing.md5Long(col("ngram")).as("h1"), col("ngram"))
+      .join(broadcast(top), "h1")
+      .select(col("ngram"), col("n_docs")).distinct()
+      .orderBy(col("n_docs").desc, col("ngram").asc)
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == ungated)
+  }
 }

@@ -121,6 +121,46 @@ class SinkSpec extends AnyFunSuite {
     assert(batches == Set("base"), batches.toString)
   }
 
+  test("staged-swap crash window leaves a complete recoverable index generation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = Files.createTempDirectory("graft-fp-crash").toString + "/idx"
+    Sink.writeFingerprints(standing, dir)
+    val want = Sink.probeFingerprints(batch, dir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val hconf = spark.sessionState.newHadoopConf()
+    def p(t: String, n: String) = new org.apache.hadoop.fs.Path(s"$dir/$t/$n")
+    def fs(t: String) = p(t, "x").getFileSystem(hconf)
+    // simulate the WORST crash window: every base set aside, the
+    // rename-in never happened (killed between the two metadata ops) —
+    // the r11 swap (delete-then-rename) left NOTHING here; the r12 swap
+    // must leave `.old-base` as a complete generation
+    for (t <- Seq("exact", "bands", "shingles"))
+      assert(fs(t).rename(p(t, "batch=base"), p(t, ".old-base")), t)
+    // the documented manual recovery: rename the aside generation back
+    for (t <- Seq("exact", "bands", "shingles"))
+      assert(fs(t).rename(p(t, ".old-base"), p(t, "batch=base")), t)
+    val recovered = Sink.probeFingerprints(batch, dir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(recovered == want, "recovered index diverged")
+    // a subsequent rebuild over the recovered index sweeps every
+    // transient (aside dir, staging) and stays probe-identical
+    Sink.writeFingerprints(standing, dir)
+    for (t <- Seq("exact", "bands", "shingles")) {
+      assert(!fs(t).exists(p(t, ".old-base")), t)
+      val entries = fs(t).listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t"))
+        .map(_.getPath.getName).toSet
+      assert(entries == Set("batch=base"), entries.toString)
+    }
+    assert(!fs("exact").exists(new org.apache.hadoop.fs.Path(s"$dir/.staging")))
+    val after = Sink.probeFingerprints(batch, dir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(after == want)
+  }
+
   test("fingerprint compaction: probes byte-identical, replay post-compaction admits exactly once") {
     import org.apache.spark.sql.functions._
     val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
