@@ -18,8 +18,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // partition count scales with the DATA (cores is only the floor):
+      // at sf≤0.1 this IS cores — the historical bench posture — and at
+      // the sf10 tier it reaches the measured spill-free floor without a
+      // hand-set SPARK_GRAFT_SHUFFLE. See graft.util.Tuning.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          graft.util.Tuning.shufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // BENCH-SCALE POSTURE — measured, not assumed: 5-pass A/B at sf0.1

@@ -11,7 +11,8 @@ object Profile {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.join.preferSortMergeJoin", "false")
@@ -21,6 +22,11 @@ object Profile {
       // Bench never pays — plans read here must be the benched plans
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // the AQE-anomaly experiment's knobs (see BASELINE.md r12): the
+      // coalescing size target, and size-first coalescing as in Bench
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64MB"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -86,6 +92,57 @@ object Profile {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[time] ${args(2)} min ${ts.min}%.3f  runs ${ts.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> aqe <query> [passes]`: the AQE
+    // diagnosis harness — warmed min-of-N timing like `time`, then the
+    // POST-EXECUTION adaptive plan's shuffle-read lines (AQEShuffleRead
+    // prints the runtime-coalesced partition count), so a coalescing
+    // decision can be SEEN, not inferred from timing. Combine with
+    // SPARK_GRAFT_AQE=true, SPARK_GRAFT_SHUFFLE, SPARK_GRAFT_AQE_ADVISORY.
+    if (args.length >= 3 && args(1) == "aqe") {
+      val fn = SparkEntry.queries(args(2))
+      val passes = args.lift(3).map(_.toInt).getOrElse(2)
+      noop(fn(spark, sfDir))
+      val ts = (1 to passes).map { _ =>
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val df = fn(spark, sfDir)
+      noop(df)
+      val executed = df.queryExecution.executedPlan
+      executed.toString.linesIterator
+        .map(_.trim)
+        .filter(l => l.contains("AQEShuffleRead") || l.contains("Exchange")
+          || l.contains("ShuffleQueryStage"))
+        .foreach(l => println(s"[aqe-plan] $l"))
+      // the coalesced partition COUNTS (toString omits them): every
+      // AQEShuffleRead in the final adaptive tree, its output partition
+      // count vs the exchange it reads
+      def reads(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p.foreach {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            if (a.executedPlan ne p) reads(a.executedPlan)
+          case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+            println(s"[aqe-read] ${r.partitionSpecs.size} partitions <- " +
+              r.child.toString.linesIterator.next().trim)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            reads(q.plan)
+          case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            reads(i.relation.cachedPlan)
+          case _ =>
+        }
+      }
+      reads(executed)
+      println(f"[aqe] ${args(2)} shuffle=${spark.conf.get("spark.sql.shuffle.partitions")} " +
+        f"aqe=${spark.conf.get("spark.sql.adaptive.enabled")} " +
+        f"advisory=${spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")} " +
+        f"min ${ts.min}%.3f  runs ${ts.map(v => f"$v%.3f").mkString(" ")}")
       spark.stop()
       return
     }

@@ -176,15 +176,21 @@ object ScaleCheck {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val passes = args.lift(3).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitioning must scale with the DATA, not the host: a
+    // 100× corpus through a fixed 32 partitions makes each reduce
+    // partition 100× — the r11 q31 sf10 experiment measured 59 s
+    // (spilling) vs the 26.6 s pair-linear floor at 512. The default is
+    // now DERIVED from the measured corpus's bytes (graft.util.Tuning;
+    // both scales get their own derived count via a runtime re-set at
+    // the timing boundary below). SPARK_GRAFT_SHUFFLE pins a fixed
+    // count for A/B runs; SPARK_GRAFT_AQE=true for the AQE posture.
+    val fixedShuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+    def partitionsFor(dir: String): String =
+      fixedShuffle.getOrElse(
+        graft.util.Tuning.shufflePartitions(dir, cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // shuffle partitioning must scale with the DATA, not the host: a
-      // 100× corpus through a fixed 32 partitions makes each reduce
-      // partition 100× — the q31 sf10 spill experiment below pins the
-      // cost. Overridable so the sf10 tier can run the honest posture
-      // (partitions sized to the corpus, or AQE on via SPARK_GRAFT_AQE).
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.shuffle.partitions", partitionsFor(srcDir))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
@@ -222,6 +228,12 @@ object ScaleCheck {
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
     }
     def time(dir: String): Seq[(String, Double)] = {
+      // each tier is timed under ITS corpus's derived partition count
+      // (a runtime-settable SQL conf) — sf0.1 at the cores floor, sf10
+      // at its spill-free count, same session
+      spark.conf.set("spark.sql.shuffle.partitions", partitionsFor(dir))
+      System.err.println(s"[scale] $dir: shuffle.partitions=" +
+        spark.conf.get("spark.sql.shuffle.partitions"))
       spark.sqlContext.clearCache()
       qs.foreach(run(_, dir)) // warmup: JIT, codegen, parquet footers
       val timed = (1 to passes).map { _ =>
@@ -253,6 +265,7 @@ object ScaleCheck {
       q51.fn(spark, dir).collect().map(_.toString).toSeq
     }
     def ccParityAndTime(q51: graft.queries.Q, dir: String): (Boolean, Double) = {
+      spark.conf.set("spark.sql.shuffle.partitions", partitionsFor(dir))
       spark.sqlContext.clearCache()
       val viaDriver = ccRows(q51, dir)
       spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
