@@ -147,6 +147,71 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> compaction [nBatches] [compactEvery]`:
+    // the X91 end-to-end cadence measurement — a standing index serves
+    // probes while micro-batches accumulate under batch=<tag>
+    // partitions; without compaction every probe pays the
+    // ever-growing file count (the small-files failure), with
+    // compaction every `compactEvery` batches the probe latency should
+    // stay ~flat. Two arms over identical batches; per-checkpoint probe
+    // latency (min-of-2) + on-disk file counts printed per arm, one
+    // summary line at the end for BASELINE.md.
+    if (args.length >= 2 && args(1) == "compaction") {
+      import org.apache.spark.sql.functions.col
+      val nBatches = args.lift(2).map(_.toInt).getOrElse(40)
+      val every = args.lift(3).map(_.toInt).getOrElse(10)
+      val docs = graft.util.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      val standing = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      // a FIXED probe batch: constant probe-side work, so the latency
+      // curve isolates the index-side file count
+      val probe = incoming.filter(col("doc_id") % 7 === 0)
+      def files(dir: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory)
+            Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      def probeSec(dir: String): Double = (1 to 2).map { _ =>
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        noop(graft.sink.Sink.probeFingerprints(probe, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      def arm(compact: Boolean): Seq[(Int, Int, Double)] = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-compact-$compact").toString + "/idx"
+        graft.sink.Sink.writeFingerprints(standing, dir)
+        val out = scala.collection.mutable.ArrayBuffer(
+          (0, files(dir), probeSec(dir)))
+        for (i <- 1 to nBatches) {
+          graft.sink.Sink.appendFingerprints(
+            incoming.filter(col("doc_id") % nBatches === (i - 1)), dir, s"b$i")
+          if (compact && i % every == 0)
+            graft.sink.Sink.compactFingerprints(spark, dir)
+          if (i % every == 0) {
+            val row = (i, files(dir), probeSec(dir))
+            out += row
+            println(s"[compaction] compact=$compact batches=${row._1} " +
+              f"files=${row._2} probe_s=${row._3}%.3f")
+          }
+        }
+        out.toSeq
+      }
+      val un = arm(compact = false)
+      val co = arm(compact = true)
+      def fmt(xs: Seq[(Int, Int, Double)]) = xs.map { case (b, f, s) =>
+        f"""{"batches":$b,"files":$f,"probe_s":$s%.3f}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"compaction_cadence","n_batches":$nBatches,""" +
+        s""""compact_every":$every,"uncompacted":${fmt(un)},""" +
+        s""""compacted":${fmt(co)}}""")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> family <q1> <q2> ...`: one BENCH
     // pass over a query family — caches cleared ONCE at the pass
     // boundary, then the queries run in order, so a shared index

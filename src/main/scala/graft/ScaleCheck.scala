@@ -108,7 +108,17 @@ object ScaleCheck {
     // marginal slope pins the pair-consumer path); contamination
     // provenance is q65's overlap-bounded join at (train, eval) pair
     // granularity
-    "q110_neardup_split_leakage", "q111_contamination_pairs")
+    "q110_neardup_split_leakage", "q111_contamination_pairs",
+    // r12: the remaining audit shapes. q107 is one 16-byte-hash shuffle
+    // + a hash-keyed join back — its slope pins the exact-tier audit.
+    // q102 reads the NON-corpus tables too, which the scale corpus
+    // carries over UNSCALED (see ensureAuxTables): its slope measures
+    // the corpus-structured share (the fused documents/embeddings
+    // partial-agg scans) with the fixed-size relational FK checks as a
+    // constant term — scaling TPC-H tables is a TPC-H benchmark's job,
+    // not the corpus tier's. q98_ann_recall stays the one documented
+    // exclusion (see the r10 note above).
+    "q102_expectations", "q107_split_leakage")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of
@@ -170,6 +180,31 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** The scale corpus scales the CORPUS axis (documents + embeddings);
+    * every other source table is carried over unscaled, so any registry
+    * query can run against the scale dir. Idempotent (copies only
+    * what's missing), and runs even when the corpus itself is reused —
+    * pre-r12 scale dirs lacked these tables.
+    */
+  private def ensureAuxTables(srcDir: String, outDir: String): Unit = {
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).getOrElse(Array.empty[java.io.File])
+          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(new java.io.File(srcDir).listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => f.getName == "documents.parquet"
+        || f.getName == "embeddings.parquet")
+      .foreach { t =>
+        val dst = new java.io.File(outDir, t.getName)
+        if (!dst.exists()) copyTree(t, dst)
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
@@ -215,6 +250,7 @@ object ScaleCheck {
         s"[scale] generating ${factor}x corpus at $outDir (refitCells=$refit)")
       generate(spark, srcDir, outDir, factor, refit)
     }
+    ensureAuxTables(srcDir, outDir)
 
     // SPARK_GRAFT_SCALE_ONLY=q31_ngram_jaccard,q51_dedup_clusters re-runs
     // a subset — for re-measuring a load-spiked outlier in a quiet window

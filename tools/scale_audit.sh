@@ -1,0 +1,48 @@
+#!/bin/bash
+# The 10x/100x scale-tier measurement battery (BASELINE.md's slope
+# tables). Methodology notes that the numbers depend on:
+#
+#  - SUBSETS, not one big family run: within a ScaleCheck pass the
+#    shared kernels (Caches.sharedIndex) survive across queries, so a
+#    query's cost is MARGINAL over whatever ran before it in registry
+#    order. Small fixed subsets make the accounting explicit (the first
+#    query pays the kernels it names) and keep the cached-kernel
+#    footprint inside the heap at sf10. The r12 9-query single-JVM run
+#    at default heap measured q108 2x slower than the same code in its
+#    2-query subset — GC pressure from nine sf10 kernels resident at
+#    once, not plan cost.
+#  - HEAP pinned like the r11 runs: 48g at sf1, 64g at sf10 (default
+#    ~32g thrashes at sf10).
+#  - shuffle partitions are DERIVED from the corpus (graft.util.Tuning)
+#    unless SPARK_GRAFT_SHUFFLE pins them for an A/B.
+#  - quiet window: never run sbt/tests concurrently; check loadavg
+#    before trusting a number.
+#
+# Usage: tools/scale_audit.sh [outLog]
+set -u
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+LOG=${1:-/tmp/scale_audit.log}
+exec > "$LOG" 2>&1
+
+run() { # $1=subset $2=outdir $3=factor $4=heap
+  echo "=== $1 @ ${3}x $(date +%T) load $(cut -d' ' -f1 /proc/loadavg)"
+  SPARK_GRAFT_SCALE_REFIT=true SPARK_GRAFT_SCALE_ONLY=$1 \
+    java -Xmx$4 -cp "$CP" graft.ScaleCheck /root/testdata/sf0.1 $2 $3 2 2>&1 \
+    | grep -E "scale_slope"
+  sleep 10
+}
+
+# heavy dedup/ANN kernels (the r11 tier)
+run q29_lsh_neardup,q31_ngram_jaccard,q33_ivf_neardup,q51_dedup_clusters /tmp/graft-sf10r 100 64g
+run q80_substring_runs,q85_knn_graph,q86_lm_score,q95_incremental_dedup /tmp/graft-sf10r 100 64g
+# audit family (the r12 tier)
+run q96_source_overlap,q97_dsir_weights,q99_minhash_error /tmp/graft-sf1r 10 48g
+run q96_source_overlap,q97_dsir_weights,q99_minhash_error /tmp/graft-sf10r 100 64g
+run q102_expectations,q107_split_leakage /tmp/graft-sf1r 10 48g
+run q102_expectations,q107_split_leakage /tmp/graft-sf10r 100 64g
+run q108_corpus_release,q109_memorization_ngrams /tmp/graft-sf1r 10 48g
+run q108_corpus_release,q109_memorization_ngrams /tmp/graft-sf10r 100 64g
+run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf1r 10 48g
+run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf10r 100 64g
+echo "=== scale_audit done $(date +%T) load $(cut -d' ' -f1 /proc/loadavg)"
