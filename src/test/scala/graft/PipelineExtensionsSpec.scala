@@ -573,6 +573,8 @@ class PipelineExtensionsSpec extends AnyFunSuite {
       md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     def md5Long(s: String): Long =
       java.lang.Long.parseLong(hex(s).substring(0, 15), 16)
+    def md5Long2(s: String): Long =
+      java.lang.Long.parseLong(hex(s).substring(16, 31), 16)
     val all = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
       .select("doc_id", "text", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -584,9 +586,15 @@ class PipelineExtensionsSpec extends AnyFunSuite {
       }
       .groupBy(_._1).toSeq
       .map { case (shard, g) =>
+        // the r12 manifest-tier digest (Hashing.multisetDigest): exact
+        // int128 sums of each element hash's two 60-bit md5 halves,
+        // commutative by construction — BigInt reproduces the int128
+        // arithmetic exactly
+        val s1 = g.map(x => BigInt(md5Long(x._5))).sum
+        val s2 = g.map(x => BigInt(md5Long2(x._5))).sum
         (shard, g.size.toLong, g.map(_._4).sum, g.map(_._3).sum,
           g.map(_._2).min, g.map(_._2).max,
-          hex(g.map(_._5).sorted.mkString("")))
+          hex(s"$s1:$s2"))
       }
       .sortBy(_._1)
     val got = run("q89_shard_manifest")
@@ -594,7 +602,7 @@ class PipelineExtensionsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getString(6))).toSeq
     assert(got.nonEmpty && got == expected)
     // the checksum column never depends on scan/task order: every shard's
-    // digest recomputes identically from the SORTED per-doc hash list
+    // digest recomputes identically from the commutative half-sums
     assert(got.map(_._7).distinct.size == got.size)
   }
 
