@@ -118,7 +118,12 @@ object ScaleCheck {
     // constant term — scaling TPC-H tables is a TPC-H benchmark's job,
     // not the corpus tier's. q98_ann_recall stays the one documented
     // exclusion (see the r10 note above).
-    "q102_expectations", "q107_split_leakage")
+    "q102_expectations", "q107_split_leakage",
+    // r12b: span masking is one map-side all-occurrence generate over
+    // train docs + a planner-gated semi-join against the eval 8-gram
+    // set; the only exchange carries overlap-bounded hit positions —
+    // its slope pins the posngrams generate + broadcast-gate path
+    "q112_decontaminate_spans")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

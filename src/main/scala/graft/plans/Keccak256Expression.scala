@@ -106,6 +106,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleGenerator(children.head, n, positional = true)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("posngrams"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "posngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "posngrams(text, n) expects two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"posngrams n must be an integer literal, got $other")
+        }
+        ShingleGenerator(children.head, n, distinct = false, positional = true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("termfreqs"),
       new ExpressionInfo(classOf[TermFreqGenerator].getName, "termfreqs"),
       (children: Seq[Expression]) => {

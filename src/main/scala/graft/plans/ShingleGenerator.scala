@@ -45,6 +45,11 @@ private[plans] object SqlTok {
   *    documents. First-occurrence dedup happens HERE, map-side inside
   *    the generator, so no per-document min(pos) aggregation (and its
   *    shuffle) ever exists in the plan.
+  *  - `posngrams(text, n)` (positional = true, distinct = false): EVERY
+  *    occurrence with its 1-based token position — what span-level
+  *    masking (q112 surgical decontamination) needs, where a repeated
+  *    contaminated n-gram must mark every site, not just its first.
+  *    Streaming like `ngrams` (no hash set, no buffering).
   *
   * Generators are planned through `GenerateExec`; eval-based (codegen
   * fallback) like most built-in generators that produce variable row
@@ -82,7 +87,19 @@ case class ShingleGenerator(child: Expression, n: Int, distinct: Boolean = true,
       }
       sb.toString
     }
-    if (positional) {
+    if (positional && !distinct) {
+      val last = words.length - n
+      new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= last
+        override def next(): InternalRow = {
+          val g = gram(i)
+          i += 1
+          // i is now the 1-based position of the gram just built
+          InternalRow(i, UTF8String.fromString(g))
+        }
+      }
+    } else if (positional) {
       // first occurrence per shingle, 1-based (matching the oracle's
       // unnest(range(1, ...)) convention)
       val first = new java.util.LinkedHashMap[String, Int]()

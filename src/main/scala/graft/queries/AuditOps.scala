@@ -660,5 +660,91 @@ object AuditOps {
         "SELECT train_id, eval_id, CAST(count(DISTINCT h1) AS BIGINT) AS n_shared " +
         "FROM tr JOIN ev USING (h1) GROUP BY 1, 2 HAVING count(DISTINCT h1) >= 8 " +
         "ORDER BY train_id, eval_id")),
+
+    // Span-level surgical decontamination (r12): instead of DROPPING a
+    // train document that overlaps the eval split (q65's doc-level
+    // remedy), mark the exact token spans to mask — the GPT-3/PaLM-style
+    // "remove the colliding n-gram window plus its run" middle ground
+    // that keeps the rest of the document. An 8-gram window (the
+    // substring-run family's width; production uses 8-13) hits only
+    // genuine verbatim runs, never topical 3-gram noise. Every
+    // occurrence counts (a repeated leaked n-gram must mark every
+    // site), so this rides the new all-occurrence `posngrams`
+    // generator, not the first-occurrence profile. Overlapping or
+    // adjacent windows [p, p+7] merge gaps-and-islands style into
+    // maximal spans; the report is per-doc: span count, maskable token
+    // count, doc length. Scale: text becomes (doc_id, pos, h1) int64
+    // triples map-side inside the generator (strings never leave the
+    // scan); the eval-side distinct 8-gram set is eval-corpus-sized —
+    // production eval suites are FIXED size (the q98 fixed-panel
+    // argument), so the semi-join broadcasts and the token-volume
+    // position rows never shuffle: the only rows that reach the
+    // per-doc window exchange are true eval-colliding positions
+    // (overlap-bounded, like q111's gated expansion). The window
+    // itself is doc-partitioned with bounded frames. No broadcast
+    // hint — if an eval set ever outgrows the threshold the planner
+    // falls back to a shuffled semi-join, correct either way.
+    Q("q112_decontaminate_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d).filter(col("text").isNotNull)
+        val ev = docs.filter(col("doc_id") % 50 === 0)
+          .selectExpr("shingles(text, 8) AS g")
+          .select(Hashing.md5Long(col("g")).as("h1")).distinct()
+        val hits = docs.filter(col("doc_id") % 50 =!= 0)
+          .selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            Hashing.md5Long(col("g")).as("h1"))
+          .join(ev, Seq("h1"), "left_semi")
+        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+        val prevEnd = max(col("pos") + lit(7L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+        val spans = hits
+          .withColumn("flag",
+            when(prevEnd.isNull || col("pos") > prevEnd + lit(1L), 1L)
+              .otherwise(0L))
+          .withColumn("island",
+            sum("flag").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "island")
+          .agg(min("pos").as("s"), (max("pos") + lit(7L)).as("e"))
+        val perDoc = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + lit(1L)).as("masked_tokens"))
+        perDoc
+          .join(docs.select(col("doc_id"),
+            size(graft.functions.Text.words(col("text"))).cast("long")
+              .as("n_tokens")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_spans"), col("masked_tokens"),
+            col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "evh AS (SELECT DISTINCT " + oMd5Long("array_to_string(ws[i:i+7], ' ')") +
+        " AS h1 FROM toks, unnest(range(1, len(ws) - 6)) AS t(i) " +
+        "WHERE doc_id % 50 = 0), " +
+        "pos0 AS (SELECT doc_id, i AS pos, " +
+        oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h1 " +
+        "FROM toks, unnest(range(1, len(ws) - 6)) AS t(i) " +
+        "WHERE doc_id % 50 <> 0), " +
+        // (doc_id, pos) is unique in pos0 and evh is distinct, so the
+        // inner join IS the semi-join
+        "hits AS (SELECT doc_id, pos FROM pos0 JOIN evh USING (h1)), " +
+        "r AS (SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS prev_end FROM hits), " +
+        "f AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL " +
+        "OR pos > prev_end + 1 THEN 1 ELSE 0 END AS flag FROM r), " +
+        "isl AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS island FROM f), " +
+        "sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e " +
+        "FROM isl GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(e - s + 1) AS BIGINT) AS masked_tokens FROM sp GROUP BY 1) " +
+        "SELECT a.doc_id, a.n_spans, a.masked_tokens, " +
+        "CAST(len(t.ws) AS BIGINT) AS n_tokens " +
+        "FROM agg a JOIN toks t USING (doc_id) ORDER BY doc_id")),
   )
 }

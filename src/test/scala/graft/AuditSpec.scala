@@ -249,6 +249,38 @@ class AuditSpec extends AnyFunSuite {
     assert(!rows.contains("val") || rows("val")._2 == 0L)
   }
 
+  test("q112 span masking: constructed corpus pins merge/adjacent/repeat/multi-eval semantics") {
+    import spark.implicits._
+    val e = (1 to 30).map(i => s"e$i")
+    val f = (1 to 12).map(i => s"f$i")
+    def t(xs: Seq[String]) = xs.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, t(e)),   // eval doc: the source of every e-gram
+      (50L, t(f)),  // a second eval doc
+      // three hits: [3,10], [12,19] (1-token gap keeps them apart), and
+      // the REPEATED e1..e8 at [23,30] — all-occurrence semantics must
+      // mark the second site too
+      (1L, t(Seq("a", "b") ++ e.slice(0, 8) ++ Seq("c") ++ e.slice(9, 17)
+        ++ Seq("d", "d", "d") ++ e.slice(0, 8))),
+      (2L, t(e.take(9))),                      // overlapping windows merge
+      (3L, t(e.slice(0, 8) ++ e.slice(9, 17))), // adjacent windows merge
+      (4L, t((1 to 10).map(i => s"x$i"))),      // clean doc: absent
+      (5L, "e1 e2"),                            // too short for any 8-gram
+      (6L, t(f.slice(1, 9))))                   // hit via the SECOND eval doc
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q112_decontaminate_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 24L, 30L),
+      (2L, 1L, 9L, 9L),
+      (3L, 1L, 16L, 16L),
+      (6L, 1L, 8L, 8L)))
+  }
+
   test("q102 expectations: every check fires on a deliberately dirty corpus") {
     import spark.implicits._
     import java.sql.Timestamp

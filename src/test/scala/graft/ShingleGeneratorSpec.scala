@@ -101,6 +101,23 @@ class ShingleGeneratorSpec extends AnyFunSuite {
     assert(biTf.exceptAll(biRef).isEmpty && biRef.exceptAll(biTf).isEmpty)
   }
 
+  test("posngrams: every occurrence with its 1-based position, repeats kept") {
+    import spark.implicits._
+    val out = Seq("a b a b a").toDF("text")
+      .selectExpr("posngrams(text, 2) AS (pos, g)")
+      .as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "a b"), (2, "b a"), (3, "a b"), (4, "b a")))
+    // vs posshingles: first occurrence only
+    val first = Seq("a b a b a").toDF("text")
+      .selectExpr("posshingles(text, 2) AS (pos, g)")
+      .as[(Int, String)].collect().toSeq
+    assert(first == Seq((1, "a b"), (2, "b a")))
+    // degenerate: too-short and NULL emit nothing
+    val none = Seq(Some("a"), None).toDF("text")
+      .selectExpr("posngrams(text, 2) AS (pos, g)").collect()
+    assert(none.isEmpty)
+  }
+
   test("termfreqs degenerate inputs: null yields nothing, empty text one empty token") {
     import spark.implicits._
     val out = Seq(Some(""), None).toDF("text")
