@@ -122,8 +122,10 @@ object ScaleCheck {
     // r12b: span masking is one map-side all-occurrence generate over
     // train docs + a planner-gated semi-join against the eval 8-gram
     // set; the only exchange carries overlap-bounded hit positions —
-    // its slope pins the posngrams generate + broadcast-gate path
-    "q112_decontaminate_spans")
+    // its slope pins the posngrams generate + broadcast-gate path.
+    // Source caps pin the partial-WindowGroupLimit path (the source
+    // exchange carries <=K rows per source per map partition)
+    "q112_decontaminate_spans", "q113_source_caps")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

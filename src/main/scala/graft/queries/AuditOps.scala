@@ -746,5 +746,52 @@ object AuditOps {
         "SELECT a.doc_id, a.n_spans, a.masked_tokens, " +
         "CAST(len(t.ws) AS BIGINT) AS n_tokens " +
         "FROM agg a JOIN toks t USING (doc_id) ORDER BY doc_id")),
+
+    // Per-source document caps (r12): keep only the top-K documents of
+    // each source by quality — the per-domain cap / domain-balancing
+    // step of web-corpus curation (a boilerplate-heavy domain must not
+    // drown the mixture; distinct from q104's per-LANGUAGE temperature
+    // resampling, which balances masses, not per-domain quality tails).
+    // Rank = (quality score DESC, doc_id) over the q36/q82 shared
+    // quality kernel; the report is per source: incoming docs, kept
+    // docs, the kept tier's score floor and token mass. Scale: the
+    // rank's top-K filter plans a PARTIAL WindowGroupLimit below the
+    // source exchange (only ≤K rows per source leave each map
+    // partition — the exchange never carries the corpus), the incoming
+    // count is a separate partial agg on the same base, and the final
+    // join is |sources|-rows. The quality kernel is the session-shared
+    // one — no tokenize pass of its own in-family.
+    Q("q113_source_caps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = TrainingOps.qualityFeatures(s, d)
+          .join(documents(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .filter(col("score").isNotNull)
+        val w = Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val kept = base.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min("score").as("min_kept_score"),
+            sum("n_tokens").cast("long").as("kept_tokens"))
+        base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(kept, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("min_kept_score"), col("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"WITH ${TrainingOps.qualCte}, " +
+        "b AS (SELECT q.doc_id, q.n_tokens, q.score, d.source FROM qual q " +
+        "JOIN documents d USING (doc_id) WHERE q.score IS NOT NULL), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source " +
+        "ORDER BY score DESC, doc_id) AS rk FROM b), " +
+        "k AS (SELECT source, count(*) AS n_kept, min(score) AS min_kept_score, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS kept_tokens FROM r " +
+        "WHERE rk <= 10 GROUP BY 1), " +
+        "c AS (SELECT source, count(*) AS n_docs FROM b GROUP BY 1) " +
+        "SELECT c.source, c.n_docs, k.n_kept, k.min_kept_score, k.kept_tokens " +
+        "FROM c JOIN k USING (source) ORDER BY source")),
   )
 }

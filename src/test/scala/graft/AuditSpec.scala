@@ -281,6 +281,33 @@ class AuditSpec extends AnyFunSuite {
       (6L, 1L, 8L, 8L)))
   }
 
+  test("q113 per-source caps: driver recomputation off the quality kernel, partial WindowGroupLimit in the plan") {
+    val df = SparkEntry.queries("q113_source_caps")(spark, d)
+    // the top-K extraction must leave each map partition pre-limited:
+    // a partial WindowGroupLimit BELOW the source exchange (deeper in
+    // the printed tree than the final one above it)
+    val plan = df.queryExecution.executedPlan.toString
+    val first = plan.indexOf("WindowGroupLimit")
+    assert(first >= 0 && plan.indexOf("WindowGroupLimit", first + 1) > first, plan)
+    // ground truth composed from the (oracle-green) quality kernel
+    val qual = SparkEntry.queries("q36_quality_score")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(5))).toMap
+    val src = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = qual.toSeq.groupBy { case (id, _) => src(id) }.toSeq
+      .map { case (s0, xs) =>
+        val kept = xs.sortBy { case (id, (_, sc)) => (-sc, id) }.take(10)
+        (s0, xs.size.toLong, kept.size.toLong,
+          kept.map(_._2._2).min, kept.map(_._2._1).sum)
+      }
+      .sortBy(_._1)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("q102 expectations: every check fires on a deliberately dirty corpus") {
     import spark.implicits._
     import java.sql.Timestamp
