@@ -125,7 +125,10 @@ object ScaleCheck {
     // its slope pins the posngrams generate + broadcast-gate path.
     // Source caps pin the partial-WindowGroupLimit path (the source
     // exchange carries <=K rows per source per map partition)
-    "q112_decontaminate_spans", "q113_source_caps")
+    "q112_decontaminate_spans", "q113_source_caps",
+    // the apply tier shares q112's span kernel; standalone here it pays
+    // the kernel itself plus the span-bounded HOF surgery
+    "q114_mask_apply")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -26,6 +26,65 @@ object AuditOps {
 
   import TrainingOps.{oMd5Long, oQuant, quantize, dotQ, norm2Q, cosQ, shCte, shhCte}
 
+  /** X95's shared span kernel — the merged mask spans (doc_id, s, e)
+    * both the report (q112) and the apply (q114) tiers consume; a
+    * session running both pays the generate + gate + island windows
+    * once. See q112's comment for the full semantics and scale story.
+    */
+  private def maskSpans(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"maskSpans:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).filter(col("text").isNotNull)
+      val ev = docs.filter(col("doc_id") % 50 === 0)
+        .selectExpr("shingles(text, 8) AS g")
+        .select(Hashing.md5Long(col("g")).as("h1")).distinct()
+      val hits = docs.filter(col("doc_id") % 50 =!= 0)
+        .selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Hashing.md5Long(col("g")).as("h1"))
+        .join(ev, Seq("h1"), "left_semi")
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val prevEnd = max(col("pos") + lit(7L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      hits
+        .withColumn("flag",
+          when(prevEnd.isNull || col("pos") > prevEnd + lit(1L), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum("flag").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + lit(7L)).as("e"))
+        .select("doc_id", "s", "e")
+    }
+
+  /** Oracle CTE chain mirroring [[maskSpans]] — ends in
+    * `sp(doc_id, island, s, e)` with `toks(doc_id, ws)` also in scope.
+    */
+  private val spanCtes: String =
+    "toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "evh AS (SELECT DISTINCT " + oMd5Long("array_to_string(ws[i:i+7], ' ')") +
+      " AS h1 FROM toks, unnest(range(1, len(ws) - 6)) AS t(i) " +
+      "WHERE doc_id % 50 = 0), " +
+      "pos0 AS (SELECT doc_id, i AS pos, " +
+      oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h1 " +
+      "FROM toks, unnest(range(1, len(ws) - 6)) AS t(i) " +
+      "WHERE doc_id % 50 <> 0), " +
+      // (doc_id, pos) is unique in pos0 and evh is distinct, so the
+      // inner join IS the semi-join
+      "hits AS (SELECT doc_id, pos FROM pos0 JOIN evh USING (h1)), " +
+      "r AS (SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id " +
+      "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+      "AS prev_end FROM hits), " +
+      "f AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL " +
+      "OR pos > prev_end + 1 THEN 1 ELSE 0 END AS flag FROM r), " +
+      "isl AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id " +
+      "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS island FROM f), " +
+      "sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e " +
+      "FROM isl GROUP BY 1, 2)"
+
   val all: Seq[Q] = Seq(
 
     // Cross-source n-gram overlap matrix: for every pair of sources, how
@@ -686,66 +745,76 @@ object AuditOps {
     // falls back to a shuffled semi-join, correct either way.
     Q("q112_decontaminate_spans",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = documents(s, d).filter(col("text").isNotNull)
-        val ev = docs.filter(col("doc_id") % 50 === 0)
-          .selectExpr("shingles(text, 8) AS g")
-          .select(Hashing.md5Long(col("g")).as("h1")).distinct()
-        val hits = docs.filter(col("doc_id") % 50 =!= 0)
-          .selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            Hashing.md5Long(col("g")).as("h1"))
-          .join(ev, Seq("h1"), "left_semi")
-        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-        val prevEnd = max(col("pos") + lit(7L))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-        val spans = hits
-          .withColumn("flag",
-            when(prevEnd.isNull || col("pos") > prevEnd + lit(1L), 1L)
-              .otherwise(0L))
-          .withColumn("island",
-            sum("flag").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("doc_id", "island")
-          .agg(min("pos").as("s"), (max("pos") + lit(7L)).as("e"))
-        val perDoc = spans.groupBy("doc_id")
+        val perDoc = maskSpans(s, d).groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),
             sum(col("e") - col("s") + lit(1L)).as("masked_tokens"))
         perDoc
-          .join(docs.select(col("doc_id"),
-            size(graft.functions.Text.words(col("text"))).cast("long")
-              .as("n_tokens")), Seq("doc_id"))
+          .join(documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"),
+              size(graft.functions.Text.words(col("text"))).cast("long")
+                .as("n_tokens")), Seq("doc_id"))
           .select(col("doc_id"), col("n_spans"), col("masked_tokens"),
             col("n_tokens"))
           .orderBy("doc_id")
       },
-      Some("WITH toks AS (SELECT doc_id, " +
-        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "evh AS (SELECT DISTINCT " + oMd5Long("array_to_string(ws[i:i+7], ' ')") +
-        " AS h1 FROM toks, unnest(range(1, len(ws) - 6)) AS t(i) " +
-        "WHERE doc_id % 50 = 0), " +
-        "pos0 AS (SELECT doc_id, i AS pos, " +
-        oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h1 " +
-        "FROM toks, unnest(range(1, len(ws) - 6)) AS t(i) " +
-        "WHERE doc_id % 50 <> 0), " +
-        // (doc_id, pos) is unique in pos0 and evh is distinct, so the
-        // inner join IS the semi-join
-        "hits AS (SELECT doc_id, pos FROM pos0 JOIN evh USING (h1)), " +
-        "r AS (SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id " +
-        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
-        "AS prev_end FROM hits), " +
-        "f AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL " +
-        "OR pos > prev_end + 1 THEN 1 ELSE 0 END AS flag FROM r), " +
-        "isl AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id " +
-        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS island FROM f), " +
-        "sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e " +
-        "FROM isl GROUP BY 1, 2), " +
+      Some(s"WITH $spanCtes, " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(sum(e - s + 1) AS BIGINT) AS masked_tokens FROM sp GROUP BY 1) " +
         "SELECT a.doc_id, a.n_spans, a.masked_tokens, " +
         "CAST(len(t.ws) AS BIGINT) AS n_tokens " +
         "FROM agg a JOIN toks t USING (doc_id) ORDER BY doc_id")),
+
+    // X95's APPLY tier (r12): actually produce the surgically masked
+    // documents — cut every masked span out and re-join the survivors —
+    // completing report → apply (a q112 report alone doesn't
+    // decontaminate anything). Output, for every document that HAS
+    // spans: the masked text's content hash (the release-manifest
+    // convention — the full corpus writer is the same expression
+    // against the shard sink), surviving token count, original length.
+    // Scale: rides the SHARED maskSpans kernel (one generate+gate for
+    // report and apply); the apply itself touches ONLY span-bearing
+    // documents (inner join against the overlap-bounded span list — the
+    // clean 99.x% of the corpus never re-tokenizes, never moves); the
+    // surgery is per-row higher-order functions (token index ∉ any
+    // span) — no explode, no shuffle of text; the span list per doc is
+    // span-count-sized (collect_list bounded by the doc's own overlap).
+    Q("q114_mask_apply",
+      (s, d) => {
+        val spans = maskSpans(s, d).groupBy("doc_id")
+          .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+        val base = documents(s, d).filter(col("text").isNotNull)
+          .join(spans, Seq("doc_id"))
+          .withColumn("ws", graft.functions.Text.words(col("text")))
+        // 1-based token index, kept iff no span covers it
+        val toks = transform(col("ws"),
+          (w, i) => struct((i + lit(1)).cast("long").as("i"), w.as("w")))
+        val kept = filter(toks, x => !exists(col("spans"),
+          sp => x.getField("i") >= sp.getField("s")
+            && x.getField("i") <= sp.getField("e")))
+        base.select(col("doc_id"),
+            md5(array_join(transform(kept, x => x.getField("w")), " "))
+              .as("masked_hash"),
+            size(kept).cast("long").as("kept_tokens"),
+            size(col("ws")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $spanCtes, " +
+        "m AS (SELECT t.doc_id, t.ws FROM toks t " +
+        "WHERE EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id)), " +
+        // token i survives iff no span of its doc covers it; string_agg
+        // ORDER BY i rebuilds the masked text deterministically
+        "keep AS (SELECT m.doc_id, i, ws[i] AS w " +
+        "FROM m, unnest(range(1, len(ws) + 1)) AS t(i) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = m.doc_id " +
+        "AND i >= sp.s AND i <= sp.e)), " +
+        "out AS (SELECT doc_id, md5(coalesce(string_agg(w, ' ' ORDER BY i), '')) " +
+        "AS masked_hash, CAST(count(*) AS BIGINT) AS kept_tokens " +
+        "FROM keep GROUP BY 1) " +
+        // a fully-masked doc has no keep rows: hash of '' and 0 kept
+        "SELECT m.doc_id, coalesce(o.masked_hash, md5('')) AS masked_hash, " +
+        "coalesce(o.kept_tokens, 0) AS kept_tokens, " +
+        "CAST(len(m.ws) AS BIGINT) AS n_tokens " +
+        "FROM m LEFT JOIN out o USING (doc_id) ORDER BY m.doc_id")),
 
     // Per-source document caps (r12): keep only the top-K documents of
     // each source by quality — the per-domain cap / domain-balancing

@@ -281,6 +281,32 @@ class AuditSpec extends AnyFunSuite {
       (6L, 1L, 8L, 8L)))
   }
 
+  test("q114 mask apply: the masked TEXT is exactly the span-complement, fully-masked docs hash empty") {
+    import spark.implicits._
+    def md5(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val e = (1 to 30).map(i => s"e$i")
+    def t(xs: Seq[String]) = xs.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mask-")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, t(e)), // eval
+      // spans [3,10], [12,19], [23,30] -> survivors a b c d d d
+      (1L, t(Seq("a", "b") ++ e.slice(0, 8) ++ Seq("c") ++ e.slice(9, 17)
+        ++ Seq("d", "d", "d") ++ e.slice(0, 8))),
+      (2L, t(e.take(9))), // fully masked
+      (3L, t((1 to 5).map(i => s"x$i")))) // clean: absent from the report
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q114_mask_apply")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, md5("a b c d d d"), 6L, 30L),
+      (2L, md5(""), 0L, 9L)))
+  }
+
   test("q113 per-source caps: driver recomputation off the quality kernel, partial WindowGroupLimit in the plan") {
     val df = SparkEntry.queries("q113_source_caps")(spark, d)
     // the top-K extraction must leave each map partition pre-limited:
