@@ -281,6 +281,32 @@ class AuditSpec extends AnyFunSuite {
       (6L, 1L, 8L, 8L)))
   }
 
+  test("q112 exchanges are string-free: corpus text never crosses a shuffle or broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = SparkEntry.queries("q112_decontaminate_spans")(spark, d)
+    df.count() // materialize the adaptive plan + the cached kernel
+    def exchanges(p: SparkPlan): Seq[org.apache.spark.sql.execution.exchange.Exchange] = {
+      val buf = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.exchange.Exchange]
+      p.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          if (a.executedPlan ne p) buf ++= exchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          buf ++= exchanges(q.plan)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          buf ++= exchanges(i.relation.cachedPlan)
+        case e: org.apache.spark.sql.execution.exchange.Exchange => buf += e
+        case _ =>
+      }
+      buf.toSeq
+    }
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty)
+    for (e <- ex; a <- e.child.output)
+      assert(!a.dataType.simpleString.contains("string"),
+        s"text-bearing exchange: ${a.name}: ${a.dataType.simpleString} in\n$e")
+  }
+
   test("q114 mask apply: the masked TEXT is exactly the span-complement, fully-masked docs hash empty") {
     import spark.implicits._
     def md5(s0: String): String =
