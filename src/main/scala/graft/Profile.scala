@@ -187,8 +187,13 @@ object Profile {
         val out = scala.collection.mutable.ArrayBuffer(
           (0, files(dir), probeSec(dir)))
         for (i <- 1 to nBatches) {
+          // slice on doc_id/5: `incoming` is already doc_id % 5 === 0,
+          // so slicing by doc_id % nBatches would leave every batch
+          // whose residue isn't a multiple of 5 EMPTY (32 of 40 at the
+          // default) and understate the small-files growth ~5x
           graft.sink.Sink.appendFingerprints(
-            incoming.filter(col("doc_id") % nBatches === (i - 1)), dir, s"b$i")
+            incoming.filter((col("doc_id") / 5) % nBatches === (i - 1)),
+            dir, s"b$i")
           if (compact && i % every == 0)
             graft.sink.Sink.compactFingerprints(spark, dir)
           if (i % every == 0) {

@@ -211,7 +211,23 @@ object ScaleCheck {
         || f.getName == "embeddings.parquet")
       .foreach { t =>
         val dst = new java.io.File(outDir, t.getName)
-        if (!dst.exists()) copyTree(t, dst)
+        // copy into a temp sibling, then rename: a copy interrupted
+        // mid-table must not leave a directory the `exists` check would
+        // mistake for a complete table on the next run
+        if (!dst.exists()) {
+          val tmp = new java.io.File(outDir, s".${t.getName}.tmp")
+          if (tmp.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory)
+                Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+              f.delete()
+            }
+            rm(tmp)
+          }
+          copyTree(t, tmp)
+          if (!tmp.renameTo(dst))
+            sys.error(s"aux table copy failed: $tmp -> $dst")
+        }
       }
   }
 

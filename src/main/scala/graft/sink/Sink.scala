@@ -239,11 +239,18 @@ object Sink {
       if (!fs.exists(staged))
         sys.error(s"fingerprint staging missing: $staged")
       fs.mkdirs(root)
-      // a leftover aside from an interrupted earlier swap: the staged
-      // data supersedes both generations — clear the slot first
-      if (fs.exists(aside)) fs.delete(aside, true)
-      if (fs.exists(base) && !fs.rename(base, aside))
-        sys.error(s"fingerprint base set-aside failed: $base -> $aside")
+      // clear a leftover aside ONLY when a live base exists to take its
+      // slot: in the crash-recovery re-run (no base, aside = the only
+      // surviving generation) deleting it first would destroy the very
+      // generation the aside exists to preserve if the rename-in below
+      // then failed too. When no base exists the aside stays untouched
+      // until the post-swap sweep — every path keeps one complete
+      // generation on disk.
+      if (fs.exists(base)) {
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (!fs.rename(base, aside))
+          sys.error(s"fingerprint base set-aside failed: $base -> $aside")
+      }
       if (!fs.rename(staged, base)) {
         // roll back so the failure leaves a SERVING index, not a hole
         if (fs.exists(aside)) fs.rename(aside, base)

@@ -53,13 +53,19 @@ object Tuning {
     Seq("documents.parquet", "embeddings.parquet")
       .map(t => sizeOf(new java.io.File(s"$dir/$t"))).sum
 
-  /** max(cores, corpusBytes / 200 KiB), rounded up to a whole number of
-    * scheduling waves (a multiple of cores).
+  /** corpusBytes / 200 KiB rounded up to whole scheduling waves
+    * (multiples of cores) — but the data term only ENGAGES once it
+    * demands more than two full waves. Below that the historical
+    * cores posture stands: a marginal excess (sf0.1's ~7 derived
+    * partitions on a 4-core bench session) would silently shift every
+    * pre-r12 bench comparison for zero spill benefit, and a corpus
+    * small enough to fit two waves cannot be the spill case this
+    * formula exists for.
     */
   def shufflePartitions(dir: String, cores: Int): Int = {
     val byData =
       (corpusBytes(dir) + CorpusBytesPerPartition - 1) / CorpusBytesPerPartition
-    val raw = math.max(cores.toLong, byData)
-    (((raw + cores - 1) / cores) * cores).toInt
+    if (byData <= 2L * cores) cores
+    else (((byData + cores - 1) / cores) * cores).toInt
   }
 }

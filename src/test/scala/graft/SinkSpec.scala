@@ -159,6 +159,22 @@ class SinkSpec extends AnyFunSuite {
     val after = Sink.probeFingerprints(batch, dir).orderBy("doc_id")
       .collect().map(_.toString).toSeq
     assert(after == want)
+    // the docstring's OTHER recovery option: from the crash state
+    // (aside present, NO live base) just re-run the rebuild directly.
+    // The swap must NOT clear the aside before its rename-in (with no
+    // base to set aside, deleting it would leave zero generations if
+    // the rename-in then failed); on success the sweep removes it.
+    for (t <- Seq("exact", "bands", "shingles"))
+      assert(fs(t).rename(p(t, "batch=base"), p(t, ".old-base")), t)
+    Sink.writeFingerprints(standing, dir)
+    for (t <- Seq("exact", "bands", "shingles")) {
+      val entries = fs(t).listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t"))
+        .map(_.getPath.getName).toSet
+      assert(entries == Set("batch=base"), entries.toString)
+    }
+    val rebuilt = Sink.probeFingerprints(batch, dir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(rebuilt == want)
   }
 
   test("fingerprint compaction: probes byte-identical, replay post-compaction admits exactly once") {

@@ -45,4 +45,10 @@ run q108_corpus_release,q109_memorization_ngrams /tmp/graft-sf1r 10 48g
 run q108_corpus_release,q109_memorization_ngrams /tmp/graft-sf10r 100 64g
 run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf1r 10 48g
 run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf10r 100 64g
+# r12b: span decontamination (q114 rides q112's shared kernel — its row
+# is the MARGINAL cost) and the per-source caps
+run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf1r 10 48g
+run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf10r 100 64g
+run q113_source_caps /tmp/graft-sf1r 10 48g
+run q113_source_caps /tmp/graft-sf10r 100 64g
 echo "=== scale_audit done $(date +%T) load $(cut -d' ' -f1 /proc/loadavg)"
