@@ -16,15 +16,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a non-numeric SPARK_GRAFT_CPUS (e.g. "*" for local[*]) must not
+    // crash session build — fall back to the host's cores for the floor,
+    // matching what local[*] actually schedules
+    val coreFloor = cpus.toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val fixedShuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // partition count scales with the DATA (cores is only the floor):
       // at sf≤0.1 this IS cores — the historical bench posture — and at
       // the sf10 tier it reaches the measured spill-free floor without a
-      // hand-set SPARK_GRAFT_SHUFFLE. See graft.util.Tuning.
+      // hand-set SPARK_GRAFT_SHUFFLE. See graft.util.Tuning. Per-query
+      // refinement below (runOnce): only the pair-expansion class takes
+      // the derived count; narrow composites keep the cores floor.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-          graft.util.Tuning.shufflePartitions(sfDir, cpus.toInt).toString))
+        fixedShuffle.getOrElse {
+          val n = graft.util.Tuning.shufflePartitions(sfDir, coreFloor)
+          // log the derived count WITH its byte basis (ScaleCheck's rule):
+          // a silent 0-byte corpus read (non-local dir, typo'd path) would
+          // otherwise masquerade as a deliberate cores-floor posture
+          System.err.println(s"[bench] shuffle.partitions=$n derived from " +
+            s"${graft.util.Tuning.corpusBytes(sfDir)} corpus bytes, cores=$coreFloor")
+          n.toString
+        })
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // BENCH-SCALE POSTURE — measured, not assumed: 5-pass A/B at sf0.1
@@ -101,6 +116,15 @@ object Bench {
       }
     def runOnce(q: graft.queries.Q): Boolean =
       try {
+        // two-class partition posture (r13, BASELINE.md): pair-expansion
+        // queries take the data-derived count, narrow composites the
+        // cores floor. At sf≤0.1 both classes land on cores (the Tuning
+        // hysteresis), so the historical bench posture is bit-identical;
+        // the split only engages at the sf1+/sf10 tiers. A hand-set
+        // SPARK_GRAFT_SHUFFLE still pins every query.
+        if (fixedShuffle.isEmpty)
+          spark.conf.set("spark.sql.shuffle.partitions",
+            graft.util.Tuning.queryPartitions(q.pairExpansion, sfDir, coreFloor))
         // queries may persist intermediates (their materialized-CTE
         // analog); drop those between runs so no query plan-matches
         // another run's cache and the timing stays per-query honest.

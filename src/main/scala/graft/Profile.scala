@@ -80,6 +80,24 @@ object Profile {
 
     // `runMain graft.Profile <sfDir> time <query> [passes]`: warmed
     // min-of-N for one query, bench posture, clear caches per pass
+    // `runMain graft.Profile <sfDir> fpindex <outDir>`: persist the X76
+    // fingerprint index of <sfDir>'s documents table — the standing-
+    // corpus index the SPARK_GRAFT_FP_INDEX seam then lets standalone
+    // audits (q110/q111/q95 and the contamination kernels) ride instead
+    // of rebuilding the session shingle kernel. Pair with `time`:
+    //   Profile /tmp/graft-sf10r fpindex /tmp/fp10 &&
+    //   SPARK_GRAFT_FP_INDEX=/tmp/fp10 Profile /tmp/graft-sf10r time q110...
+    if (args.length >= 3 && args(1) == "fpindex") {
+      import org.apache.spark.sql.functions.col
+      val t0 = System.nanoTime()
+      graft.sink.Sink.writeFingerprints(
+        graft.util.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")), args(2))
+      println(f"[fpindex] wrote ${args(2)} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)
@@ -157,7 +175,7 @@ object Profile {
     // latency (min-of-2) + on-disk file counts printed per arm, one
     // summary line at the end for BASELINE.md.
     if (args.length >= 2 && args(1) == "compaction") {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, expr}
       val nBatches = args.lift(2).map(_.toInt).getOrElse(40)
       val every = args.lift(3).map(_.toInt).getOrElse(10)
       val docs = graft.util.Tables.documents(spark, sfDir)
@@ -187,12 +205,14 @@ object Profile {
         val out = scala.collection.mutable.ArrayBuffer(
           (0, files(dir), probeSec(dir)))
         for (i <- 1 to nBatches) {
-          // slice on doc_id/5: `incoming` is already doc_id % 5 === 0,
+          // slice on doc_id div 5 (INTEGER division — `/` is double
+          // division in Spark and loses exactness past ~2^53·5, silently
+          // mis-slicing huge ids): `incoming` is already doc_id % 5 === 0,
           // so slicing by doc_id % nBatches would leave every batch
           // whose residue isn't a multiple of 5 EMPTY (32 of 40 at the
           // default) and understate the small-files growth ~5x
           graft.sink.Sink.appendFingerprints(
-            incoming.filter((col("doc_id") / 5) % nBatches === (i - 1)),
+            incoming.filter(expr("doc_id div 5") % nBatches === (i - 1)),
             dir, s"b$i")
           if (compact && i % every == 0)
             graft.sink.Sink.compactFingerprints(spark, dir)

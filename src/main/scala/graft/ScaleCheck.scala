@@ -285,17 +285,26 @@ object ScaleCheck {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.registry.filter(q => family.contains(q.name)
       && only.forall(_.contains(q.name)))
+    // per-QUERY partition class (r13): the pair-expansion class takes
+    // the tier's derived count, narrow composites the cores floor — the
+    // measured two-class posture (BASELINE.md r12: q31 needs 544 at
+    // sf10 or it spills; q108 at 544 pays 3× in waves). A hand-set
+    // SPARK_GRAFT_SHUFFLE still pins everything for A/B runs. Note the
+    // shared-kernel interplay: a kernel is cached at its BUILDER's
+    // count, so subset composition still matters for marginal numbers
+    // (the scale_audit.sh discipline).
+    def partitionsForQuery(q: graft.queries.Q, dir: String): String =
+      fixedShuffle.getOrElse(graft.util.Tuning.queryPartitions(
+        q.pairExpansion, dir, cpus.toInt).toString)
     def run(q: graft.queries.Q, dir: String): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", partitionsForQuery(q, dir))
       graft.util.Caches.clearTransient()
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
     }
     def time(dir: String): Seq[(String, Double)] = {
-      // each tier is timed under ITS corpus's derived partition count
-      // (a runtime-settable SQL conf) — sf0.1 at the cores floor, sf10
-      // at its spill-free count, same session
-      spark.conf.set("spark.sql.shuffle.partitions", partitionsFor(dir))
-      System.err.println(s"[scale] $dir: shuffle.partitions=" +
-        spark.conf.get("spark.sql.shuffle.partitions"))
+      System.err.println(s"[scale] $dir: shuffle.partitions per class: " +
+        s"pair=${partitionsFor(dir)} narrow=${cpus.toInt}" +
+        fixedShuffle.fold("")(f => s" (pinned $f)"))
       spark.sqlContext.clearCache()
       qs.foreach(run(_, dir)) // warmup: JIT, codegen, parquet footers
       val timed = (1 to passes).map { _ =>
@@ -327,7 +336,8 @@ object ScaleCheck {
       q51.fn(spark, dir).collect().map(_.toString).toSeq
     }
     def ccParityAndTime(q51: graft.queries.Q, dir: String): (Boolean, Double) = {
-      spark.conf.set("spark.sql.shuffle.partitions", partitionsFor(dir))
+      spark.conf.set("spark.sql.shuffle.partitions",
+        partitionsForQuery(q51, dir))
       spark.sqlContext.clearCache()
       val viaDriver = ccRows(q51, dir)
       spark.conf.set("spark.graft.cc.maxDriverEdges", "0")

@@ -13,10 +13,32 @@ import graft.queries.{AnalyticsOps, AuditOps, ContractQueries, Q, ReferenceOps, 
   */
 object SparkEntry {
 
+  /** The pair-expansion partition class (see [[graft.queries.Q]]'s
+    * `pairExpansion` doc): queries whose dominant kernel multiplies row
+    * volume on the reduce side of its widest exchange —
+    *  - the inverted-index shingle self-join (pairIntersections):
+    *    q31/q76 directly, q99's calibration on top of it;
+    *  - the positional-shingle run self-join: q80, and q93 riding its
+    *    runs kernel;
+    *  - the in-cell cosine pair enumeration (cellPairCos): q33/q85/q90.
+    * Experimentally: q31 at sf10 spills at the cores floor (59 s vs the
+    * 26.5 s derived-count floor). lshPairs consumers are deliberately
+    * NOT tagged — band-collision candidates are output-bounded, and the
+    * r12 q108 A/B proved the class spill-free at 32 partitions on the
+    * sf10 corpus (16.59 s) where the derived count cost 3× in waves.
+    * Tagged here (not at each Q literal) so the class reads as one
+    * reviewable list.
+    */
+  private val pairExpansion = Set(
+    "q31_ngram_jaccard", "q76_containment", "q99_minhash_error",
+    "q80_substring_runs", "q93_dup_coverage",
+    "q33_ivf_neardup", "q85_knn_graph", "q90_semantic_dedup")
+
   /** Every registered query, in registry order. */
   def registry: Seq[Q] =
-    ReferenceOps.all ++ TrainingOps.all ++ AnalyticsOps.all ++ AuditOps.all ++
-      ContractQueries.all
+    (ReferenceOps.all ++ TrainingOps.all ++ AnalyticsOps.all ++ AuditOps.all ++
+      ContractQueries.all)
+      .map(q => if (pairExpansion(q.name)) q.copy(pairExpansion = true) else q)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped scan→filter→group-agg on lineitem (SURVEY §7.2 M1).

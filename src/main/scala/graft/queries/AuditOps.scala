@@ -121,7 +121,7 @@ object AuditOps {
         // a source-dictionary collect (an extra corpus pass at scale
         // unless sources come from metadata) — so the simpler form ships.
         val bySet = graft.util.Caches.transientPersist(
-          TrainingOps.shingleIndex(s, d).select(col("doc_id"), col("h1"))
+          TrainingOps.shinglePostings(s, d)
             .join(src.hint("shuffle_hash"), "doc_id")
             .groupBy("h1")
             .agg(array_sort(collect_set(col("source"))).as("srcs"))
@@ -604,7 +604,7 @@ object AuditOps {
     // strings never.
     Q("q109_memorization_ngrams",
       (s, d) => {
-        val idx = TrainingOps.shingleIndex(s, d)
+        val idx = TrainingOps.shinglePostings(s, d)
         val dfc = idx.groupBy("h1").agg(count(lit(1)).as("n_docs"))
         val top = dfc.orderBy(col("n_docs").desc, col("h1").asc).limit(10)
         val postings = idx.join(broadcast(top.select("h1")), "h1")
@@ -691,8 +691,7 @@ object AuditOps {
     // semantics and stays the default.
     Q("q111_contamination_pairs",
       (s, d) => {
-        val idx = TrainingOps.shingleIndex(s, d)
-          .select(col("doc_id"), col("h1"))
+        val idx = TrainingOps.shinglePostings(s, d)
         val ev = idx.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("eval_id"), col("h1"))
         val eligible = TrainingOps.contaminationHits(s, d)

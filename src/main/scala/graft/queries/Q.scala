@@ -12,7 +12,23 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** included in Bench headline timing */
-    bench: Boolean = true)
+    bench: Boolean = true,
+    /** Partition-class tag (r13): true = the query's dominant kernel
+      * EXPANDS on the reduce side of its widest exchange past the
+      * mapper-written bytes (inverted-index/positional self-joins, in-
+      * cell pair enumeration) — the class the r12 experiments proved
+      * needs DATA-derived shuffle counts (q31 at sf10: 26.5 s at 544
+      * partitions vs 59 s spilling at 32). False = narrow composites
+      * whose per-exchange payload stays survivor-frame-sized, where the
+      * same derived count is pure single-box wave tax (q108: 16.6 s at
+      * 32 vs 49 s at 544). Harness mains size
+      * `spark.sql.shuffle.partitions` per query from this tag
+      * (graft.util.Tuning.queryPartitions); on a cluster the narrow
+      * class is AQE-coalescible (pre-expansion byte sizing is CORRECT
+      * there) while the tagged class needs the derived count or a
+      * divided AQE advisory — see BASELINE.md r12/r13.
+      */
+    pairExpansion: Boolean = false)
 
 object Q {
   /** Pinned-constant oracle (the q44 pattern): when the query's input is

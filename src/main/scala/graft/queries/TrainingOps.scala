@@ -115,6 +115,81 @@ object TrainingOps {
           conv(substring(col("hex"), 17, 15), 16, 10).cast("long").as("h2"))
     }
 
+  /** Standing-corpus fingerprint-index seam (r13): a session that names
+    * a persisted X76 index ([[graft.sink.Sink.writeFingerprints]]'s
+    * layout) via the `spark.graft.fpIndex` session conf — or
+    * SPARK_GRAFT_FP_INDEX for CLI runs — makes the LSH-family kernels
+    * LOAD the index's tables instead of rebuilding the session shingle
+    * kernel from text. This is the production posture for "audit a
+    * standing corpus": the index is maintained incrementally by the
+    * sink (append + compact), so a standalone audit (q110/q111, q95's
+    * verdicts, the q65/q101 contamination kernels) pays parquet reads
+    * of pre-hashed int64 postings — never a corpus re-tokenize.
+    * Interop is by construction: [[fingerprintTables]] builds the index
+    * with these kernels' EXACT conventions (same shingles(3) →
+    * md5-derived h1, same wide signature → band keys, same simple_hash
+    * exact tier), and FpIndexSeamSpec pins result identity against the
+    * session-kernel path. The caller owns corpus↔index consistency —
+    * naming an index built from a DIFFERENT documents table is the same
+    * contract violation as pointing two queries at different corpora.
+    * Conf beats env so a test can scope the seam to one session.
+    */
+  private[graft] def fpIndexDir(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.fpIndex").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_FP_INDEX").filter(_.nonEmpty))
+
+  /** Cache-key suffix isolating seam-path shared indexes from
+    * session-kernel ones (a cached kernel copy must never serve the
+    * other path's consumers — they are different plans, even though
+    * FpIndexSeamSpec proves the values identical).
+    */
+  private def fpKey(s: SparkSession): String =
+    fpIndexDir(s).fold("")(dir => s"@idx=$dir")
+
+  /** (doc_id, h1) hashed-shingle postings — the projection every
+    * set-measure kernel joins on. Session kernel by default; with the
+    * seam active, the index's `shingles` table (written doc_id-
+    * clustered) serves it with zero tokenize/hash work. The healthy-
+    * index assumption (no doc duplicated across batch partitions —
+    * guaranteed outside a crashed swap's recovery window) matches the
+    * probe path's documented contract.
+    */
+  private[graft] def shinglePostings(s: SparkSession, d: String): DataFrame =
+    fpIndexDir(s) match {
+      case Some(dir) =>
+        s.read.parquet(s"$dir/shingles").select(col("doc_id"), col("h1"))
+      case None => shingleIndex(s, d).select(col("doc_id"), col("h1"))
+    }
+
+  /** Per-doc shingle counts (doc_id, n) — from the wide-signature frame
+    * by default; the index's `bands` table carries the same `n` on each
+    * of its 4 band rows (written there for exactly this), so the seam
+    * path is a 1/4 dedup of a tiny table, not an aggregation over
+    * postings.
+    */
+  private def docSizes(s: SparkSession, d: String): DataFrame =
+    fpIndexDir(s) match {
+      case Some(dir) =>
+        s.read.parquet(s"$dir/bands")
+          .select(col("doc_id"), col("n")).dropDuplicates("doc_id")
+      case None => minhashSigWide(s, d).select("doc_id", "n")
+    }
+
+  /** (doc_id, h) whitespace-stripped content hashes — q27/q95/q107's
+    * exact tier. The index's `exact` table IS this frame persisted
+    * ([[fingerprintTables]]), so the seam makes the exact tier a pure
+    * parquet read: with it, q95 standalone touches NO document text at
+    * all.
+    */
+  private[graft] def exactHashes(s: SparkSession, d: String): DataFrame =
+    fpIndexDir(s) match {
+      case Some(dir) =>
+        s.read.parquet(s"$dir/exact").select(col("doc_id"), col("h"))
+      case None =>
+        docTextLean(s, d)
+          .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
+    }
+
   /** Oracle CTE mirroring [[shingleIndex]]'s h1/h2 (expects `sh` in scope). */
   private[queries] val shhCte: String =
     s"shh AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh)"
@@ -189,12 +264,6 @@ object TrainingOps {
       wideSigOf(shingleIndex(s, d))
     }
 
-  /** Per-doc shingle counts — a projection of [[minhashSigWide]]'s folded
-    * per-doc frame (no aggregation of its own).
-    */
-  private def shingleSizes(s: SparkSession, d: String): DataFrame =
-    minhashSigWide(s, d).select("doc_id", "n")
-
   /** Pairwise shingle intersections with both side sizes —
     * (ida, idb, inter, na, nb), ida < idb — the shared core of every
     * exact pairwise set measure (q31 Jaccard, q76 containment; the
@@ -236,8 +305,8 @@ object TrainingOps {
     // SHARED (r11): q65 publishes it, q101's funnel and q108's release
     // both gate on it — one eval-overlap join per (session, corpus),
     // hit-count-sized result (bounded by true overlap)
-    graft.util.Caches.sharedIndex(s, s"contamHits:$d") {
-      val idx = shingleIndex(s, d).select(col("doc_id"), col("h1"))
+    graft.util.Caches.sharedIndex(s, s"contamHits:$d" + fpKey(s)) {
+      val idx = shinglePostings(s, d)
       val eval = idx.filter(col("doc_id") % 50 === 0)
         .select(col("h1")).distinct()
       idx.filter(col("doc_id") % 50 =!= 0)
@@ -254,9 +323,9 @@ object TrainingOps {
     // a session running the family pays the candidate machinery once.
     // The result is overlap-bounded (tiny next to the index); each
     // consumer still re-derives its own measure columns.
-    graft.util.Caches.sharedIndex(s, s"pairIntersections:$d") {
-      val sh = shingleIndex(s, d).select("doc_id", "h1")
-      val sz = shingleSizes(s, d)
+    graft.util.Caches.sharedIndex(s, s"pairIntersections:$d" + fpKey(s)) {
+      val sh = shinglePostings(s, d)
+      val sz = docSizes(s, d)
       sh.as("a")
         .join(sh.as("b"),
           col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id"))
@@ -301,7 +370,9 @@ object TrainingOps {
     // near-dup pair list is the family's central derived dataset — q29
     // reports it, q51 clusters it; one session, one copy. ~|near-dups|
     // rows, trivially persistable.
-    graft.util.Caches.sharedIndex(s, s"lshPairs:$d") { lshPairsBuild(s, d) }
+    graft.util.Caches.sharedIndex(s, s"lshPairs:$d" + fpKey(s)) {
+      fpIndexDir(s).fold(lshPairsBuild(s, d))(lshPairsFromIndex(s, _))
+    }
 
   /** 4×2 LSH band keys off a wide-signature frame — band order inside a
     * key fixed by column position (matches the oracle's string_agg ORDER
@@ -363,6 +434,39 @@ object TrainingOps {
     // intersection on the 60-bit shingle hash — 8-byte join keys, not text;
     // na/nb pass through as (functionally dependent) grouping keys
     val shk = sh.select(col("doc_id"), col("h1"))
+    cand
+      .join(shk.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(shk.as("sb"),
+        col("idb") === col("sb.doc_id") && col("sa.h1") === col("sb.h1"))
+      .groupBy("ida", "idb", "na", "nb").agg(count(lit(1)).as("inter"))
+      .select(col("ida"), col("idb"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= 0.8)
+  }
+
+  /** [[lshPairsBuild]] over a persisted fingerprint index instead of the
+    * session kernel (the [[fpIndexDir]] seam): the index's `bands` table
+    * IS [[bandKeysOf]]'s output persisted (bucket-clustered on bandkey,
+    * so the self-join's exchange reads co-located files) and `shingles`
+    * IS the postings projection — candidate generation, the
+    * intersection join and the Jaccard verify are line-for-line the
+    * session build's, so the pair list is value-identical
+    * (FpIndexSeamSpec) while the corpus tokenize+hash pass — the
+    * dominant standalone cost, 20.1 s of q110's sf10 standalone 20.11 s
+    * — is replaced by two parquet scans of pre-hashed int64s.
+    */
+  private def lshPairsFromIndex(s: SparkSession, dir: String): DataFrame = {
+    val bk = s.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("n"), col("bk"), col("bandkey"))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val shk = s.read.parquet(s"$dir/shingles").select(col("doc_id"), col("h1"))
     cand
       .join(shk.as("sa"), col("ida") === col("sa.doc_id"))
       .join(shk.as("sb"),
@@ -1112,9 +1216,7 @@ object TrainingOps {
         // standing side, final batch base) — persist it or the corpus
         // scan + md5 subplan runs once per consumer (the lmScores-inst
         // discipline; r10, an ADVICE catch)
-        val hashed = graft.util.Caches.transientPersist(
-          docTextLean(s, d)
-            .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h")))
+        val hashed = graft.util.Caches.transientPersist(exactHashes(s, d))
         val isBatch = col("doc_id") % 10 === 0
         val exact = hashed.filter(isBatch)
           .join(hashed.filter(!isBatch)

@@ -252,10 +252,16 @@ object Sink {
           sys.error(s"fingerprint base set-aside failed: $base -> $aside")
       }
       if (!fs.rename(staged, base)) {
-        // roll back so the failure leaves a SERVING index, not a hole
-        if (fs.exists(aside)) fs.rename(aside, base)
-        sys.error(s"fingerprint base swap failed: $staged -> $base " +
-          "(previous base restored)")
+        // roll back so the failure leaves a SERVING index, not a hole —
+        // and report the state that actually resulted: if the restore
+        // rename ITSELF fails, claiming "previous base restored" would
+        // send incident recovery looking at a live base that isn't there
+        // (the real recovery is renaming `.old-base` back by hand)
+        val restored = fs.exists(aside) && fs.rename(aside, base)
+        val state =
+          if (restored) "(previous base restored)"
+          else "(restore FAILED — recover by renaming .old-base to batch=base manually)"
+        sys.error(s"fingerprint base swap failed: $staged -> $base $state")
       }
       fs.listStatus(root).foreach { st =>
         if (st.getPath.getName != "batch=base") fs.delete(st.getPath, true)

@@ -42,16 +42,32 @@ object Tuning {
     */
   val CorpusBytesPerPartition: Long = 200L * 1024
 
-  private def sizeOf(f: java.io.File): Long =
-    if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
-    else f.length
-
   /** Total on-disk bytes of the corpus tables under `dir` (0 if absent,
     * e.g. a relational-only directory — the cores floor then applies).
+    *
+    * Resolved through the Hadoop FileSystem API, not java.io.File: a
+    * non-local corpus dir (hdfs://, s3a://) would size to 0 under File
+    * and silently degrade the derived count to the cores floor —
+    * exactly the large-data case the formula exists for. Callers run
+    * both before session build (Bench) and after, so this uses a bare
+    * Configuration (picks up any core-site.xml on the classpath; the
+    * local file:// scheme — the bench posture — needs none).
     */
   def corpusBytes(dir: String): Long =
-    Seq("documents.parquet", "embeddings.parquet")
-      .map(t => sizeOf(new java.io.File(s"$dir/$t"))).sum
+    bytesMemo.getOrElseUpdate(dir, {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      Seq("documents.parquet", "embeddings.parquet").map { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.sum
+    })
+
+  // memoized per dir: the r13 per-query class posture resolves the count
+  // before EVERY benched query, and a fixed harness corpus doesn't change
+  // size mid-run (a freshly generated corpus enters under a new dir)
+  private val bytesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** corpusBytes / 200 KiB rounded up to whole scheduling waves
     * (multiples of cores) — but the data term only ENGAGES once it
@@ -61,11 +77,32 @@ object Tuning {
     * pre-r12 bench comparison for zero spill benefit, and a corpus
     * small enough to fit two waves cannot be the spill case this
     * formula exists for.
+    *
+    * Capped at 64× cores: the formula sizes partitions for LOCAL bench
+    * tiers (sf0.1→cores, sf10→544 = 17 waves on 32); pointing it at a
+    * TB-scale directory would otherwise derive millions of partitions —
+    * pure task-launch overhead on one host. A real cluster sizes by
+    * AQE advisory bytes instead (class doc), so the cap never binds a
+    * posture that matters.
     */
   def shufflePartitions(dir: String, cores: Int): Int = {
     val byData =
       (corpusBytes(dir) + CorpusBytesPerPartition - 1) / CorpusBytesPerPartition
     if (byData <= 2L * cores) cores
-    else (((byData + cores - 1) / cores) * cores).toInt
+    else math.min(
+      ((byData + cores - 1) / cores) * cores, 64L * cores).toInt
   }
+
+  /** Per-query shuffle count from the measured two-class posture
+    * (BASELINE.md r12/r13): the pair-expansion class gets the
+    * data-derived count (its reduce sides multiply past the mapper
+    * bytes — fixed-cores spills, q31's 59 s), the narrow-composite
+    * class gets the cores floor (its exchanges stay survivor-sized and
+    * the derived count is pure single-box wave tax — q108's 49 s vs
+    * 16.6). Local-harness semantics only: a cluster keeps AQE on, where
+    * narrow stages coalesce correctly by size and expansion stages take
+    * the divided advisory (the r12 rule).
+    */
+  def queryPartitions(pairExpansion: Boolean, dir: String, cores: Int): Int =
+    if (pairExpansion) shufflePartitions(dir, cores) else cores
 }

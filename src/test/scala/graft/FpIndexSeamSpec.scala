@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The standing-corpus fingerprint-index seam (r13): with
+  * `spark.graft.fpIndex` naming a persisted X76 index, the LSH-family
+  * kernels load its tables instead of rebuilding the session shingle
+  * kernel — and the results must be BYTE-IDENTICAL to the session-kernel
+  * path, because [[graft.queries.TrainingOps.fingerprintTables]] builds
+  * the index with the kernels' exact conventions. This spec pins:
+  *  (a) result identity for the seam's consumers (q110, q111, q95, q96,
+  *      q109 — the standalone-audit surface the seam exists for);
+  *  (b) that the seam path's executed plans really ride the index — no
+  *      shingle Generate, no text column — so the identity is not
+  *      trivially "both sides rebuilt the kernel";
+  *  (c) that the seam is scoped to the session conf (unsetting it
+  *      restores the kernel path).
+  */
+class FpIndexSeamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val seamQueries = Seq(
+    "q110_neardup_split_leakage", "q111_contamination_pairs",
+    "q95_incremental_dedup", "q96_source_overlap",
+    "q109_memorization_ngrams")
+
+  private def rows(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    df.collect().map(_.toString).toSeq
+  }
+
+  test("seam path is value-identical to the session kernel and never touches text") {
+    import org.apache.spark.sql.functions.col
+    assert(spark.conf.getOption("spark.graft.fpIndex").isEmpty)
+    val baseline = seamQueries.map(q => q -> rows(q)).toMap
+
+    val dir = Files.createTempDirectory("graft-fpseam").toString + "/idx"
+    graft.sink.Sink.writeFingerprints(
+      graft.util.Tables.documents(spark, TestSpark.sfDir)
+        .select(col("doc_id"), col("text")), dir)
+
+    spark.conf.set("spark.graft.fpIndex", dir)
+    try {
+      // (b) the load-instead-of-rebuild claim, pinned on the plan: the
+      // pair list's optimized plan must scan the index dir and must NOT
+      // contain the shingle generator or a text column. q109 is exempt
+      // from the no-Generate check — its n-gram TEXT recovery tier
+      // legitimately re-tokenizes the postings-bounded doc set.
+      def planOf(df: DataFrame): String =
+        df.queryExecution.optimizedPlan.toString
+      val pairPlan = planOf(
+        SparkEntry.queries("q110_neardup_split_leakage")(spark, TestSpark.sfDir))
+      assert(pairPlan.contains(dir), "q110 seam plan must scan the index")
+      assert(!pairPlan.toLowerCase.contains("shingles("),
+        "q110 seam plan must not re-tokenize")
+      assert(!pairPlan.contains("text#"),
+        "q110 seam plan must not read document text")
+      val q111Plan = planOf(
+        SparkEntry.queries("q111_contamination_pairs")(spark, TestSpark.sfDir))
+      assert(q111Plan.contains(dir) && !q111Plan.contains("text#"))
+      // q95's exact tier rides the index's `exact` table: no text either
+      val q95Plan = planOf(
+        SparkEntry.queries("q95_incremental_dedup")(spark, TestSpark.sfDir))
+      assert(q95Plan.contains(dir) && !q95Plan.contains("text#"),
+        "q95 seam plan must read hashes from the index, not text")
+
+      // (a) value identity, every seam consumer
+      for (q <- seamQueries) {
+        val seam = rows(q)
+        assert(seam == baseline(q), s"$q: seam result differs from session kernel")
+      }
+    } finally spark.conf.unset("spark.graft.fpIndex")
+
+    // (c) conf-scoped: the kernel path is back after unset
+    val again = rows("q110_neardup_split_leakage")
+    assert(again == baseline("q110_neardup_split_leakage"))
+  }
+}

@@ -36,4 +36,36 @@ class TuningSpec extends AnyFunSuite {
     assert(p100 >= 512 && p100 <= 1024, p100.toString)
     assert(p100 % 32 == 0)
   }
+
+  test("two-class posture: only pair-expansion queries take the derived count") {
+    // at a derived-count tier the classes diverge; at the cores floor
+    // they coincide (sf<=0.1 bench posture bit-identical)
+    assert(Tuning.queryPartitions(pairExpansion = false,
+      "/root/testdata/sf0.1", 32) == 32)
+    assert(Tuning.queryPartitions(pairExpansion = true,
+      "/root/testdata/sf0.1", 32) ==
+      Tuning.shufflePartitions("/root/testdata/sf0.1", 32))
+    // the registry's class list resolves (typo'd names would silently
+    // untag a query)
+    val tagged = SparkEntry.registry.filter(_.pairExpansion).map(_.name)
+    assert(tagged.toSet == Set(
+      "q31_ngram_jaccard", "q76_containment", "q99_minhash_error",
+      "q80_substring_runs", "q93_dup_coverage",
+      "q33_ivf_neardup", "q85_knn_graph", "q90_semantic_dedup"))
+  }
+
+  test("derived count is sanity-capped at 64x cores") {
+    // a TB-scale directory must not derive millions of partitions: the
+    // formula's cap binds once byData exceeds 64 x cores
+    val cores = 32
+    val hugeBytes = 10L * 1024 * 1024 * 1024 * 1024 // 10 TB
+    val byData =
+      (hugeBytes + Tuning.CorpusBytesPerPartition - 1) / Tuning.CorpusBytesPerPartition
+    assert(byData > 64L * cores)
+    // cap arithmetic mirrors shufflePartitions (corpusBytes is
+    // dir-resolved, so the cap is asserted on the formula's own terms)
+    val capped = math.min(((byData + cores - 1) / cores) * cores,
+      64L * cores).toInt
+    assert(capped == 64 * cores)
+  }
 }
