@@ -35,6 +35,17 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // two-class partition posture (r13, the ScaleCheck/Bench rule): when
+    // SPARK_GRAFT_SHUFFLE is not pinned, `time`/`family` size the
+    // shuffle per query from its registry class tag — so a standalone
+    // Profile number composes with the battery's, zero hand-set env
+    def classShuffle(name: String): Unit =
+      if (sys.env.get("SPARK_GRAFT_SHUFFLE").isEmpty)
+        SparkEntry.registry.find(_.name == name).foreach { q =>
+          spark.conf.set("spark.sql.shuffle.partitions",
+            graft.util.Tuning.queryPartitions(q.pairExpansion, sfDir, 32))
+        }
+
     // `runMain graft.Profile <sfDir> explain <query>`: dump the plan
     if (args.length >= 3 && args(1) == "explain") {
       SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
@@ -101,6 +112,7 @@ object Profile {
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)
+      classShuffle(args(2))
       noop(fn(spark, sfDir))
       val ts = (1 to passes).map { _ =>
         spark.sqlContext.clearCache()
@@ -246,11 +258,14 @@ object Profile {
     // build — the honest floor).
     if (args.length >= 3 && args(1) == "family") {
       val names = args.drop(2).toSeq
-      names.foreach(n => noop(SparkEntry.queries(n)(spark, sfDir))) // warm
+      names.foreach { n => // warm
+        classShuffle(n); noop(SparkEntry.queries(n)(spark, sfDir))
+      }
       val passes = (1 to 3).map { _ =>
         spark.sqlContext.clearCache()
         graft.util.Caches.clearTransient()
         names.map { n =>
+          classShuffle(n)
           val t0 = System.nanoTime()
           noop(SparkEntry.queries(n)(spark, sfDir))
           n -> (System.nanoTime() - t0) / 1e9

@@ -75,21 +75,22 @@ object ScaleCheck {
     // match, so set volume scales 10× while |sources| stays fixed);
     // DSIR rides the term index (unigram volume 10×, fixed 512-bucket
     // model); MinHash calibration is pairIntersections volume plus two
-    // doc-keyed signature joins. q98_ann_recall is deliberately ABSENT:
-    // its exact ground-truth tier is panel×corpus BY DEFINITION (the
-    // md5-coin panel grows with the corpus, so the product is
-    // super-linear by construction — production passes a fixed probe
-    // panel); the IVF tier's slope is already pinned by q33/q85.
+    // doc-keyed signature joins.
     "q96_source_overlap", "q97_dsir_weights", "q99_minhash_error",
+    // r13: the probe panel is now FIXED-SIZE (TrainingOps.ProbePanelSize
+    // smallest md5(vec_id) — the production fixed-panel contract), so
+    // q98's exact ground-truth tier is panel×corpus = LINEAR and the
+    // r10 exclusion is lifted; q106 rides the same panel's cell-
+    // restricted mining
+    "q98_ann_recall",
     // r10b: the Gopher rules pin the pure map-side family's slope (should
     // be ≈1); the curation funnel stacks the LSH pair kernel, the shingle
     // index and the quality join — the composed-endpoint slope, expected
     // to track q82's
     "q100_gopher_rules", "q101_curation_funnel",
     // r10c: chunk windows pin the generator family's slope (map-side,
-    // ~n/stride output rows); hard negatives pin the probe-panel × cell
-    // restriction — the probe panel GROWS with the corpus here (md5
-    // coin), so its slope is the honest audit-shape number, like q96's
+    // ~n/stride output rows); hard negatives pin the fixed-panel × cell
+    // restriction (r13: the panel no longer grows with the corpus)
     "q105_chunk_windows", "q106_hard_negatives",
     // r11: standing-corpus incremental dedup — exact tier + minhash
     // filter over the shared pair kernel; named in the r10 verdict's

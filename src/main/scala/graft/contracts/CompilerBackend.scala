@@ -17,6 +17,15 @@ trait CompilerBackend extends Serializable {
 
   /** ABI-visible functions of one (CRLF-normalized) Solidity source. */
   def extract(filename: String, source: String): Seq[SolFunction]
+
+  /** Artifact-scoped extraction: ALL (filename, source) pairs of one
+    * contract artifact together — the same compilation unit the
+    * reference hands solc, which is what lets user-defined types
+    * resolve across the artifact's files (r13). Default: the per-file
+    * extraction, file-local scope.
+    */
+  def extractAll(files: Seq[(String, String)]): Seq[(String, SolFunction)] =
+    files.flatMap { case (n, c) => extract(n, c).map(n -> _) }
 }
 
 /** Default backend: the compiler-free lexical scanner ([[Solidity]]).
@@ -26,6 +35,20 @@ object ScannerBackend extends CompilerBackend {
   override val name = "scanner"
   override def extract(filename: String, source: String): Seq[SolFunction] =
     Solidity.extractFunctions(source)
+
+  /** Artifact-wide user-type resolution: one merged symbol table over
+    * every file, so `releasable(IERC20Upgradeable, address)` resolves
+    * through the interface DEFINED in a sibling vendored file — the
+    * solc-visibility semantics, compiler-free.
+    */
+  override def extractAll(
+      files: Seq[(String, String)]): Seq[(String, SolFunction)] = {
+    val st = files.map(f => Solidity.symbolTable(f._2))
+      .foldLeft(SymbolTable.empty)(_ merge _)
+    files.flatMap { case (n, c) =>
+      Solidity.extractFunctions(c, st).map(n -> _)
+    }
+  }
 }
 
 /** Real-compiler backend: shells out to `solc --combined-json abi` and

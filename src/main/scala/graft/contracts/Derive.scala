@@ -16,10 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Derive {
 
-  final case class FileRow(
+  final case class FileEntry(name: String, content: String)
+
+  /** One contract artifact with all of its files — the extraction unit
+    * since r13 (user types resolve across an artifact's files, so the
+    * whole artifact goes to the backend together, exactly as the
+    * reference hands solc the full compilation unit). The grouping costs
+    * nothing: `contracts.files` is already one array per row — this is
+    * simply NOT exploding before extraction, so the stage stays a pure
+    * map with zero shuffle.
+    */
+  final case class ContractFiles(
       contract_id: String,
-      filename: String,
-      content: String)
+      files: Seq[FileEntry])
 
   /** function table rows (db.rs:74-84 schema, plus the `resolved` flag —
     * false marks rows whose param types the compiler-free scanner cannot
@@ -46,18 +55,18 @@ object Derive {
     import s.implicits._
     contracts
       .filter(col("source_type") =!= "vyper") // P6 language gate (main.rs:298-300)
-      .select(col("id").as("contract_id"), explode(col("files")).as("f"))
-      .select(col("contract_id"), col("f.name").as("filename"),
-        col("f.content").as("content"))
-      .as[FileRow]
-      // standard-json containers expand to their sources map here (the
-      // get_source_files analog) — a json-type contract's functions come
-      // from the expanded .sol entries, like the reference's compile step
-      .flatMap(fr => SourceFiles.expand(fr.filename, fr.content)
-        .map { case (n, c) => FileRow(fr.contract_id, n, c) })
-      .filter(_.filename.endsWith(".sol"))
-      .flatMap { fr =>
-        backend.extract(fr.filename, fr.content).map { fn =>
+      .select(col("id").as("contract_id"), col("files"))
+      .as[ContractFiles]
+      .flatMap { cf =>
+        // standard-json containers expand to their sources map here (the
+        // get_source_files analog) — a json-type contract's functions
+        // come from the expanded .sol entries, like the reference's
+        // compile step. The ARTIFACT extracts as one unit (extractAll)
+        // so user types resolve across its files (r13).
+        val expanded = cf.files
+          .flatMap(f => SourceFiles.expand(f.name, f.content))
+          .filter(_._1.endsWith(".sol"))
+        backend.extractAll(expanded).map { case (filename, fn) =>
           FunctionRow(
             // F4 row id = simple_hash(contract_id ‖ filename ‖ selector)
             // (functions.rs:31 → utils.rs:12-17): the concat is
@@ -67,12 +76,12 @@ object Derive {
             // .resolved) — their id keys on the signature instead, which
             // is equally unique per (contract, file) and deterministic.
             id = graft.functions.Hashing.simpleHashString(
-              fr.contract_id + fr.filename +
+              cf.contract_id + filename +
                 (if (fn.selector != null) fn.selector else fn.signature)),
-            contract_id = fr.contract_id,
+            contract_id = cf.contract_id,
             contract_name = fn.contractName,
             function_name = fn.functionName,
-            filename = fr.filename,
+            filename = filename,
             signature = fn.signature,
             selector = fn.selector,
             source_code = fn.sourceCode,

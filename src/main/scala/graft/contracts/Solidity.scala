@@ -17,14 +17,52 @@ final case class SolFunction(
     /** null when `resolved` is false — see [[SolFunction.resolved]]. */
     selector: String,
     sourceCode: String,
-    /** False when any parameter is a user-defined type (struct / enum /
-      * contract) the compiler-free scanner cannot expand to its ABI
-      * encoding — the reference derives these from solc's ABI output
-      * (`plain_contract.rs:499-508`), which resolves them to tuples. A
-      * selector computed over the raw type NAME would be silently wrong,
-      * so the scanner emits selector = null and flags the row instead.
+    /** False when any parameter is a user-defined type the scanner's
+      * symbol table cannot expand to its ABI encoding. Since r13 the
+      * scanner resolves types DEFINED IN THE SAME SOURCE TREE itself
+      * (struct → member tuple, enum → uint8, contract/interface →
+      * address, user-defined value type → its underlying type — the
+      * same expansion the reference gets from solc's ABI output,
+      * `plain_contract.rs:499-508` / `functions.rs:28-31`), so this
+      * flag now marks only genuinely compiler-territory rows: types
+      * imported from OUTSIDE the artifact, function-typed params,
+      * ambiguous bare names (two same-named defs in sibling scopes) and
+      * mapping-bearing structs. A selector computed over a raw type
+      * NAME would be silently wrong, so flagged rows emit selector =
+      * null, never a guess.
       */
     resolved: Boolean = true)
+
+/** User-type definitions visible to one contract ARTIFACT (all of its
+  * source files together — the same compilation unit solc sees). Keys
+  * are (scope, name): scope = the defining contract/library/interface
+  * block's name, or "" for file-top-level definitions.
+  */
+final case class SymbolTable(
+    defs: Map[(String, String), SymbolTable.UserDef],
+    contractNames: Set[String]) {
+  /** Left-biased union — duplicate (scope, name) keys keep THIS table's
+    * definition (sibling files of one artifact routinely repeat the
+    * same vendored source; identical defs make the bias moot).
+    */
+  def merge(o: SymbolTable): SymbolTable =
+    SymbolTable(o.defs ++ defs, contractNames ++ o.contractNames)
+}
+
+object SymbolTable {
+  sealed trait UserDef extends Serializable
+  /** ABI-encodes as uint8. */
+  case object EnumDef extends UserDef
+  /** ABI-encodes as the tuple of its members' encodings; `members` are
+    * canonicalized (but unresolved) member types, expanded recursively
+    * at resolution time in the struct's own scope.
+    */
+  final case class StructDef(members: Seq[String]) extends UserDef
+  /** `type X is uint128` — ABI-encodes as the underlying type. */
+  final case class ValueDef(underlying: String) extends UserDef
+
+  val empty: SymbolTable = SymbolTable(Map.empty, Set.empty)
+}
 
 /** Pure-Scala Solidity surface scanner — the compiler-free re-derivation of
   * the reference's compile→AST→slice pipeline (`plain_contract.rs:327-481`)
@@ -191,8 +229,113 @@ object Solidity {
 
   private val VisKeywords = Set("public", "external", "internal", "private")
 
-  /** Extract ABI-visible functions from one (CRLF-normalized) source. */
-  def extractFunctions(source: String): Seq[SolFunction] = {
+  /** Collect one source's user-type definitions (struct/enum/value-type
+    * declarations plus contract/interface/library names). Definitions
+    * inside a block get that block's name as scope; file-level ones get
+    * scope "". Struct members are canonicalized but NOT resolved here —
+    * resolution is lazy and artifact-scoped ([[resolveType]]), so a
+    * member referencing a type from a SIBLING file still expands once
+    * the per-file tables are merged.
+    */
+  def symbolTable(source: String): SymbolTable = {
+    val src = TextBytes.normalizeCrlf(source)
+    val mask = codeMask(src)
+    val masked = new String(mask)
+    val blks = blocks(src, mask)
+    def scopeOf(pos: Int): String =
+      blks.find { case (_, s, e) => pos >= s && pos < e }
+        .map(_._1).getOrElse("")
+    val defs = Map.newBuilder[(String, String), SymbolTable.UserDef]
+    for (m <- "\\benum\\s+([A-Za-z_$][A-Za-z0-9_$]*)\\s*\\{".r
+        .findAllMatchIn(masked))
+      defs += ((scopeOf(m.start), m.group(1)) -> SymbolTable.EnumDef)
+    for (m <- "\\btype\\s+([A-Za-z_$][A-Za-z0-9_$]*)\\s+is\\s+([A-Za-z0-9_$]+)\\s*;".r
+        .findAllMatchIn(masked))
+      defs += ((scopeOf(m.start), m.group(1)) ->
+        SymbolTable.ValueDef(canonicalType(m.group(2))))
+    for (m <- "\\bstruct\\s+([A-Za-z_$][A-Za-z0-9_$]*)\\s*\\{".r
+        .findAllMatchIn(masked)) {
+      val open = masked.indexOf('{', m.end - 1)
+      val close = if (open >= 0) matchBrace(mask, open) else -1
+      if (close > open) {
+        // member statements: `Type name;` — canonicalParam extracts the
+        // type (location keywords are illegal in structs; a mapping or
+        // function member yields a garbage stem that simply never
+        // resolves, which is correct: such structs cannot be ABI params)
+        val members = masked.substring(open + 1, close).split(";")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+          .map(canonicalParam)
+        defs += ((scopeOf(m.start), m.group(1)) ->
+          SymbolTable.StructDef(members))
+      }
+    }
+    SymbolTable(defs.result(), blks.map(_._1).toSet)
+  }
+
+  /** Expand a canonical parameter type to its ABI encoding through the
+    * artifact's symbol table — None when the type (or any struct member
+    * reachable from it) is not defined in the artifact. Name resolution
+    * order mirrors Solidity's: the referencing scope's own definitions,
+    * then file-level ones, then a qualified `Scope.Name` lookup, then
+    * contract names (always globally visible → address), and finally a
+    * UNIQUE bare-name match anywhere in the artifact — the pragmatic
+    * stand-in for import/inheritance visibility the scanner does not
+    * model; an AMBIGUOUS bare name stays unresolved rather than guessing.
+    */
+  def resolveType(canon: String, scope: String, st: SymbolTable): Option[String] =
+    resolve0(canon, scope, st, Set.empty)
+
+  private def resolve0(canon: String, scope: String, st: SymbolTable,
+      visiting: Set[(String, String)]): Option[String] = {
+    val stem = canon.takeWhile(_ != '[')
+    val suffix = canon.drop(stem.length)
+    if (suffix.nonEmpty && !suffix.matches("(\\[[0-9]*\\])*")) return None
+    if (isElementaryType(stem)) return Some(canon)
+    val hit: Option[((String, String), SymbolTable.UserDef)] =
+      if (stem.contains('.')) {
+        val parts = stem.split("\\.", 2)
+        st.defs.get((parts(0), parts(1))).map(((parts(0), parts(1)), _))
+      } else
+        st.defs.get((scope, stem)).map(((scope, stem), _))
+          .orElse(st.defs.get(("", stem)).map((("", stem), _)))
+          .orElse {
+            if (st.contractNames(stem)) None // address case below wins
+            else {
+              val byName = st.defs.filter(_._1._2 == stem)
+              if (byName.size == 1) Some(byName.head) else None
+            }
+          }
+    hit match {
+      case Some((_, SymbolTable.EnumDef)) => Some("uint8" + suffix)
+      case Some((_, SymbolTable.ValueDef(u))) =>
+        if (isElementaryType(u)) Some(u + suffix) else None
+      case Some((key, SymbolTable.StructDef(members))) =>
+        if (visiting(key) || members.isEmpty) None // recursive or empty
+        else {
+          val rs = members.map(resolve0(_, key._1, st, visiting + key))
+          if (rs.forall(_.isDefined))
+            Some(rs.map(_.get).mkString("(", ",", ")") + suffix)
+          else None
+        }
+      case None =>
+        if (!stem.contains('.') && st.contractNames(stem))
+          Some("address" + suffix) // contract/interface param encodes as address
+        else None
+    }
+  }
+
+  /** Extract ABI-visible functions from one source, resolving user types
+    * against the source's OWN definitions (single-file convenience; the
+    * pipeline passes an artifact-wide table via the two-arg overload).
+    */
+  def extractFunctions(source: String): Seq[SolFunction] =
+    extractFunctions(source, symbolTable(source))
+
+  /** Extract ABI-visible functions from one (CRLF-normalized) source,
+    * expanding user-defined param types through `syms` (an artifact-wide
+    * [[symbolTable]] merge).
+    */
+  def extractFunctions(source: String, syms: SymbolTable): Seq[SolFunction] = {
     val src = TextBytes.normalizeCrlf(source)
     val mask = codeMask(src)
     val masked = new String(mask)
@@ -252,12 +395,16 @@ object Solidity {
                   val fname = fname0
                   val params = splitParams(src.substring(parenOpen + 1, parenClose))
                   val canon = params.map(canonicalParam)
-                  val sig = fname + "(" + canon.mkString(",") + ")"
-                  // user-defined param types (struct/enum/contract) need a
-                  // compiler symbol table to reach their ABI encoding — a
-                  // selector over the raw name would be confidently wrong
-                  // vs the reference's ABI-driven derivation, so flag it
-                  val resolved = canon.forall(isElementaryType)
+                  // expand user-defined param types through the artifact
+                  // symbol table (struct → tuple, enum → uint8, contract
+                  // → address — the reference's ABI-driven derivation);
+                  // anything the table cannot expand (external imports,
+                  // function types, ambiguity) keeps the RAW signature,
+                  // selector = null — never a wrong guess
+                  val abiTypes = canon.map(resolveType(_, cname, syms))
+                  val resolved = abiTypes.forall(_.isDefined)
+                  val sig = fname + "(" + (if (resolved) abiTypes.map(_.get)
+                    else canon).mkString(",") + ")"
                   out += SolFunction(cname, fname, vis, sig,
                     if (resolved) Keccak.selector(sig) else null,
                     src.substring(fnStart, sliceEnd + 1), resolved)

@@ -219,9 +219,10 @@ object AuditOps {
     // md5-sampled probe panel — the measurement that justifies trusting
     // the bucketed tier at 100 TB (an approximate index you haven't
     // measured recall for is a silent-data-loss hazard). Scale: the probe
-    // panel is the ONLY broadcast (an audit runs on a bounded panel by
-    // contract — production passes explicit probe ids; the md5 coin here
-    // is the deterministic stand-in) and both tiers are map-side
+    // panel is the ONLY broadcast and is FIXED-SIZE by contract (r13 —
+    // production passes explicit probe ids; the pinned
+    // smallest-md5(vec_id) panel is the deterministic stand-in, making
+    // the exact tier panel×corpus = linear) and both tiers are map-side
     // pair-enumerations against it: exact = one linear corpus pass
     // (inherent to ground truth), IVF = the probe's own cell. Both top-10
     // cuts are rank filters planning partial WindowGroupLimits below the
@@ -258,8 +259,7 @@ object AuditOps {
       Some(s"WITH ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
         "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
         "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY 1), " +
-        s"p AS (SELECT vec_id AS qid, label AS qcell FROM ev " +
-        s"WHERE ${oMd5Long("vec_id::VARCHAR")} % 31 = 0), " +
+        s"${TrainingOps.oProbePanel}, " +
         "dots AS (SELECT p.qid, e.vec_id, ev.label, " +
         "CAST(SUM(e.x * q.x) AS BIGINT) AS dot " +
         "FROM p JOIN ee q ON q.vec_id = p.qid " +

@@ -278,9 +278,22 @@ object TrainingOps {
     * mining panel can never drift (the contaminationHits rule). The
     * frame lives at SHARED-index lifetime (the shingleIndex/termFreq
     * pattern): whichever family query runs first in a session/bench pass
-    * pays the one scan+quantize, the rest ride the cache; probes = the
-    * md5(vec_id) % 31 coin, derived per call as a cheap filter over it.
+    * pays the one scan+quantize, the rest ride the cache.
+    *
+    * The probe panel is FIXED-SIZE (r13, replacing the r10 md5 % 31
+    * coin): the [[ProbePanelSize]] vectors with the smallest
+    * (md5(vec_id), vec_id) — deterministic, engine-portable, and
+    * corpus-size-independent, which is the production contract (a
+    * recall audit runs a pinned probe set; it does not grow with the
+    * corpus). This is what makes the exact ground-truth tier
+    * panel×corpus = LINEAR in the corpus — under the growing coin panel
+    * it was super-linear by definition and had to be excluded from the
+    * 100× scale table. Planned as a TakeOrdered (top-K by hash), so the
+    * panel costs a map-side rank cut, never a global sort
+    * materialization.
     */
+  private[graft] val ProbePanelSize = 64
+
   private[queries] def quantizedPanel(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val e = graft.util.Caches.sharedIndex(s, s"quantEmb:$d") {
@@ -290,11 +303,21 @@ object TrainingOps {
           norm2Q(col("qv")).as("n2"))
     }
     val probes = e
-      .filter(pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(31L)) === 0)
+      .orderBy(Hashing.md5Long(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(ProbePanelSize)
       .select(col("vec_id").as("qid"), col("label").as("qcell"),
         col("qv").as("query_v"), col("n2").as("qn2"))
     (e, probes)
   }
+
+  /** DuckDB twin of [[quantizedPanel]]'s probe panel (expects `ev` with
+    * (vec_id, label) in scope) — ONE definition for the q98/q106
+    * oracles, like the Spark side.
+    */
+  private[queries] def oProbePanel: String =
+    s"p AS (SELECT vec_id AS qid, label AS qcell FROM ev " +
+      s"ORDER BY ${oMd5Long("vec_id::VARCHAR")}, vec_id LIMIT $ProbePanelSize)"
 
   /** Decontamination hit counts — (doc_id, n_hits): distinct shingles a
     * training doc (doc_id % 50 ≠ 0) shares with the eval split
@@ -2761,8 +2784,7 @@ object TrainingOps {
       Some(s"WITH ev AS (SELECT vec_id, label, $oQuant AS v FROM embeddings), " +
         "ee AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev), " +
         "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY 1), " +
-        s"p AS (SELECT vec_id AS qid, label AS qcell FROM ev " +
-        s"WHERE ${oMd5Long("vec_id::VARCHAR")} % 31 = 0), " +
+        s"$oProbePanel, " +
         "dots AS (SELECT p.qid, e.vec_id, CAST(SUM(e.x * q.x) AS BIGINT) AS dot " +
         "FROM p JOIN ee q ON q.vec_id = p.qid " +
         "JOIN ev ON ev.label = p.qcell AND ev.vec_id <> p.qid " +

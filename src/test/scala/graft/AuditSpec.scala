@@ -84,13 +84,22 @@ class AuditSpec extends AnyFunSuite {
         (r.getLong(0), r.getInt(1), q)
       }
 
+  /** The r13 FIXED probe panel: the ProbePanelSize vectors with the
+    * smallest (md5Long(vec_id), vec_id) — the driver-side mirror of
+    * TrainingOps.quantizedPanel's pinned-panel contract (it must NOT
+    * grow with the corpus; see the r10→r13 exclusion story).
+    */
+  private lazy val fixedPanel: Seq[(Long, Int, Array[Long])] =
+    vecs.sortBy(v => (h1(v._1.toString), v._1))
+      .take(graft.queries.TrainingOps.ProbePanelSize)
+
   test("q98 ANN recall matches a driver-side brute-force recomputation") {
     def cos(a: Array[Long], b: Array[Long]): Double = {
       var dot = 0L; var na = 0L; var nb = 0L; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
-    val probes = vecs.filter(v => java.lang.Math.floorMod(h1(v._1.toString), 31L) == 0L)
+    val probes = fixedPanel
     assert(probes.nonEmpty)
     def top10(q: (Long, Int, Array[Long]), cand: Seq[(Long, Int, Array[Long])]): Set[Long] =
       cand.filter(_._1 != q._1)
@@ -115,7 +124,7 @@ class AuditSpec extends AnyFunSuite {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
-    val probes = vecs.filter(v => java.lang.Math.floorMod(h1(v._1.toString), 31L) == 0L)
+    val probes = fixedPanel
     val expected = probes.flatMap { p =>
       vecs.filter(v => v._2 == p._2 && v._1 != p._1)
         .map(v => (v._1, cos(v._3, p._3)))

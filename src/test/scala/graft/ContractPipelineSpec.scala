@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.contracts.{Derive, Export, Ingest, Solidity}
+import graft.contracts.{Derive, Export, Ingest, ScannerBackend, Solidity}
+import graft.functions.Keccak
 
 /** Contract pipeline against the reference's own fixtures
   * (/root/reference/contracts, read-only) — ports the reference's golden
@@ -139,59 +140,118 @@ class ContractPipelineSpec extends AnyFunSuite {
     assert(f.resolved)
   }
 
-  test("F3: user-defined param types are FLAGGED, never a wrong selector") {
-    // struct/enum/contract-type params need a compiler symbol table to
-    // reach their ABI tuple encoding; the scanner must not emit a selector
-    // computed over the raw type name (silently wrong vs the reference's
-    // ABI-driven derivation)
-    val src = "contract T { struct S { uint a; } " +
-      "function f(S memory s) public {} " +
-      "function g(uint x) public {} }"
+  test("F3: locally-defined user types expand to their ABI encodings (r13)") {
+    // struct → member tuple, enum → uint8, contract/interface → address,
+    // value type → underlying — the expansion the reference gets from
+    // solc's ABI output (`functions.rs:28-31`), now derived by the
+    // scanner's own symbol table for types DEFINED in the source tree
+    val src =
+      """interface IERC20 { function transfer(address to, uint a) external; }
+        |contract T {
+        |  struct S { uint a; address payable who; }
+        |  enum Side { Buy, Sell }
+        |  type Price is uint128;
+        |  function f(S memory s) public {}
+        |  function g(uint x) public {}
+        |  function h(Side side, Price p) external {}
+        |  function k(IERC20 token) public {}
+        |}""".stripMargin
     val fns = Solidity.extractFunctions(src)
-    val f = fns.find(_.functionName == "f").get
-    assert(!f.resolved)
-    assert(f.selector == null)
-    assert(f.signature == "f(S)") // raw name retained, visibly unexpanded
-    val g = fns.find(_.functionName == "g").get
-    assert(g.resolved && g.selector != null)
-    // arrays of elementary stay resolved; arrays of user types do not
+    def f(n: String) = fns.find(_.functionName == n).get
+    assert(f("f").resolved)
+    assert(f("f").signature == "f((uint256,address))")
+    assert(f("f").selector == Keccak.selector("f((uint256,address))"))
+    assert(f("g").resolved && f("g").selector != null)
+    assert(f("h").signature == "h(uint8,uint128)")
+    assert(f("k").signature == "k(address)")
+    // arrays of elementary are elementary; user types are not (they go
+    // through the symbol table instead)
     assert(Solidity.isElementaryType("uint256[3][]"))
     assert(!Solidity.isElementaryType("MyStruct[]"))
     assert(!Solidity.isElementaryType("IERC20"))
   }
 
-  test("F3: compiler-territory param shapes all flag resolved=false") {
-    // Each of these needs solc's symbol table (ABI tuple expansion /
-    // function-pointer encoding) to reach the true selector; the scanner
-    // must flag every one rather than hash a wrong literal signature.
-    // These vectors make SolcParitySpec a strong gate the day a solc
-    // binary is available: parity there must turn each into the
-    // reference's ABI-expanded signature (`functions.rs:28-31`).
+  test("F3: struct expansion matches a PUBLISHED selector (Uniswap V3 exactInputSingle)") {
+    // keccak-verified golden: ISwapRouter.exactInputSingle's selector is
+    // the published 0x414bf389 — reaching it requires expanding the
+    // struct param to its full member tuple; any mis-ordered, mis-typed
+    // or unexpanded member yields a different hash
     val src =
-      """contract T {
-        |  struct Inner { uint a; }
-        |  struct Outer { Inner i; uint b; }
-        |  function arrOfStruct(Inner[] memory xs) public {}
-        |  function fixedArrOfStruct(Inner[3] calldata xs) public {}
-        |  function nested(Outer memory o) public {}
+      """interface ISwapRouter {
+        |  struct ExactInputSingleParams {
+        |    address tokenIn;
+        |    address tokenOut;
+        |    uint24 fee;
+        |    address recipient;
+        |    uint256 deadline;
+        |    uint256 amountIn;
+        |    uint256 amountOutMinimum;
+        |    uint160 sqrtPriceLimitX96;
+        |  }
+        |  function exactInputSingle(ExactInputSingleParams calldata params)
+        |    external payable returns (uint256 amountOut);
+        |}""".stripMargin
+    val f = Solidity.extractFunctions(src).head
+    assert(f.resolved)
+    assert(f.signature ==
+      "exactInputSingle((address,address,uint24,address,uint256,uint256,uint256,uint160))")
+    assert(f.selector == "0x414bf389")
+  }
+
+  test("F3: genuinely compiler-territory shapes still flag resolved=false") {
+    // what REMAINS unresolved after r13: types not defined anywhere in
+    // the artifact (external imports), function-typed params, ambiguous
+    // bare names (two same-named defs in sibling scopes), recursive and
+    // mapping-bearing structs. Flagged — never a guessed selector.
+    val src =
+      """contract A { struct Dup { uint a; } }
+        |contract B { struct Dup { address b; } }
+        |contract T {
+        |  struct Rec { Rec[] kids; }
+        |  struct HasMap { mapping(address => uint) m; }
+        |  function ext(IImportedElsewhere x) public {}
         |  function fnParam(function(uint) external returns (bool) cb) public {}
-        |  function mixed(uint x, Inner memory s, bool b) public {}
+        |  function ambiguous(Dup d) public {}
+        |  function recursive(Rec memory r) public {}
+        |  function mapped(HasMap memory h) public {}
         |  function elem(uint x, bool b) public {}
         |}""".stripMargin
     val fns = Solidity.extractFunctions(src)
     def f(n: String) = fns.find(_.functionName == n).get
-    for (n <- Seq("arrOfStruct", "fixedArrOfStruct", "nested", "fnParam", "mixed")) {
+    for (n <- Seq("ext", "fnParam", "ambiguous", "recursive", "mapped")) {
       assert(!f(n).resolved, n)
       assert(f(n).selector == null, n)
     }
     // the raw signature stays visibly unexpanded for the unresolved rows
-    assert(f("arrOfStruct").signature == "arrOfStruct(Inner[])")
-    assert(f("nested").signature == "nested(Outer)")
-    assert(f("mixed").signature == "mixed(uint256,Inner,bool)")
+    assert(f("ext").signature == "ext(IImportedElsewhere)")
+    assert(f("ambiguous").signature == "ambiguous(Dup)")
     // a sibling with only elementary params still resolves normally
     assert(f("elem").resolved)
     assert(f("elem").signature == "elem(uint256,bool)")
     assert(f("elem").selector != null)
+    // a QUALIFIED reference to one of the sibling-scoped structs does
+    // resolve (the ambiguity was the bare name, not the definitions)
+    val q = Solidity.extractFunctions(
+      src + "\ncontract U { function pick(B.Dup d) public {} }")
+    assert(q.find(_.functionName == "pick").get.signature == "pick((address))")
+  }
+
+  test("F3: user types resolve ACROSS an artifact's files (extractAll)") {
+    // the fixture posture: the interface is DEFINED in a sibling
+    // vendored file of the same artifact — per-file scope cannot see it,
+    // the artifact-wide table can (the solc compilation-unit semantics)
+    val iface = "interface IToken { function t() external; }"
+    val user = "contract Vault { function sweep(IToken tok) public {} }"
+    val perFile = Solidity.extractFunctions(user)
+    assert(!perFile.head.resolved) // file-local scope: IToken unknown
+    val all = ScannerBackend.extractAll(
+      Seq(("IToken.sol", iface), ("Vault.sol", user)))
+    val sweep = all.collect {
+      case (_, fn) if fn.functionName == "sweep" => fn
+    }.head
+    assert(sweep.resolved)
+    assert(sweep.signature == "sweep(address)")
+    assert(sweep.selector == Keccak.selector("sweep(address)"))
   }
 
   test("U2/F4: function table derivation end-to-end") {

@@ -51,4 +51,26 @@ run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf1r 10 48g
 run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf10r 100 64g
 run q113_source_caps /tmp/graft-sf1r 10 48g
 run q113_source_caps /tmp/graft-sf10r 100 64g
+# r13: the ANN recall audit's exact tier is linear now that the probe
+# panel is FIXED-SIZE (TrainingOps.ProbePanelSize) — the r10 exclusion is
+# lifted; q106 rides the same panel
+run q98_ann_recall,q106_hard_negatives /tmp/graft-sf1r 10 48g
+run q98_ann_recall,q106_hard_negatives /tmp/graft-sf10r 100 64g
+# r13: the X97 fingerprint-index seam — standalone audits riding the
+# persisted index instead of rebuilding the session kernel. Build the
+# index once per scale dir (one-time cost, reported), then time the
+# standalone consumers with and without the seam.
+seam() { # $1=sfdir $2=idxdir $3=heap, then query names...
+  local sfdir=$1 idx=$2 heap=$3; shift 3
+  echo "=== fpindex $sfdir -> $idx $(date +%T)"
+  [ -d "$idx" ] || java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" fpindex "$idx" 2>&1 | grep fpindex
+  for q in "$@"; do
+    echo "--- $q standalone, session kernel"
+    java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" time "$q" 3 2>&1 | grep time
+    echo "--- $q standalone, index-riding"
+    SPARK_GRAFT_FP_INDEX="$idx" java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" time "$q" 3 2>&1 | grep time
+  done
+}
+seam /tmp/graft-sf10r /tmp/graft-fp10 64g \
+  q110_neardup_split_leakage q111_contamination_pairs q95_incremental_dedup
 echo "=== scale_audit done $(date +%T) load $(cut -d' ' -f1 /proc/loadavg)"
