@@ -178,9 +178,16 @@ object AuditOps {
     // score aggregate rides the persisted attach's partitioning.
     Q("q97_dsir_weights",
       (s, d) => {
+        // the term STRING dies here (r13): after the 512-bucket hash,
+        // nothing downstream reads `term` — carrying it through the
+        // doc-keyed exchange and the persisted attach made the join
+        // shuffle and the cache term-string-volume for zero use (the
+        // q112 string-free-exchange rule applied to this query). The
+        // attach now moves only (doc_id, bucket, tf) int64s + lang.
         val tfk = TrainingOps.termFreq(s, d).filter(col("g") === 1)
-          .select(col("doc_id"), col("term"), col("tf"))
-          .withColumn("bucket", pmod(Hashing.md5Long(col("term")), lit(512L)))
+          .select(col("doc_id"),
+            pmod(Hashing.md5Long(col("term")), lit(512L)).as("bucket"),
+            col("tf"))
         val lang = documents(s, d).select(col("doc_id"), col("lang"))
         // transient-persisted: bucket masses AND the score aggregate
         // both read the attach (the q95 hashed-frame lesson)
