@@ -86,16 +86,67 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
     }
   }
 
-  /** Parse solc's combined-json via Jackson (already on the Spark
-    * classpath): contracts → ABI entries of type "function".
+  /** Artifact-scoped compile (r13): write ALL of the artifact's sources
+    * into one tempdir preserving their relative paths and compile them
+    * in a single solc invocation — imports between the artifact's files
+    * (the vendored OpenZeppelin tree) then resolve exactly as in the
+    * reference's per-contract compile, where the per-file default would
+    * fail on the first `import`. Emitted functions are attributed to the
+    * defining source path (solc's `path:Contract` key), matching the
+    * scanner's per-file attribution.
     */
-  def parseCombinedAbi(json: String): Seq[SolFunction] = {
+  override def extractAll(
+      files: Seq[(String, String)]): Seq[(String, SolFunction)] = {
+    if (files.isEmpty) return Seq.empty
+    val tmp = java.nio.file.Files.createTempDirectory("graft-solc")
+    try {
+      val written = files.map { case (name, content) =>
+        // keep names inside the sandbox (the export sink's sanitization
+        // concern, applied to compile input)
+        val rel = name.replace("..", "__").dropWhile(_ == '/')
+        val p = tmp.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+        rel -> name
+      }.toMap
+      val cmd = Seq(solcPath, "--combined-json", "abi",
+        "--base-path", tmp.toString) ++
+        written.keys.toSeq.sorted.map(r => tmp.resolve(r).toString)
+      Try(cmd.!!) match {
+        case scala.util.Success(out) =>
+          parseCombinedAbiWithPaths(out).map { case (path, fn) =>
+            // map solc's path key (absolute or tmp-relative) back to the
+            // artifact's own filename
+            val p = java.nio.file.Paths.get(path)
+            val rel =
+              if (p.isAbsolute)
+                tmp.toAbsolutePath.relativize(p.toAbsolutePath).toString
+              else path
+            written.getOrElse(rel, path) -> fn
+          }
+        case scala.util.Failure(e) =>
+          System.err.println(s"[graft] solc artifact compile failed: ${e.getMessage}")
+          Seq.empty
+      }
+    } finally {
+      Try {
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** [[parseCombinedAbi]] keeping each contract's source path. */
+  def parseCombinedAbiWithPaths(
+      json: String): Seq[(String, SolFunction)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val contracts = root.path("contracts")
     import scala.jdk.CollectionConverters._
     contracts.properties().asScala.toSeq.flatMap { entry =>
-      val contractName = entry.getKey.split(':').last
+      val key = entry.getKey // "path/to/file.sol:Contract"
+      val path = key.substring(0, key.lastIndexOf(':').max(0))
+      val contractName = key.split(':').last
       val abiNode = entry.getValue.path("abi")
       val abi = if (abiNode.isTextual) mapper.readTree(abiNode.asText()) else abiNode
       abi.elements().asScala.filter(_.path("type").asText() == "function").map { fn =>
@@ -103,12 +154,19 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
         val inputs = fn.path("inputs").elements().asScala
           .map(_.path("type").asText()).mkString(",")
         val sig = s"$fname($inputs)"
-        SolFunction(contractName, fname,
-          visibility = "public", // ABI entries are public/external by construction
+        path -> SolFunction(contractName, fname,
+          visibility = "public",
           signature = sig, selector = Keccak.selector(sig), sourceCode = "")
       }.toSeq
     }
   }
+
+  /** Parse solc's combined-json via Jackson (already on the Spark
+    * classpath): contracts → ABI entries of type "function".
+    * (ABI entries are public/external by construction.)
+    */
+  def parseCombinedAbi(json: String): Seq[SolFunction] =
+    parseCombinedAbiWithPaths(json).map(_._2)
 }
 
 object SolcBackend {
