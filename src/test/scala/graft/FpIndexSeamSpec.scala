@@ -25,7 +25,16 @@ class FpIndexSeamSpec extends AnyFunSuite {
   private val seamQueries = Seq(
     "q110_neardup_split_leakage", "q111_contamination_pairs",
     "q95_incremental_dedup", "q96_source_overlap",
-    "q109_memorization_ngrams")
+    "q109_memorization_ngrams",
+    // the release composite rides the seamed pair/contamination kernels
+    // (its gate/quality tiers legitimately read text) — identity here
+    // pins that the seamed kernels compose into the flagship endpoint
+    "q108_corpus_release",
+    // pair-intersection consumers (docSizes comes from the bands table
+    // under the seam)
+    "q31_ngram_jaccard", "q76_containment",
+    // contamination-hits publishers/consumers
+    "q65_decontaminate", "q101_curation_funnel")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
