@@ -39,16 +39,12 @@ object ScannerBackend extends CompilerBackend {
   /** Artifact-wide user-type resolution: one merged symbol table over
     * every file, so `releasable(IERC20Upgradeable, address)` resolves
     * through the interface DEFINED in a sibling vendored file — the
-    * solc-visibility semantics, compiler-free.
+    * solc-visibility semantics, compiler-free. Delegates to
+    * [[Solidity.extractAll]], which lexes each file exactly once.
     */
   override def extractAll(
-      files: Seq[(String, String)]): Seq[(String, SolFunction)] = {
-    val st = files.map(f => Solidity.symbolTable(f._2))
-      .foldLeft(SymbolTable.empty)(_ merge _)
-    files.flatMap { case (n, c) =>
-      Solidity.extractFunctions(c, st).map(n -> _)
-    }
-  }
+      files: Seq[(String, String)]): Seq[(String, SolFunction)] =
+    Solidity.extractAll(files)
 }
 
 /** Real-compiler backend: shells out to `solc --combined-json abi` and
@@ -78,12 +74,7 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
           System.err.println(s"[graft] solc failed for $filename: ${e.getMessage}")
           Seq.empty
       }
-    } finally {
-      Try {
-        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** Artifact-scoped compile (r13): write ALL of the artifact's sources
@@ -99,42 +90,58 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
       files: Seq[(String, String)]): Seq[(String, SolFunction)] = {
     if (files.isEmpty) return Seq.empty
     val tmp = java.nio.file.Files.createTempDirectory("graft-solc")
-    try {
-      val written = files.map { case (name, content) =>
-        // keep names inside the sandbox (the export sink's sanitization
-        // concern, applied to compile input)
-        val rel = name.replace("..", "__").dropWhile(_ == '/')
+    // the WHOLE body follows the per-contract skip policy (the extract
+    // comment above): a malformed artifact — unwritable source key,
+    // path-component too long, nested-under-a-file layout — must log
+    // and yield nothing, never abort the derivation job
+    try Try {
+      // keep names inside the sandbox (the export sink's sanitization
+      // concern, applied to compile input); sanitized rels can COLLIDE
+      // ('/A.sol' vs 'A.sol') — disambiguate with a numbered sibling so
+      // no file's functions silently vanish under another's content
+      val written = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      files.foreach { case (name, content) =>
+        val base = name.replace("..", "__").dropWhile(_ == '/')
+        val rel = Iterator.from(0)
+          .map(i => if (i == 0) base else s"dup$i/$base")
+          .find(r => !written.contains(r)).get
         val p = tmp.resolve(rel)
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p, content)
-        rel -> name
-      }.toMap
+        written += rel -> name
+      }
       val cmd = Seq(solcPath, "--combined-json", "abi",
         "--base-path", tmp.toString) ++
         written.keys.toSeq.sorted.map(r => tmp.resolve(r).toString)
-      Try(cmd.!!) match {
-        case scala.util.Success(out) =>
-          parseCombinedAbiWithPaths(out).map { case (path, fn) =>
-            // map solc's path key (absolute or tmp-relative) back to the
-            // artifact's own filename
-            val p = java.nio.file.Paths.get(path)
-            val rel =
-              if (p.isAbsolute)
-                tmp.toAbsolutePath.relativize(p.toAbsolutePath).toString
-              else path
-            written.getOrElse(rel, path) -> fn
-          }
-        case scala.util.Failure(e) =>
-          System.err.println(s"[graft] solc artifact compile failed: ${e.getMessage}")
-          Seq.empty
+      parseCombinedAbiWithPaths(cmd.!!).map { case (path, fn) =>
+        // map solc's path key (absolute or tmp-relative) back to the
+        // artifact's own filename
+        val p = java.nio.file.Paths.get(path)
+        val rel =
+          if (p.isAbsolute)
+            tmp.toAbsolutePath.relativize(p.toAbsolutePath).toString
+          else path
+        written.getOrElse(rel, path) -> fn
       }
-    } finally {
-      Try {
-        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    } match {
+      case scala.util.Success(out) => out
+      case scala.util.Failure(e) =>
+        System.err.println(s"[graft] solc artifact compile failed: ${e.getMessage}")
+        Seq.empty
+    } finally deleteRecursively(tmp)
   }
+
+  /** Close-safe recursive delete: Files.walk holds DirectoryStreams
+    * until closed — an unclosed stream per compiled artifact leaks fds
+    * on long-lived executors.
+    */
+  private def deleteRecursively(tmp: java.nio.file.Path): Unit =
+    Try {
+      val s = java.nio.file.Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }: Unit
 
   /** [[parseCombinedAbi]] keeping each contract's source path. */
   def parseCombinedAbiWithPaths(

@@ -41,12 +41,24 @@ final case class SolFunction(
 final case class SymbolTable(
     defs: Map[(String, String), SymbolTable.UserDef],
     contractNames: Set[String]) {
-  /** Left-biased union — duplicate (scope, name) keys keep THIS table's
-    * definition (sibling files of one artifact routinely repeat the
-    * same vendored source; identical defs make the bias moot).
+  /** Union with CONFLICT POISONING: when two files define the same
+    * (scope, name) key IDENTICALLY (sibling files of one artifact
+    * routinely repeat the same vendored source), either copy serves;
+    * when the definitions DIFFER (two vendored versions of a library
+    * whose struct layout changed), the key is poisoned to
+    * [[SymbolTable.ConflictDef]] so nothing resolves through it —
+    * picking a side would emit a confidently WRONG selector with
+    * resolved=true, violating the never-a-wrong-guess invariant.
+    * solc itself would reject such an artifact when both files are
+    * imported together; flagging is the honest compiler-free analog.
     */
-  def merge(o: SymbolTable): SymbolTable =
-    SymbolTable(o.defs ++ defs, contractNames ++ o.contractNames)
+  def merge(o: SymbolTable): SymbolTable = {
+    val conflicts = defs.keySet.intersect(o.defs.keySet)
+      .filter(k => defs(k) != o.defs(k))
+    SymbolTable(
+      o.defs ++ defs ++ conflicts.map(_ -> SymbolTable.ConflictDef),
+      contractNames ++ o.contractNames)
+  }
 }
 
 object SymbolTable {
@@ -60,6 +72,8 @@ object SymbolTable {
   final case class StructDef(members: Seq[String]) extends UserDef
   /** `type X is uint128` — ABI-encodes as the underlying type. */
   final case class ValueDef(underlying: String) extends UserDef
+  /** Two files define this key DIFFERENTLY — never resolves. */
+  case object ConflictDef extends UserDef
 
   val empty: SymbolTable = SymbolTable(Map.empty, Set.empty)
 }
@@ -237,11 +251,25 @@ object Solidity {
     * member referencing a type from a SIBLING file still expands once
     * the per-file tables are merged.
     */
-  def symbolTable(source: String): SymbolTable = {
+  /** One lexical pass over a source, shared by [[symbolTable]] and
+    * [[extractFunctions]] so artifact-scoped extraction (which needs
+    * both) pays the CRLF-normalize + comment/string mask + block scan
+    * ONCE per file, not twice — this map stage runs corpus-wide.
+    */
+  private final case class Lexed(
+      src: String, mask: Array[Char], masked: String,
+      blks: Seq[(String, Int, Int)])
+
+  private def lex(source: String): Lexed = {
     val src = TextBytes.normalizeCrlf(source)
     val mask = codeMask(src)
-    val masked = new String(mask)
-    val blks = blocks(src, mask)
+    Lexed(src, mask, new String(mask), blocks(src, mask))
+  }
+
+  def symbolTable(source: String): SymbolTable = symbolTable(lex(source))
+
+  private def symbolTable(lx: Lexed): SymbolTable = {
+    val Lexed(_, mask, masked, blks) = lx
     def scopeOf(pos: Int): String =
       blks.find { case (_, s, e) => pos >= s && pos < e }
         .map(_._1).getOrElse("")
@@ -306,6 +334,7 @@ object Solidity {
             }
           }
     hit match {
+      case Some((_, SymbolTable.ConflictDef)) => None // poisoned (merge doc)
       case Some((_, SymbolTable.EnumDef)) => Some("uint8" + suffix)
       case Some((_, SymbolTable.ValueDef(u))) =>
         if (isElementaryType(u)) Some(u + suffix) else None
@@ -328,20 +357,34 @@ object Solidity {
     * against the source's OWN definitions (single-file convenience; the
     * pipeline passes an artifact-wide table via the two-arg overload).
     */
-  def extractFunctions(source: String): Seq[SolFunction] =
-    extractFunctions(source, symbolTable(source))
+  def extractFunctions(source: String): Seq[SolFunction] = {
+    val lx = lex(source)
+    extractFunctions(lx, symbolTable(lx))
+  }
 
   /** Extract ABI-visible functions from one (CRLF-normalized) source,
     * expanding user-defined param types through `syms` (an artifact-wide
     * [[symbolTable]] merge).
     */
-  def extractFunctions(source: String, syms: SymbolTable): Seq[SolFunction] = {
-    val src = TextBytes.normalizeCrlf(source)
-    val mask = codeMask(src)
-    val masked = new String(mask)
+  def extractFunctions(source: String, syms: SymbolTable): Seq[SolFunction] =
+    extractFunctions(lex(source), syms)
+
+  /** Artifact-scoped extraction: lex every file ONCE, merge the symbol
+    * tables, extract with the merged table — the single-lex form behind
+    * [[ScannerBackend.extractAll]].
+    */
+  def extractAll(files: Seq[(String, String)]): Seq[(String, SolFunction)] = {
+    val lexed = files.map { case (n, c) => n -> lex(c) }
+    val st = lexed.map(f => symbolTable(f._2))
+      .foldLeft(SymbolTable.empty)(_ merge _)
+    lexed.flatMap { case (n, lx) => extractFunctions(lx, st).map(n -> _) }
+  }
+
+  private def extractFunctions(lx: Lexed, syms: SymbolTable): Seq[SolFunction] = {
+    val Lexed(src, mask, masked, lxBlocks) = lx
     val out = ArrayBuffer.empty[SolFunction]
     val fnKw = "\\bfunction\\s+([A-Za-z_$][A-Za-z0-9_$]*)\\s*\\(".r
-    for ((cname, bStart, bEnd) <- blocks(src, mask)) {
+    for ((cname, bStart, bEnd) <- lxBlocks) {
       val body = masked.substring(bStart, bEnd)
       // single forward pass for the top-level check: matches arrive in
       // increasing position, so carry (scanPos, depth) forward instead of

@@ -149,10 +149,18 @@ object TrainingOps {
   /** (doc_id, h1) hashed-shingle postings — the projection every
     * set-measure kernel joins on. Session kernel by default; with the
     * seam active, the index's `shingles` table (written doc_id-
-    * clustered) serves it with zero tokenize/hash work. The healthy-
-    * index assumption (no doc duplicated across batch partitions —
-    * guaranteed outside a crashed swap's recovery window) matches the
-    * probe path's documented contract.
+    * clustered) serves it with zero tokenize/hash work.
+    *
+    * HEALTHY-INDEX assumption (audit contract): no doc duplicated
+    * across batch partitions. A doc transiently present twice (the
+    * compaction swap's crash-recovery window, or a concurrent rebuild)
+    * would double its intersection counts here — Jaccard > 1, wrong
+    * pairs — so offline audits must not run against an index
+    * mid-rebuild. This differs deliberately from
+    * [[graft.sink.Sink.probeFingerprints]], whose countDistinct
+    * hardening exists because STREAMING probes legitimately run
+    * concurrently with maintenance; audits are offline by definition
+    * and keep the cheaper exact-count aggregates.
     */
   private[graft] def shinglePostings(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s) match {

@@ -236,6 +236,28 @@ class ContractPipelineSpec extends AnyFunSuite {
     assert(q.find(_.functionName == "pick").get.signature == "pick((address))")
   }
 
+  test("F3: CONFLICTING same-name defs across files poison resolution, never pick a side") {
+    // two vendored versions of one library whose struct layout changed:
+    // both files define file-level `struct Config` under the SAME
+    // (scope, name) key with DIFFERENT members — expanding through
+    // either would hash a confidently wrong selector, so the merge
+    // poisons the key (solc itself errors on such an artifact)
+    val v1 = "struct Config { uint a; }\ncontract LibV1 { }"
+    val v2 = "struct Config { address a; uint b; }\n" +
+      "contract User { function f(Config c) public {} }"
+    val fns = ScannerBackend.extractAll(Seq(("v1.sol", v1), ("v2.sol", v2)))
+    val f = fns.collect { case (_, fn) if fn.functionName == "f" => fn }.head
+    assert(!f.resolved && f.selector == null)
+    assert(f.signature == "f(Config)")
+    // IDENTICAL duplicated defs (the common vendored-twice case) are no
+    // conflict — either copy serves
+    val dup = "struct P { uint x; }"
+    val fns2 = ScannerBackend.extractAll(Seq(("a.sol", dup),
+      ("b.sol", dup + "\ncontract C { function g(P p) public {} }")))
+    val g = fns2.collect { case (_, fn) if fn.functionName == "g" => fn }.head
+    assert(g.resolved && g.signature == "g((uint256))")
+  }
+
   test("F3: user types resolve ACROSS an artifact's files (extractAll)") {
     // the fixture posture: the interface is DEFINED in a sibling
     // vendored file of the same artifact — per-file scope cannot see it,

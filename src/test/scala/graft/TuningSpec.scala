@@ -55,17 +55,19 @@ class TuningSpec extends AnyFunSuite {
   }
 
   test("derived count is sanity-capped at 64x cores") {
-    // a TB-scale directory must not derive millions of partitions: the
-    // formula's cap binds once byData exceeds 64 x cores
+    // a TB-scale directory must not derive millions of partitions — and
+    // the assertion must run through the PRODUCTION function (an inline
+    // re-derivation of the cap arithmetic would keep passing if the cap
+    // were deleted from Tuning). A sparse file gives the dir a huge
+    // apparent corpus without writing bytes: local getContentSummary
+    // reads file LENGTH, which setLength sets without allocation.
     val cores = 32
-    val hugeBytes = 10L * 1024 * 1024 * 1024 * 1024 // 10 TB
-    val byData =
-      (hugeBytes + Tuning.CorpusBytesPerPartition - 1) / Tuning.CorpusBytesPerPartition
-    assert(byData > 64L * cores)
-    // cap arithmetic mirrors shufflePartitions (corpusBytes is
-    // dir-resolved, so the cap is asserted on the formula's own terms)
-    val capped = math.min(((byData + cores - 1) / cores) * cores,
-      64L * cores).toInt
-    assert(capped == 64 * cores)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val f = new java.io.RandomAccessFile(s"$dir/documents.parquet", "rw")
+    try f.setLength(10L * 1024 * 1024 * 1024) // 10 GB >> 64*32*200 KiB
+    finally f.close()
+    assert(Tuning.shufflePartitions(dir, cores) == 64 * cores)
+    // and the floor at the other extreme still holds through the memo
+    assert(Tuning.queryPartitions(pairExpansion = false, dir, cores) == cores)
   }
 }

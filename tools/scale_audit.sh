@@ -63,7 +63,13 @@ run q98_ann_recall,q106_hard_negatives /tmp/graft-sf10r 100 64g
 seam() { # $1=sfdir $2=idxdir $3=heap, then query names...
   local sfdir=$1 idx=$2 heap=$3; shift 3
   echo "=== fpindex $sfdir -> $idx $(date +%T)"
-  [ -d "$idx" ] || java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" fpindex "$idx" 2>&1 | grep fpindex
+  # a bare -d check would treat a crashed half-written build as done and
+  # silently void every index-riding arm; require the last table's
+  # commit marker, rebuilding from scratch otherwise
+  if [ ! -f "$idx/shingles/batch=base/_SUCCESS" ]; then
+    rm -rf "$idx"
+    java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" fpindex "$idx" 2>&1 | grep fpindex
+  fi
   for q in "$@"; do
     echo "--- $q standalone, session kernel"
     java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" time "$q" 3 2>&1 | grep time
