@@ -107,6 +107,37 @@ object Cli {
         s"$outDir/{train,val,test} ($nShards shards each) + manifest")
       0
 
+    case "fingerprint" :: sfDir :: idxDir :: Nil =>
+      // X76/X91: (re)build the standing corpus's persisted fingerprint
+      // index — the artifact `audit` below and the streaming dedup flow
+      // both probe/ride; maintained incrementally by the sink
+      // (appendFingerprints + compactFingerprints) between rebuilds
+      import org.apache.spark.sql.functions.col
+      Sink.writeFingerprints(
+        graft.util.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")), idxDir)
+      println(s"[graft] fingerprint: index -> $idxDir")
+      0
+
+    case "audit" :: sfDir :: idxDir :: outDir :: Nil =>
+      // X97: the standing-corpus audit suite, INDEX-RIDING — the
+      // contamination/leakage/memorization reports load the persisted
+      // index's pre-hashed postings instead of re-tokenizing the corpus
+      // (audits run offline against a quiescent index; see the
+      // shinglePostings healthy-index contract). One parquet report per
+      // audit under <outDir>, row counts on stdout.
+      val audits = Seq("q107_split_leakage", "q109_memorization_ngrams",
+        "q110_neardup_split_leakage", "q111_contamination_pairs",
+        "q96_source_overlap")
+      spark.conf.set("spark.graft.fpIndex", idxDir)
+      try audits.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.write.mode("overwrite").parquet(s"$outDir/$q")
+        val n = spark.read.parquet(s"$outDir/$q").count()
+        println(s"[graft] audit: $q rows=$n -> $outDir/$q")
+      } finally spark.conf.unset("spark.graft.fpIndex")
+      0
+
     case other =>
       System.err.println(
         s"""usage: graft.Cli <command>
@@ -115,6 +146,8 @@ object Cli {
            |  export-source <dbDir> <contractId> <outDir>
            |  validate <dbDir>
            |  release <sfDir> <outDir> [numShards]
+           |  fingerprint <sfDir> <indexDir>
+           |  audit <sfDir> <indexDir> <outDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

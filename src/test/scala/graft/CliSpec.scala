@@ -27,6 +27,25 @@ class CliSpec extends AnyFunSuite {
       == rel.values.map(_.size).sum)
   }
 
+  test("fingerprint + audit: index-riding reports equal the session-kernel runs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-cli-fp").toString + "/idx"
+    val out = java.nio.file.Files.createTempDirectory("graft-cli-audit").toString
+    assert(Cli.run(spark, List("fingerprint", TestSpark.sfDir, idx)) == 0)
+    assert(spark.conf.getOption("spark.graft.fpIndex").isEmpty)
+    assert(Cli.run(spark, List("audit", TestSpark.sfDir, idx, out)) == 0)
+    // the audit command must leave the seam unset (scoped to the run)
+    assert(spark.conf.getOption("spark.graft.fpIndex").isEmpty)
+    // each report's rows equal the session-kernel form of the same query
+    for (q <- Seq("q110_neardup_split_leakage", "q111_contamination_pairs",
+        "q96_source_overlap")) {
+      val fromCli = spark.read.parquet(s"$out/$q")
+        .collect().map(_.toString).sorted.toSeq
+      val direct = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fromCli == direct, q)
+    }
+  }
+
   test("unknown command exits 2") {
     assert(Cli.run(spark, List("frobnicate")) == 2)
   }
