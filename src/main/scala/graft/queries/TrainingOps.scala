@@ -1194,8 +1194,11 @@ object TrainingOps {
     // form of the reference's PK dedup (`db.rs:174`) applied to documents.
     // Scale: one shuffle on the 32-byte hash; survivors stream out.
     Q("q27_dedup_exact",
-      (s, d) => documents(s, d)
-        .select(Hashing.simpleHash(col("text")).as("h"), col("doc_id"))
+      // rides [[exactHashes]] (r13): session-kernel by default, the
+      // persisted index's `exact` table under the X97 seam — standalone
+      // exact dedup of a standing corpus is then a parquet group-by,
+      // zero text reads
+      (s, d) => exactHashes(s, d)
         .groupBy("h")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
         .orderBy("keep_id"),

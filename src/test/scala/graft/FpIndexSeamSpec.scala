@@ -34,7 +34,9 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // under the seam)
     "q31_ngram_jaccard", "q76_containment",
     // contamination-hits publishers/consumers
-    "q65_decontaminate", "q101_curation_funnel")
+    "q65_decontaminate", "q101_curation_funnel",
+    // the exact tier straight off the index's `exact` table
+    "q27_dedup_exact")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
