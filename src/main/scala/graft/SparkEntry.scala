@@ -14,25 +14,27 @@ import graft.queries.{AnalyticsOps, AuditOps, ContractQueries, Q, ReferenceOps, 
 object SparkEntry {
 
   /** The pair-expansion partition class (see [[graft.queries.Q]]'s
-    * `pairExpansion` doc): queries whose dominant kernel multiplies row
-    * volume on the reduce side of its widest exchange —
-    *  - the inverted-index shingle self-join (pairIntersections):
-    *    q31/q76 directly, q99's calibration on top of it;
-    *  - the positional-shingle run self-join: q80, and q93 riding its
-    *    runs kernel;
-    *  - the in-cell cosine pair enumeration (cellPairCos): q33/q85/q90.
-    * Experimentally: q31 at sf10 spills at the cores floor (59 s vs the
-    * 26.5 s derived-count floor). lshPairs consumers are deliberately
-    * NOT tagged — band-collision candidates are output-bounded, and the
-    * r12 q108 A/B proved the class spill-free at 32 partitions on the
-    * sf10 corpus (16.59 s) where the derived count cost 3× in waves.
-    * Tagged here (not at each Q literal) so the class reads as one
-    * reviewable list.
+    * `pairExpansion` doc): queries whose reduce-side AGGREGATION STATE
+    * is pair-volume — the inverted-index shingle self-join
+    * (pairIntersections): q31/q76 directly, q99's calibration on top of
+    * it. Experimentally: q31 at sf10 spills at the cores floor (59 s vs
+    * the 26.5 s derived-count floor).
+    *
+    * The criterion is measured spill risk (reduce-side STATE), not
+    * enumeration work: the r13 sf10 A/B showed the other pair-SHAPED
+    * kernels run as fast or faster at cores — cellPairCos consumers
+    * (q33 2.6/2.5, q85 3.4 vs 5.5 at 512) because the in-join window
+    * prunes output to the bounded retained region before anything
+    * accumulates, and the positional-runs family (q80 3.9 vs 4.7)
+    * because run volume is overlap-bounded; their bounded state is a
+    * design property, so cores is safe by construction at any scale,
+    * and tagging them only bought wave tax. lshPairs consumers are
+    * likewise untagged (band-collision candidates output-bounded; the
+    * r12 q108 A/B: 16.59 s at 32 vs 3× in waves at 544). Tagged here
+    * (not at each Q literal) so the class reads as one reviewable list.
     */
   private val pairExpansion = Set(
-    "q31_ngram_jaccard", "q76_containment", "q99_minhash_error",
-    "q80_substring_runs", "q93_dup_coverage",
-    "q33_ivf_neardup", "q85_knn_graph", "q90_semantic_dedup")
+    "q31_ngram_jaccard", "q76_containment", "q99_minhash_error")
 
   /** Every registered query, in registry order. */
   def registry: Seq[Q] =

@@ -13,17 +13,20 @@ final case class Q(
     oracle: Option[String],
     /** included in Bench headline timing */
     bench: Boolean = true,
-    /** Partition-class tag (r13): true = the query's dominant kernel
-      * EXPANDS on the reduce side of its widest exchange past the
-      * mapper-written bytes (inverted-index/positional self-joins, in-
-      * cell pair enumeration) — the class the r12 experiments proved
-      * needs DATA-derived shuffle counts (q31 at sf10: 26.5 s at 544
-      * partitions vs 59 s spilling at 32). False = narrow composites
-      * whose per-exchange payload stays survivor-frame-sized, where the
-      * same derived count is pure single-box wave tax (q108: 16.6 s at
-      * 32 vs 49 s at 544). Harness mains size
+    /** Partition-class tag (r13): true = the query accumulates
+      * PAIR-VOLUME reduce-side aggregation state (the inverted-index
+      * self-join family) — the measured spill class that needs
+      * DATA-derived shuffle counts (q31 at sf10: 26.5 s derived vs 59 s
+      * spilling at the cores floor). False = everything whose reduce
+      * state is bounded by design — narrow composites (q108: 16.6 s at
+      * 32 vs 49 s of waves at 544) AND the pair-shaped-but-pruned
+      * kernels (the r13 A/B: q85 3.4 s at 32 vs 5.5 at 512 — in-join
+      * windows/overlap bounds cap their state before it accumulates).
+      * The criterion is reduce-side STATE volume, not enumeration work;
+      * the tag list + evidence live in SparkEntry.pairExpansion and
+      * BASELINE.md r13. Harness mains size
       * `spark.sql.shuffle.partitions` per query from this tag
-      * (graft.util.Tuning.queryPartitions); on a cluster the narrow
+      * (graft.util.Tuning.queryPartitions); on a cluster the untagged
       * class is AQE-coalescible (pre-expansion byte sizing is CORRECT
       * there) while the tagged class needs the derived count or a
       * divided AQE advisory — see BASELINE.md r12/r13.

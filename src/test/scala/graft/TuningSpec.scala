@@ -49,9 +49,7 @@ class TuningSpec extends AnyFunSuite {
     // untag a query)
     val tagged = SparkEntry.registry.filter(_.pairExpansion).map(_.name)
     assert(tagged.toSet == Set(
-      "q31_ngram_jaccard", "q76_containment", "q99_minhash_error",
-      "q80_substring_runs", "q93_dup_coverage",
-      "q33_ivf_neardup", "q85_knn_graph", "q90_semantic_dedup"))
+      "q31_ngram_jaccard", "q76_containment", "q99_minhash_error"))
   }
 
   test("derived count is sanity-capped at 64x cores") {
