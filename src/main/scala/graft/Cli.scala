@@ -129,13 +129,21 @@ object Cli {
       val audits = Seq("q107_split_leakage", "q109_memorization_ngrams",
         "q110_neardup_split_leakage", "q111_contamination_pairs",
         "q96_source_overlap")
+      // RESTORE any pre-existing seam value, don't blindly unset: a
+      // session that pinned its own index must get it back after the
+      // command (unsetting would silently flip later queries in the
+      // same session to the env/kernel path mid-session)
+      val prior = spark.conf.getOption("spark.graft.fpIndex")
       spark.conf.set("spark.graft.fpIndex", idxDir)
       try audits.foreach { q =>
         val df = SparkEntry.queries(q)(spark, sfDir)
         df.write.mode("overwrite").parquet(s"$outDir/$q")
         val n = spark.read.parquet(s"$outDir/$q").count()
         println(s"[graft] audit: $q rows=$n -> $outDir/$q")
-      } finally spark.conf.unset("spark.graft.fpIndex")
+      } finally prior match {
+        case Some(v) => spark.conf.set("spark.graft.fpIndex", v)
+        case None => spark.conf.unset("spark.graft.fpIndex")
+      }
       0
 
     case other =>

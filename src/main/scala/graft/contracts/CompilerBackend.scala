@@ -93,18 +93,22 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
     // the WHOLE body follows the per-contract skip policy (the extract
     // comment above): a malformed artifact — unwritable source key,
     // path-component too long, nested-under-a-file layout — must log
-    // and yield nothing, never abort the derivation job
+    // and FALL BACK, never abort the derivation job
     try Try {
       // keep names inside the sandbox (the export sink's sanitization
       // concern, applied to compile input); sanitized rels can COLLIDE
-      // ('/A.sol' vs 'A.sol') — disambiguate with a numbered sibling so
-      // no file's functions silently vanish under another's content
+      // ('/A.sol' vs 'A.sol'; 'A.sol' vs 'a.sol' on a case-insensitive
+      // filesystem, where two case-variant names alias ONE on-disk
+      // file) — disambiguate on the CASE-FOLDED key with a numbered
+      // sibling dir so no file's functions silently compile against
+      // another's content
       val written = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val seenFolded = scala.collection.mutable.HashSet.empty[String]
       files.foreach { case (name, content) =>
         val base = name.replace("..", "__").dropWhile(_ == '/')
         val rel = Iterator.from(0)
           .map(i => if (i == 0) base else s"dup$i/$base")
-          .find(r => !written.contains(r)).get
+          .find(r => seenFolded.add(r.toLowerCase(java.util.Locale.ROOT))).get
         val p = tmp.resolve(rel)
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p, content)
@@ -113,21 +117,38 @@ final class SolcBackend(solcPath: String = "solc") extends CompilerBackend {
       val cmd = Seq(solcPath, "--combined-json", "abi",
         "--base-path", tmp.toString) ++
         written.keys.toSeq.sorted.map(r => tmp.resolve(r).toString)
-      parseCombinedAbiWithPaths(cmd.!!).map { case (path, fn) =>
-        // map solc's path key (absolute or tmp-relative) back to the
-        // artifact's own filename
+      // realpath both sides before relativizing: a symlinked tmpdir
+      // (macOS /var -> /private/var, symlinked TMPDIR) makes solc
+      // report canonical absolute keys that naive relativize turns
+      // into ../.. garbage — and an unmapped key must NEVER leak the
+      // random temp path into FunctionRow.filename (Derive hashes
+      // filename into the row id; a per-run temp path would break
+      // upsert idempotency). Unmappable rows are dropped LOUDLY.
+      val realTmp = tmp.toRealPath()
+      parseCombinedAbiWithPaths(cmd.!!).flatMap { case (path, fn) =>
         val p = java.nio.file.Paths.get(path)
-        val rel =
-          if (p.isAbsolute)
-            tmp.toAbsolutePath.relativize(p.toAbsolutePath).toString
+        val rel = Try {
+          if (p.isAbsolute) realTmp.relativize(p.toRealPath()).toString
           else path
-        written.getOrElse(rel, path) -> fn
+        }.getOrElse(path)
+        written.get(rel) match {
+          case Some(orig) => Some(orig -> fn)
+          case None =>
+            System.err.println(s"[graft] solc output path unmappable, " +
+              s"row dropped: $path (${fn.contractName}.${fn.functionName})")
+            None
+        }
       }
     } match {
       case scala.util.Success(out) => out
       case scala.util.Failure(e) =>
-        System.err.println(s"[graft] solc artifact compile failed: ${e.getMessage}")
-        Seq.empty
+        // e.g. solc < 0.6.9 rejecting --base-path, or a source key the
+        // sandbox cannot materialize: fall back to the per-file default
+        // (import-free files still extract — the pre-r13 behavior)
+        // rather than yielding nothing for the whole artifact
+        System.err.println(s"[graft] solc artifact compile failed " +
+          s"(falling back to per-file): ${e.getMessage}")
+        super.extractAll(files)
     } finally deleteRecursively(tmp)
   }
 

@@ -484,11 +484,27 @@ object AuditOps {
     // is duplicate-group-sized, planner-gated), 3 result rows.
     Q("q107_split_leakage",
       (s, d) => {
+        // exact tier hash source: ONE fused documents scan by default
+        // (hash + source + split off the same pass — a join against
+        // exactHashes would scan twice for nothing); under the X97 seam
+        // the hashes come from the index's `exact` table and only the
+        // lean (doc_id, source) projection reads the documents parquet —
+        // no text column touched, matching the audit command's contract.
+        // h IS NULL ⟺ text IS NULL (simple_hash nulls through), so the
+        // two forms filter identical rows; FpIndexSeamSpec pins identity.
+        val hashed = TrainingOps.fpIndexDir(s) match {
+          case Some(_) =>
+            TrainingOps.exactHashes(s, d).filter(col("h").isNotNull)
+              .join(documents(s, d).select(col("doc_id"), col("source")),
+                "doc_id")
+          case None =>
+            documents(s, d).filter(col("text").isNotNull)
+              .select(col("doc_id"), col("source"),
+                Hashing.simpleHash(col("text")).as("h"))
+        }
         val base = graft.util.Caches.transientPersist(
-          documents(s, d).filter(col("text").isNotNull)
-            .select(col("doc_id"), col("source"),
-              Hashing.simpleHash(col("text")).as("h"),
-              TrainingOps.splitOf(col("doc_id")).as("split")))
+          hashed.select(col("doc_id"), col("source"), col("h"),
+            TrainingOps.splitOf(col("doc_id")).as("split")))
         val leaky = base.groupBy("h")
           .agg(countDistinct("split").as("ns"))
           .filter(col("ns") > 1)

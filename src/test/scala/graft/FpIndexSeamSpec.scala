@@ -36,7 +36,10 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // contamination-hits publishers/consumers
     "q65_decontaminate", "q101_curation_funnel",
     // the exact tier straight off the index's `exact` table
-    "q27_dedup_exact")
+    "q27_dedup_exact",
+    // split leakage's hash source branches on the seam (fused text scan
+    // by default, exact table + lean source projection under it)
+    "q107_split_leakage")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
