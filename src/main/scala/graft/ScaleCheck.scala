@@ -129,7 +129,15 @@ object ScaleCheck {
     "q112_decontaminate_spans", "q113_source_caps",
     // the apply tier shares q112's span kernel; standalone here it pays
     // the kernel itself plus the span-bounded HOF surgery
-    "q114_mask_apply")
+    "q114_mask_apply",
+    // r13b: the semantic-decontamination tier. q115 is a map-side
+    // projection over the retained cellPairCos cache (marginal slope
+    // pins the pair-consumer path on the embedding side); q116 joins
+    // the two overlap-bounded pair lists (full-outer on pair keys —
+    // output-sized); q117 composes three contamination-bounded flag
+    // frames against the doc spine with planner-gated joins
+    "q115_semantic_contamination", "q116_dedup_tier_agreement",
+    "q117_decontam_decision")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -884,5 +884,150 @@ object AuditOps {
         "c AS (SELECT source, count(*) AS n_docs FROM b GROUP BY 1) " +
         "SELECT c.source, c.n_docs, k.n_kept, k.min_kept_score, k.kept_tokens " +
         "FROM c JOIN k USING (source) ORDER BY source")),
+
+    // Semantic contamination provenance (r13): the EMBEDDING tier of
+    // decontamination — (eval item, train item) pairs whose vectors sit
+    // in the same IVF cell with cosine ≥ the near-dup threshold. q111
+    // catches verbatim 8-gram leakage; this catches PARAPHRASED leakage
+    // that shares no n-gram (the semantic decontamination screen of the
+    // Llama-2/GPT-4-era eval-hygiene reports) — the two are the lexical
+    // and semantic tiers of one audit. Scale: rides the SHARED retained
+    // cellPairCos kernel (its contract keeps every pair ≥ 0.35, so the
+    // filter is contract-exact); the cross-set gate and the eval/train
+    // orientation are map-side projections over the overlap-bounded
+    // pair list — no join, no new exchange; the sort is output-sized.
+    // At 100 TB the cost is the kernel build the family already shares
+    // (cell-bounded, block-salted — q33's story); this report adds
+    // only a filter over its cache.
+    Q("q115_semantic_contamination",
+      (s, d) => TrainingOps.cellPairCos(s, d)
+        .filter(col("cos") >= TrainingOps.CellPairRetainCos)
+        .filter((col("ida") % 50 === 0) =!= (col("idb") % 50 === 0))
+        .select(
+          when(col("ida") % 50 === 0, col("ida")).otherwise(col("idb"))
+            .as("eval_id"),
+          when(col("ida") % 50 === 0, col("idb")).otherwise(col("ida"))
+            .as("train_id"),
+          col("cos"))
+        .orderBy("eval_id", "train_id"),
+      Some(s"WITH ${TrainingOps.cellPairCosCtes} " +
+        "SELECT CASE WHEN ida % 50 = 0 THEN ida ELSE idb END AS eval_id, " +
+        "CASE WHEN ida % 50 = 0 THEN idb ELSE ida END AS train_id, cos " +
+        "FROM cpc WHERE cos >= 0.35 AND ((ida % 50 = 0) <> (idb % 50 = 0)) " +
+        "ORDER BY eval_id, train_id")),
+
+    // Dedup tier agreement (r13): where the LEXICAL near-dup tier
+    // (MinHash/LSH-verified Jaccard ≥ 0.8) and the SEMANTIC tier
+    // (in-cell cosine ≥ 0.35) agree and disagree — the measurement
+    // behind SemDeDup's (Abbas et al. 2023) pitch that embedding dedup
+    // finds duplicates MinHash misses, and the converse sanity check
+    // (near-verbatim pairs the embedding tier's cell assignment split).
+    // Restricted to pairs where BOTH docs are embedded (the semantic
+    // tier only sees those — an unembedded doc must read as "not
+    // evaluated", never "disagreement"). Scale: both inputs are shared
+    // session kernels whose outputs are overlap-bounded pair lists; the
+    // full-outer join shuffles only those pair rows. The embedded-
+    // subset gate semi-joins the lexical pairs against the vector id
+    // column twice — 8-byte keys, the minimal possible volume, and on
+    // a cluster the planner broadcasts whichever side is small.
+    Q("q116_dedup_tier_agreement",
+      (s, d) => {
+        val sem = TrainingOps.cellPairCos(s, d)
+          .filter(col("cos") >= TrainingOps.CellPairRetainCos)
+          .select(col("ida"), col("idb"), col("cos"))
+        val emb = embeddings(s, d).select(col("vec_id"))
+        val lex = TrainingOps.lshPairs(s, d)
+          .join(emb.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+          .join(emb.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_semi")
+          .select(col("ida"), col("idb"), col("jacc"))
+        sem.join(lex, Seq("ida", "idb"), "full_outer")
+          .select(col("ida"), col("idb"), col("cos"), col("jacc"),
+            when(col("cos").isNotNull && col("jacc").isNotNull, lit("both"))
+              .when(col("cos").isNotNull, lit("semantic_only"))
+              .otherwise(lit("lexical_only")).as("tier"))
+          .orderBy("ida", "idb")
+      },
+      Some(s"WITH ${TrainingOps.lshPairsCtes}, ${TrainingOps.cellPairCosCtes}, " +
+        "sem AS (SELECT ida, idb, cos FROM cpc WHERE cos >= 0.35), " +
+        "lex AS (SELECT ida, idb, jacc FROM pairs " +
+        "WHERE ida IN (SELECT vec_id FROM embeddings) " +
+        "AND idb IN (SELECT vec_id FROM embeddings)) " +
+        "SELECT coalesce(s.ida, l.ida) AS ida, coalesce(s.idb, l.idb) AS idb, " +
+        "s.cos, l.jacc, " +
+        "CASE WHEN s.ida IS NOT NULL AND l.ida IS NOT NULL THEN 'both' " +
+        "WHEN s.ida IS NOT NULL THEN 'semantic_only' " +
+        "ELSE 'lexical_only' END AS tier " +
+        "FROM sem s FULL OUTER JOIN lex l ON s.ida = l.ida AND s.idb = l.idb " +
+        "ORDER BY 1, 2")),
+
+    // Unified decontamination DECISION table (r13): one row per
+    // (source, action) with doc and char masses — the page a release
+    // manager signs off on. Per train doc the remedies compose by
+    // severity: DROP if the lexical tier says ≥ 8 distinct eval-shared
+    // shingles (q65/q101's release rule) OR the semantic tier finds an
+    // eval near-match (q115 — paraphrase leakage has no span to mask);
+    // else MASK if span surgery applies (q112's overlap-bounded spans);
+    // else KEEP. Scale: all three flag frames are shared-kernel
+    // derivatives bounded by TRUE contamination (hit counts, retained
+    // pairs, span docs) — the doc spine left-joins them on doc_id with
+    // no broadcast hints (planner-gated, the q108 posture), and the
+    // final aggregate is |sources| × 3 groups. The clean bulk of the
+    // corpus flows through as three null flags and one 'keep' counter —
+    // no text moves anywhere in this plan.
+    Q("q117_decontam_decision",
+      (s, d) => {
+        val base = documents(s, d).filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val dlex = TrainingOps.contaminationHits(s, d)
+          .filter(col("n_hits") >= 8)
+          .select(col("doc_id")).withColumn("dlex", lit(true))
+        val dsem = TrainingOps.cellPairCos(s, d)
+          .filter(col("cos") >= TrainingOps.CellPairRetainCos)
+          .filter((col("ida") % 50 === 0) =!= (col("idb") % 50 === 0))
+          .select(when(col("ida") % 50 === 0, col("idb")).otherwise(col("ida"))
+            .as("doc_id"))
+          .distinct().withColumn("dsem", lit(true))
+        val dmask = maskSpans(s, d).select(col("doc_id")).distinct()
+          .withColumn("dmask", lit(true))
+        base.join(dlex, Seq("doc_id"), "left")
+          .join(dsem, Seq("doc_id"), "left")
+          .join(dmask, Seq("doc_id"), "left")
+          .withColumn("decision",
+            when(col("dlex") || col("dsem"), lit("drop"))
+              .when(col("dmask"), lit("mask"))
+              .otherwise(lit("keep")))
+          .groupBy("source", "decision")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+          .orderBy("source", "decision")
+      },
+      // the mask flag needs only EXISTENCE of a colliding 8-gram
+      // position (≥ 1 hit position ⇔ ≥ 1 merged span), so the oracle
+      // derives it directly without the islands machinery — and without
+      // spanCtes' `toks`, which would collide with shCte's
+      Some(s"WITH $shCte, $shhCte, ${TrainingOps.cellPairCosCtes}, " +
+        "cevh AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0), " +
+        "chit AS (SELECT t.doc_id FROM shh t JOIN cevh USING (h1) " +
+        "WHERE t.doc_id % 50 <> 0 GROUP BY 1 HAVING count(DISTINCT t.h1) >= 8), " +
+        "dsem AS (SELECT DISTINCT CASE WHEN ida % 50 = 0 THEN idb ELSE ida END " +
+        "AS doc_id FROM cpc WHERE cos >= 0.35 AND ((ida % 50 = 0) <> (idb % 50 = 0))), " +
+        "t8 AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "e8 AS (SELECT DISTINCT " + oMd5Long("array_to_string(ws[i:i+7], ' ')") +
+        " AS h1 FROM t8, unnest(range(1, len(ws) - 6)) AS t(i) " +
+        "WHERE doc_id % 50 = 0), " +
+        "dmask AS (SELECT DISTINCT doc_id FROM " +
+        "(SELECT doc_id, " + oMd5Long("array_to_string(ws[i:i+7], ' ')") +
+        " AS h1 FROM t8, unnest(range(1, len(ws) - 6)) AS t(i) " +
+        "WHERE doc_id % 50 <> 0) p JOIN e8 USING (h1)), " +
+        "dec AS (SELECT d.source, CASE " +
+        "WHEN d.doc_id IN (SELECT doc_id FROM chit) " +
+        "OR d.doc_id IN (SELECT doc_id FROM dsem) THEN 'drop' " +
+        "WHEN d.doc_id IN (SELECT doc_id FROM dmask) THEN 'mask' " +
+        "ELSE 'keep' END AS decision, d.n_chars " +
+        "FROM documents d WHERE d.doc_id % 50 <> 0) " +
+        "SELECT source, decision, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS chars_total " +
+        "FROM dec GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }

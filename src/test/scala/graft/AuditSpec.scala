@@ -449,4 +449,75 @@ class AuditSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(df.collect().map(_.toString).toSeq == ungated)
   }
+
+  test("q115 semantic contamination is exactly the cross-set orientation of the q33 pair list") {
+    // q33 is oracle-green and publishes the retained (cos >= 0.35)
+    // in-cell pairs; q115 must be a pure projection of it — the
+    // cross-set gate plus eval/train orientation, nothing else
+    val sem = SparkEntry.queries("q33_ivf_neardup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = sem.toSeq
+      .filter { case (a, b, _) => (a % 50 == 0) != (b % 50 == 0) }
+      .map { case (a, b, c) => if (a % 50 == 0) (a, b, c) else (b, a, c) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q115_semantic_contamination")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q116 tier agreement recomposes from the q29 and q33 pair lists on the embedded subset") {
+    val emb = graft.util.Tables.embeddings(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lex = SparkEntry.queries("q29_lsh_neardup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => emb(a) && emb(b) }.toMap
+    val sem = SparkEntry.queries("q33_ivf_neardup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the lexical tier must have found at least one embedded pair at
+    // this SF or the agreement test is vacuous on the lex side
+    assert(lex.nonEmpty)
+    val expected = (lex.keySet ++ sem.keySet).toSeq.sorted.map { k =>
+      val tier =
+        if (sem.contains(k) && lex.contains(k)) "both"
+        else if (sem.contains(k)) "semantic_only"
+        else "lexical_only"
+      (k._1, k._2, sem.get(k), lex.get(k), tier)
+    }
+    val got = SparkEntry.queries("q116_dedup_tier_agreement")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getString(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("q117 decision table recomposes from the q65/q115/q112 outputs over the raw doc spine") {
+    // severity composition pinned against the three tiers' own
+    // oracle-green outputs: drop beats mask beats keep, and the doc
+    // spine is ALL train docs (null-text docs count as keep)
+    val dlex = SparkEntry.queries("q65_decontaminate")(spark, d).collect()
+      .filter(_.getLong(1) >= 8).map(_.getLong(0)).toSet
+    val dsem = SparkEntry.queries("q115_semantic_contamination")(spark, d)
+      .collect().map(_.getLong(1)).toSet
+    val dmask = SparkEntry.queries("q112_decontaminate_spans")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val base = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._1 % 50 != 0)
+    val expected = base.toSeq.groupBy { case (id, src, _) =>
+      val dec =
+        if (dlex(id) || dsem(id)) "drop"
+        else if (dmask(id)) "mask"
+        else "keep"
+      (src, dec)
+    }.view.mapValues(rs => (rs.size.toLong, rs.map(_._3).sum)).toMap
+    // at least one non-keep decision must exist at this SF or the
+    // composition is untested
+    assert(expected.keySet.map(_._2) != Set("keep"))
+    val got = SparkEntry.queries("q117_decontam_decision")(spark, d)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
 }
