@@ -39,7 +39,13 @@ class FpIndexSeamSpec extends AnyFunSuite {
     "q27_dedup_exact",
     // split leakage's hash source branches on the seam (fused text scan
     // by default, exact table + lean source projection under it)
-    "q107_split_leakage")
+    "q107_split_leakage",
+    // r13b consumers: tier agreement rides the seamed lshPairs (its
+    // semantic side is cellPairCos, which the seam never touches);
+    // the decision table's lexical drop flag rides the seamed
+    // contaminationHits (its mask tier legitimately re-tokenizes —
+    // positional triples are not in the index)
+    "q116_dedup_tier_agreement", "q117_decontam_decision")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)

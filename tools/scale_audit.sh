@@ -51,6 +51,12 @@ run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf1r 10 48g
 run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf10r 100 64g
 run q113_source_caps /tmp/graft-sf1r 10 48g
 run q113_source_caps /tmp/graft-sf10r 100 64g
+# r13b: the semantic decontamination tier — q115 pays the cell-pair
+# kernel (its marginal over q33's family is a cache filter), q116 adds
+# the lexical pair kernel, q117 adds the shingle/posngrams kernels; the
+# subset accounting mirrors the in-family cost order
+run q115_semantic_contamination,q116_dedup_tier_agreement,q117_decontam_decision /tmp/graft-sf1r 10 48g
+run q115_semantic_contamination,q116_dedup_tier_agreement,q117_decontam_decision /tmp/graft-sf10r 100 64g
 # r13: the ANN recall audit's exact tier is linear now that the probe
 # panel is FIXED-SIZE (TrainingOps.ProbePanelSize) — the r10 exclusion is
 # lifted; q106 rides the same panel
