@@ -57,6 +57,34 @@ object AuditOps {
         .select("doc_id", "s", "e")
     }
 
+  /** X99's shared projection — the (eval_id, train_id, cos) semantic
+    * contamination pairs both the provenance report (q115) and the
+    * decision table's drop flag (q117) consume; factored so the
+    * eval-split convention and the threshold cannot drift between the
+    * tiers (the contaminationHits discipline: one kernel, N consumers).
+    * Map-side over the retained cellPairCos cache — the ≥ threshold
+    * filter is contract-exact (every pair ≥ CellPairRetainCos survives
+    * retention), the cross-set XOR and orientation are projections.
+    */
+  private def semanticContamPairs(s: SparkSession, d: String): DataFrame =
+    TrainingOps.cellPairCos(s, d)
+      .filter(col("cos") >= TrainingOps.CellPairRetainCos)
+      .filter((col("ida") % 50 === 0) =!= (col("idb") % 50 === 0))
+      .select(
+        when(col("ida") % 50 === 0, col("ida")).otherwise(col("idb"))
+          .as("eval_id"),
+        when(col("ida") % 50 === 0, col("idb")).otherwise(col("ida"))
+          .as("train_id"),
+        col("cos"))
+
+  /** Oracle CTE mirroring [[semanticContamPairs]] — `semcp(eval_id,
+    * train_id, cos)`; expects `cpc` (cellPairCosCtes) in scope.
+    */
+  private val semContamCte: String =
+    "semcp AS (SELECT CASE WHEN ida % 50 = 0 THEN ida ELSE idb END AS eval_id, " +
+      "CASE WHEN ida % 50 = 0 THEN idb ELSE ida END AS train_id, cos " +
+      "FROM cpc WHERE cos >= 0.35 AND ((ida % 50 = 0) <> (idb % 50 = 0)))"
+
   /** Oracle CTE chain mirroring [[maskSpans]] — ends in
     * `sp(doc_id, island, s, e)` with `toks(doc_id, ws)` also in scope.
     */
@@ -900,20 +928,9 @@ object AuditOps {
     // (cell-bounded, block-salted — q33's story); this report adds
     // only a filter over its cache.
     Q("q115_semantic_contamination",
-      (s, d) => TrainingOps.cellPairCos(s, d)
-        .filter(col("cos") >= TrainingOps.CellPairRetainCos)
-        .filter((col("ida") % 50 === 0) =!= (col("idb") % 50 === 0))
-        .select(
-          when(col("ida") % 50 === 0, col("ida")).otherwise(col("idb"))
-            .as("eval_id"),
-          when(col("ida") % 50 === 0, col("idb")).otherwise(col("ida"))
-            .as("train_id"),
-          col("cos"))
-        .orderBy("eval_id", "train_id"),
-      Some(s"WITH ${TrainingOps.cellPairCosCtes} " +
-        "SELECT CASE WHEN ida % 50 = 0 THEN ida ELSE idb END AS eval_id, " +
-        "CASE WHEN ida % 50 = 0 THEN idb ELSE ida END AS train_id, cos " +
-        "FROM cpc WHERE cos >= 0.35 AND ((ida % 50 = 0) <> (idb % 50 = 0)) " +
+      (s, d) => semanticContamPairs(s, d).orderBy("eval_id", "train_id"),
+      Some(s"WITH ${TrainingOps.cellPairCosCtes}, $semContamCte " +
+        "SELECT eval_id, train_id, cos FROM semcp " +
         "ORDER BY eval_id, train_id")),
 
     // Dedup tier agreement (r13): where the LEXICAL near-dup tier
@@ -935,7 +952,11 @@ object AuditOps {
         val sem = TrainingOps.cellPairCos(s, d)
           .filter(col("cos") >= TrainingOps.CellPairRetainCos)
           .select(col("ida"), col("idb"), col("cos"))
-        val emb = embeddings(s, d).select(col("vec_id"))
+        // one persisted single-column projection serves BOTH semi-joins
+        // (the q95 exactHashes discipline: a multi-consumer subplan is
+        // materialized once, not re-scanned per consumer)
+        val emb = graft.util.Caches.transientPersist(
+          embeddings(s, d).select(col("vec_id")))
         val lex = TrainingOps.lshPairs(s, d)
           .join(emb.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
           .join(emb.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_semi")
@@ -981,11 +1002,8 @@ object AuditOps {
         val dlex = TrainingOps.contaminationHits(s, d)
           .filter(col("n_hits") >= 8)
           .select(col("doc_id")).withColumn("dlex", lit(true))
-        val dsem = TrainingOps.cellPairCos(s, d)
-          .filter(col("cos") >= TrainingOps.CellPairRetainCos)
-          .filter((col("ida") % 50 === 0) =!= (col("idb") % 50 === 0))
-          .select(when(col("ida") % 50 === 0, col("idb")).otherwise(col("ida"))
-            .as("doc_id"))
+        val dsem = semanticContamPairs(s, d)
+          .select(col("train_id").as("doc_id"))
           .distinct().withColumn("dsem", lit(true))
         val dmask = maskSpans(s, d).select(col("doc_id")).distinct()
           .withColumn("dmask", lit(true))
@@ -1004,12 +1022,11 @@ object AuditOps {
       // position (≥ 1 hit position ⇔ ≥ 1 merged span), so the oracle
       // derives it directly without the islands machinery — and without
       // spanCtes' `toks`, which would collide with shCte's
-      Some(s"WITH $shCte, $shhCte, ${TrainingOps.cellPairCosCtes}, " +
+      Some(s"WITH $shCte, $shhCte, ${TrainingOps.cellPairCosCtes}, $semContamCte, " +
         "cevh AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0), " +
         "chit AS (SELECT t.doc_id FROM shh t JOIN cevh USING (h1) " +
         "WHERE t.doc_id % 50 <> 0 GROUP BY 1 HAVING count(DISTINCT t.h1) >= 8), " +
-        "dsem AS (SELECT DISTINCT CASE WHEN ida % 50 = 0 THEN idb ELSE ida END " +
-        "AS doc_id FROM cpc WHERE cos >= 0.35 AND ((ida % 50 = 0) <> (idb % 50 = 0))), " +
+        "dsem AS (SELECT DISTINCT train_id AS doc_id FROM semcp), " +
         "t8 AS (SELECT doc_id, " +
         "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -450,19 +450,62 @@ class AuditSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).toSeq == ungated)
   }
 
-  test("q115 semantic contamination is exactly the cross-set orientation of the q33 pair list") {
-    // q33 is oracle-green and publishes the retained (cos >= 0.35)
-    // in-cell pairs; q115 must be a pure projection of it — the
-    // cross-set gate plus eval/train orientation, nothing else
-    val sem = SparkEntry.queries("q33_ivf_neardup")(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    val expected = sem.toSeq
-      .filter { case (a, b, _) => (a % 50 == 0) != (b % 50 == 0) }
-      .map { case (a, b, c) => if (a % 50 == 0) (a, b, c) else (b, a, c) }
+  test("q115 semantic contamination matches a driver-side exact-quantization recomputation") {
+    // from the RAW embeddings parquet with plain Scala (this file's
+    // charter): quantize exactly as the engine does (floor(x·2^20) as
+    // int64), enumerate every unordered in-cell pair, keep cos ≥ 0.35
+    // cross-set, orient eval-first — a regression anywhere in the
+    // shared cellPairCos kernel (quantizer, salting, retention pruning)
+    // surfaces here as a value diff, independent of the kernel itself
+    val vecs = graft.util.Tables.embeddings(spark, d)
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val q = r.getSeq[Float](2)
+          .map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
+        (r.getLong(0), r.getInt(1), q)
+      }
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = (for {
+      cell <- vecs.groupBy(_._2).values.toSeq
+      Array((ia, _, qa), (ib, _, qb)) <- cell.sortBy(_._1).combinations(2)
+      cos = dot(qa, qb).toDouble /
+        (math.sqrt(dot(qa, qa).toDouble) * math.sqrt(dot(qb, qb).toDouble))
+      if cos >= 0.35 && ((ia % 50 == 0) != (ib % 50 == 0))
+    } yield if (ia % 50 == 0) (ia, ib, cos) else (ib, ia, cos))
       .sortBy(t => (t._1, t._2))
+    assert(expected.nonEmpty) // non-vacuous at this SF
     val got = SparkEntry.queries("q115_semantic_contamination")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expected)
+  }
+
+  test("q116 embedded-subset gate: an unembedded lexical pair is excluded, never 'disagreement'") {
+    // constructed corpus: the fixtures' vec_id set is 1:1 with doc_id,
+    // so the gate never filters there — this pins the documented
+    // contract that a lexical pair with an unembedded side reads as
+    // "not evaluated" (absent), not as lexical_only disagreement
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiergate-")
+      .toFile.getAbsolutePath
+    def text(p: String) = (1 to 24).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (1L, text("a")), (2L, text("a")),   // embedded near-dup pair
+      (3L, text("b")), (4L, text("b")),   // UNEMBEDDED near-dup pair
+      (5L, text("c")), (6L, text("dd")))  // semantic-only pair (below)
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val v = Array.fill(8)(0.5f)
+    Seq(
+      (1L, v.toSeq, 0), (2L, v.toSeq, 1), // different cells: no sem pair
+      (5L, v.toSeq, 2), (6L, v.toSeq, 2)) // same cell, cos 1: sem pair
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q116_dedup_tier_agreement")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSeq
+    assert(got == Seq((1L, 2L, "lexical_only"), (5L, 6L, "semantic_only")))
   }
 
   test("q116 tier agreement recomposes from the q29 and q33 pair lists on the embedded subset") {
