@@ -128,7 +128,12 @@ object Cli {
       // audit under <outDir>, row counts on stdout.
       val audits = Seq("q107_split_leakage", "q109_memorization_ngrams",
         "q110_neardup_split_leakage", "q111_contamination_pairs",
-        "q96_source_overlap")
+        "q96_source_overlap",
+        // r13b: the semantic tier (rides the embedding kernel, not the
+        // index) and the decision table (its lexical drop flag rides
+        // the seamed contaminationHits; the mask tier re-tokenizes by
+        // design — positional triples are not in the index)
+        "q115_semantic_contamination", "q117_decontam_decision")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the
