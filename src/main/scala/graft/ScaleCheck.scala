@@ -137,7 +137,10 @@ object ScaleCheck {
     // output-sized); q117 composes three contamination-bounded flag
     // frames against the doc spine with planner-gated joins
     "q115_semantic_contamination", "q116_dedup_tier_agreement",
-    "q117_decontam_decision")
+    "q117_decontam_decision",
+    // incremental semantic dedup rides the same retained pair cache;
+    // its marginal is the cross-set filter + the group-limited window
+    "q118_incremental_semantic")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

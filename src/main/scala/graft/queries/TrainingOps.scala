@@ -1297,6 +1297,64 @@ object TrainingOps {
         "LEFT JOIN ex ON b.doc_id = ex.doc_id LEFT JOIN nr ON b.doc_id = nr.doc_id " +
         "ORDER BY b.doc_id")),
 
+    // Incremental SEMANTIC dedup (r13b): q95's daily-crawl posture at
+    // the embedding tier — each batch vector (vec_id ≡ 0 mod 10, the
+    // q95 convention) gets a verdict against the STANDING corpus only:
+    // 'near' with its best standing partner (in-cell cosine ≥ 0.35,
+    // ties broken by partner id — the q93 unique-rank lesson) or
+    // 'fresh'. SemDeDup-style embedding dedup run incrementally: the
+    // batch must not pay a corpus rescan, and batch-internal duplicates
+    // are NOT this query's job (a batch dedups against itself in its
+    // own pass). In-cell by contract — the IVF posture: a production
+    // probe visits the nearest cells; here `label` IS the cell, so a
+    // cross-cell exact twin is invisible BY DESIGN (the recall audit
+    // q98 prices exactly that miss). Scale: rides the shared retained
+    // cellPairCos kernel (≥ threshold filter is contract-exact); the
+    // cross-set gate and orientation are map-side; the best-partner
+    // window shuffles only overlap-bounded pair rows on vec_id; the
+    // batch spine joins planner-gated. At 100 TB the standing side is
+    // the maintained kernel/index, and a daily batch pays its own
+    // signatures plus bounded in-cell probes — never a rescan (the X97
+    // posture, embedding tier).
+    Q("q118_incremental_semantic",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val isBatchA = col("ida") % 10 === 0
+        val isBatchB = col("idb") % 10 === 0
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("near_of"))
+        val near = cellPairCos(s, d)
+          .filter(col("cos") >= CellPairRetainCos)
+          .filter(isBatchA =!= isBatchB)
+          .select(
+            when(isBatchA, col("ida")).otherwise(col("idb")).as("vec_id"),
+            when(isBatchA, col("idb")).otherwise(col("ida")).as("near_of"),
+            col("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        embeddings(s, d).filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"))
+          .join(near, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("near_of").isNotNull, lit("near"))
+              .otherwise(lit("fresh")).as("verdict"),
+            col("near_of"), col("cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"WITH $cellPairCosCtes, " +
+        "hits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS vec_id, " +
+        "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, cos FROM cpc " +
+        "WHERE cos >= 0.35 AND ((ida % 10 = 0) <> (idb % 10 = 0))), " +
+        "nr AS (SELECT vec_id, near_of, cos FROM (SELECT vec_id, near_of, cos, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, near_of) AS rn " +
+        "FROM hits) WHERE rn = 1) " +
+        "SELECT b.vec_id, " +
+        "CASE WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
+        "near_of, cos " +
+        "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) b " +
+        "LEFT JOIN nr ON b.vec_id = nr.vec_id " +
+        "ORDER BY b.vec_id")),
+
     // SimHash: 60-bit near-dup fingerprint; one long per document,
     // computed ENTIRELY inside the document's row — r6 deleted the r5
     // (doc, word) explode and its groupBy exchange: nothing shuffles

@@ -450,13 +450,13 @@ class AuditSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).toSeq == ungated)
   }
 
-  test("q115 semantic contamination matches a driver-side exact-quantization recomputation") {
-    // from the RAW embeddings parquet with plain Scala (this file's
-    // charter): quantize exactly as the engine does (floor(x·2^20) as
-    // int64), enumerate every unordered in-cell pair, keep cos ≥ 0.35
-    // cross-set, orient eval-first — a regression anywhere in the
-    // shared cellPairCos kernel (quantizer, salting, retention pruning)
-    // surfaces here as a value diff, independent of the kernel itself
+  // the RAW-parquet driver-side semantic tier (this file's charter):
+  // quantize exactly as the engine does (floor(x·2^20) as int64) and
+  // enumerate every unordered in-cell pair with its exact cosine — a
+  // regression anywhere in the shared cellPairCos kernel (quantizer,
+  // salting, retention pruning) surfaces in the consumers' value diffs,
+  // independent of the kernel itself
+  private lazy val inCellPairs: Seq[(Long, Long, Double)] = {
     val vecs = graft.util.Tables.embeddings(spark, d)
       .select("vec_id", "label", "embedding").collect()
       .map { r =>
@@ -469,17 +469,43 @@ class AuditSpec extends AnyFunSuite {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    val expected = (for {
+    for {
       cell <- vecs.groupBy(_._2).values.toSeq
       Array((ia, _, qa), (ib, _, qb)) <- cell.sortBy(_._1).combinations(2)
-      cos = dot(qa, qb).toDouble /
-        (math.sqrt(dot(qa, qa).toDouble) * math.sqrt(dot(qb, qb).toDouble))
-      if cos >= 0.35 && ((ia % 50 == 0) != (ib % 50 == 0))
-    } yield if (ia % 50 == 0) (ia, ib, cos) else (ib, ia, cos))
+    } yield (ia, ib, dot(qa, qb).toDouble /
+      (math.sqrt(dot(qa, qa).toDouble) * math.sqrt(dot(qb, qb).toDouble)))
+  }
+
+  test("q115 semantic contamination matches a driver-side exact-quantization recomputation") {
+    val expected = inCellPairs
+      .filter { case (a, b, c) => c >= 0.35 && ((a % 50 == 0) != (b % 50 == 0)) }
+      .map { case (a, b, c) => if (a % 50 == 0) (a, b, c) else (b, a, c) }
       .sortBy(t => (t._1, t._2))
     assert(expected.nonEmpty) // non-vacuous at this SF
     val got = SparkEntry.queries("q115_semantic_contamination")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q118 incremental semantic dedup matches a driver-side best-standing-partner recomputation") {
+    val best = inCellPairs
+      .filter { case (a, b, c) => c >= 0.35 && ((a % 10 == 0) != (b % 10 == 0)) }
+      .map { case (a, b, c) => if (a % 10 == 0) (a, b, c) else (b, a, c) }
+      .groupBy(_._1).view.mapValues(
+        _.minBy { case (_, p, c) => (-c, p) }).toMap
+    val expected = graft.util.Tables.embeddings(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).filter(_ % 10 == 0)
+      .sorted.toSeq.map { id =>
+        best.get(id) match {
+          case Some((_, p, c)) => (id, "near", Some(p), Some(c))
+          case None => (id, "fresh", None, None)
+        }
+      }
+    assert(expected.exists(_._2 == "near")) // non-vacuous at this SF
+    val got = SparkEntry.queries("q118_incremental_semantic")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
     assert(got == expected)
   }
 
