@@ -57,6 +57,8 @@ run q113_source_caps /tmp/graft-sf10r 100 64g
 # subset accounting mirrors the in-family cost order
 run q115_semantic_contamination,q116_dedup_tier_agreement,q117_decontam_decision /tmp/graft-sf1r 10 48g
 run q115_semantic_contamination,q116_dedup_tier_agreement,q117_decontam_decision /tmp/graft-sf10r 100 64g
+run q118_incremental_semantic /tmp/graft-sf1r 10 48g
+run q118_incremental_semantic /tmp/graft-sf10r 100 64g
 # r13: the ANN recall audit's exact tier is linear now that the probe
 # panel is FIXED-SIZE (TrainingOps.ProbePanelSize) — the r10 exclusion is
 # lifted; q106 rides the same panel
