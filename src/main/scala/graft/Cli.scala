@@ -119,6 +119,20 @@ object Cli {
       println(s"[graft] fingerprint: index -> $idxDir")
       0
 
+    case "vecindex" :: sfDir :: idxDir :: Nil =>
+      // X103: (re)build the standing corpus's persisted VECTOR index —
+      // the semantic tier's standing state: q118's seam probes it, the
+      // streaming semantic dedup flow maintains it (appendVectorIndex /
+      // compactVectorIndex) between rebuilds. Built from the STANDING
+      // subset (the index IS the standing corpus; the local %10 batch
+      // convention carves today's arrivals out of the fixture).
+      import org.apache.spark.sql.functions.col
+      Sink.writeVectorIndex(
+        graft.util.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 10 =!= 0), idxDir)
+      println(s"[graft] vecindex: index -> $idxDir")
+      0
+
     case "audit" :: sfDir :: idxDir :: outDir :: Nil =>
       // X97: the standing-corpus audit suite, INDEX-RIDING — the
       // contamination/leakage/memorization reports load the persisted
@@ -160,6 +174,7 @@ object Cli {
            |  validate <dbDir>
            |  release <sfDir> <outDir> [numShards]
            |  fingerprint <sfDir> <indexDir>
+           |  vecindex <sfDir> <indexDir>
            |  audit <sfDir> <indexDir> <outDir>
            |got: ${other.mkString(" ")}""".stripMargin)
       2

@@ -146,6 +146,16 @@ object TrainingOps {
   private def fpKey(s: SparkSession): String =
     fpIndexDir(s).fold("")(dir => s"@idx=$dir")
 
+  /** The semantic tier's standing-corpus seam (X103, the X97 analog):
+    * `spark.graft.vecIndex` / SPARK_GRAFT_VEC_INDEX names a persisted
+    * [[graft.sink.Sink.writeVectorIndex]] index (the STANDING corpus's
+    * quantized vectors, cell-partitioned); q118's incremental probe
+    * rides it instead of rebuilding the in-session pair kernel.
+    */
+  private[graft] def vecIndexDir(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.vecIndex").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_VEC_INDEX").filter(_.nonEmpty))
+
   /** (doc_id, h1) hashed-shingle postings — the projection every
     * set-measure kernel joins on. Session kernel by default; with the
     * seam active, the index's `shingles` table (written doc_id-
@@ -445,6 +455,17 @@ object TrainingOps {
     (exact, bandKeysOf(wideSigOf(sh)), sh.select(col("doc_id"), col("h1")))
   }
 
+  /** The semantic tier's index row shape — exactly the per-vector
+    * projection [[cellPairCosBuild]] computes before its pair join
+    * (quantize once, norm once), so a probe against a persisted table
+    * of these rows verifies identically to the in-session kernel. The
+    * X103 analog of [[fingerprintTables]].
+    */
+  private[graft] def vectorTable(emb: DataFrame): DataFrame =
+    emb.withColumn("qv", quantize(col("embedding")))
+      .select(col("vec_id"), col("label"), col("qv"),
+        norm2Q(col("qv")).as("n2"))
+
   private def lshPairsBuild(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d)
     // band keys straight off the WIDE signature — map-side expressions
@@ -547,13 +568,13 @@ object TrainingOps {
     * unsafe array inside whole-stage codegen — zero copies. Same exact
     * int64 math throughout, so the oracles are unaffected.
     */
-  private[queries] def dotQ(a: Column, b: Column): Column =
+  private[graft] def dotQ(a: Column, b: Column): Column =
     call_function("graft_dot_long", a, b)
 
   private[queries] def norm2Q(a: Column): Column = call_function("graft_dot_long", a, a)
 
   /** cosine from quantized vectors: exact ints → deterministic doubles. */
-  private[queries] def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def cosQ(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   private[queries] val oQuant =
@@ -1317,29 +1338,40 @@ object TrainingOps {
     // signatures plus bounded in-cell probes — never a rescan (the X97
     // posture, embedding tier).
     Q("q118_incremental_semantic",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val isBatchA = col("ida") % 10 === 0
-        val isBatchB = col("idb") % 10 === 0
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("cos").desc, col("near_of"))
-        val near = cellPairCos(s, d)
-          .filter(col("cos") >= CellPairRetainCos)
-          .filter(isBatchA =!= isBatchB)
-          .select(
-            when(isBatchA, col("ida")).otherwise(col("idb")).as("vec_id"),
-            when(isBatchA, col("idb")).otherwise(col("ida")).as("near_of"),
-            col("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        embeddings(s, d).filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id"))
-          .join(near, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            when(col("near_of").isNotNull, lit("near"))
-              .otherwise(lit("fresh")).as("verdict"),
-            col("near_of"), col("cos"))
-          .orderBy("vec_id")
+      (s, d) => vecIndexDir(s) match {
+        // X103 seam: a standing-corpus run probes the PERSISTED vector
+        // index (built from the standing subset — the index IS the
+        // standing corpus by definition) instead of rebuilding the
+        // in-session pair kernel; value identity is spec-pinned
+        // (VectorIndexSpec)
+        case Some(idx) =>
+          graft.sink.Sink.probeVectorIndex(
+            embeddings(s, d).filter(col("vec_id") % 10 === 0), idx,
+            CellPairRetainCos)
+            .orderBy("vec_id")
+        case None =>
+          import org.apache.spark.sql.expressions.Window
+          val isBatchA = col("ida") % 10 === 0
+          val isBatchB = col("idb") % 10 === 0
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos").desc, col("near_of"))
+          val near = cellPairCos(s, d)
+            .filter(col("cos") >= CellPairRetainCos)
+            .filter(isBatchA =!= isBatchB)
+            .select(
+              when(isBatchA, col("ida")).otherwise(col("idb")).as("vec_id"),
+              when(isBatchA, col("idb")).otherwise(col("ida")).as("near_of"),
+              col("cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          embeddings(s, d).filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id"))
+            .join(near, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              when(col("near_of").isNotNull, lit("near"))
+                .otherwise(lit("fresh")).as("verdict"),
+              col("near_of"), col("cos"))
+            .orderBy("vec_id")
       },
       Some(s"WITH $cellPairCosCtes, " +
         "hits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS vec_id, " +

@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, row_number, when}
 
 /** S9/S10 sink semantics: the reference's `INSERT … ON CONFLICT DO
   * NOTHING` (`db.rs:172-196`, `:206-234`) as a keep-first dedup-append
@@ -228,9 +228,10 @@ object Sink {
     * [[writeFingerprints]].
     */
   private def swapStagingIntoBase(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      tables: Seq[String] = Seq("exact", "bands", "shingles")): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
-    for (t <- Seq("exact", "bands", "shingles")) {
+    for (t <- tables) {
       val root = new org.apache.hadoop.fs.Path(s"$path/$t")
       val fs = root.getFileSystem(hconf)
       val staged = new org.apache.hadoop.fs.Path(s"$path/.staging/$t")
@@ -381,6 +382,98 @@ object Sink {
           .otherwise(lit("fresh")).as("verdict"),
         coalesce(col("exact_of"), col("near_of")).as("dup_of"),
         when(col("exact_of").isNull, col("jacc")).as("jacc"))
+  }
+
+  // ---- the semantic tier's standing-corpus index (X103) -------------
+  //
+  // The X76/X91 lifecycle applied to embeddings: one `vectors` table of
+  // (vec_id, qv, n2) rows CELL-PARTITIONED on `label` (then batch-
+  // partitioned like the fingerprint tables), so an incremental probe's
+  // standing-side read prunes to the batch's own cells — at 100 TB a
+  // daily batch touches a bounded cell subset and the scan never pays
+  // the full standing corpus. Quantization (the only compute the index
+  // saves) is cheap; what the index BUYS is the posture: the standing
+  // side is a maintained artifact with the staged-swap crash discipline,
+  // not a per-session rebuild of someone else's corpus.
+
+  /** (Re)build the vector index from the standing corpus's embeddings —
+    * staged write + near-atomic swap ([[swapStagingIntoBase]]'s
+    * `.old-base` discipline), so a rebuild never leaves a crash window
+    * without a complete serving generation.
+    */
+  def writeVectorIndex(emb: DataFrame, path: String): Unit = {
+    writeVecTable(emb, s"$path/.staging/vectors")
+    swapStagingIntoBase(emb.sparkSession, path, Seq("vectors"))
+  }
+
+  /** Add a batch's vectors under its own `batch=<tag>` partition —
+    * replay-idempotent exactly like [[appendFingerprints]] (the scoped
+    * Overwrite replaces the batch's own prior contribution).
+    */
+  def appendVectorIndex(emb: DataFrame, path: String, batch: String): Unit = {
+    require(batch.matches("[A-Za-z0-9_-]+") && batch != "base",
+      s"unsafe batch tag: $batch")
+    writeVecTable(emb, s"$path/vectors/batch=$batch")
+  }
+
+  private def writeVecTable(emb: DataFrame, dir: String): Unit =
+    graft.queries.TrainingOps.vectorTable(emb)
+      .repartition(col("label")).write.partitionBy("label")
+      .mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Fold every `batch=<tag>` partition into `batch=base` — the X91
+    * small-files discipline for the vector table (cell layout restored
+    * by the partitioned rewrite; probes byte-identical before/after).
+    */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val full = spark.read.parquet(s"$path/vectors").drop("batch")
+    full.repartition(col("label")).write.partitionBy("label")
+      .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
+    swapStagingIntoBase(spark, path, Seq("vectors"))
+  }
+
+  /** Incremental SEMANTIC dedup of a new batch against a
+    * [[writeVectorIndex]] index — the q118 verdict frame (vec_id,
+    * verdict, near_of, cos) computed against the persisted standing
+    * vectors: best in-cell partner at cosine ≥ `threshold`, ties by
+    * partner id (q118's order). The batch pays its own quantization;
+    * the standing side contributes cell-pruned parquet reads of
+    * fixed-width rows. Self-match guarded and batch-excludable like
+    * [[probeFingerprints]] (a streaming replay sees the index as its
+    * first attempt did).
+    */
+  def probeVectorIndex(batchEmb: DataFrame, path: String,
+      threshold: Double = 0.35,
+      excludeBatch: Option[String] = None): DataFrame = {
+    import graft.queries.TrainingOps.{vectorTable => vt}
+    val spark = batchEmb.sparkSession
+    val b = vt(batchEmb)
+    val idx0 = spark.read.parquet(s"$path/vectors")
+    if (excludeBatch.isDefined && !idx0.columns.contains("batch"))
+      sys.error(s"$path/vectors is a legacy unpartitioned vector " +
+        "index (no batch column); rebuild it with writeVectorIndex")
+    val idx = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val cos = graft.queries.TrainingOps.cosQ(
+      graft.queries.TrainingOps.dotQ(col("a.qv"), col("s.qv")),
+      col("a.n2"), col("s.n2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("near_of"))
+    val near = b.as("a")
+      .join(idx.as("s"),
+        col("a.label") === col("s.label")
+          && col("a.vec_id") =!= col("s.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("s.vec_id").as("near_of"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    batchEmb.select("vec_id")
+      .join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("fresh")).as("verdict"),
+        col("near_of"), col("cos"))
   }
 
 }

@@ -197,6 +197,53 @@ object Streaming {
       .start()
   }
 
+  /** Incremental SEMANTIC dedup as a stream (X103, the q118 flow): each
+    * micro-batch of embeddings is probed against the persisted vector
+    * index ([[graft.sink.Sink.probeVectorIndex]]), its verdicts written
+    * per (run, batch), and its FRESH vectors admitted to the index under
+    * the batch's own partition tag — the [[incrementalDedup]] lifecycle
+    * at the embedding tier, with the identical idempotency machinery
+    * (run-id tag cached for the query's lifetime; replay OVERWRITES its
+    * own verdict partition; the probe excludes the batch's own index
+    * partition so a replay sees the index exactly as the first attempt
+    * did; the admit anti-joins ids indexed by OTHER partitions). One
+    * deliberate divergence: there is no exact tier — 'near' at cos ≥
+    * the threshold subsumes it (an exact twin is cos 1.0 in its cell).
+    */
+  def incrementalSemanticDedup(emb: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String,
+      threshold: Double = 0.35)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cachedRun =
+      new java.util.concurrent.atomic.AtomicReference[String]()
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val run = Option(cachedRun.get).getOrElse {
+          cachedRun.compareAndSet(null, runIdTag(batch.sparkSession, checkpoint))
+          cachedRun.get
+        }
+        val tag = s"c${run}b$batchId"
+        val v = graft.util.Caches.transientPersist(
+          graft.sink.Sink.probeVectorIndex(batch, indexPath, threshold,
+            Some(tag)))
+        v.write.mode("overwrite")
+          .parquet(s"$outPath/run=$run/batch=$batchId")
+        val known = batch.sparkSession.read
+          .parquet(s"$indexPath/vectors")
+          .filter(col("batch") =!= tag).select("vec_id")
+        val fresh = batch
+          .join(v.filter(col("verdict") === "fresh").select("vec_id"),
+            "vec_id")
+          .join(known, Seq("vec_id"), "left_anti")
+        graft.sink.Sink.appendVectorIndex(fresh, indexPath, tag)
+        v.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** The streaming query's RUN identity, read from the checkpoint's own
     * `metadata` file (`{"id": "<uuid>"}`, written by Spark at query
     * start, before any batch runs): stable across restarts of the same

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X103 — the semantic tier's standing-corpus index (the X76/X91/X97
+  * lifecycle applied to embeddings): build/append/compact the
+  * cell-partitioned vector table, probe a batch against it, and ride it
+  * from q118 via the `spark.graft.vecIndex` seam. Pins:
+  *  (a) seam identity: q118 under the seam (index built from the
+  *      standing subset) is value-identical to the session-kernel path;
+  *  (b) the seam plan really reads the index (no in-session pair
+  *      kernel);
+  *  (c) append + compaction leave probes byte-identical (the X91
+  *      discipline);
+  *  (d) the self-match guard and batch exclusion behave like the
+  *      lexical probe's.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  import org.apache.spark.sql.functions._
+
+  test("q118 seam: probe of the standing-subset index is value-identical to the session kernel") {
+    assert(spark.conf.getOption("spark.graft.vecIndex").isEmpty)
+    val session = SparkEntry.queries("q118_incremental_semantic")(spark, d)
+      .collect().map(_.toString).toSeq
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-vecidx-")
+      .toString + "/idx"
+    graft.sink.Sink.writeVectorIndex(
+      graft.util.Tables.embeddings(spark, d)
+        .filter(col("vec_id") % 10 =!= 0), idx)
+
+    spark.conf.set("spark.graft.vecIndex", idx)
+    try {
+      val df = SparkEntry.queries("q118_incremental_semantic")(spark, d)
+      assert(df.inputFiles.exists(_.contains("vecidx")),
+        "seam plan must scan the vector index")
+      val seamed = df.collect().map(_.toString).toSeq
+      assert(seamed == session)
+    } finally spark.conf.unset("spark.graft.vecIndex")
+    // the seam is scoped: unsetting restores the kernel path
+    assert(SparkEntry.queries("q118_incremental_semantic")(spark, d)
+      .collect().map(_.toString).toSeq == session)
+  }
+
+  test("append grows the probe's reach; compaction is probe-identical; replay exclusion and self-guard hold") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-vecidx2-")
+      .toString + "/idx"
+    def emb(rows: (Long, Seq[Float], Int)*) =
+      rows.toDF("vec_id", "embedding", "label")
+    // standing: two cell-0 vectors, one cell-1 vector
+    graft.sink.Sink.writeVectorIndex(
+      emb((1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(1f, 1f, 0f, 0f), 0),
+        (3L, Seq(0f, 0f, 1f, 1f), 1)), idx)
+
+    // batch: near of 1 (cos ≈ .98 beats .83 vs 2), orthogonal (fresh),
+    // and a cell-1 near of 3
+    val batch = emb((10L, Seq(1f, 0.2f, 0f, 0f), 0),
+      (11L, Seq(0f, 0f, 1f, 0f), 0), (12L, Seq(0f, 0f, 1f, 1f), 1))
+    def verdicts(ex: Option[String] = None) =
+      graft.sink.Sink.probeVectorIndex(batch, idx, 0.35, ex)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val v1 = verdicts()
+    assert(v1(10L) == ("near", Some(1L)))
+    assert(v1(11L) == ("fresh", None))
+    assert(v1(12L) == ("near", Some(3L)))
+
+    // admit the fresh vector under a batch tag: a LATER batch with the
+    // same vector now reads near — the index grew mid-flow
+    graft.sink.Sink.appendVectorIndex(
+      emb((11L, Seq(0f, 0f, 1f, 0f), 0)), idx, "t1")
+    val after = graft.sink.Sink.probeVectorIndex(
+      emb((20L, Seq(0f, 0f, 1f, 0f), 0)), idx, 0.35)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(after(20L) == ("near", Some(11L)))
+
+    // replay exclusion: probing the SAME batch excluding its own tag
+    // sees the index as the first attempt did (11 stays fresh)
+    assert(verdicts(Some("t1"))(11L) == ("fresh", None))
+    // without exclusion the readmitted vector meets its OWN index row —
+    // the self-match guard must keep it 'fresh', not near-of-itself
+    val v2 = graft.sink.Sink.probeVectorIndex(
+      emb((11L, Seq(0f, 0f, 1f, 0f), 0)), idx, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(11L) == "fresh", "self-match guard")
+
+    // compaction: fold t1 into base; probes byte-identical
+    val before = graft.sink.Sink.probeVectorIndex(batch, idx, 0.35)
+      .collect().map(_.toString).sorted.toSeq
+    graft.sink.Sink.compactVectorIndex(spark, idx)
+    val dirs = new java.io.File(s"$idx/vectors").listFiles.map(_.getName)
+    assert(dirs.count(_.startsWith("batch=")) == 1 && dirs.contains("batch=base"))
+    val afterC = graft.sink.Sink.probeVectorIndex(batch, idx, 0.35)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterC == before)
+  }
+
+  test("streaming flow: probes the index, admits fresh vectors, replay-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecstream-")
+      .toFile.getAbsolutePath
+    graft.sink.Sink.writeVectorIndex(
+      Seq((1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0f, 0f, 1f, 1f), 1))
+        .toDF("vec_id", "embedding", "label"), s"$tmp/index")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = Streaming.incrementalSemanticDedup(
+      in.toDF().toDF("vec_id", "embedding", "label"),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ck")
+    try {
+      // batch 0: a near of 1 and a novel vector
+      in.addData((10L, Seq(1f, 0.1f, 0f, 0f), 0), (11L, Seq(0f, 1f, 0f, 0f), 0))
+      q.processAllAvailable()
+      // batch 1: identical to the vector ADMITTED in batch 0
+      in.addData((20L, Seq(0f, 1f, 0f, 0f), 0))
+      q.processAllAvailable()
+      val rowsAfterAdmit = spark.read.parquet(s"$tmp/index/vectors").count()
+      // batch 2: vector 11 REDELIVERED — self-guard + known-ids anti-join
+      in.addData((11L, Seq(0f, 1f, 0f, 0f), 0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/index/vectors").count()
+        == rowsAfterAdmit, "redelivered vector duplicated in the index")
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => (r.getAs[Number]("batch").longValue(), r.getAs[Long]("vec_id")) ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("near_of"))
+          .map(_.toLong))).toMap
+    assert(out((0L, 10L))._1 == "near" && out((0L, 10L))._2 == Some(1L))
+    assert(out((0L, 11L)) == ("fresh", None))
+    assert(out((1L, 20L)) == ("near", Some(11L)), "index did not grow")
+    assert(out((2L, 11L)) == ("fresh", None), "redelivery must not self-match")
+  }
+}
