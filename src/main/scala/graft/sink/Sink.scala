@@ -453,7 +453,20 @@ object Sink {
     if (excludeBatch.isDefined && !idx0.columns.contains("batch"))
       sys.error(s"$path/vectors is a legacy unpartitioned vector " +
         "index (no batch column); rebuild it with writeVectorIndex")
-    val idx = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    // STATIC cell pruning: the batch's distinct cell set is bounded by
+    // design (a daily batch touches few cells — that is the coarse
+    // quantizer's contract), so collecting it driver-side and pushing a
+    // literal partition filter prunes the standing scan to exactly the
+    // touched `label=` directories — no reliance on runtime DPP, which
+    // needs a broadcastable build side. Skipped above a sanity cap
+    // (a batch touching thousands of cells reads most partitions
+    // anyway, and a multi-thousand-literal IN only bloats the plan).
+    val batchCells = b.select("label").distinct().limit(1025).collect()
+      .map(_.get(0))
+    val idx =
+      if (batchCells.length > 1024) idx1
+      else idx1.filter(col("label").isin(batchCells: _*))
     val cos = graft.queries.TrainingOps.cosQ(
       graft.queries.TrainingOps.dotQ(col("a.qv"), col("s.qv")),
       col("a.n2"), col("s.n2"))

@@ -100,6 +100,26 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(afterC == before)
   }
 
+  test("probe prunes the standing scan to the batch's own cells (static partition filter)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-vecidx3-")
+      .toString + "/idx"
+    graft.sink.Sink.writeVectorIndex(
+      Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1), (3L, Seq(1f, 1f), 2))
+        .toDF("vec_id", "embedding", "label"), idx)
+    // the batch touches ONE cell; the standing-side parquet scan must
+    // carry a partition filter on label — at scale this is the
+    // difference between reading the touched cells and the corpus
+    val df = graft.sink.Sink.probeVectorIndex(
+      Seq((10L, Seq(1f, 0.1f), 0)).toDF("vec_id", "embedding", "label"), idx)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan).isDefined,
+      plan)
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "near")
+  }
+
   test("streaming flow: probes the index, admits fresh vectors, replay-safe") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
