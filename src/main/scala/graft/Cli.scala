@@ -147,7 +147,10 @@ object Cli {
         // index) and the decision table (its lexical drop flag rides
         // the seamed contaminationHits; the mask tier re-tokenizes by
         // design — positional triples are not in the index)
-        "q115_semantic_contamination", "q117_decontam_decision")
+        "q115_semantic_contamination", "q117_decontam_decision",
+        // r13c: batch novelty is postings-only — the purest index-riding
+        // audit (both its sides come off the persisted postings)
+        "q121_batch_novelty")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the

@@ -140,7 +140,18 @@ object ScaleCheck {
     "q117_decontam_decision",
     // incremental semantic dedup rides the same retained pair cache;
     // its marginal is the cross-set filter + the group-limited window
-    "q118_incremental_semantic")
+    "q118_incremental_semantic",
+    // r13c: dup-span removal is token-volume structured (positional
+    // triples → per-gram owner agg → the one attribution exchange;
+    // cross-replica 8-grams never match, so duplicated-gram volume
+    // scales 10×, not 100×) — q119 pays the shared kernel, q120's row
+    // is the apply's marginal (span-bounded HOF surgery). Batch novelty
+    // is one distinct-h1 agg + one membership join at postings volume.
+    // Prototype pruning is linear in vectors by construction (the
+    // mergeable centroid agg + a |cells|-row attach + cell-bounded
+    // windows) — its slope pins the no-pair-enumeration claim
+    "q119_dupspan_report", "q120_dupspan_apply",
+    "q121_batch_novelty", "q122_prototype_prune")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

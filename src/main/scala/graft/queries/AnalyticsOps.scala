@@ -873,7 +873,75 @@ object AnalyticsOps {
         "FROM relbase b JOIN relr USING (lang) WHERE coin < thr) " +
         "SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
         s"${TrainingOps.oMultisetDigest("CAST(doc_id AS VARCHAR)")} AS ids_hash " +
-        "FROM relsp GROUP BY 1, 2 ORDER BY 1, 2"))
+        "FROM relsp GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Prototypicality pruning (X106, r13c — the D4 diversification step,
+    // Tirumala et al. 2023): within every IVF cell, rank vectors by
+    // cosine to the CELL CENTROID (descending — most prototypical
+    // first) and report the top ⌊n/10⌋ per cell as the prune set. Where
+    // q90/SemDeDup drops duplicate CLUSTERS (pairwise-similarity
+    // components, keep-one), this prunes the cell's dense CORE — the
+    // near-centroid mass that adds the least diversity per token — with
+    // no pair enumeration at all: the operator is LINEAR in vectors.
+    // Centroid trick (q90's): cosine is scale-invariant, so cosine to
+    // the exact integer SUM vector equals cosine to the mean — no
+    // division, both engines bit-identical. Unlike q90's driver-side
+    // codebook UDF, the centroid here stays DISTRIBUTED: the mergeable
+    // VectorSum aggregator builds |cells| (sum, count) rows map-side,
+    // and the per-vector attach is a planner-gated |cells|-row join
+    // (broadcast at any scale — the coarse quantizer caps |cells| by
+    // design). ‖sum‖² is computed per centroid row in decimal(38,0)
+    // (components reach 2^20·|cell|; their squares pass int64 at
+    // |cell| ≈ 2^10 — the q90 overflow note, solved here in-plan
+    // instead of via BigInt on the driver). The rank window partitions
+    // by cell — cell-bounded, the cellPairCos contract. Dot products
+    // are the checked-exact graft_dot_long codegen expression; its
+    // 2^46·|cell| headroom bounds |cell| ≤ ~2^17, the documented
+    // re-centering escape beyond.
+    Q("q122_prototype_prune",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vsum = udaf(graft.functions.VectorSum)
+        val qv = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            TrainingOps.quantize(col("embedding")).as("qv"))
+        val cells = qv.groupBy("label")
+          .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n_cell"))
+          .withColumn("n2c", aggregate(col("sv"),
+            lit(0L).cast("decimal(38,0)"),
+            (a, x) => a + x.cast("decimal(38,0)") * x.cast("decimal(38,0)"))
+            .cast("double"))
+        qv.join(cells, Seq("label"))
+          .select(col("vec_id"), col("label"), col("n_cell"),
+            (TrainingOps.dotQ(col("qv"), col("sv")).cast("double") /
+              (sqrt(TrainingOps.norm2Q(col("qv")).cast("double")) *
+                sqrt(col("n2c")))).as("cent_cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("label")
+              .orderBy(col("cent_cos").desc, col("vec_id"))))
+          .filter(col("rk") <= expr("n_cell div 10"))
+          .select(col("vec_id"), col("label"), col("cent_cos"), col("n_cell"))
+          .orderBy("vec_id")
+      },
+      Some("WITH ev AS (SELECT vec_id, label, " + TrainingOps.oQuant +
+        " AS v FROM embeddings), " +
+        "ee AS (SELECT vec_id, label, unnest(range(len(v))) AS pos, " +
+        "unnest(v) AS x FROM ev), " +
+        "n AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM ee GROUP BY vec_id), " +
+        "cs AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sx FROM ee GROUP BY 1, 2), " +
+        "ns AS (SELECT label, sum(sx * sx) AS n2s FROM cs GROUP BY 1), " +
+        "cn AS (SELECT label, count(*) AS n_cell FROM ev GROUP BY 1), " +
+        "dotc AS (SELECT e.vec_id, CAST(sum(e.x * cs.sx) AS BIGINT) AS dotv " +
+        "FROM ee e JOIN cs ON e.label = cs.label AND e.pos = cs.pos GROUP BY 1), " +
+        "cent AS (SELECT ev.vec_id, ev.label, " +
+        "CAST(dotv AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(ns.n2s AS DOUBLE))) AS cent_cos " +
+        "FROM ev JOIN dotc USING (vec_id) JOIN n ON ev.vec_id = n.vec_id " +
+        "JOIN ns ON ev.label = ns.label), " +
+        "rk AS (SELECT c.vec_id, c.label, c.cent_cos, cn.n_cell, " +
+        "row_number() OVER (PARTITION BY c.label " +
+        "ORDER BY cent_cos DESC, c.vec_id) AS rk FROM cent c JOIN cn USING (label)) " +
+        "SELECT vec_id, label, cent_cos, CAST(n_cell AS BIGINT) AS n_cell " +
+        "FROM rk WHERE rk <= n_cell // 10 ORDER BY vec_id"))
   )
 
   /** The release pipeline's document-level output — (doc_id, source,

@@ -85,6 +85,92 @@ object AuditOps {
       "CASE WHEN ida % 50 = 0 THEN idb ELSE ida END AS train_id, cos " +
       "FROM cpc WHERE cos >= 0.35 AND ((ida % 50 = 0) <> (idb % 50 = 0)))"
 
+  /** X104's shared kernel — corpus-INTERNAL duplicated-span masks with
+    * keep-first attribution (Lee et al. 2021's "deduplicating training
+    * data" remedy at span granularity): the merged (doc_id, s, e) token
+    * spans covering every occurrence of an 8-gram that appears in ≥ 2
+    * documents, in every document EXCEPT the gram's owner (min doc_id —
+    * the keep-FIRST rule: one copy of every duplicated span survives the
+    * corpus). Distinct from [[maskSpans]]/q112, whose mask set is a
+    * FIXED eval suite (broadcastable by contract): here the duplicated-
+    * gram set is corpus-derived and corpus-sized, so the attribution
+    * join is a real shuffle — and distinct from q80's pairwise substring
+    * runs, whose enumeration grows df² on hot grams where this
+    * aggregates per-gram (df-bounded, never df² pairs).
+    *
+    * Scale shape, exchange by exchange (all int64 — text never leaves
+    * the scan): (1) the positional triples (doc_id, pos, h1) are born
+    * inside the `posngrams` Generator and transient-persisted — the
+    * owner aggregation and the attribution join both read them, and a
+    * second corpus tokenize would cost more than the disk-backed
+    * columnar persist; (2) owners = distinct (doc_id, h1) → one h1
+    * aggregation (min/count — partial map-side, no per-key state
+    * beyond two longs, so hot boilerplate grams cannot spill a
+    * reducer); (3) the triples join owners on h1 — the one token-volume
+    * exchange, the irreducible cost of GLOBAL attribution (every
+    * position must learn its gram's df; there is no fixed small side to
+    * broadcast) — with the owners side riding its aggregation's own
+    * partitioning; (4) only true cross-doc-duplicated positions reach
+    * the per-doc island windows (overlap-bounded, q112's shape).
+    */
+  private def dupSpans(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"dupSpans:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).filter(col("text").isNotNull)
+      val tri = graft.util.Caches.transientPersist(
+        docs.selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            Hashing.md5Long(col("g")).as("h1")))
+      val owners = tri.select("doc_id", "h1").distinct()
+        .groupBy("h1")
+        .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select("h1", "owner")
+      val hits = tri.join(owners, "h1")
+        .filter(col("doc_id") =!= col("owner"))
+        .select("doc_id", "pos")
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val prevEnd = max(col("pos") + lit(7L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      hits
+        .withColumn("flag",
+          when(prevEnd.isNull || col("pos") > prevEnd + lit(1L), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum("flag").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + lit(7L)).as("e"))
+        .select("doc_id", "s", "e")
+    }
+
+  /** Oracle CTE chain mirroring [[dupSpans]] — ends in
+    * `dsp(doc_id, s, e)` with `dtoks(doc_id, ws)` also in scope.
+    */
+  private val dupCtes: String =
+    "dtoks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "dpos AS (SELECT doc_id, i AS pos, " +
+      oMd5Long("array_to_string(ws[i:i+7], ' ')") + " AS h1 " +
+      "FROM dtoks, unnest(range(1, len(ws) - 6)) AS t(i)), " +
+      "down AS (SELECT h1, min(doc_id) AS owner FROM " +
+      "(SELECT DISTINCT doc_id, h1 FROM dpos) GROUP BY 1 " +
+      "HAVING count(*) >= 2), " +
+      // (doc_id, pos) unique in dpos and down unique per h1, so the
+      // join is 1:1 on positions
+      "dhit AS (SELECT p.doc_id, p.pos FROM dpos p JOIN down o USING (h1) " +
+      "WHERE p.doc_id <> o.owner), " +
+      "drr AS (SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id " +
+      "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+      "AS prev_end FROM dhit), " +
+      "dfl AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL " +
+      "OR pos > prev_end + 1 THEN 1 ELSE 0 END AS flag FROM drr), " +
+      "disl AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id " +
+      "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS island FROM dfl), " +
+      "dsp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e " +
+      "FROM disl GROUP BY 1, 2)"
+
   /** Oracle CTE chain mirroring [[maskSpans]] — ends in
     * `sp(doc_id, island, s, e)` with `toks(doc_id, ws)` also in scope.
     */
@@ -1046,5 +1132,135 @@ object AuditOps {
         "SELECT source, decision, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS chars_total " +
         "FROM dec GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Duplicated-span removal, REPORT tier (X104, r13c): per document,
+    // the merged token spans covered by 8-grams that occur in ≥ 2
+    // documents and are owned elsewhere (keep-first: the minimum doc_id
+    // containing a gram keeps it; every other occurrence is maskable).
+    // This is the span-granular middle ground between exact/near doc
+    // dedup (q27/q29 — drop whole documents) and nothing: boilerplate
+    // headers, licence blocks and templated passages are cut while the
+    // novel remainder of each document survives (Lee et al. 2021's
+    // ExactSubstr remedy). See [[dupSpans]] for the exchange-by-exchange
+    // scale story; the report itself is one overlap-bounded per-doc
+    // aggregate over the shared kernel + a doc-length attach.
+    Q("q119_dupspan_report",
+      (s, d) => {
+        val perDoc = dupSpans(s, d).groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + lit(1L)).as("masked_tokens"))
+        perDoc
+          .join(documents(s, d).filter(col("text").isNotNull)
+            .select(col("doc_id"),
+              size(graft.functions.Text.words(col("text"))).cast("long")
+                .as("n_tokens")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_spans"), col("masked_tokens"),
+            col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $dupCtes, " +
+        "dagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(e - s + 1) AS BIGINT) AS masked_tokens FROM dsp GROUP BY 1) " +
+        "SELECT a.doc_id, a.n_spans, a.masked_tokens, " +
+        "CAST(len(t.ws) AS BIGINT) AS n_tokens " +
+        "FROM dagg a JOIN dtoks t USING (doc_id) ORDER BY doc_id")),
+
+    // Duplicated-span removal, APPLY tier (X104, r13c): produce the
+    // deduplicated documents — cut every non-owner duplicated span and
+    // re-join the survivors (the q114 surgery over [[dupSpans]] instead
+    // of the eval-driven maskSpans). Output for every span-bearing doc:
+    // masked-text content hash, surviving and original token counts.
+    // Scale: the apply touches ONLY span-bearing docs (inner join
+    // against the overlap-bounded span list — the clean bulk never
+    // re-tokenizes or moves); surgery is per-row higher-order functions
+    // (no explode, no text shuffle); span lists per doc are bounded by
+    // the doc's own duplication.
+    Q("q120_dupspan_apply",
+      (s, d) => {
+        val spans = dupSpans(s, d).groupBy("doc_id")
+          .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+        val base = documents(s, d).filter(col("text").isNotNull)
+          .join(spans, Seq("doc_id"))
+          .withColumn("ws", graft.functions.Text.words(col("text")))
+        val toks = transform(col("ws"),
+          (w, i) => struct((i + lit(1)).cast("long").as("i"), w.as("w")))
+        val kept = filter(toks, x => !exists(col("spans"),
+          sp => x.getField("i") >= sp.getField("s")
+            && x.getField("i") <= sp.getField("e")))
+        base.select(col("doc_id"),
+            md5(array_join(transform(kept, x => x.getField("w")), " "))
+              .as("masked_hash"),
+            size(kept).cast("long").as("kept_tokens"),
+            size(col("ws")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $dupCtes, " +
+        "dm AS (SELECT t.doc_id, t.ws FROM dtoks t " +
+        "WHERE EXISTS (SELECT 1 FROM dsp WHERE dsp.doc_id = t.doc_id)), " +
+        "dkeep AS (SELECT dm.doc_id, i, ws[i] AS w " +
+        "FROM dm, unnest(range(1, len(ws) + 1)) AS t(i) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM dsp WHERE dsp.doc_id = dm.doc_id " +
+        "AND i >= dsp.s AND i <= dsp.e)), " +
+        "dout AS (SELECT doc_id, md5(coalesce(string_agg(w, ' ' ORDER BY i), '')) " +
+        "AS masked_hash, CAST(count(*) AS BIGINT) AS kept_tokens " +
+        "FROM dkeep GROUP BY 1) " +
+        // a fully-masked doc has no dkeep rows: hash of '' and 0 kept
+        "SELECT dm.doc_id, coalesce(o.masked_hash, md5('')) AS masked_hash, " +
+        "coalesce(o.kept_tokens, 0) AS kept_tokens, " +
+        "CAST(len(dm.ws) AS BIGINT) AS n_tokens " +
+        "FROM dm LEFT JOIN dout o USING (doc_id) ORDER BY dm.doc_id")),
+
+    // Batch novelty scoring (X105, r13c): for every incoming-batch
+    // document (doc_id ≡ 0 mod 10 — q95's daily-crawl convention), the
+    // fraction of its distinct shingles NOT already present in the
+    // standing corpus — the triage signal between q95's binary verdicts
+    // ('near'/'fresh') and nothing: a 'fresh' doc that is 95% known
+    // shingles is recombined boilerplate, not new content, and a
+    // curator prioritizing genuinely-novel data wants the ratio, not
+    // the verdict. Bands at 0.9/0.5 mirror the report a triage page
+    // shows. Scale: rides [[TrainingOps.shinglePostings]] — SEAM-AWARE
+    // (with `spark.graft.fpIndex` set, both sides are parquet reads of
+    // the persisted X76 index's pre-hashed postings; no tokenize). One
+    // h1 aggregation builds the standing distinct-shingle set, one
+    // h1-keyed join (standing side unique per h1 — no fanout) flags the
+    // batch's postings, one batch-sized per-doc aggregate emits the
+    // report. The standing set is corpus-sized, so the join is a real
+    // shuffle — the irreducible cost of membership against a standing
+    // corpus; what the seam saves is the re-tokenize, and the batch
+    // side the exchange carries is batch-sized.
+    Q("q121_batch_novelty",
+      (s, d) => {
+        val post = TrainingOps.shinglePostings(s, d)
+        val standing = post.filter(col("doc_id") % 10 =!= 0)
+          .select("h1").distinct().withColumn("seen", lit(1L))
+        post.filter(col("doc_id") % 10 === 0)
+          .join(standing, Seq("h1"), "left")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h1")).as("n_shingles"),
+            countDistinct(when(col("seen").isNotNull, col("h1"))).as("n_seen"))
+          .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+            ((col("n_shingles") - col("n_seen")).cast("double") /
+              col("n_shingles").cast("double")).as("novelty"))
+          .withColumn("band",
+            when(col("novelty") >= 0.9, "novel")
+              .when(col("novelty") >= 0.5, "mixed")
+              .otherwise(lit("dup_heavy")))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $shCte, $shhCte, " +
+        "stg AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 10 <> 0), " +
+        "bt AS (SELECT b.doc_id, b.h1, stg.h1 AS seen FROM shh b " +
+        "LEFT JOIN stg ON b.h1 = stg.h1 WHERE b.doc_id % 10 = 0), " +
+        "bagg AS (SELECT doc_id, count(DISTINCT h1) AS n_shingles, " +
+        "count(DISTINCT CASE WHEN seen IS NOT NULL THEN h1 END) AS n_seen " +
+        "FROM bt GROUP BY 1), " +
+        "nv AS (SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, " +
+        "CAST(n_seen AS BIGINT) AS n_seen, " +
+        "CAST(n_shingles - n_seen AS DOUBLE) / CAST(n_shingles AS DOUBLE) " +
+        "AS novelty FROM bagg) " +
+        "SELECT doc_id, n_shingles, n_seen, novelty, " +
+        "CASE WHEN novelty >= 0.9 THEN 'novel' " +
+        "WHEN novelty >= 0.5 THEN 'mixed' ELSE 'dup_heavy' END AS band " +
+        "FROM nv ORDER BY doc_id")),
   )
 }

@@ -48,4 +48,32 @@ class AnalyticsSpec extends AnyFunSuite {
     val clean = rows.map(_.getLong(5)).sum
     assert(clean < tot)
   }
+
+  test("q122 prototype prune matches a driver-side centroid recomputation") {
+    val d = TestSpark.sfDir
+    val vecs = graft.util.Tables.embeddings(spark, d)
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val q = r.getSeq[Float](2)
+          .map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
+        (r.getLong(0), r.getInt(1), q)
+      }
+    val expected = vecs.groupBy(_._2).toSeq.flatMap { case (label, cell) =>
+      val dim = cell.head._3.length
+      val sv = Array.tabulate(dim)(i => cell.map(v => BigInt(v._3(i))).sum)
+      val n2c = sv.map(x => x * x).sum.toDouble
+      val ranked = cell.map { case (id, _, q) =>
+        val dot = (0 until dim).map(i => BigInt(q(i)) * sv(i)).sum.toDouble
+        val n2v = q.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        (id, dot / (math.sqrt(n2v) * math.sqrt(n2c)))
+      }.sortBy { case (id, c) => (-c, id) }
+      ranked.take(cell.length / 10)
+        .map { case (id, c) => (id, label, c, cell.length.toLong) }
+    }.sortBy(_._1)
+    assert(expected.nonEmpty) // at least one cell of ≥ 10 vectors at this SF
+    val got = SparkEntry.queries("q122_prototype_prune")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
 }

@@ -589,4 +589,122 @@ class AuditSpec extends AnyFunSuite {
         (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got == expected)
   }
+
+  /** Constructed corpus for the X104 dup-span tier: A (a1..a8) is owned
+    * by doc 1 and also appears in docs 2 (twice), 3 and 6; B (b1..b8)
+    * is owned by doc 3 and also appears in doc 4. Pins keep-first
+    * (owners absent from the report), all-occurrence (doc 2's two
+    * sites), adjacent-occurrence merging (doc 6's back-to-back A A →
+    * one span) and clean/short docs absent.
+    */
+  private def dupSpanCorpus(): String = {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i")
+    val b = (1 to 8).map(i => s"b$i")
+    def t(xs: Seq[String]) = xs.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupspan-")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, t(a)),                                    // owner of A: immune
+      (2L, t(Seq("x", "y") ++ a ++ Seq("z") ++ a)),  // A at [3,10], [12,19]
+      (3L, t(a ++ b)),                               // A at [1,8]; owns B
+      (4L, t(Seq("c") ++ b)),                        // B at [2,9]
+      (5L, t((1 to 10).map(i => s"u$i"))),           // clean: absent
+      (6L, t(Seq("p") ++ a ++ a)))                   // adjacent: one [2,17]
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q119 dup-span report: keep-first, all-occurrence and merge semantics on a constructed corpus") {
+    val got = SparkEntry.queries("q119_dupspan_report")(spark, dupSpanCorpus())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (2L, 2L, 16L, 19L),
+      (3L, 1L, 8L, 16L),
+      (4L, 1L, 8L, 9L),
+      (6L, 1L, 16L, 17L)))
+  }
+
+  test("q120 dup-span apply: owners keep their text, non-owners keep exactly the span complement") {
+    def md5(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val got = SparkEntry.queries("q120_dupspan_apply")(spark, dupSpanCorpus())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (2L, md5("x y z"), 3L, 19L),
+      (3L, md5((1 to 8).map(i => s"b$i").mkString(" ")), 8L, 16L),
+      (4L, md5("c"), 1L, 9L),
+      (6L, md5("p"), 1L, 17L)))
+  }
+
+  test("q120 exchanges are string-free: corpus text never crosses a shuffle or broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = SparkEntry.queries("q120_dupspan_apply")(spark, d)
+    df.count() // materialize the adaptive plan + the cached kernel
+    def exchanges(p: SparkPlan): Seq[org.apache.spark.sql.execution.exchange.Exchange] = {
+      val buf = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.exchange.Exchange]
+      p.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          if (a.executedPlan ne p) buf ++= exchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          buf ++= exchanges(q.plan)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          buf ++= exchanges(i.relation.cachedPlan)
+        case e: org.apache.spark.sql.execution.exchange.Exchange => buf += e
+        case _ =>
+      }
+      buf.toSeq
+    }
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty)
+    // the one permitted string: the report's OWN masked_hash output (a
+    // 32-char hex per span-bearing doc — output-sized rows on the final
+    // presentation exchange). Corpus text and token arrays never cross.
+    for (e <- ex; a <- e.child.output)
+      assert(!a.dataType.simpleString.contains("string")
+          || a.name == "masked_hash",
+        s"text-bearing exchange: ${a.name}: ${a.dataType.simpleString} in\n$e")
+  }
+
+  test("q121 batch novelty matches a driver-side shingle-membership recomputation") {
+    val standing = docs.filter(_._1 % 10 != 0).flatMap(_._4).toSet
+    val expected = docs.filter(t => t._1 % 10 == 0 && t._4.nonEmpty)
+      .sortBy(_._1)
+      .map { case (id, _, _, sh, _) =>
+        val n = sh.size.toLong
+        val seen = sh.count(standing.contains).toLong
+        val nov = (n - seen).toDouble / n.toDouble
+        val band =
+          if (nov >= 0.9) "novel" else if (nov >= 0.5) "mixed" else "dup_heavy"
+        (id, n, seen, nov, band)
+      }
+    assert(expected.nonEmpty)
+    val got = SparkEntry.queries("q121_batch_novelty")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("q121 band edges: an exact standing copy reads dup_heavy, all-new reads novel, half reads mixed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty-")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, "s1 s2 s3 s4"),   // standing
+      (10L, "s1 s2 s3 s4"),  // exact copy: novelty 0 → dup_heavy
+      (20L, "u1 u2 u3 u4"),  // all-new: novelty 1 → novel
+      (30L, "s1 s2 s3 v1"))  // {s1s2s3 seen, s2s3v1 new}: 0.5 → mixed
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q121_batch_novelty")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4))).toSeq
+    assert(got == Seq((10L, 0.0, "dup_heavy"), (20L, 1.0, "novel"),
+      (30L, 0.5, "mixed")))
+  }
 }

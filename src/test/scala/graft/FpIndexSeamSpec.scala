@@ -45,7 +45,10 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // the decision table's lexical drop flag rides the seamed
     // contaminationHits (its mask tier legitimately re-tokenizes —
     // positional triples are not in the index)
-    "q116_dedup_tier_agreement", "q117_decontam_decision")
+    "q116_dedup_tier_agreement", "q117_decontam_decision",
+    // r13c: batch novelty is a pure postings consumer — both its
+    // standing set and its batch side come off the seamed postings
+    "q121_batch_novelty")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
@@ -86,6 +89,17 @@ class FpIndexSeamSpec extends AnyFunSuite {
         SparkEntry.queries("q95_incremental_dedup")(spark, TestSpark.sfDir))
       assert(q95Plan.contains(dir) && !q95Plan.contains("text#"),
         "q95 seam plan must read hashes from the index, not text")
+      // q121 is postings-only: index scan, no re-tokenize, no text.
+      // Pinned on the PHYSICAL plan — unlike q110/q95, whose index reads
+      // sit inside cached kernels (whose InMemoryRelation prints its
+      // FileScan paths even in the optimized plan), q121's postings scan
+      // is uncached and the optimized plan's bare `Relation … parquet`
+      // elides the path.
+      val q121Plan = SparkEntry.queries("q121_batch_novelty")(
+        spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+      assert(q121Plan.contains(dir) && !q121Plan.toLowerCase.contains("shingles(")
+        && !q121Plan.contains("text#"),
+        "q121 seam plan must ride the index postings only")
 
       // (a) value identity, every seam consumer
       for (q <- seamQueries) {
