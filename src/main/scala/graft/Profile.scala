@@ -109,6 +109,39 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> shufab <query> <partsA> <partsB>
+    // [passes]`: INTERLEAVED shuffle-partition A/B in ONE JVM — the
+    // instrument for the two-class tag decisions. Single-box sf10
+    // timings swing 2–6× with window state (page-cache/writeback
+    // residue from a previous 64g JVM — the r13c q119 lesson, where
+    // back-to-back ScaleCheck runs read 57 s and 4.3 s for the SAME
+    // posture); alternating the postures pass-by-pass inside one
+    // process subjects both to identical window drift, so the min-per-
+    // posture comparison isolates the partition count itself.
+    if (args.length >= 5 && args(1) == "shufab") {
+      val fn = SparkEntry.queries(args(2))
+      val pa = args(3)
+      val pb = args(4)
+      val passes = args.lift(5).map(_.toInt).getOrElse(3)
+      def once(p: String): Double = {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(pa); once(pb) // warm both postures (JIT, codegen, footers)
+      val timed = (1 to passes).map(_ => (once(pa), once(pb)))
+      val (as, bs) = timed.unzip
+      println(f"[shufab] ${args(2)} parts=$pa%-5s min ${as.min}%.3f  " +
+        s"runs ${as.map(v => f"$v%.3f").mkString(" ")}")
+      println(f"[shufab] ${args(2)} parts=$pb%-5s min ${bs.min}%.3f  " +
+        s"runs ${bs.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)

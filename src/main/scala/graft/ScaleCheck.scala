@@ -151,7 +151,12 @@ object ScaleCheck {
     // mergeable centroid agg + a |cells|-row attach + cell-bounded
     // windows) — its slope pins the no-pair-enumeration claim
     "q119_dupspan_report", "q120_dupspan_apply",
-    "q121_batch_novelty", "q122_prototype_prune")
+    "q121_batch_novelty", "q122_prototype_prune",
+    // the triage composite stacks the verdict frame (pair kernel),
+    // novelty bands and the quality kernel — its slope prices the
+    // incremental tier's composed sign-off path (q108's story for the
+    // daily batch)
+    "q123_batch_triage")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -171,6 +171,48 @@ object AuditOps {
       "dsp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e " +
       "FROM disl GROUP BY 1, 2)"
 
+  /** X105's shared frame — per-batch-doc novelty (doc_id, n_shingles,
+    * n_seen, novelty, band), consumed by the q121 report and the q123
+    * triage composite. Seam-aware via [[TrainingOps.shinglePostings]];
+    * see q121's registry comment for the scale story.
+    */
+  private def noveltyFrame(s: SparkSession, d: String): DataFrame = {
+    val post = TrainingOps.shinglePostings(s, d)
+    val standing = post.filter(col("doc_id") % 10 =!= 0)
+      .select("h1").distinct().withColumn("seen", lit(1L))
+    post.filter(col("doc_id") % 10 === 0)
+      .join(standing, Seq("h1"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h1")).as("n_shingles"),
+        countDistinct(when(col("seen").isNotNull, col("h1"))).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        ((col("n_shingles") - col("n_seen")).cast("double") /
+          col("n_shingles").cast("double")).as("novelty"))
+      .withColumn("band",
+        when(col("novelty") >= 0.9, "novel")
+          .when(col("novelty") >= 0.5, "mixed")
+          .otherwise(lit("dup_heavy")))
+  }
+
+  /** Oracle CTE chain mirroring [[noveltyFrame]] — ends in
+    * `nvb(doc_id, n_shingles, n_seen, novelty, band)`; expects `shh`
+    * ([[TrainingOps.shhCte]]) in scope.
+    */
+  private val nvCtes: String =
+    "stg AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 10 <> 0), " +
+      "bt AS (SELECT b.doc_id, b.h1, stg.h1 AS seen FROM shh b " +
+      "LEFT JOIN stg ON b.h1 = stg.h1 WHERE b.doc_id % 10 = 0), " +
+      "bagg AS (SELECT doc_id, count(DISTINCT h1) AS n_shingles, " +
+      "count(DISTINCT CASE WHEN seen IS NOT NULL THEN h1 END) AS n_seen " +
+      "FROM bt GROUP BY 1), " +
+      "nv AS (SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, " +
+      "CAST(n_seen AS BIGINT) AS n_seen, " +
+      "CAST(n_shingles - n_seen AS DOUBLE) / CAST(n_shingles AS DOUBLE) " +
+      "AS novelty FROM bagg), " +
+      "nvb AS (SELECT doc_id, n_shingles, n_seen, novelty, " +
+      "CASE WHEN novelty >= 0.9 THEN 'novel' " +
+      "WHEN novelty >= 0.5 THEN 'mixed' ELSE 'dup_heavy' END AS band FROM nv)"
+
   /** Oracle CTE chain mirroring [[maskSpans]] — ends in
     * `sp(doc_id, island, s, e)` with `toks(doc_id, ws)` also in scope.
     */
@@ -1229,38 +1271,51 @@ object AuditOps {
     // corpus; what the seam saves is the re-tokenize, and the batch
     // side the exchange carries is batch-sized.
     Q("q121_batch_novelty",
+      (s, d) => noveltyFrame(s, d).orderBy("doc_id"),
+      Some(s"WITH $shCte, $shhCte, $nvCtes " +
+        "SELECT doc_id, n_shingles, n_seen, novelty, band " +
+        "FROM nvb ORDER BY doc_id")),
+
+    // Batch triage (X107, r13c): the daily-batch SIGN-OFF page — one row
+    // per (dedup verdict × novelty band) with doc counts, token mass and
+    // the quality range, composing q95's two-tier verdicts, q121's
+    // novelty bands and the shared quality kernel for the SAME ≡ 0
+    // mod 10 batch. This is the q117 posture applied to the incremental
+    // tier: before admitting a day's crawl, an operator reads how much
+    // of it is exact/near duplication, how novel the 'fresh' remainder
+    // actually is (a fresh-but-dup_heavy cell is recombined boilerplate
+    // — the triage signal q95 alone cannot give), and what quality
+    // range each cell spans. Scale: all three inputs are shared-kernel
+    // derivatives (verdict frame batch-sized over the pair kernel,
+    // novelty bands postings-bounded, quality map-side); the joins are
+    // batch-sized doc_id-keyed and planner-gated; the final aggregate
+    // is ≤ 3 × 4 groups. min/max over doubles are order-insensitive
+    // (the house exactness rule — no double SUMs cross engines).
+    Q("q123_batch_triage",
       (s, d) => {
-        val post = TrainingOps.shinglePostings(s, d)
-        val standing = post.filter(col("doc_id") % 10 =!= 0)
-          .select("h1").distinct().withColumn("seen", lit(1L))
-        post.filter(col("doc_id") % 10 === 0)
-          .join(standing, Seq("h1"), "left")
-          .groupBy("doc_id")
-          .agg(countDistinct(col("h1")).as("n_shingles"),
-            countDistinct(when(col("seen").isNotNull, col("h1"))).as("n_seen"))
-          .select(col("doc_id"), col("n_shingles"), col("n_seen"),
-            ((col("n_shingles") - col("n_seen")).cast("double") /
-              col("n_shingles").cast("double")).as("novelty"))
-          .withColumn("band",
-            when(col("novelty") >= 0.9, "novel")
-              .when(col("novelty") >= 0.5, "mixed")
-              .otherwise(lit("dup_heavy")))
-          .orderBy("doc_id")
+        val v = TrainingOps.incrementalVerdicts(s, d)
+          .select(col("doc_id"), col("verdict"))
+        val nb = noveltyFrame(s, d).select(col("doc_id"), col("band"))
+        val qual = TrainingOps.qualityFeatures(s, d)
+          .select(col("doc_id"), col("n_tokens"), col("score"))
+        v.join(nb, Seq("doc_id"), "left")
+          .join(qual, Seq("doc_id"), "left")
+          .groupBy(col("verdict"),
+            coalesce(col("band"), lit("none")).as("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("n_tokens"),
+            min("score").as("min_score"), max("score").as("max_score"))
+          .orderBy("verdict", "band")
       },
-      Some(s"WITH $shCte, $shhCte, " +
-        "stg AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 10 <> 0), " +
-        "bt AS (SELECT b.doc_id, b.h1, stg.h1 AS seen FROM shh b " +
-        "LEFT JOIN stg ON b.h1 = stg.h1 WHERE b.doc_id % 10 = 0), " +
-        "bagg AS (SELECT doc_id, count(DISTINCT h1) AS n_shingles, " +
-        "count(DISTINCT CASE WHEN seen IS NOT NULL THEN h1 END) AS n_seen " +
-        "FROM bt GROUP BY 1), " +
-        "nv AS (SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, " +
-        "CAST(n_seen AS BIGINT) AS n_seen, " +
-        "CAST(n_shingles - n_seen AS DOUBLE) / CAST(n_shingles AS DOUBLE) " +
-        "AS novelty FROM bagg) " +
-        "SELECT doc_id, n_shingles, n_seen, novelty, " +
-        "CASE WHEN novelty >= 0.9 THEN 'novel' " +
-        "WHEN novelty >= 0.5 THEN 'mixed' ELSE 'dup_heavy' END AS band " +
-        "FROM nv ORDER BY doc_id")),
+      Some(s"WITH ${TrainingOps.lshPairsCtes}, ${TrainingOps.bvCte}, " +
+        s"$nvCtes, ${TrainingOps.qualCte}, " +
+        "tri AS (SELECT bv.verdict, coalesce(nvb.band, 'none') AS band, " +
+        "q.n_tokens, q.score FROM bv " +
+        "LEFT JOIN nvb ON bv.doc_id = nvb.doc_id " +
+        "LEFT JOIN qual q ON bv.doc_id = q.doc_id) " +
+        "SELECT verdict, band, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "min(score) AS min_score, max(score) AS max_score " +
+        "FROM tri GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }

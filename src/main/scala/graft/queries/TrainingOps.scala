@@ -547,6 +547,71 @@ object TrainingOps {
       "FROM iv JOIN sz za ON ida = za.doc_id JOIN sz zb ON idb = zb.doc_id " +
       "WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8)"
 
+  /** q95's verdict frame (doc_id, verdict, dup_of, jacc) for the ≡ 0
+    * mod 10 batch — factored (r13c) so the batch-triage composite
+    * (q123) consumes the SAME two-tier semantics: exact-first (q27's
+    * content hash against standing docs, partner = min id), then
+    * verified LSH near-dup (q29's θ = 0.8, partner = best-Jaccard, ties
+    * → min id), else fresh. See q95's registry comment for the full
+    * scale story (the exact tier is one 16-byte-hash shuffle; the near
+    * tier filters the SHARED verified pair kernel).
+    */
+  private[queries] def incrementalVerdicts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // three consumers read this frame (exact-tier batch side,
+    // standing side, final batch base) — persist it or the corpus
+    // scan + md5 subplan runs once per consumer (the lmScores-inst
+    // discipline; r10, an ADVICE catch)
+    val hashed = graft.util.Caches.transientPersist(exactHashes(s, d))
+    val isBatch = col("doc_id") % 10 === 0
+    val exact = hashed.filter(isBatch)
+      .join(hashed.filter(!isBatch)
+        .select(col("h"), col("doc_id").as("pid")), "h")
+      .groupBy("doc_id").agg(min("pid").as("exact_of"))
+    val pairs = lshPairs(s, d)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jacc").desc, col("near_of"))
+    val near = pairs
+      .filter((col("ida") % 10 === 0) =!= (col("idb") % 10 === 0))
+      .select(
+        when(col("ida") % 10 === 0, col("ida")).otherwise(col("idb"))
+          .as("doc_id"),
+        when(col("ida") % 10 === 0, col("idb")).otherwise(col("ida"))
+          .as("near_of"),
+        col("jacc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    hashed.filter(isBatch).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("fresh")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        when(col("exact_of").isNull, col("jacc")).as("jacc"))
+  }
+
+  /** Oracle CTE chain mirroring [[incrementalVerdicts]] — ends in
+    * `bv(doc_id, verdict, dup_of, jacc)`; expects `pairs`
+    * ([[lshPairsCtes]]) in scope.
+    */
+  private[queries] val bvCte: String =
+    "bhh AS (SELECT doc_id, md5(regexp_replace(text, '\\s+', '', 'g')) AS h FROM documents), " +
+      "bex AS (SELECT b.doc_id, min(e.doc_id) AS exact_of FROM bhh b " +
+      "JOIN bhh e ON b.h = e.h AND e.doc_id % 10 <> 0 WHERE b.doc_id % 10 = 0 GROUP BY 1), " +
+      "bhits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS doc_id, " +
+      "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, jacc FROM pairs " +
+      "WHERE (ida % 10 = 0) <> (idb % 10 = 0)), " +
+      "bnr AS (SELECT doc_id, near_of, jacc FROM (SELECT doc_id, near_of, jacc, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY jacc DESC, near_of) AS rn FROM bhits) WHERE rn = 1), " +
+      "bv AS (SELECT b.doc_id, " +
+      "CASE WHEN exact_of IS NOT NULL THEN 'exact' WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
+      "coalesce(exact_of, near_of) AS dup_of, " +
+      "CASE WHEN exact_of IS NULL THEN jacc END AS jacc " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
+      "LEFT JOIN bex ON b.doc_id = bex.doc_id LEFT JOIN bnr ON b.doc_id = bnr.doc_id)"
+
   // ---- shared embedding building blocks ----------------------------------
 
   /** Quantize a float embedding to exact 2^20-scaled BIGINTs. Dot products
@@ -1265,58 +1330,9 @@ object TrainingOps {
     // window orders by (jacc DESC, dup_of) — unique per doc, no tie
     // (the q93 lesson).
     Q("q95_incremental_dedup",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // three consumers read this frame (exact-tier batch side,
-        // standing side, final batch base) — persist it or the corpus
-        // scan + md5 subplan runs once per consumer (the lmScores-inst
-        // discipline; r10, an ADVICE catch)
-        val hashed = graft.util.Caches.transientPersist(exactHashes(s, d))
-        val isBatch = col("doc_id") % 10 === 0
-        val exact = hashed.filter(isBatch)
-          .join(hashed.filter(!isBatch)
-            .select(col("h"), col("doc_id").as("pid")), "h")
-          .groupBy("doc_id").agg(min("pid").as("exact_of"))
-        val pairs = lshPairs(s, d)
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("jacc").desc, col("near_of"))
-        val near = pairs
-          .filter((col("ida") % 10 === 0) =!= (col("idb") % 10 === 0))
-          .select(
-            when(col("ida") % 10 === 0, col("ida")).otherwise(col("idb"))
-              .as("doc_id"),
-            when(col("ida") % 10 === 0, col("idb")).otherwise(col("ida"))
-              .as("near_of"),
-            col("jacc"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        hashed.filter(isBatch).select(col("doc_id"))
-          .join(exact, Seq("doc_id"), "left")
-          .join(near, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("exact_of").isNotNull, lit("exact"))
-              .when(col("near_of").isNotNull, lit("near"))
-              .otherwise(lit("fresh")).as("verdict"),
-            coalesce(col("exact_of"), col("near_of")).as("dup_of"),
-            when(col("exact_of").isNull, col("jacc")).as("jacc"))
-          .orderBy("doc_id")
-      },
-      Some(s"WITH $lshPairsCtes, " +
-        "hh AS (SELECT doc_id, md5(regexp_replace(text, '\\s+', '', 'g')) AS h FROM documents), " +
-        "ex AS (SELECT b.doc_id, min(e.doc_id) AS exact_of FROM hh b " +
-        "JOIN hh e ON b.h = e.h AND e.doc_id % 10 <> 0 WHERE b.doc_id % 10 = 0 GROUP BY 1), " +
-        "hits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS doc_id, " +
-        "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, jacc FROM pairs " +
-        "WHERE (ida % 10 = 0) <> (idb % 10 = 0)), " +
-        "nr AS (SELECT doc_id, near_of, jacc FROM (SELECT doc_id, near_of, jacc, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY jacc DESC, near_of) AS rn FROM hits) WHERE rn = 1) " +
-        "SELECT b.doc_id, " +
-        "CASE WHEN exact_of IS NOT NULL THEN 'exact' WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
-        "coalesce(exact_of, near_of) AS dup_of, " +
-        "CASE WHEN exact_of IS NULL THEN jacc END AS jacc " +
-        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
-        "LEFT JOIN ex ON b.doc_id = ex.doc_id LEFT JOIN nr ON b.doc_id = nr.doc_id " +
-        "ORDER BY b.doc_id")),
+      (s, d) => incrementalVerdicts(s, d).orderBy("doc_id"),
+      Some(s"WITH $lshPairsCtes, $bvCte " +
+        "SELECT doc_id, verdict, dup_of, jacc FROM bv ORDER BY doc_id")),
 
     // Incremental SEMANTIC dedup (r13b): q95's daily-crawl posture at
     // the embedding tier — each batch vector (vec_id ≡ 0 mod 10, the

@@ -707,4 +707,27 @@ class AuditSpec extends AnyFunSuite {
     assert(got == Seq((10L, 0.0, "dup_heavy"), (20L, 1.0, "novel"),
       (30L, 0.5, "mixed")))
   }
+
+  test("q123 batch triage recomposes from the q95/q121/q36 outputs") {
+    val v = SparkEntry.queries("q95_incremental_dedup")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val nb = SparkEntry.queries("q121_batch_novelty")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val q = SparkEntry.queries("q36_quality_score")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getInt(1).toLong),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val expected = v.groupBy { case (id, ve) => (ve, nb.getOrElse(id, "none")) }
+      .view.mapValues { xs =>
+        val toks = xs.flatMap(x => q.get(x._1).flatMap(_._1)).sum
+        val scores = xs.flatMap(x => q.get(x._1).flatMap(_._2))
+        (xs.size.toLong, toks, scores.min, scores.max)
+      }.toMap
+    // non-vacuous: more than one triage cell at this SF
+    assert(expected.size > 1)
+    val got = SparkEntry.queries("q123_batch_triage")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == expected)
+  }
 }

@@ -47,8 +47,11 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // positional triples are not in the index)
     "q116_dedup_tier_agreement", "q117_decontam_decision",
     // r13c: batch novelty is a pure postings consumer — both its
-    // standing set and its batch side come off the seamed postings
-    "q121_batch_novelty")
+    // standing set and its batch side come off the seamed postings;
+    // the triage composite stacks the seamed verdict frame (exact
+    // hashes + lshPairs) and the seamed novelty frame (its quality
+    // tier legitimately reads text, the q108/q117 posture)
+    "q121_batch_novelty", "q123_batch_triage")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
