@@ -149,8 +149,10 @@ object Cli {
         // design — positional triples are not in the index)
         "q115_semantic_contamination", "q117_decontam_decision",
         // r13c: batch novelty is postings-only — the purest index-riding
-        // audit (both its sides come off the persisted postings)
-        "q121_batch_novelty")
+        // audit (both its sides come off the persisted postings) — and
+        // the index datasheet audits the index itself (no corpus reads
+        // at all under the seam)
+        "q121_batch_novelty", "q124_index_stats")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the

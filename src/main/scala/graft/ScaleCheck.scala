@@ -156,7 +156,11 @@ object ScaleCheck {
     // novelty bands and the quality kernel — its slope prices the
     // incremental tier's composed sign-off path (q108's story for the
     // daily batch)
-    "q123_batch_triage")
+    "q123_batch_triage",
+    // the index datasheet is four independent partial-aggregations at
+    // postings/bucket volume — its slope pins the percentile-buffer
+    // claim (buffers histogram distinct COUNT values, never raw rows)
+    "q124_index_stats")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -1317,5 +1317,108 @@ object AuditOps {
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
         "min(score) AS min_score, max(score) AS max_score " +
         "FROM tri GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Fingerprint-index datasheet (X108, r13c): the ops health report
+    // over the standing dedup index — the page an operator reads before
+    // trusting the X76/X91 artifact at production cadence. Sixteen
+    // metrics in one (metric, value) frame: postings volume and df
+    // distribution (df_max/p99 name the boilerplate grams that drive
+    // q111-class hot-shingle fanout), per-doc shingle spread, the LSH
+    // bucket occupancy tier — bucket_max is THE hot-bucket indicator,
+    // and candidate_pairs = Σ c·(c−1)/2 over buckets PREDICTS the band
+    // self-join's exact collision volume (q29's cost) before anyone
+    // runs it — and the exact tier's duplicate rate. Every accessor is
+    // SEAM-AWARE: with `spark.graft.fpIndex` set the whole datasheet is
+    // parquet reads of the index itself (postings + bands + exact — no
+    // corpus access at all), which is the production posture: you audit
+    // the index you maintain, not a re-derivation. Quantiles are the
+    // q55 cross-engine convention (type-7 percentile ↔ quantile_cont);
+    // ratios are exact-integer quotients; the percentile buffers
+    // histogram DISTINCT count-values (bounded), never raw rows.
+    Q("q124_index_stats",
+      (s, d) => {
+        val post = TrainingOps.shinglePostings(s, d)
+        val a1 = post.groupBy("h1").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("distinct_shingles"),
+            sum("c").as("postings_rows"),
+            expr("percentile(c, 0.5)").as("df_p50"),
+            expr("percentile(c, 0.99)").as("df_p99"),
+            max("c").as("df_max"))
+        val a2 = post.groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("docs"),
+            expr("percentile(c, 0.5)").as("doc_shingles_p50"),
+            max("c").as("doc_shingles_max"))
+        val a3 = TrainingOps.bandBuckets(s, d)
+          .groupBy("bk", "bandkey").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("bucket_count"),
+            max("c").as("bucket_max"),
+            expr("percentile(c, 0.99)").as("bucket_p99"),
+            sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
+        val a4 = TrainingOps.exactHashes(s, d).filter(col("h").isNotNull)
+          .agg(count(lit(1)).as("exact_docs"),
+            countDistinct(col("h")).as("exact_distinct"))
+        a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
+          .withColumn("df_mean",
+            col("postings_rows").cast("double") / col("distinct_shingles"))
+          .withColumn("exact_dup_rate",
+            lit(1.0) - col("exact_distinct").cast("double") / col("exact_docs"))
+          .selectExpr("stack(16, " +
+            "'bucket_count', CAST(bucket_count AS DOUBLE), " +
+            "'bucket_max', CAST(bucket_max AS DOUBLE), " +
+            "'bucket_p99', CAST(bucket_p99 AS DOUBLE), " +
+            "'candidate_pairs', CAST(candidate_pairs AS DOUBLE), " +
+            "'df_max', CAST(df_max AS DOUBLE), " +
+            "'df_mean', df_mean, " +
+            "'df_p50', df_p50, " +
+            "'df_p99', df_p99, " +
+            "'distinct_shingles', CAST(distinct_shingles AS DOUBLE), " +
+            "'doc_shingles_max', CAST(doc_shingles_max AS DOUBLE), " +
+            "'doc_shingles_p50', doc_shingles_p50, " +
+            "'docs', CAST(docs AS DOUBLE), " +
+            "'exact_distinct', CAST(exact_distinct AS DOUBLE), " +
+            "'exact_docs', CAST(exact_docs AS DOUBLE), " +
+            "'exact_dup_rate', exact_dup_rate, " +
+            "'postings_rows', CAST(postings_rows AS DOUBLE)" +
+            ") AS (metric, value)")
+          .orderBy("metric")
+      },
+      // lshPairsCtes supplies shh + the band-bucket CTE `bk`; its
+      // pair-side CTEs (cand/iv/sz/pairs) go unreferenced and DuckDB
+      // prunes unreferenced CTEs — no pair join runs here
+      Some(s"WITH ${TrainingOps.lshPairsCtes}, " +
+        "dfh AS (SELECT h1, count(*) AS c FROM shh GROUP BY 1), " +
+        "ia1 AS (SELECT count(*) AS distinct_shingles, sum(c) AS postings_rows, " +
+        "quantile_cont(c, 0.5) AS df_p50, quantile_cont(c, 0.99) AS df_p99, " +
+        "max(c) AS df_max FROM dfh), " +
+        "dfd AS (SELECT doc_id, count(*) AS c FROM shh GROUP BY 1), " +
+        "ia2 AS (SELECT count(*) AS docs, quantile_cont(c, 0.5) AS doc_shingles_p50, " +
+        "max(c) AS doc_shingles_max FROM dfd), " +
+        "bb AS (SELECT b0.bk, b0.bandkey, count(*) AS c FROM bk b0 GROUP BY 1, 2), " +
+        "ia3 AS (SELECT count(*) AS bucket_count, max(c) AS bucket_max, " +
+        "quantile_cont(c, 0.99) AS bucket_p99, " +
+        "sum(c * (c - 1) // 2) AS candidate_pairs FROM bb), " +
+        "xh AS (SELECT md5(regexp_replace(text, '\\s+', '', 'g')) AS h " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "ia4 AS (SELECT count(*) AS exact_docs, count(DISTINCT h) AS exact_distinct FROM xh), " +
+        "rw AS (SELECT *, CAST(postings_rows AS DOUBLE) / distinct_shingles AS df_mean, " +
+        "1.0 - CAST(exact_distinct AS DOUBLE) / exact_docs AS exact_dup_rate " +
+        "FROM ia1, ia2, ia3, ia4) " +
+        "SELECT 'bucket_count' AS metric, CAST(bucket_count AS DOUBLE) AS value FROM rw " +
+        "UNION ALL SELECT 'bucket_max', CAST(bucket_max AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'bucket_p99', CAST(bucket_p99 AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'candidate_pairs', CAST(candidate_pairs AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'df_max', CAST(df_max AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'df_mean', df_mean FROM rw " +
+        "UNION ALL SELECT 'df_p50', df_p50 FROM rw " +
+        "UNION ALL SELECT 'df_p99', df_p99 FROM rw " +
+        "UNION ALL SELECT 'distinct_shingles', CAST(distinct_shingles AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'doc_shingles_max', CAST(doc_shingles_max AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'doc_shingles_p50', doc_shingles_p50 FROM rw " +
+        "UNION ALL SELECT 'docs', CAST(docs AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'exact_distinct', CAST(exact_distinct AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'exact_docs', CAST(exact_docs AS DOUBLE) FROM rw " +
+        "UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM rw " +
+        "UNION ALL SELECT 'postings_rows', CAST(postings_rows AS DOUBLE) FROM rw " +
+        "ORDER BY metric")),
   )
 }

@@ -193,6 +193,21 @@ object TrainingOps {
       case None => minhashSigWide(s, d).select("doc_id", "n")
     }
 
+  /** (doc_id, bk, bandkey) LSH band-bucket keys — the q124 index
+    * datasheet's bucket tier. Session kernel from the wide signature by
+    * default; the index's `bands` table under the seam (written with
+    * these exact keys by [[fingerprintTables]]).
+    */
+  private[queries] def bandBuckets(s: SparkSession, d: String): DataFrame =
+    fpIndexDir(s) match {
+      case Some(dir) =>
+        s.read.parquet(s"$dir/bands")
+          .select(col("doc_id"), col("bk"), col("bandkey"))
+      case None =>
+        bandKeysOf(minhashSigWide(s, d))
+          .select(col("doc_id"), col("bk"), col("bandkey"))
+    }
+
   /** (doc_id, h) whitespace-stripped content hashes — q27/q95/q107's
     * exact tier. The index's `exact` table IS this frame persisted
     * ([[fingerprintTables]]), so the seam makes the exact tier a pure
@@ -974,11 +989,18 @@ object TrainingOps {
     * map-side: the token array is a bound column, so the split runs once
     * per row; all ratios are int/int doubles — deterministic.
     */
-  private[queries] def qualityFeatures(s: SparkSession, d: String): DataFrame = {
+  private[queries] def qualityFeatures(s: SparkSession, d: String): DataFrame =
+    qualityFeaturesOf(documents(s, d))
+
+  /** Frame-based core of [[qualityFeatures]] (r13c) — the sink tier's
+    * batch triage ([[graft.sink.Sink.triageBatch]]) scores an arbitrary
+    * incoming (doc_id, text) frame with the SAME published score.
+    */
+  private[graft] def qualityFeaturesOf(docs: DataFrame): DataFrame = {
     val ws = col("ws") // bound column: the split runs once per row
     val nTok = size(ws)
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    documents(s, d)
+    docs
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), nTok.as("n_tokens"),
         (size(array_distinct(ws)).cast("double") / nTok).as("ttr"),

@@ -384,6 +384,73 @@ object Sink {
         when(col("exact_of").isNull, col("jacc")).as("jacc"))
   }
 
+  /** Per-batch-doc NOVELTY against a [[writeFingerprints]] index (X105
+    * at the sink tier — q121's ratio for a REAL incoming batch): the
+    * fraction of each batch doc's distinct shingles absent from the
+    * standing postings, banded novel/mixed/dup_heavy at 0.9/0.5 —
+    * the triage signal between [[probeFingerprints]]'s binary verdicts
+    * and nothing (a 'fresh' doc that is 95% known shingles is
+    * recombined boilerplate). The standing side excludes the batch's
+    * OWN doc_ids (an admitted/replayed batch must not read itself as
+    * seen) and is batch-excludable like [[probeFingerprints]]. Scale:
+    * one distinct over the index postings + one membership join with a
+    * batch-sized probe side — the irreducible membership cost; the
+    * index saves the corpus re-tokenize. Short-to-shingle batch docs
+    * (< 3 words) have no postings and are absent, the q121 convention.
+    */
+  def probeNovelty(batch: DataFrame, path: String,
+      excludeBatch: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val (_, _, bPost) = graft.queries.TrainingOps.fingerprintTables(batch)
+    val idx0 = spark.read.parquet(s"$path/shingles")
+    if (excludeBatch.isDefined && !idx0.columns.contains("batch"))
+      sys.error(s"$path/shingles is a legacy unpartitioned fingerprint " +
+        "index (no batch column); rebuild it with writeFingerprints")
+    val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val standing = idx1.select(col("doc_id"), col("h1"))
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("h1").distinct().withColumn("seen", lit(1L))
+    bPost.join(standing, Seq("h1"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h1")).as("n_shingles"),
+        countDistinct(when(col("seen").isNotNull, col("h1"))).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        ((col("n_shingles") - col("n_seen")).cast("double") /
+          col("n_shingles").cast("double")).as("novelty"))
+      .withColumn("band",
+        when(col("novelty") >= 0.9, "novel")
+          .when(col("novelty") >= 0.5, "mixed")
+          .otherwise(lit("dup_heavy")))
+  }
+
+  /** The q123 triage page at the SINK tier (X107 in production
+    * posture): dedup verdicts ([[probeFingerprints]]) × novelty bands
+    * ([[probeNovelty]]) × the shared quality score, for a REAL incoming
+    * batch against a REAL standing index — one row per (verdict, band)
+    * with doc counts, token mass and the quality range. The sign-off
+    * page an operator reads before [[appendFingerprints]] admits the
+    * day. Unbandable docs (too short to shingle) read band 'none', the
+    * q123 convention; value identity with the oracle-green q123 on the
+    * %10 split is pinned in SinkSpec.
+    */
+  def triageBatch(batch: DataFrame, path: String,
+      excludeBatch: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = probeFingerprints(batch, path, excludeBatch)
+      .select(col("doc_id"), col("verdict"))
+    val nb = probeNovelty(batch, path, excludeBatch)
+      .select(col("doc_id"), col("band"))
+    val qual = graft.queries.TrainingOps.qualityFeaturesOf(batch)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    v.join(nb, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .groupBy(col("verdict"), coalesce(col("band"), lit("none")).as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        min("score").as("min_score"), max("score").as("max_score"))
+  }
+
   // ---- the semantic tier's standing-corpus index (X103) -------------
   //
   // The X76/X91 lifecycle applied to embeddings: one `vectors` table of

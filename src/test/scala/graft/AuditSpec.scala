@@ -708,6 +708,59 @@ class AuditSpec extends AnyFunSuite {
       (30L, 0.5, "mixed")))
   }
 
+  test("q124 index stats match a driver-side recomputation of all sixteen metrics") {
+    // type-7 interpolated percentile (the percentile/quantile_cont
+    // convention): lower + frac * (higher - lower)
+    def pct(vs: Seq[Long], p: Double): Double = {
+      val s0 = vs.sorted
+      val h = (s0.length - 1) * p
+      val l = math.floor(h).toInt
+      if (l + 1 >= s0.length) s0.last.toDouble
+      else s0(l) + (h - l) * (s0(l + 1) - s0(l))
+    }
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // per-doc h1 SEQUENCE keyed by distinct shingle strings (not a set
+    // of h1 — a 60-bit collision inside one doc must count two postings
+    // rows, as the index does)
+    val shStr = docs.map { case (id, _, _, _, ws) =>
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val hSeq = shStr.filter(_._2.nonEmpty)
+      .map { case (id, sh) => id -> sh.toSeq.map(h1) }
+    val dfs = hSeq.flatMap { case (_, s0) => s0 }
+      .groupBy(identity).values.map(_.size.toLong).toSeq
+    val perDoc = hSeq.map(_._2.size.toLong)
+    val sig = shStr.filter(_._2.nonEmpty).map { case (id, sh) =>
+      id -> (0 until 8).map(b => sh.map(s => h1(s) ^ (b * h2(s))).min)
+    }
+    val buckets = sig.flatMap { case (_, m) =>
+      (0 until 4).map(k => (k, s"${m(2 * k)},${m(2 * k + 1)}")) }
+      .groupBy(identity).values.map(_.size.toLong).toSeq
+    val exacts = docs.map { case (_, _, _, _, ws) => md5hex(ws.mkString("")) }
+    val expected = Map[String, Double](
+      "bucket_count" -> buckets.size.toDouble,
+      "bucket_max" -> buckets.max.toDouble,
+      "bucket_p99" -> pct(buckets, 0.99),
+      "candidate_pairs" -> buckets.map(c => c * (c - 1) / 2).sum.toDouble,
+      "df_max" -> dfs.max.toDouble,
+      "df_mean" -> perDoc.sum.toDouble / dfs.size.toDouble,
+      "df_p50" -> pct(dfs, 0.5),
+      "df_p99" -> pct(dfs, 0.99),
+      "distinct_shingles" -> dfs.size.toDouble,
+      "doc_shingles_max" -> perDoc.max.toDouble,
+      "doc_shingles_p50" -> pct(perDoc, 0.5),
+      "docs" -> perDoc.size.toDouble,
+      "exact_distinct" -> exacts.distinct.size.toDouble,
+      "exact_docs" -> exacts.size.toDouble,
+      "exact_dup_rate" -> (1.0 - exacts.distinct.size.toDouble / exacts.size),
+      "postings_rows" -> perDoc.sum.toDouble)
+    val got = SparkEntry.queries("q124_index_stats")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   test("q123 batch triage recomposes from the q95/q121/q36 outputs") {
     val v = SparkEntry.queries("q95_incremental_dedup")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq

@@ -39,7 +39,7 @@ class CliSpec extends AnyFunSuite {
     for (q <- Seq("q110_neardup_split_leakage", "q111_contamination_pairs",
         "q96_source_overlap",
         "q115_semantic_contamination", "q117_decontam_decision",
-        "q121_batch_novelty")) {
+        "q121_batch_novelty", "q124_index_stats")) {
       val fromCli = spark.read.parquet(s"$out/$q")
         .collect().map(_.toString).sorted.toSeq
       val direct = SparkEntry.queries(q)(spark, TestSpark.sfDir)

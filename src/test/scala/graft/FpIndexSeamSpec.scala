@@ -51,7 +51,10 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // the triage composite stacks the seamed verdict frame (exact
     // hashes + lshPairs) and the seamed novelty frame (its quality
     // tier legitimately reads text, the q108/q117 posture)
-    "q121_batch_novelty", "q123_batch_triage")
+    "q121_batch_novelty", "q123_batch_triage",
+    // the index datasheet: every accessor (postings, bands, exact) is
+    // seam-aware, so under the seam the whole report is index reads
+    "q124_index_stats")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
@@ -103,6 +106,14 @@ class FpIndexSeamSpec extends AnyFunSuite {
       assert(q121Plan.contains(dir) && !q121Plan.toLowerCase.contains("shingles(")
         && !q121Plan.contains("text#"),
         "q121 seam plan must ride the index postings only")
+      // the datasheet under the seam audits the index WITHOUT the
+      // corpus: all three tables scanned from the index dir, no
+      // re-tokenize, no text anywhere in the plan
+      val q124Plan = SparkEntry.queries("q124_index_stats")(
+        spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+      assert(q124Plan.contains(dir) && !q124Plan.toLowerCase.contains("shingles(")
+        && !q124Plan.contains("text#"),
+        "q124 seam plan must be pure index reads")
 
       // (a) value identity, every seam consumer
       for (q <- seamQueries) {

@@ -321,4 +321,34 @@ class SinkSpec extends AnyFunSuite {
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(2L) != "x") // existing row 2 not replaced
   }
+
+  test("probeNovelty + triageBatch against a standing index equal the session q121/q123, self-guarded") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = Files.createTempDirectory("graft-triage").toString + "/idx"
+    Sink.writeFingerprints(standing, dir)
+    val novExp = SparkEntry.queries("q121_batch_novelty")(spark, TestSpark.sfDir)
+      .collect().map(_.toString).toSeq
+    val novGot = Sink.probeNovelty(batch, dir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(novGot == novExp,
+      "sink-tier novelty must equal the session q121 on the %10 split")
+    val triExp = SparkEntry.queries("q123_batch_triage")(spark, TestSpark.sfDir)
+      .collect().map(_.toString).toSeq
+    val triGot = Sink.triageBatch(batch, dir).orderBy("verdict", "band")
+      .collect().map(_.toString).toSeq
+    assert(triGot == triExp,
+      "sink-tier triage must equal the session q123 on the %10 split")
+    // self-guard: an index that ALREADY CONTAINS the batch (admitted or
+    // replayed) must not let batch docs read themselves as 'seen'
+    val dirAll = Files.createTempDirectory("graft-triage-all").toString + "/idx"
+    Sink.writeFingerprints(docs, dirAll)
+    val novSelf = Sink.probeNovelty(batch, dirAll).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(novSelf == novExp,
+      "novelty against a batch-inclusive index must ignore the batch's own postings")
+  }
 }
