@@ -142,6 +142,37 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> dupspanab [passes]`: X104's
+    // persist-vs-recompute A/B, interleaved in one JVM (the shufab
+    // discipline). Arm P transient-persists the positional triples —
+    // ONE posngrams generate feeding both the owner aggregation and the
+    // attribution join through a token-volume MEMORY_AND_DISK persist.
+    // Arm R recomputes — TWO generates (each consumer tokenizes), zero
+    // persist footprint. At 100 TB the question is whether a ~1.5×-
+    // corpus-sized persisted intermediate beats a second embarrassingly-
+    // parallel map pass; the local decade measurements calibrate it.
+    if (args.length >= 2 && args(1) == "dupspanab") {
+      val passes = args.lift(2).map(_.toInt).getOrElse(3)
+      import org.apache.spark.sql.functions.{count, lit}
+      def once(persist: Boolean): Double = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        noop(graft.queries.AuditOps.dupSpansBuild(spark, sfDir, persist)
+          .groupBy("doc_id").agg(count(lit(1)).as("n")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(true); once(false) // warm both shapes
+      val timed = (1 to passes).map(_ => (once(true), once(false)))
+      val (ps, rs) = timed.unzip
+      println(f"[dupspanab] persist   min ${ps.min}%.3f  " +
+        s"runs ${ps.map(v => f"$v%.3f").mkString(" ")}")
+      println(f"[dupspanab] recompute min ${rs.min}%.3f  " +
+        s"runs ${rs.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)

@@ -114,13 +114,27 @@ object AuditOps {
     * the per-doc island windows (overlap-bounded, q112's shape).
     */
   private def dupSpans(s: SparkSession, d: String): DataFrame =
-    graft.util.Caches.sharedIndex(s, s"dupSpans:$d") {
+    graft.util.Caches.sharedIndex(s, s"dupSpans:$d")(
+      dupSpansBuild(s, d, persistTriples = true))
+
+  /** Kernel body with the triple-materialization choice exposed for the
+    * Profile `dupspanab` harness: persist = one generate + a token-
+    * volume transient persist (the shipped shape); recompute = two
+    * generates (owner agg + attribution join each run their own), zero
+    * persist footprint. The A/B that justifies the default lives in
+    * BASELINE.md r13c.
+    */
+  private[graft] def dupSpansBuild(s: SparkSession, d: String,
+      persistTriples: Boolean): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).filter(col("text").isNotNull)
-      val tri = graft.util.Caches.transientPersist(
+      val triBase =
         docs.selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
           .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            Hashing.md5Long(col("g")).as("h1")))
+            Hashing.md5Long(col("g")).as("h1"))
+      val tri =
+        if (persistTriples) graft.util.Caches.transientPersist(triBase)
+        else triBase
       val owners = tri.select("doc_id", "h1").distinct()
         .groupBy("h1")
         .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
