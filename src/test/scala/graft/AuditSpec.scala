@@ -761,6 +761,68 @@ class AuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("remediation closure: both apply tiers match a driver recomputation and actually decontaminate") {
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def grams(ws: Array[String]): Seq[(Int, String)] =
+      if (ws.length < 8) Seq.empty
+      else (0 to ws.length - 8).map(i => (i + 1, ws.slice(i, i + 8).mkString(" ")))
+    def mask(ws: Array[String], hitPos: Seq[Int]): Array[String] = {
+      val covered = hitPos.flatMap(p => p until (p + 8)).toSet // 1-based
+      ws.zipWithIndex.collect { case (w, i) if !covered.contains(i + 1) => w }
+    }
+    val wsOf = docs.map(t => t._1 -> t._5).toMap
+
+    // ---- q120 (corpus-internal keep-first) vs driver recomputation
+    val docsOf = wsOf.toSeq.flatMap { case (id, ws) => grams(ws).map(_._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val owner = docsOf.filter(_._2.size >= 2).view.mapValues(_.min).toMap
+    val dupMasked = wsOf.flatMap { case (id, ws) =>
+      val hits = grams(ws).collect { case (p, s0) if owner.get(s0).exists(_ != id) => p }
+      if (hits.isEmpty) None else Some(id -> mask(ws, hits))
+    }
+    val q120out = SparkEntry.queries("q120_dupspan_apply")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(q120out.keySet == dupMasked.keySet)
+    assert(dupMasked.nonEmpty) // non-vacuous at this SF
+    for ((id, ws) <- dupMasked) {
+      assert(q120out(id)._1 == md5hex(ws.mkString(" ")), s"doc $id hash")
+      assert(q120out(id)._2 == ws.length.toLong, s"doc $id kept count")
+    }
+    // CLOSURE: in the masked corpus (masked docs + untouched rest),
+    // every formerly-duplicated 8-gram survives in exactly its owner —
+    // and on this corpus no cross-doc duplicate remains at all (seam
+    // grams born at cut boundaries could in principle collide; pinned
+    // empirically here)
+    val after = wsOf.map { case (id, ws) => id -> dupMasked.getOrElse(id, ws) }
+    val residual = after.toSeq.flatMap { case (id, ws) => grams(ws).map(_._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(residual.collect { case (s0, n) if owner.contains(s0) => n }.forall(_ <= 1),
+      "a formerly-duplicated gram survives in more than one doc")
+    assert(residual.values.forall(_ <= 1), "post-apply cross-doc duplicate")
+
+    // ---- q114 (eval-driven) vs driver recomputation
+    val evalGrams = docs.filter(_._1 % 50 == 0)
+      .flatMap(t => grams(t._5).map(_._2)).toSet
+    val evMasked = docs.filter(_._1 % 50 != 0).flatMap { case (id, _, _, _, ws) =>
+      val hits = grams(ws).collect { case (p, s0) if evalGrams.contains(s0) => p }
+      if (hits.isEmpty) None else Some(id -> mask(ws, hits))
+    }.toMap
+    val q114out = SparkEntry.queries("q114_mask_apply")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(q114out.keySet == evMasked.keySet)
+    assert(evMasked.nonEmpty)
+    for ((id, ws) <- evMasked) {
+      assert(q114out(id)._1 == md5hex(ws.mkString(" ")), s"doc $id hash")
+      assert(q114out(id)._2 == ws.length.toLong, s"doc $id kept count")
+    }
+    // CLOSURE: no masked train doc carries any eval 8-gram afterwards
+    assert(evMasked.forall { case (_, ws) =>
+      grams(ws).forall(t => !evalGrams.contains(t._2)) },
+      "an eval 8-gram survives the mask apply")
+  }
+
   test("q123 batch triage recomposes from the q95/q121/q36 outputs") {
     val v = SparkEntry.queries("q95_incremental_dedup")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
