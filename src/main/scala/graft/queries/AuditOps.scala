@@ -112,6 +112,16 @@ object AuditOps {
     * broadcast) — with the owners side riding its aggregation's own
     * partitioning; (4) only true cross-doc-duplicated positions reach
     * the per-doc island windows (overlap-bounded, q112's shape).
+    *
+    * Hot-gram skew note (100 TB): a corpus-wide boilerplate 8-gram puts
+    * all its positions on one h1 reduce partition of exchange (3). The
+    * join carries no per-key state (both sides stream; the owners side
+    * is one row per gram), so the hazard is a straggler, not a spill —
+    * exactly the shape AQE's skew-join splitting handles on a cluster
+    * (splitting a stateless probe side is always safe). No df cap is
+    * applied because every occurrence genuinely must be masked; a
+    * corpus where one gram dominates the token stream is a corpus-prep
+    * bug the q124 datasheet's df_max row exists to surface first.
     */
   private def dupSpans(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"dupSpans:$d")(
