@@ -435,10 +435,19 @@ object Sink {
     * %10 split is pinned in SinkSpec.
     */
   def triageBatch(batch: DataFrame, path: String,
-      excludeBatch: Option[String] = None): DataFrame = {
+      excludeBatch: Option[String] = None): DataFrame =
+    triageOf(batch, probeFingerprints(batch, path, excludeBatch),
+      path, excludeBatch)
+
+  /** [[triageBatch]] with the verdict frame supplied by the caller —
+    * the streaming flow already holds a persisted
+    * [[probeFingerprints]] result per micro-batch and must not pay the
+    * probe twice.
+    */
+  private[graft] def triageOf(batch: DataFrame, verdicts: DataFrame,
+      path: String, excludeBatch: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val v = probeFingerprints(batch, path, excludeBatch)
-      .select(col("doc_id"), col("verdict"))
+    val v = verdicts.select(col("doc_id"), col("verdict"))
     val nb = probeNovelty(batch, path, excludeBatch)
       .select(col("doc_id"), col("band"))
     val qual = graft.queries.TrainingOps.qualityFeaturesOf(batch)

@@ -129,8 +129,17 @@ object Streaming {
     * the index append is one repartition per table over batch-sized
     * rows.
     */
+  /** Optional TRIAGE tier (X107 at streaming cadence): with
+    * `triagePath` set, each micro-batch also lands its q123 sign-off
+    * page (verdict × novelty band × quality range,
+    * [[graft.sink.Sink.triageOf]] over the SAME persisted verdict
+    * frame — the probe is never paid twice) under
+    * `triagePath/run=<id>/batch=<id>/` with the identical scoped-
+    * Overwrite replay idempotency.
+    */
   def incrementalDedup(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String, triagePath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // the run id is resolved from the checkpoint metadata ONCE (on the
     // first batch — the file exists as soon as the query has started)
     // and cached for the query's lifetime: re-reading it per batch
@@ -184,6 +193,11 @@ object Streaming {
           graft.sink.Sink.probeFingerprints(batch, indexPath, Some(tag)))
         v.write.mode("overwrite")
           .parquet(s"$outPath/run=$run/batch=$batchId")
+        triagePath.foreach { tp =>
+          graft.sink.Sink.triageOf(batch, v, indexPath, Some(tag))
+            .write.mode("overwrite")
+            .parquet(s"$tp/run=$run/batch=$batchId")
+        }
         val known = batch.sparkSession.read
           .parquet(s"$indexPath/exact")
           .filter(col("batch") =!= tag).select("doc_id")

@@ -176,7 +176,8 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, String)]
     val q = Streaming.incrementalDedup(
       in.toDF().toDF("doc_id", "text"),
-      s"$tmp/index", s"$tmp/out", s"$tmp/ck")
+      s"$tmp/index", s"$tmp/out", s"$tmp/ck",
+      triagePath = Some(s"$tmp/triage"))
     try {
       // batch 1: exact copy of 1, near-dup of 2, and a novel doc
       in.addData((10L, "alpha beta gamma delta"), (11L, nearB),
@@ -209,6 +210,23 @@ class StreamingSpec extends AnyFunSuite {
     // near-dup relation to OTHER index docs is unchanged: 20 was never
     // admitted (exact dup), so 12's only index presence is itself
     assert(out((2L, 12L)) == ("fresh", None))
+
+    // the per-batch TRIAGE page: batch 0's three docs land one per
+    // (verdict, band) cell — the exact copy and the near-dup read
+    // dup_heavy (their shingles are overwhelmingly standing), the
+    // novel doc reads novel; the redelivered batch-2 doc must read
+    // (fresh, novel) again — probeNovelty's self-guard keeps its own
+    // batch-0 postings from flagging it as seen
+    def triage(b: Long): Map[(String, String), Long] =
+      spark.read.parquet(s"$tmp/triage")
+        .filter(col("batch") === b).collect()
+        .map(r => (r.getAs[String]("verdict"), r.getAs[String]("band")) ->
+          r.getAs[Long]("n_docs")).toMap
+    assert(triage(0L) == Map(
+      ("exact", "dup_heavy") -> 1L,
+      ("near", "dup_heavy") -> 1L,
+      ("fresh", "novel") -> 1L))
+    assert(triage(2L) == Map(("fresh", "novel") -> 1L))
   }
 
   test("session windows merge within gap and split across it") {
