@@ -13,7 +13,36 @@ import org.apache.spark.sql.SparkSession
   * DuckDB baseline enjoys from the OS page cache.
   */
 object Bench {
+  private def sysLoad(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    // QUIET-WINDOW GATE (r13 verdict: BENCH_r13.json was the round's one
+    // loaded window — launched at loadavg 13.95 while the identical build
+    // paired 0.789 at loadavg 0.30 hours earlier). Wait, bounded, for the
+    // box to quiesce BEFORE any timed work, and record the start loadavg
+    // in the artifact so every pair is attributable to the engine rather
+    // than the window. SPARK_GRAFT_LOADAVG_GATE sets the threshold
+    // (default 2.0; 0 disables); SPARK_GRAFT_LOADAVG_WAIT_S caps the wait
+    // (default 900 s). On timeout the bench RUNS anyway — a loud note
+    // plus the recorded loadavg beat a missing artifact.
+    val gateThreshold = scala.util.Try(
+      sys.env("SPARK_GRAFT_LOADAVG_GATE").trim.toDouble).getOrElse(2.0)
+    val gateWaitS = scala.util.Try(
+      sys.env("SPARK_GRAFT_LOADAVG_WAIT_S").trim.toInt).getOrElse(900).max(0)
+    var waitedS = 0
+    while (gateThreshold > 0 && sysLoad() > gateThreshold &&
+        waitedS < gateWaitS) {
+      System.err.println(f"[bench] loadavg ${sysLoad()}%.2f > " +
+        f"$gateThreshold%.1f — waiting for a quiet window " +
+        s"(${waitedS}s/${gateWaitS}s)")
+      Thread.sleep(15000); waitedS += 15
+    }
+    val loadStart = sysLoad()
+    if (gateThreshold > 0 && loadStart > gateThreshold)
+      System.err.println(f"[bench] WARNING: quiet-window gate timed out at " +
+        f"loadavg $loadStart%.2f — running anyway; treat this artifact's " +
+        "window as loaded")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // a non-numeric SPARK_GRAFT_CPUS (e.g. "*" for local[*]) must not
@@ -189,8 +218,7 @@ object Bench {
     // library's dependencies) or a failed query skips the pair and
     // ships the old artifact shape. SPARK_GRAFT_PAIR=false opts out
     // (local subset iteration).
-    val loadBefore = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = sysLoad()
     // EVERY skip branch is loud and names its reason (not only the
     // exception path): a misconfigured run — bench launched from a
     // directory without tools/baseline.py, a subset filter, a failed
@@ -246,8 +274,7 @@ object Bench {
         }
         val sparkS = common.map(rm).sum
         val duckS = common.map(duckMap).sum
-        val loadAfter = java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage
+        val loadAfter = sysLoad()
         def f3(v: Double) =
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         def f2(v: Double) =
@@ -255,7 +282,9 @@ object Bench {
         Some(s""""pair":{"spark_s":${f3(sparkS)},"duckdb_s":${f3(duckS)},""" +
           s""""ratio":${f3(if (duckS > 0) sparkS / duckS else -1.0)},""" +
           s""""common":${common.size},"duck_passes":$duckPasses,""" +
-          s""""loadavg":[${f2(loadBefore)},${f2(loadAfter)}]}""")
+          // three values: bench LAUNCH (post-gate), pair start, pair end —
+          // the launch figure is what the quiet-window gate certifies
+          s""""loadavg":[${f2(loadStart)},${f2(loadBefore)},${f2(loadAfter)}]}""")
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] WARNING: pair denominator skipped: $e")
@@ -291,10 +320,17 @@ object Bench {
       // with the 2000-char capture window (BenchArtifactSpec pins the
       // worst-case budget)
       val passesJson = if (sidecar) s""","passes":$passes""" else ""
+      // the LAUNCH loadavg rides in the sidecar unconditionally (the pair
+      // fragment can be skipped; the window record must not be) — stdout
+      // gets it via the pair's three-element loadavg, budgeted in
+      // BenchArtifactSpec
+      val loadJson = if (sidecar)
+        s""","load_start":${String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(loadStart))}""" else ""
       // the pair rides on BOTH stdout and sidecar — it is the round
       // artifact's denominator, not archaeology
       val pairPart = pairJson.fold("")("," + _)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson,"queries":$qs$failedJson$pairPart,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson$loadJson,"queries":$qs$failedJson$pairPart,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // Locale.ROOT: Scala's f"" interpolator uses the JVM default locale,
     // which under comma-decimal locales (de_DE, ...) would emit 22,43 —

@@ -128,8 +128,8 @@ object Streaming {
     * bucket probes (the X76 contract) — never a standing-corpus rescan;
     * the index append is one repartition per table over batch-sized
     * rows.
-    */
-  /** Optional TRIAGE tier (X107 at streaming cadence): with
+    *
+    * Optional TRIAGE tier (X107 at streaming cadence): with
     * `triagePath` set, each micro-batch also lands its q123 sign-off
     * page (verdict × novelty band × quality range,
     * [[graft.sink.Sink.triageOf]] over the SAME persisted verdict

@@ -37,7 +37,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     // seconds on both sides and 3-digit common/pass counts
     val pairWorst = (""","pair":{"spark_s":99999.999,"duckdb_s":99999.999,""" +
       """"ratio":99.999,"common":999,"duck_passes":999,""" +
-      """"loadavg":[99.99,99.99]}""").length
+      """"loadavg":[99.99,99.99,99.99]}""").length
     val worst = prefix + entries.sum + (entries.size - 1) + suffix +
       failedWorst + pairWorst
     assert(worst < 2000,
