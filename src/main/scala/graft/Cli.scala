@@ -120,34 +120,43 @@ object Cli {
       0
 
     case "vecindex" :: sfDir :: idxDir :: Nil =>
-      // X103: (re)build the standing corpus's persisted VECTOR index —
-      // the semantic tier's standing state: q118's seam probes it, the
-      // streaming semantic dedup flow maintains it (appendVectorIndex /
-      // compactVectorIndex) between rebuilds. Built from the STANDING
-      // subset (the index IS the standing corpus; the local %10 batch
-      // convention carves today's arrivals out of the fixture).
-      import org.apache.spark.sql.functions.col
+      // X103: (re)build the corpus's persisted VECTOR index — the
+      // semantic tier's standing state: the cellPairCos seam
+      // (`spark.graft.vecIndex`) rides its pairs table from
+      // q115/q116/q118 (and every other pair consumer), the streaming
+      // semantic dedup flow maintains it (appendVectorIndex /
+      // compactVectorIndex) between rebuilds. Built from the FULL
+      // corpus (r14 — the `fingerprint` command's convention: the
+      // index IS the corpus artifact; split conventions like q118's
+      // %10 batch are applied by the consumers, not baked into the
+      // index).
       Sink.writeVectorIndex(
-        graft.util.Tables.embeddings(spark, sfDir)
-          .filter(col("vec_id") % 10 =!= 0), idxDir)
+        graft.util.Tables.embeddings(spark, sfDir), idxDir)
       println(s"[graft] vecindex: index -> $idxDir")
       0
 
-    case "audit" :: sfDir :: idxDir :: outDir :: Nil =>
+    case "audit" :: sfDir :: idxDir :: rest if rest.size == 1 || rest.size == 2 =>
       // X97: the standing-corpus audit suite, INDEX-RIDING — the
       // contamination/leakage/memorization reports load the persisted
       // index's pre-hashed postings instead of re-tokenizing the corpus
       // (audits run offline against a quiescent index; see the
       // shinglePostings healthy-index contract). One parquet report per
-      // audit under <outDir>, row counts on stdout.
+      // audit under <outDir>, row counts on stdout. With the optional
+      // <vecIndexDir> (r14), the SEMANTIC tier rides the vector index's
+      // persisted pairs table the same way — q115/q116/q117's embedding
+      // kernel becomes a parquet read (the cellPairCos seam).
+      val outDir = rest.head
+      val vecIdx = rest.drop(1).headOption
       val audits = Seq("q107_split_leakage", "q109_memorization_ngrams",
         "q110_neardup_split_leakage", "q111_contamination_pairs",
         "q96_source_overlap",
-        // r13b: the semantic tier (rides the embedding kernel, not the
-        // index) and the decision table (its lexical drop flag rides
-        // the seamed contaminationHits; the mask tier re-tokenizes by
-        // design — positional triples are not in the index)
-        "q115_semantic_contamination", "q117_decontam_decision",
+        // r13b: the semantic tier (rides the vector index's pairs when
+        // <vecIndexDir> is given, the embedding kernel otherwise) and
+        // the decision table (its lexical drop flag rides the seamed
+        // contaminationHits; the mask tier re-tokenizes by design —
+        // positional triples are not in the index)
+        "q115_semantic_contamination", "q116_dedup_tier_agreement",
+        "q117_decontam_decision",
         // r13c: batch novelty is postings-only — the purest index-riding
         // audit (both its sides come off the persisted postings) — and
         // the index datasheet audits the index itself (no corpus reads
@@ -158,15 +167,21 @@ object Cli {
       // command (unsetting would silently flip later queries in the
       // same session to the env/kernel path mid-session)
       val prior = spark.conf.getOption("spark.graft.fpIndex")
+      val priorVec = spark.conf.getOption("spark.graft.vecIndex")
       spark.conf.set("spark.graft.fpIndex", idxDir)
+      vecIdx.foreach(spark.conf.set("spark.graft.vecIndex", _))
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
+      }
       try audits.foreach { q =>
         val df = SparkEntry.queries(q)(spark, sfDir)
         df.write.mode("overwrite").parquet(s"$outDir/$q")
         val n = spark.read.parquet(s"$outDir/$q").count()
         println(s"[graft] audit: $q rows=$n -> $outDir/$q")
-      } finally prior match {
-        case Some(v) => spark.conf.set("spark.graft.fpIndex", v)
-        case None => spark.conf.unset("spark.graft.fpIndex")
+      } finally {
+        restore("spark.graft.fpIndex", prior)
+        restore("spark.graft.vecIndex", priorVec)
       }
       0
 
@@ -180,7 +195,7 @@ object Cli {
            |  release <sfDir> <outDir> [numShards]
            |  fingerprint <sfDir> <indexDir>
            |  vecindex <sfDir> <indexDir>
-           |  audit <sfDir> <indexDir> <outDir>
+           |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)
       2
   }

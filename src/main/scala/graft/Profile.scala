@@ -109,6 +109,23 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> vecindex <outDir>`: persist the
+    // X103 vector index (vectors + retained pairs) of <sfDir>'s
+    // embeddings — the semantic tier's standing artifact the
+    // SPARK_GRAFT_VEC_INDEX seam lets standalone audits
+    // (q115/q116/q118 and every cellPairCos consumer) ride instead of
+    // re-quantizing and re-enumerating the corpus. The fpindex pattern:
+    //   Profile /tmp/graft-sf10r vecindex /tmp/vec10 &&
+    //   SPARK_GRAFT_VEC_INDEX=/tmp/vec10 Profile /tmp/graft-sf10r time q116...
+    if (args.length >= 3 && args(1) == "vecindex") {
+      val t0 = System.nanoTime()
+      graft.sink.Sink.writeVectorIndex(
+        graft.util.Tables.embeddings(spark, sfDir), args(2))
+      println(f"[vecindex] wrote ${args(2)} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> shufab <query> <partsA> <partsB>
     // [passes]`: INTERLEAVED shuffle-partition A/B in ONE JVM — the
     // instrument for the two-class tag decisions. Single-box sf10
@@ -186,6 +203,47 @@ object Profile {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[time] ${args(2)} min ${ts.min}%.3f  runs ${ts.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> seamab <query> <vecIdx|-> <fpIdx|->
+    // [passes]`: INTERLEAVED session-kernel vs index-riding A/B in ONE
+    // JVM — the shufab discipline applied to the seam question.
+    // Back-to-back 64g JVM timings swing 3–6× with writeback/page-cache
+    // residue (the r13c lesson), so separate-process seam comparisons
+    // measure the window, not the seam; alternating the postures
+    // pass-by-pass subjects both to identical drift. `-` skips an index
+    // (arm B sets only the given seams). Index dirs are passed as args
+    // and applied via session conf — the env-var fallback would leak
+    // the seam into the kernel arm.
+    if (args.length >= 5 && args(1) == "seamab") {
+      val fn = SparkEntry.queries(args(2))
+      val vecIdx = Option(args(3)).filter(_ != "-")
+      val fpIdx = Option(args(4)).filter(_ != "-")
+      val passes = args.lift(5).map(_.toInt).getOrElse(3)
+      classShuffle(args(2))
+      def once(seam: Boolean): Double = {
+        if (seam) {
+          vecIdx.foreach(spark.conf.set("spark.graft.vecIndex", _))
+          fpIdx.foreach(spark.conf.set("spark.graft.fpIndex", _))
+        } else {
+          spark.conf.unset("spark.graft.vecIndex")
+          spark.conf.unset("spark.graft.fpIndex")
+        }
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(false); once(true) // warm both arms (JIT, codegen, footers)
+      val timed = (1 to passes).map(_ => (once(false), once(true)))
+      val (ks, is) = timed.unzip
+      println(f"[seamab] ${args(2)} kernel min ${ks.min}%.3f  " +
+        s"runs ${ks.map(v => f"$v%.3f").mkString(" ")}")
+      println(f"[seamab] ${args(2)} seam   min ${is.min}%.3f  " +
+        s"runs ${is.map(v => f"$v%.3f").mkString(" ")}")
       spark.stop()
       return
     }

@@ -706,15 +706,63 @@ object TrainingOps {
     // thresholds it, q85 consumes it TWICE (both union branches of the
     // symmetrize read the one cached copy instead of re-running the
     // salted join per branch). ~|in-cell pairs| rows of 4 scalars.
-    graft.util.Caches.sharedIndex(s, s"cellPairCos:$d")(cellPairCosBuild(s, d))
+    // The vecKey suffix isolates seam-path caches from session-kernel
+    // ones (the fpKey rule).
+    graft.util.Caches.sharedIndex(s, s"cellPairCos:$d${vecKey(s)}")(
+      vecIndexDir(s) match {
+        case Some(dir) => cellPairsFromIndex(s, dir)
+        case None => cellPairCosBuild(s, d)
+      })
 
-  private[graft] def cellPairCosBuild(s: SparkSession, d: String): DataFrame = {
-    // quantize + norm once per vector in the pre-join projection; the
-    // per-pair work is only the dot product
+  /** [[cellPairCosBuild]]'s output read off a persisted vector index
+    * instead of the session kernel (the X103 seam, r14 — the lexical
+    * [[lshPairsFromIndex]] treatment for the semantic tier): the
+    * index's `pairs` table IS the retained pair region persisted at
+    * index build/append/compaction time
+    * ([[graft.sink.Sink.writeVectorIndex]]), so every cellPairCos
+    * consumer (q33/q85/q90/q115/q116/q117/q118) rides parquet reads of
+    * pre-computed (ida, idb, cell, cos) rows — no corpus re-quantize,
+    * no pair enumeration, no dot products at audit time. Value
+    * contract: a full-build index's pairs are bit-identical to the
+    * session kernel; an APPEND-maintained index's pairs are a bounded
+    * SUPERSET (per-build retention ranks only within each build's pair
+    * set, so rank ≤ K survives more easily — see the retention
+    * contract, which is superset-closed for every consumer: thresholds
+    * and global top-K filters give identical results over any superset
+    * of the retained region with exact cos values). Both pinned in
+    * VectorIndexSpec.
+    *
+    * HEALTHY-INDEX assumption (the shinglePostings contract): the
+    * index covers exactly this corpus's embeddings, no vector
+    * duplicated across batch partitions.
+    */
+  private def cellPairsFromIndex(s: SparkSession, dir: String): DataFrame = {
+    val pairsPath = new org.apache.hadoop.fs.Path(s"$dir/pairs")
+    val fs = pairsPath.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(pairsPath))
+      sys.error(s"$dir has no pairs table (legacy vectors-only vector " +
+        "index); rebuild it with Sink.writeVectorIndex")
+    s.read.parquet(pairsPath.toString)
+      .select(col("ida"), col("idb"), col("cell").cast("int").as("cell"),
+        col("cos"))
+  }
+
+  private def vecKey(s: SparkSession): String =
+    vecIndexDir(s).fold("")(dir => s"@vidx=$dir")
+
+  private[graft] def cellPairCosBuild(s: SparkSession, d: String): DataFrame =
+    cellPairsOf(s, vectorTable(embeddings(s, d)))
+
+  /** The pair kernel over an arbitrary [[vectorTable]]-shaped frame
+    * (vec_id, label, qv, n2) — factored (r14) so the sink can persist
+    * the retained pair region at index-build time from exactly the
+    * rows it just wrote. Body unchanged from the r10–r13 in-session
+    * kernel.
+    */
+  private[graft] def cellPairsOf(s: SparkSession, vt: DataFrame): DataFrame = {
     val B = 4 // block fan-out: a hot cell spreads over B² reducer keys
-    val e = embeddings(s, d)
-      .withColumn("qv", quantize(col("embedding")))
-      .select(col("vec_id"), col("label"), col("qv"), norm2Q(col("qv")).as("n2"))
+    val e = vt
+      .select(col("vec_id"), col("label"), col("qv"), col("n2"))
       .withColumn("blk", pmod(col("vec_id"), lit(B)))
     // two-sided block replication — the q49 salting pattern applied to
     // a self-join: each side explodes ×B over its PARTNER's block, the
@@ -807,6 +855,46 @@ object TrainingOps {
         }
       }
       .toDF("ida", "idb", "cell", "cos")
+  }
+
+  /** Append-cadence DELTA of the retained pair region: every in-cell
+    * pair involving at least one `newVt` vector, against
+    * `standingVt ∪ newVt`, with the SAME retention pass as the full
+    * build. Per-pair cos values are exact ints either way; ranks are
+    * computed within the delta only, so the union of per-build deltas
+    * is a bounded SUPERSET of the full-build retained region (a pair's
+    * rank within a subset of its group is ≤ its rank within the full
+    * group — every full-retained pair survives some build), which is
+    * exactly the superset the retention contract closes over. The join
+    * is un-salted: the new side is batch-sized by the append contract
+    * (a daily batch, a micro-batch), so a hot cell costs |batch∩cell| ×
+    * |cell| — the probeVectorIndex shape, bounded by the batch. Groups
+    * are explicitly co-partitioned before the retention pass (the
+    * session build gets this free from its shuffle-hash join).
+    */
+  private[graft] def cellPairsDelta(s: SparkSession,
+      newVt: DataFrame, standingVt: DataFrame): DataFrame = {
+    val B = 4
+    val nv = newVt.select(col("vec_id"), col("label"), col("qv"), col("n2"))
+    val all = nv.withColumn("standing", lit(false))
+      .unionByName(standingVt
+        .select(col("vec_id"), col("label"), col("qv"), col("n2"))
+        .withColumn("standing", lit(true)))
+    // new×standing pairs match once by construction; new×new pairs are
+    // ordered (a < b) so the normalized projection never duplicates
+    val p = nv.as("a").join(all.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") =!= col("b.vec_id")
+          && (col("b.standing") || col("a.vec_id") < col("b.vec_id")))
+      .select(col("a.label").as("label"),
+        least(col("a.vec_id"), col("b.vec_id")).as("ida"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("idb"),
+        cosQ(dotQ(col("a.qv"), col("b.qv")),
+          col("a.n2"), col("b.n2")).as("cos"))
+      .select(col("label"), pmod(col("ida"), lit(B.toLong)).as("blk"),
+        pmod(col("idb"), lit(B.toLong)).cast("int").as("pb"),
+        col("ida"), col("idb"), col("cos"))
+    cellPairPreLimit(s, p.repartition(col("label"), col("blk"), col("pb")))
   }
 
   /** Oracle CTE chain mirroring [[cellPairCos]] — ends in
@@ -1376,40 +1464,39 @@ object TrainingOps {
     // signatures plus bounded in-cell probes — never a rescan (the X97
     // posture, embedding tier).
     Q("q118_incremental_semantic",
-      (s, d) => vecIndexDir(s) match {
-        // X103 seam: a standing-corpus run probes the PERSISTED vector
-        // index (built from the standing subset — the index IS the
-        // standing corpus by definition) instead of rebuilding the
-        // in-session pair kernel; value identity is spec-pinned
-        // (VectorIndexSpec)
-        case Some(idx) =>
-          graft.sink.Sink.probeVectorIndex(
-            embeddings(s, d).filter(col("vec_id") % 10 === 0), idx,
-            CellPairRetainCos)
-            .orderBy("vec_id")
-        case None =>
-          import org.apache.spark.sql.expressions.Window
-          val isBatchA = col("ida") % 10 === 0
-          val isBatchB = col("idb") % 10 === 0
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("cos").desc, col("near_of"))
-          val near = cellPairCos(s, d)
-            .filter(col("cos") >= CellPairRetainCos)
-            .filter(isBatchA =!= isBatchB)
-            .select(
-              when(isBatchA, col("ida")).otherwise(col("idb")).as("vec_id"),
-              when(isBatchA, col("idb")).otherwise(col("ida")).as("near_of"),
-              col("cos"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-          embeddings(s, d).filter(col("vec_id") % 10 === 0)
-            .select(col("vec_id"))
-            .join(near, Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              when(col("near_of").isNotNull, lit("near"))
-                .otherwise(lit("fresh")).as("verdict"),
-              col("near_of"), col("cos"))
-            .orderBy("vec_id")
+      (s, d) => {
+        // X103 seam (r14 — rehomed into cellPairCos itself, the
+        // lshPairs/fpIndex pattern): with `spark.graft.vecIndex` set to
+        // a FULL-corpus vector index, the kernel below is a parquet
+        // read of the index's persisted retained pairs — no
+        // re-quantize, no pair enumeration; value identity spec-pinned
+        // (VectorIndexSpec). Without it, the in-session kernel. The
+        // production probe of a REAL batch against a standing-only
+        // index stays [[graft.sink.Sink.probeVectorIndex]] (the
+        // sink/streaming tier) — this registry query is the AUDIT-tier
+        // replay of the %10 convention over the corpus artifact.
+        import org.apache.spark.sql.expressions.Window
+        val isBatchA = col("ida") % 10 === 0
+        val isBatchB = col("idb") % 10 === 0
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("near_of"))
+        val near = cellPairCos(s, d)
+          .filter(col("cos") >= CellPairRetainCos)
+          .filter(isBatchA =!= isBatchB)
+          .select(
+            when(isBatchA, col("ida")).otherwise(col("idb")).as("vec_id"),
+            when(isBatchA, col("idb")).otherwise(col("ida")).as("near_of"),
+            col("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        embeddings(s, d).filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"))
+          .join(near, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("near_of").isNotNull, lit("near"))
+              .otherwise(lit("fresh")).as("verdict"),
+            col("near_of"), col("cos"))
+          .orderBy("vec_id")
       },
       Some(s"WITH $cellPairCosCtes, " +
         "hits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS vec_id, " +

@@ -472,24 +472,62 @@ object Sink {
   // side is a maintained artifact with the staged-swap crash discipline,
   // not a per-session rebuild of someone else's corpus.
 
-  /** (Re)build the vector index from the standing corpus's embeddings —
-    * staged write + near-atomic swap ([[swapStagingIntoBase]]'s
-    * `.old-base` discipline), so a rebuild never leaves a crash window
-    * without a complete serving generation.
+  /** (Re)build the vector index from a corpus's embeddings — staged
+    * write + near-atomic swap ([[swapStagingIntoBase]]'s `.old-base`
+    * discipline), so a rebuild never leaves a crash window without a
+    * complete serving generation. Two tables (r14 — the X97 treatment
+    * for the semantic tier):
+    *  - `vectors/` (vec_id, qv, n2) cell-partitioned on `label` — the
+    *    probe surface ([[probeVectorIndex]]);
+    *  - `pairs/` (ida, idb, cos) partitioned on `cell` — the retained
+    *    in-cell pair region ([[graft.queries.TrainingOps.cellPairsOf]]
+    *    over exactly the vector rows just staged), so standalone
+    *    semantic audits (q115/q116/q118 via the `spark.graft.vecIndex`
+    *    seam) read pre-computed pairs instead of re-quantizing and
+    *    re-enumerating the corpus. The pair build is the one real
+    *    compute this write pays — deliberately: it runs ONCE at
+    *    build/append cadence instead of once per audit session.
     */
   def writeVectorIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
     writeVecTable(emb, s"$path/.staging/vectors")
-    swapStagingIntoBase(emb.sparkSession, path, Seq("vectors"))
+    // pairs from the STAGED rows (not a second quantize of `emb`): the
+    // persisted pair region is computed from byte-for-byte the vectors
+    // the index serves
+    val vt = spark.read.parquet(s"$path/.staging/vectors")
+      .select("vec_id", "label", "qv", "n2")
+    writePairTable(graft.queries.TrainingOps.cellPairsOf(spark, vt),
+      s"$path/.staging/pairs")
+    swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
   }
 
   /** Add a batch's vectors under its own `batch=<tag>` partition —
     * replay-idempotent exactly like [[appendFingerprints]] (the scoped
-    * Overwrite replaces the batch's own prior contribution).
+    * Overwrite replaces the batch's own prior contribution). Also
+    * appends the batch's retained-pair DELTA (new×standing ∪ new×new,
+    * [[graft.queries.TrainingOps.cellPairsDelta]]) under the same tag:
+    * the standing side excludes the batch's own partition, so a replay
+    * recomputes the identical delta. The union of per-build deltas is
+    * a bounded superset of the full-build retained region (the
+    * retention contract is superset-closed for every consumer —
+    * VectorIndexSpec pins consumer-identity across an appended index).
     */
   def appendVectorIndex(emb: DataFrame, path: String, batch: String): Unit = {
     require(batch.matches("[A-Za-z0-9_-]+") && batch != "base",
       s"unsafe batch tag: $batch")
+    val spark = emb.sparkSession
     writeVecTable(emb, s"$path/vectors/batch=$batch")
+    // the new side is re-derived from `emb`, not read back: quantization
+    // is deterministic (exact int math), and an EMPTY batch (a streaming
+    // micro-batch whose docs were all dups) leaves a file-less partition
+    // dir that parquet schema inference cannot read
+    val newVt = graft.queries.TrainingOps.vectorTable(emb)
+    val standing = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch") =!= batch)
+      .select("vec_id", "label", "qv", "n2")
+    writePairTable(
+      graft.queries.TrainingOps.cellPairsDelta(spark, newVt, standing),
+      s"$path/pairs/batch=$batch")
   }
 
   private def writeVecTable(emb: DataFrame, dir: String): Unit =
@@ -497,16 +535,30 @@ object Sink {
       .repartition(col("label")).write.partitionBy("label")
       .mode(SaveMode.Overwrite).parquet(dir)
 
+  private def writePairTable(pairs: DataFrame, dir: String): Unit =
+    pairs.repartition(col("cell")).write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(dir)
+
   /** Fold every `batch=<tag>` partition into `batch=base` — the X91
-    * small-files discipline for the vector table (cell layout restored
-    * by the partitioned rewrite; probes byte-identical before/after).
+    * small-files discipline for both vector-index tables (cell layout
+    * restored by the partitioned rewrite; probes and pair reads
+    * byte-identical before/after — compaction moves rows, it never
+    * recomputes pairs).
     */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    val pairsPath = new org.apache.hadoop.fs.Path(s"$path/pairs")
+    if (!pairsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(pairsPath))
+      sys.error(s"$path has no pairs table (legacy vectors-only vector " +
+        "index); rebuild it with writeVectorIndex")
     val full = spark.read.parquet(s"$path/vectors").drop("batch")
     full.repartition(col("label")).write.partitionBy("label")
       .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
-    swapStagingIntoBase(spark, path, Seq("vectors"))
+    val pairs = spark.read.parquet(s"$path/pairs").drop("batch")
+    pairs.repartition(col("cell")).write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(s"$path/.staging/pairs")
+    swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
   }
 
   /** Incremental SEMANTIC dedup of a new batch against a

@@ -21,28 +21,93 @@ class VectorIndexSpec extends AnyFunSuite {
 
   import org.apache.spark.sql.functions._
 
-  test("q118 seam: probe of the standing-subset index is value-identical to the session kernel") {
+  test("pair seam: q115/q116/q118 over the full-corpus index's pairs table are value-identical to the session kernel") {
     assert(spark.conf.getOption("spark.graft.vecIndex").isEmpty)
-    val session = SparkEntry.queries("q118_incremental_semantic")(spark, d)
-      .collect().map(_.toString).toSeq
+    val qs = Seq("q115_semantic_contamination", "q116_dedup_tier_agreement",
+      "q118_incremental_semantic")
+    val session = qs.map(q =>
+      q -> SparkEntry.queries(q)(spark, d).collect().map(_.toString).toSeq)
+      .toMap
 
     val idx = java.nio.file.Files.createTempDirectory("graft-vecidx-")
       .toString + "/idx"
+    // r14: the index is the CORPUS artifact (the `fingerprint` command's
+    // convention) — built from all embeddings; consumers apply their own
+    // split conventions (q118's %10, q115's %50)
     graft.sink.Sink.writeVectorIndex(
-      graft.util.Tables.embeddings(spark, d)
-        .filter(col("vec_id") % 10 =!= 0), idx)
+      graft.util.Tables.embeddings(spark, d), idx)
 
+    // file sources from the ANALYZED plan: `inputFiles` and the executed
+    // plan both see the cache-substituted InMemoryRelation (the seam
+    // frame is a persisted shared index), which has no file sources —
+    // the pre-substitution analyzed plan still shows the real reads
+    def reads(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
     spark.conf.set("spark.graft.vecIndex", idx)
-    try {
-      val df = SparkEntry.queries("q118_incremental_semantic")(spark, d)
-      assert(df.inputFiles.exists(_.contains("vecidx")),
-        "seam plan must scan the vector index")
-      val seamed = df.collect().map(_.toString).toSeq
-      assert(seamed == session)
+    try qs.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      assert(reads(df).exists(_.contains("vecidx")),
+        s"$q seam plan must scan the vector index: ${reads(df)}")
+      // the seam must not sneak the pair KERNEL back in: no dot-product
+      // expression anywhere in the pre-substitution plan (pairs are
+      // pre-computed in the index)
+      assert(!df.queryExecution.analyzed.toString.contains("graft_dot_long"),
+        s"$q seam plan recomputes dot products")
+      // q115 is a pure filter over the pair cache — under the seam it
+      // must never touch the embeddings table at all
+      if (q == "q115_semantic_contamination")
+        assert(!reads(df).exists(_.contains("embeddings")),
+          s"$q under the seam must not read the embeddings table")
+      assert(df.collect().map(_.toString).toSeq == session(q), q)
     } finally spark.conf.unset("spark.graft.vecIndex")
     // the seam is scoped: unsetting restores the kernel path
     assert(SparkEntry.queries("q118_incremental_semantic")(spark, d)
-      .collect().map(_.toString).toSeq == session)
+      .collect().map(_.toString).toSeq
+      == session("q118_incremental_semantic"))
+  }
+
+  test("pair seam: an APPEND-maintained index gives identical consumer results (superset-closed retention)") {
+    assert(spark.conf.getOption("spark.graft.vecIndex").isEmpty)
+    val qs = Seq("q115_semantic_contamination", "q116_dedup_tier_agreement",
+      "q118_incremental_semantic")
+    val session = qs.map(q =>
+      q -> SparkEntry.queries(q)(spark, d).collect().map(_.toString).toSeq)
+      .toMap
+    // build from one subset, append the rest in two batches, compact —
+    // the maintained-artifact lifecycle; per-build retention ranks make
+    // the pairs table a SUPERSET of the full build's, and every
+    // consumer must be blind to the difference
+    val emb = graft.util.Tables.embeddings(spark, d)
+    val idx = java.nio.file.Files.createTempDirectory("graft-vecidx-app-")
+      .toString + "/idx"
+    graft.sink.Sink.writeVectorIndex(emb.filter(col("vec_id") % 3 === 0), idx)
+    graft.sink.Sink.appendVectorIndex(
+      emb.filter(col("vec_id") % 3 === 1), idx, "b1")
+    graft.sink.Sink.appendVectorIndex(
+      emb.filter(col("vec_id") % 3 === 2), idx, "b2")
+
+    def check(tag: String): Unit = {
+      spark.conf.set("spark.graft.vecIndex", idx)
+      try qs.foreach { q =>
+        assert(SparkEntry.queries(q)(spark, d)
+          .collect().map(_.toString).toSeq == session(q), s"$q $tag")
+      } finally spark.conf.unset("spark.graft.vecIndex")
+    }
+    check("appended")
+    graft.sink.Sink.compactVectorIndex(spark, idx)
+    // drop the seam's cached pair frame so the compacted check really
+    // re-reads the swapped files instead of serving cached blocks
+    spark.sqlContext.clearCache()
+    val dirs = new java.io.File(s"$idx/pairs").listFiles.map(_.getName)
+    assert(dirs.count(_.startsWith("batch=")) == 1 && dirs.contains("batch=base"))
+    check("compacted")
   }
 
   test("append grows the probe's reach; compaction is probe-identical; replay exclusion and self-guard hold") {

@@ -87,4 +87,29 @@ seam() { # $1=sfdir $2=idxdir $3=heap, then query names...
 }
 seam /tmp/graft-sf10r /tmp/graft-fp10 64g \
   q110_neardup_split_leakage q111_contamination_pairs q95_incremental_dedup
+# r14: the X103 PAIR seam — the semantic tier's X97 treatment. Build the
+# vector index (vectors + retained pairs) once, then time the semantic
+# audits riding its pairs table instead of re-quantizing/re-enumerating.
+# q116 gets a third arm with BOTH seams (its lexical half rides the
+# fingerprint index — the production audit posture).
+vseam() { # $1=sfdir $2=vecidx $3=fpidx $4=heap, then query names...
+  local sfdir=$1 vidx=$2 fidx=$3 heap=$4; shift 4
+  echo "=== vecindex $sfdir -> $vidx $(date +%T)"
+  if [ ! -f "$vidx/pairs/batch=base/_SUCCESS" ]; then
+    rm -rf "$vidx"
+    java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" vecindex "$vidx" 2>&1 | grep vecindex
+  fi
+  for q in "$@"; do
+    echo "--- $q standalone, session kernel"
+    java -Xmx$heap -cp "$CP" graft.Profile "$sfdir" time "$q" 3 2>&1 | grep time
+    echo "--- $q standalone, vec-index-riding"
+    SPARK_GRAFT_VEC_INDEX="$vidx" java -Xmx$heap -cp "$CP" \
+      graft.Profile "$sfdir" time "$q" 3 2>&1 | grep time
+    echo "--- $q standalone, both indexes"
+    SPARK_GRAFT_VEC_INDEX="$vidx" SPARK_GRAFT_FP_INDEX="$fidx" java -Xmx$heap \
+      -cp "$CP" graft.Profile "$sfdir" time "$q" 3 2>&1 | grep time
+  done
+}
+vseam /tmp/graft-sf10r /tmp/graft-vec10 /tmp/graft-fp10 64g \
+  q115_semantic_contamination q116_dedup_tier_agreement q118_incremental_semantic
 echo "=== scale_audit done $(date +%T) load $(cut -d' ' -f1 /proc/loadavg)"
