@@ -207,6 +207,26 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> fpappend <idxDir> <mod> <tag>`:
+    // time ONE appendFingerprints of the doc_id % <mod> == 1 slice
+    // under batch=<tag> — the O(delta) instrument for the stats tier
+    // (append two batch sizes against the same standing index; cost
+    // must follow the batch, not the index). Run against a THROWAWAY
+    // index copy: the appended slice duplicates standing doc_ids, which
+    // violates the healthy-index probe contract (timing only).
+    if (args.length >= 5 && args(1) == "fpappend") {
+      import org.apache.spark.sql.functions.col
+      val batch = graft.util.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % args(3).toLong === 1)
+      val t0 = System.nanoTime()
+      graft.sink.Sink.appendFingerprints(batch, args(2), args(4))
+      println(f"[fpappend] mod=${args(3)} tag=${args(4)} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> seamab <query> <vecIdx|-> <fpIdx|->
     // [passes]`: INTERLEAVED session-kernel vs index-riding A/B in ONE
     // JVM — the shufab discipline applied to the seam question.

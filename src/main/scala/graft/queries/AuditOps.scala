@@ -1361,26 +1361,67 @@ object AuditOps {
     // histogram DISTINCT count-values (bounded), never raw rows.
     Q("q124_index_stats",
       (s, d) => {
-        val post = TrainingOps.shinglePostings(s, d)
-        val a1 = post.groupBy("h1").agg(count(lit(1)).as("c"))
-          .agg(count(lit(1)).as("distinct_shingles"),
-            sum("c").as("postings_rows"),
-            expr("percentile(c, 0.5)").as("df_p50"),
-            expr("percentile(c, 0.99)").as("df_p99"),
-            max("c").as("df_max"))
-        val a2 = post.groupBy("doc_id").agg(count(lit(1)).as("c"))
-          .agg(count(lit(1)).as("docs"),
-            expr("percentile(c, 0.5)").as("doc_shingles_p50"),
-            max("c").as("doc_shingles_max"))
-        val a3 = TrainingOps.bandBuckets(s, d)
-          .groupBy("bk", "bandkey").agg(count(lit(1)).as("c"))
-          .agg(count(lit(1)).as("bucket_count"),
-            max("c").as("bucket_max"),
-            expr("percentile(c, 0.99)").as("bucket_p99"),
-            sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
-        val a4 = TrainingOps.exactHashes(s, d).filter(col("h").isNotNull)
-          .agg(count(lit(1)).as("exact_docs"),
-            countDistinct(col("h")).as("exact_distinct"))
+        // STATS TIER (r14 — the datasheet made incremental): with a
+        // stats-carrying index, all four aggregate families read the
+        // sink-maintained PRE-AGGREGATED count tables — one row per
+        // distinct key per batch generation, merged by a per-key sum
+        // (LSM-on-read; compaction folds to one row per key) — instead
+        // of scanning the postings volume. Every metric is an exact
+        // function of the counts: sums/maxes commute with the merge,
+        // and Spark's frequency-weighted `percentile(c, p, n)` is
+        // defined as the percentile of the EXPANDED multiset, so the
+        // histogram form is bit-identical to the raw form (pinned in
+        // FpIndexSeamSpec across appends + compactions). The datasheet
+        // drops from O(postings) per run to O(distinct keys) — and the
+        // maintenance cost is O(batch) at append, a rider on
+        // compaction's existing full rewrite otherwise.
+        val (a1, a2, a3, a4) = TrainingOps.fpStatsDir(s) match {
+          case Some(dir) =>
+            val dfc = s.read.parquet(s"$dir/dfc")
+              .groupBy("h1").agg(sum("c").as("c"))
+            val a1 = dfc.agg(count(lit(1)).as("distinct_shingles"),
+              sum("c").as("postings_rows"),
+              expr("percentile(c, 0.5)").as("df_p50"),
+              expr("percentile(c, 0.99)").as("df_p99"),
+              max("c").as("df_max"))
+            val dsh = s.read.parquet(s"$dir/dsh")
+            val a2 = dsh.agg(sum("n").as("docs"),
+              expr("percentile(c, 0.5, n)").as("doc_shingles_p50"),
+              max("c").as("doc_shingles_max"))
+            val bkc = s.read.parquet(s"$dir/bkc")
+              .groupBy("bk", "bandkey").agg(sum("c").as("c"))
+            val a3 = bkc.agg(count(lit(1)).as("bucket_count"),
+              max("c").as("bucket_max"),
+              expr("percentile(c, 0.99)").as("bucket_p99"),
+              sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
+            val a4 = s.read.parquet(s"$dir/xc")
+              .groupBy("h").agg(sum("c").as("c"))
+              .agg(sum("c").as("exact_docs"),
+                count(lit(1)).as("exact_distinct"))
+            (a1, a2, a3, a4)
+          case None =>
+            val post = TrainingOps.shinglePostings(s, d)
+            val a1 = post.groupBy("h1").agg(count(lit(1)).as("c"))
+              .agg(count(lit(1)).as("distinct_shingles"),
+                sum("c").as("postings_rows"),
+                expr("percentile(c, 0.5)").as("df_p50"),
+                expr("percentile(c, 0.99)").as("df_p99"),
+                max("c").as("df_max"))
+            val a2 = post.groupBy("doc_id").agg(count(lit(1)).as("c"))
+              .agg(count(lit(1)).as("docs"),
+                expr("percentile(c, 0.5)").as("doc_shingles_p50"),
+                max("c").as("doc_shingles_max"))
+            val a3 = TrainingOps.bandBuckets(s, d)
+              .groupBy("bk", "bandkey").agg(count(lit(1)).as("c"))
+              .agg(count(lit(1)).as("bucket_count"),
+                max("c").as("bucket_max"),
+                expr("percentile(c, 0.99)").as("bucket_p99"),
+                sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
+            val a4 = TrainingOps.exactHashes(s, d).filter(col("h").isNotNull)
+              .agg(count(lit(1)).as("exact_docs"),
+                countDistinct(col("h")).as("exact_distinct"))
+            (a1, a2, a3, a4)
+        }
         a1.crossJoin(a2).crossJoin(a3).crossJoin(a4)
           .withColumn("df_mean",
             col("postings_rows").cast("double") / col("distinct_shingles"))

@@ -138,6 +138,22 @@ object TrainingOps {
     s.conf.getOption("spark.graft.fpIndex").filter(_.nonEmpty)
       .orElse(sys.env.get("SPARK_GRAFT_FP_INDEX").filter(_.nonEmpty))
 
+  /** [[fpIndexDir]] restricted to indexes carrying the r14 STATS tier
+    * (dfc/bkc/xc/dsh — [[graft.sink.Sink]]'s pre-aggregated count
+    * tables): the q124 datasheet rides the stats when a BASE stats
+    * generation exists, and falls back to the raw-table accessors
+    * otherwise. The base check matters for mixed generations: a legacy
+    * base appended to by the current sink has batch-only stats
+    * partitions whose sums MISS the base's contribution — reading them
+    * would be silently wrong, so only a base-built stats tier counts
+    * (compaction self-heals a legacy index into one).
+    */
+  private[graft] def fpStatsDir(s: SparkSession): Option[String] =
+    fpIndexDir(s).filter { dir =>
+      val base = new org.apache.hadoop.fs.Path(s"$dir/dfc/batch=base")
+      base.getFileSystem(s.sessionState.newHadoopConf()).exists(base)
+    }
+
   /** Cache-key suffix isolating seam-path shared indexes from
     * session-kernel ones (a cached kernel copy must never serve the
     * other path's consumers — they are different plans, even though

@@ -126,4 +126,35 @@ class FpIndexSeamSpec extends AnyFunSuite {
     val again = rows("q110_neardup_split_leakage")
     assert(again == baseline("q110_neardup_split_leakage"))
   }
+
+  test("q124 stats tier: identity across appends and compaction (the incremental datasheet)") {
+    import org.apache.spark.sql.functions.col
+    assert(spark.conf.getOption("spark.graft.fpIndex").isEmpty)
+    val session = rows("q124_index_stats")
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    // base from one third, two appended batches — per-batch stats deltas
+    // (dfc/bkc/xc summed per key on read, dsh additive) must reproduce
+    // the from-scratch datasheet exactly; compaction folds the deltas
+    // and must change nothing
+    val dir = Files.createTempDirectory("graft-fpstats").toString + "/idx"
+    graft.sink.Sink.writeFingerprints(docs.filter(col("doc_id") % 3 === 0), dir)
+    graft.sink.Sink.appendFingerprints(
+      docs.filter(col("doc_id") % 3 === 1), dir, "b1")
+    graft.sink.Sink.appendFingerprints(
+      docs.filter(col("doc_id") % 3 === 2), dir, "b2")
+    spark.conf.set("spark.graft.fpIndex", dir)
+    try {
+      assert(graft.queries.TrainingOps.fpStatsDir(spark).contains(dir),
+        "base stats generation must be detected")
+      val statsPlan = SparkEntry.queries("q124_index_stats")(
+        spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+      assert(statsPlan.contains("dfc") && !statsPlan.contains("text#"),
+        "q124 must read the stats tables, not the corpus")
+      assert(rows("q124_index_stats") == session, "appended index")
+      graft.sink.Sink.compactFingerprints(spark, dir)
+      spark.sqlContext.clearCache()
+      assert(rows("q124_index_stats") == session, "compacted index")
+    } finally spark.conf.unset("spark.graft.fpIndex")
+  }
 }
