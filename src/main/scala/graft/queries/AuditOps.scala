@@ -1485,5 +1485,96 @@ object AuditOps {
         "UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM rw " +
         "UNION ALL SELECT 'postings_rows', CAST(postings_rows AS DOUBLE) FROM rw " +
         "ORDER BY metric")),
+
+    // Multimodal near-dup (X109, r14): the dedup modality the BINARY
+    // column was missing — text has exact/near/semantic/span tiers
+    // (q27/q29/q90/q119); media payloads (X16/X40/X41's opaque binary
+    // + stub codec) had none. A 60-bit PERCEPTUAL FINGERPRINT per
+    // payload, LSH-banded for candidates, Hamming-verified:
+    //
+    //  - Fingerprint: trigram-parity sketch — hash every byte TRIGRAM
+    //    into 60 buckets, bit_j = parity of bucket j's count (a 1-bit
+    //    count-sketch over feature hashes). Integer-only and exactly
+    //    oracle-expressible on the ASCII corpus (the q43 char==byte
+    //    identity). Position-INVARIANT by construction: a k-byte edit
+    //    flips O(k) bucket parities while unrelated payloads land at
+    //    the binomial mean (~30 of 60 bits). The blockhash-style
+    //    byte-mean grid was built first and MEASURED OUT on this
+    //    corpus: a 4-byte edit shifts every downstream block boundary,
+    //    so true near-identical pairs (q29's jacc ≥ 0.95 set) read
+    //    hamming ≥ 8 — indistinguishable from background; the parity
+    //    sketch puts the same pairs at hamming 2–4 against a
+    //    background floor of 15 (sf0.01, BASELINE.md r14).
+    //  - Candidates: 5 bands × 12 bits; two payloads within hamming 4
+    //    share a band EXACTLY (pigeonhole — 5 differing bands need ≥ 5
+    //    differing bits), so the candidate join misses nothing the
+    //    verify would keep. Parity bits are near-uniform for unrelated
+    //    docs, so expected random collisions are C(n,2)·5/4096 —
+    //    bucket-bounded like q29's bands, never all-pairs.
+    //  - Verify: bit_count(fpa ^ fpb) ≤ 4, map-side over candidates.
+    //
+    // Scale: one UDF pass per payload (map-side, the simhash/q64
+    // tight-loop precedent — the 60-long histogram lives in the loop,
+    // never in a shuffle), a 5-row band explode per doc, one
+    // bucket-equi self-join whose distinct is the only pair-volume
+    // state, and an output-sized verify. At 100 TB the fingerprint
+    // column belongs IN the media index the sink maintains (the X76
+    // posture); here it is computed in-plan.
+    Q("q125_media_neardup",
+      (s, d) => {
+        val fpUdf = udf((payload: Array[Byte]) => {
+          val hist = new Array[Long](60)
+          val n = payload.length
+          var i = 0
+          while (i + 2 < n) {
+            val b = ((payload(i) & 0xff) * 65536 + (payload(i + 1) & 0xff) * 256
+              + (payload(i + 2) & 0xff)) % 60
+            hist(b) += 1
+            i += 1
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 60) { if ((hist(j) & 1L) == 1L) fp |= 1L << j; j += 1 }
+          fp
+        })
+        // persisted: both sides of the band self-join read it (the
+        // lshPairs discipline — one fingerprint pass, not two)
+        val fps = graft.util.Caches.transientPersist(
+          documents(s, d)
+            .filter(col("text").isNotNull && length(col("text")) >= 62)
+            .select(col("doc_id"),
+              fpUdf(col("text").cast("binary")).as("fp")))
+        val bands = fps.select(col("doc_id"), col("fp"),
+            explode(sequence(lit(0), lit(4))).as("bk"))
+          .withColumn("bkey", expr("shiftright(fp, 12 * bk) & 4095"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.bk") === col("b.bk") && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+            col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+          .distinct()
+        cand
+          .select(col("ida"), col("idb"),
+            expr("bit_count(fpa ^ fpb)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 4)
+          .orderBy("ida", "idb")
+      },
+      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents " +
+        "WHERE text IS NOT NULL AND strlen(text) >= 62), " +
+        "b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) * 65536 " +
+        "+ ord(substr(text, CAST(i + 1 AS INTEGER), 1)) * 256 " +
+        "+ ord(substr(text, CAST(i + 2 AS INTEGER), 1))) % 60 AS bkt " +
+        "FROM t, unnest(range(1, n - 1)) AS u(i)), " +
+        "h AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2), " +
+        "fp AS (SELECT doc_id, CAST(sum(CASE WHEN c % 2 = 1 " +
+        "THEN (CAST(1 AS BIGINT) << CAST(bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp " +
+        "FROM h GROUP BY 1), " +
+        "bands AS (SELECT doc_id, fp, bk, (fp >> CAST(12 * bk AS INTEGER)) & 4095 AS bkey " +
+        "FROM fp, unnest(range(0, 5)) AS u(bk)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb, " +
+        "a.fp AS fpa, b2.fp AS fpb FROM bands a JOIN bands b2 " +
+        "ON a.bk = b2.bk AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id) " +
+        "SELECT ida, idb, CAST(bit_count(xor(fpa, fpb)) AS INTEGER) AS hamming " +
+        "FROM cand WHERE bit_count(xor(fpa, fpb)) <= 4 ORDER BY ida, idb")),
   )
 }

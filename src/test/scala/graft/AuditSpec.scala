@@ -845,4 +845,49 @@ class AuditSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     assert(got == expected)
   }
+
+  test("q125 media near-dup matches a driver recomputation; edits flip O(edit) bits") {
+    // independent fingerprint: plain Scala over the raw text bytes
+    def fpOf(bytes: Array[Byte]): Long = {
+      val hist = new Array[Long](60)
+      var i = 0
+      while (i + 2 < bytes.length) {
+        hist(((bytes(i) & 0xff) * 65536 + (bytes(i + 1) & 0xff) * 256
+          + (bytes(i + 2) & 0xff)) % 60) += 1
+        i += 1
+      }
+      (0 until 60).foldLeft(0L)((fp, j) =>
+        if ((hist(j) & 1L) == 1L) fp | (1L << j) else fp)
+    }
+    val texts = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 62)
+    val fps = texts.map { case (id, t) => id -> fpOf(t.getBytes("UTF-8")) }
+    // ground truth: all pairs at hamming <= 4 (exhaustive at sf0.001 —
+    // the banded join must find EXACTLY these: pigeonhole over 5x12-bit
+    // bands guarantees a shared band at hamming <= 4, so banding loses
+    // nothing the verify would keep)
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 4
+    } yield (ia, ib, h)).sortBy(p => (p._1, p._2)).toSeq
+    val got = SparkEntry.queries("q125_media_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+
+    // the perceptual property, pinned directly: a small byte edit moves
+    // the fingerprint a small hamming distance (each edited trigram
+    // instance flips at most one bucket parity), while the corpus
+    // background sits near the 60-bit binomial mean
+    val (_, t0) = texts.head
+    val edited = ("Z" + t0.substring(1)).getBytes("UTF-8") // 1-byte edit -> <= 3 trigrams touched
+    val dEdit = java.lang.Long.bitCount(fpOf(t0.getBytes("UTF-8")) ^ fpOf(edited))
+    assert(dEdit <= 3, s"1-byte edit moved the fingerprint $dEdit bits")
+    val back = fps.map(_._2)
+    val med = (for (a <- back.take(20); b <- back.drop(20).take(20))
+      yield java.lang.Long.bitCount(a ^ b)).sorted
+    assert(med(med.length / 2) >= 15,
+      s"background median hamming ${med(med.length / 2)} — fingerprint lost discrimination")
+  }
 }
