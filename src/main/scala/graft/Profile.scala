@@ -190,6 +190,35 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> saltab [passes]`: the r14 hot-gram
+    // mitigation's marginal-cost A/B on a HEALTHY corpus, interleaved in
+    // one JVM (the shufab discipline) — salted (shipped) vs unsalted
+    // attribution join. The salt's cost is an owners ×8 explode + a
+    // (h1, salt) key; the question is whether the un-skewed common case
+    // pays anything measurable for the deterministic skew bound.
+    if (args.length >= 2 && args(1) == "saltab") {
+      val passes = args.lift(2).map(_.toInt).getOrElse(3)
+      import org.apache.spark.sql.functions.{count, lit}
+      def once(salted: Boolean): Double = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        noop(graft.queries.AuditOps.dupSpansBuild(spark, sfDir,
+          persistTriples = true, salted = salted)
+          .groupBy("doc_id").agg(count(lit(1)).as("n")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(true); once(false)
+      val timed = (1 to passes).map(_ => (once(true), once(false)))
+      val (ss, us) = timed.unzip
+      println(f"[saltab] salted   min ${ss.min}%.3f  " +
+        s"runs ${ss.map(v => f"$v%.3f").mkString(" ")}")
+      println(f"[saltab] unsalted min ${us.min}%.3f  " +
+        s"runs ${us.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)
@@ -277,6 +306,32 @@ object Profile {
     if (args.length >= 3 && args(1) == "aqe") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(2)
+      // skew-join knobs (r14 — the q119 hot-gram demonstration): the
+      // default 256 MB skewedPartitionThresholdInBytes is cluster-sized;
+      // demonstrating the split on a local fixture needs it lowered to
+      // the fixture's hot-partition scale. Runtime-settable confs, so
+      // env knobs here rather than builder flags.
+      sys.env.get("SPARK_GRAFT_SKEW_ENABLED").foreach(v =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", v))
+      sys.env.get("SPARK_GRAFT_SKEW_THRESHOLD").foreach(v =>
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", v))
+      sys.env.get("SPARK_GRAFT_SKEW_FACTOR").foreach(v =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", v))
+      // the builder pins preferSortMergeJoin=false (bench posture); the
+      // skew question is usually asked about the cluster posture where
+      // SMJ is the default — runtime-settable, so an env knob
+      sys.env.get("SPARK_GRAFT_PREFER_SMJ").foreach(v =>
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", v))
+      // THE gate for skew-split inside the shared kernels (r14 finding):
+      // the dedup kernels are sharedIndex-CACHED, and by default Spark
+      // disables AQE's partitioning-changing rules (coalescing AND
+      // skew-join splitting) while materializing a cached plan, so a
+      // skewed exchange inside a cached kernel is NEVER split unless
+      // this conf is on. See the BASELINE.md r14 skew paragraph.
+      sys.env.get("SPARK_GRAFT_CACHED_REPARTITION").foreach(v =>
+        spark.conf.set(
+          "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", v))
       noop(fn(spark, sfDir))
       val ts = (1 to passes).map { _ =>
         spark.sqlContext.clearCache()
@@ -291,7 +346,7 @@ object Profile {
       executed.toString.linesIterator
         .map(_.trim)
         .filter(l => l.contains("AQEShuffleRead") || l.contains("Exchange")
-          || l.contains("ShuffleQueryStage"))
+          || l.contains("ShuffleQueryStage") || l.contains("Join"))
         .foreach(l => println(s"[aqe-plan] $l"))
       // the coalesced partition COUNTS (toString omits them): every
       // AQEShuffleRead in the final adaptive tree, its output partition
@@ -301,8 +356,25 @@ object Profile {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             if (a.executedPlan ne p) reads(a.executedPlan)
           case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
-            println(s"[aqe-read] ${r.partitionSpecs.size} partitions <- " +
+            // skew-splits are PartialReducerPartitionSpec entries: one
+            // reducer's data split across several tasks — the direct
+            // evidence the skew handler ENGAGED on this exchange
+            val skewSplits = r.partitionSpecs.count(
+              _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+            println(s"[aqe-read] ${r.partitionSpecs.size} partitions " +
+              s"(skew-split specs $skewSplits) <- " +
               r.child.toString.linesIterator.next().trim)
+          case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+            // what the skew detector sees: per-reduce-partition bytes
+            // of this exchange (max vs median decides the split)
+            q.mapStats.foreach { st =>
+              val sz = st.bytesByPartitionId.sorted
+              if (sz.nonEmpty)
+                println(s"[aqe-stage] ${q.id} max=${sz.last} " +
+                  s"p50=${sz(sz.length / 2)} parts=${sz.length} <- " +
+                  q.plan.toString.linesIterator.next().trim)
+            }
+            reads(q.plan)
           case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
             reads(q.plan)
           case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>

@@ -113,15 +113,23 @@ object AuditOps {
     * partitioning; (4) only true cross-doc-duplicated positions reach
     * the per-doc island windows (overlap-bounded, q112's shape).
     *
-    * Hot-gram skew note (100 TB): a corpus-wide boilerplate 8-gram puts
-    * all its positions on one h1 reduce partition of exchange (3). The
-    * join carries no per-key state (both sides stream; the owners side
-    * is one row per gram), so the hazard is a straggler, not a spill —
-    * exactly the shape AQE's skew-join splitting handles on a cluster
-    * (splitting a stateless probe side is always safe). No df cap is
-    * applied because every occurrence genuinely must be masked; a
-    * corpus where one gram dominates the token stream is a corpus-prep
-    * bug the q124 datasheet's df_max row exists to surface first.
+    * Hot-gram skew note (100 TB, r14 — DEMONSTRATED, the r13 AQE
+    * delegation refuted and replaced): a corpus-wide boilerplate 8-gram
+    * puts all its positions on one reduce partition of exchange (3).
+    * The join carries no per-key state (both sides stream), so the
+    * hazard is a straggler, not a spill — but the constructed df=100k
+    * fixture showed AQE's skew-join splitting can NEVER rescue this
+    * join: the kernel is cache-materialized (partitioning-changing AQE
+    * rules are disabled there by default), and even uncached the
+    * owners-side aggregate is fused onto the join's input partitioning,
+    * a shape OptimizeSkewedJoin's SMJ(Sort(shuffle),Sort(shuffle))
+    * pattern never matches (BASELINE.md r14). The bound therefore
+    * lives in the plan: the attribution join is SALTED on doc_id % 8
+    * (see the build body), spreading any hot gram over 8 reducers
+    * deterministically. No df cap is applied because every occurrence
+    * genuinely must be masked; a corpus where one gram dominates the
+    * token stream is a corpus-prep bug the q124 datasheet's df_max row
+    * exists to surface first.
     */
   private def dupSpans(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s, s"dupSpans:$d")(
@@ -135,7 +143,7 @@ object AuditOps {
     * BASELINE.md r13c.
     */
   private[graft] def dupSpansBuild(s: SparkSession, d: String,
-      persistTriples: Boolean): DataFrame = {
+      persistTriples: Boolean, salted: Boolean = true): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).filter(col("text").isNotNull)
       val triBase =
@@ -150,7 +158,33 @@ object AuditOps {
         .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
         .filter(col("df") >= 2)
         .select("h1", "owner")
-      val hits = tri.join(owners, "h1")
+      // SALTED attribution join (r14 — the hot-gram mitigation,
+      // demonstrated rather than asserted): the r13 posture delegated a
+      // corpus-wide boilerplate gram to AQE's skew-join splitting, but
+      // the constructed-skew measurement (BASELINE.md r14) showed the
+      // split CANNOT engage on this join: (a) the kernel is
+      // sharedIndex-cached, and Spark's default
+      // canChangeCachedPlanOutputPartitioning=false disables every
+      // partitioning-changing AQE rule inside cached-plan
+      // materialization; (b) even uncached, OptimizeSkewedJoin only
+      // matches SMJ(Sort(shuffle), Sort(shuffle)), and the owners
+      // side's final aggregate is fused onto the join's input
+      // partitioning — the pattern never matches. So the bound is built
+      // into the plan instead: the probe side salts on doc_id % B (a
+      // boilerplate gram sits at a FIXED position in every doc, so pos
+      // would not spread it; doc_id always does), the owners side
+      // explodes ×B — cheap by construction, owners holds only the
+      // df ≥ 2 grams — and any hot gram now lands on B reducers
+      // deterministically, cached or not, cluster or not. Measured on
+      // the df=100k fixture at 512 partitions: hot-partition bytes
+      // 1.73 MB (1.77× median) → 1.16 MB (1.18× median), results
+      // identical (the full 125-query oracle gate).
+      val B = 8
+      val hits = (if (salted) {
+        tri.withColumn("salt", pmod(col("doc_id"), lit(B)).cast("int"))
+          .join(owners.withColumn("salt",
+            explode(sequence(lit(0), lit(B - 1)))), Seq("h1", "salt"))
+      } else tri.join(owners, "h1"))
         .filter(col("doc_id") =!= col("owner"))
         .select("doc_id", "pos")
       val wOrd = Window.partitionBy("doc_id").orderBy("pos")
