@@ -219,6 +219,56 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> postriab <triDir> [passes]`: price
+    // a PERSISTED POSITIONAL TIER for the fingerprint index (r14 ask
+    // #3) — the (doc_id, pos, h1) 8-gram triples that q112/q114/q119/
+    // q120 currently re-derive by tokenizing the corpus each session.
+    // One-time build cost + on-disk bytes printed, then the dupspanab
+    // methodology: the dup-span kernel interleaved in one JVM, session
+    // tokenize+persist arm vs parquet-read arm.
+    if (args.length >= 3 && args(1) == "postriab") {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val triDir = args(2)
+      val passes = args.lift(3).map(_.toInt).getOrElse(3)
+      val fs = new org.apache.hadoop.fs.Path(triDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(triDir))) {
+        val t0 = System.nanoTime()
+        graft.util.Tables.documents(spark, sfDir)
+          .filter(col("text").isNotNull)
+          .selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            graft.functions.Hashing.md5Long(col("g")).as("h1"))
+          .repartition(col("doc_id")).sortWithinPartitions("doc_id", "pos")
+          .write.parquet(triDir)
+        println(f"[postriab] build ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val bytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(triDir)).getLength
+      println(s"[postriab] bytes $bytes")
+      def once(idx: Boolean): Double = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        val spans =
+          if (idx) graft.queries.AuditOps.dupSpansOver(spark,
+            spark.read.parquet(triDir))
+          else graft.queries.AuditOps.dupSpansBuild(spark, sfDir,
+            persistTriples = true)
+        noop(spans.groupBy("doc_id").agg(count(lit(1)).as("n")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(false); once(true)
+      val timed = (1 to passes).map(_ => (once(false), once(true)))
+      val (ks, is) = timed.unzip
+      println(f"[postriab] session  min ${ks.min}%.3f  " +
+        s"runs ${ks.map(v => f"$v%.3f").mkString(" ")}")
+      println(f"[postriab] indexed  min ${is.min}%.3f  " +
+        s"runs ${is.map(v => f"$v%.3f").mkString(" ")}")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)

@@ -144,7 +144,6 @@ object AuditOps {
     */
   private[graft] def dupSpansBuild(s: SparkSession, d: String,
       persistTriples: Boolean, salted: Boolean = true): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).filter(col("text").isNotNull)
       val triBase =
         docs.selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
@@ -153,6 +152,17 @@ object AuditOps {
       val tri =
         if (persistTriples) graft.util.Caches.transientPersist(triBase)
         else triBase
+      dupSpansOver(s, tri, salted)
+  }
+
+  /** The kernel body over an arbitrary (doc_id, pos, h1) triples frame —
+    * factored (r14) so a PERSISTED positional tier can feed it (the
+    * `postriab` pricing harness and, if it wins, an index seam) without
+    * duplicating the owner/attribution/islands logic.
+    */
+  private[graft] def dupSpansOver(s: SparkSession, tri: DataFrame,
+      salted: Boolean = true): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
       val owners = tri.select("doc_id", "h1").distinct()
         .groupBy("h1")
         .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
