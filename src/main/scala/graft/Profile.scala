@@ -513,6 +513,57 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> triageab [nBatches]`: the streaming
+    // TRIAGE tier's marginal cost (r14 ask #7) — the X107 claim is that
+    // with `triagePath` set each micro-batch lands its q123 sign-off
+    // page off the SAME persisted verdict frame (the probe is never
+    // paid twice), so the marginal cost is probeNovelty + the quality
+    // kernel + one batch-sized aggregation + one small parquet write.
+    // Drives the REAL incrementalDedup flow twice in one JVM (fresh
+    // index/checkpoint dirs per arm, identical batch slices), reports
+    // per-micro-batch seconds. MemoryStream feeds driver-local slices —
+    // the instrument, not the engine; batch volumes are the sfDir's
+    // incoming slices.
+    if (args.length >= 2 && args(1) == "triageab") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val nBatches = args.lift(2).map(_.toInt).getOrElse(8)
+      val docs = graft.util.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      val standing = docs.filter(col("doc_id") % 5 =!= 0)
+      val slices: Seq[Seq[(Long, String)]] = (0 until nBatches).map(i =>
+        docs.filter(col("doc_id") % 5 === 0)
+          .filter(expr("doc_id div 5") % nBatches === i)
+          .as[(Long, String)].collect().toSeq)
+      def arm(triage: Boolean): Seq[Double] = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-triageab-$triage").toString
+        graft.sink.Sink.writeFingerprints(standing, s"$tmp/idx")
+        val in = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streaming.incrementalDedup(
+          in.toDF().toDF("doc_id", "text"), s"$tmp/idx", s"$tmp/out",
+          s"$tmp/ck",
+          triagePath = if (triage) Some(s"$tmp/triage") else None)
+        try slices.map { s0 =>
+          in.addData(s0)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally q.stop()
+      }
+      val off = arm(triage = false)
+      val on = arm(triage = true)
+      def fmt(xs: Seq[Double]) = xs.map(v => f"$v%.3f").mkString(" ")
+      val medOff = off.sorted.apply(off.size / 2)
+      val medOn = on.sorted.apply(on.size / 2)
+      println(f"[triageab] triage=off median $medOff%.3f  runs ${fmt(off)}")
+      println(f"[triageab] triage=on  median $medOn%.3f  runs ${fmt(on)}")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> family <q1> <q2> ...`: one BENCH
     // pass over a query family — caches cleared ONCE at the pass
     // boundary, then the queries run in order, so a shared index

@@ -229,6 +229,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(triage(2L) == Map(("fresh", "novel") -> 1L))
   }
 
+  test("triage partition heals a mid-write crash on replay (scoped overwrite, stable run id)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-triagecrash-")
+      .toFile.getAbsolutePath
+    graft.sink.Sink.writeFingerprints(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      s"$tmp/index")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    def start(ck: String) = Streaming.incrementalDedup(
+      in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/out", ck,
+      triagePath = Some(s"$tmp/triage"))
+    val q1 = start(s"$tmp/ck")
+    try {
+      in.addData((10L, "alpha beta gamma delta"),
+        (11L, "completely different words here entirely novel content"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def triageRows() = spark.read.parquet(s"$tmp/triage")
+      .collect().map(_.toString).sorted.toSeq
+    def outRows() = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toString).sorted.toSeq
+    val triage0 = triageRows()
+    val out0 = outRows()
+
+    // simulate the MID-WRITE crash: a replay attempt died half-way
+    // through the triage partition write — an orphan task file sits
+    // beside the good ones and the _SUCCESS marker is gone. The
+    // corruption must be VISIBLE before the replay (else the test
+    // pins nothing).
+    val runDir = new java.io.File(s"$tmp/triage").listFiles()
+      .filter(_.getName.startsWith("run=")).head
+    val batchDir = runDir.listFiles().filter(_.getName == "batch=0").head
+    val part = batchDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      batchDir.toPath.resolve("part-99999-orphan.snappy.parquet"))
+    java.nio.file.Files.deleteIfExists(
+      batchDir.toPath.resolve("_SUCCESS"))
+    assert(triageRows() != triage0, "tampering must be visible")
+
+    // force the at-least-once replay: restart from a CRASH SNAPSHOT of
+    // the checkpoint — offsets for batch 0 present, its COMMIT marker
+    // gone (exactly the window in which foreachBatch replays). A copied
+    // path rather than in-place surgery: Spark 4's in-JVM
+    // same-checkpoint guard rejects a commit log whose disk state moved
+    // backwards under a path this JVM already wrote. The run id is
+    // resolved from the checkpoint's METADATA file, which the copy
+    // preserves — so the replay's scoped Overwrite targets the SAME
+    // run=<id> partition, which is the property under test.
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyDir(java.nio.file.Paths.get(s"$tmp/ck"),
+      java.nio.file.Paths.get(s"$tmp/ck2"))
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/ck2/commits/0")))
+    // the local FS keeps a checksum twin; left behind it makes the
+    // commit rewrite throw FileAlreadyExistsException
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/ck2/commits/.0.crc"))
+    val q2 = start(s"$tmp/ck2")
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(new java.io.File(s"$tmp/triage").listFiles()
+      .count(_.getName.startsWith("run=")) == 1,
+      "replay minted a second run identity")
+    assert(triageRows() == triage0,
+      "replay did not heal the half-written triage partition")
+    assert(outRows() == out0, "replay duplicated verdict rows")
+    // the index admit replayed under the same tag too: exactly one
+    // batch partition beyond base
+    val tags = new java.io.File(s"$tmp/index/shingles").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(tags.size == 2 && tags.contains("batch=base"), tags.toString)
+  }
+
   test("session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
