@@ -269,6 +269,19 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> rows <query>`: materialize and
+    // count one query's result — the cheap sanity check that a scale
+    // measurement timed real work (a plan that silently emptied would
+    // otherwise bench "fast")
+    if (args.length >= 3 && args(1) == "rows") {
+      classShuffle(args(2))
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(args(2))(spark, sfDir).count()
+      println(f"[rows] ${args(2)} n=$n in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "time") {
       val fn = SparkEntry.queries(args(2))
       val passes = args.lift(3).map(_.toInt).getOrElse(5)

@@ -160,7 +160,13 @@ object ScaleCheck {
     // the index datasheet is four independent partial-aggregations at
     // postings/bucket volume — its slope pins the percentile-buffer
     // claim (buffers histogram distinct COUNT values, never raw rows)
-    "q124_index_stats")
+    "q124_index_stats",
+    // r14: media near-dup is one fingerprint pass + a parity-banded
+    // self-join — cross-replica payloads differ (the replica transform
+    // rewrites tokens), so candidate volume should scale with the
+    // random-collision rate C(n,2)·5/4096, i.e. ~100× per decade, while
+    // the verify stays output-sized; this row prices that growth
+    "q125_media_neardup")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of
