@@ -188,4 +188,43 @@ object Multimodal {
         length(col("frame")).as("n_frame"), md5(col("frame")).as("digest"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Minimum payload bytes for a [[fingerprintOf]] sketch — below this
+    * there are fewer trigrams than buckets and the parity bits carry
+    * too little signal to band on (the q125 convention; callers filter).
+    */
+  val FingerprintMinBytes = 62
+
+  /** X109's 60-bit perceptual fingerprint over an opaque payload: a
+    * trigram-parity sketch (every byte trigram feature-hashed into 60
+    * buckets, bit_j = parity of bucket j's count — a 1-bit count-sketch).
+    * Position-invariant; a k-byte edit flips O(k) bits; unrelated
+    * payloads sit at the 60-bit binomial mean. Integer-only and exactly
+    * oracle-expressible (the q43 ASCII char==byte identity). Design
+    * measurements — including the blockhash-style grid this replaced —
+    * in BASELINE.md r14. ONE definition shared by the q125 audit query
+    * and the sink-tier probe, so the fingerprint the index persists and
+    * the one a probe computes can never drift.
+    */
+  def fingerprintOf(payload: Array[Byte]): Long = {
+    val hist = new Array[Long](60)
+    val n = payload.length
+    var i = 0
+    while (i + 2 < n) {
+      val b = ((payload(i) & 0xff) * 65536 + (payload(i + 1) & 0xff) * 256
+        + (payload(i + 2) & 0xff)) % 60
+      hist(b) += 1
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if ((hist(j) & 1L) == 1L) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  /** [[fingerprintOf]] as a column (tight-loop UDF — the simhash/q64
+    * precedent: the 60-long histogram lives in the loop, never in a
+    * shuffle). */
+  def fingerprint(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((p: Array[Byte]) => fingerprintOf(p)).apply(payload)
 }

@@ -1566,28 +1566,18 @@ object AuditOps {
     // posture); here it is computed in-plan.
     Q("q125_media_neardup",
       (s, d) => {
-        val fpUdf = udf((payload: Array[Byte]) => {
-          val hist = new Array[Long](60)
-          val n = payload.length
-          var i = 0
-          while (i + 2 < n) {
-            val b = ((payload(i) & 0xff) * 65536 + (payload(i + 1) & 0xff) * 256
-              + (payload(i + 2) & 0xff)) % 60
-            hist(b) += 1
-            i += 1
-          }
-          var fp = 0L
-          var j = 0
-          while (j < 60) { if ((hist(j) & 1L) == 1L) fp |= 1L << j; j += 1 }
-          fp
-        })
         // persisted: both sides of the band self-join read it (the
-        // lshPairs discipline — one fingerprint pass, not two)
+        // lshPairs discipline — one fingerprint pass, not two). The
+        // fingerprint definition is SHARED with the sink tier
+        // (Multimodal.fingerprintOf — the index persists the same bits
+        // this audit computes).
         val fps = graft.util.Caches.transientPersist(
           documents(s, d)
-            .filter(col("text").isNotNull && length(col("text")) >= 62)
+            .filter(col("text").isNotNull && length(col("text"))
+              >= graft.multimodal.Multimodal.FingerprintMinBytes)
             .select(col("doc_id"),
-              fpUdf(col("text").cast("binary")).as("fp")))
+              graft.multimodal.Multimodal
+                .fingerprint(col("text").cast("binary")).as("fp")))
         val bands = fps.select(col("doc_id"), col("fp"),
             explode(sequence(lit(0), lit(4))).as("bk"))
           .withColumn("bkey", expr("shiftright(fp, 12 * bk) & 4095"))

@@ -196,7 +196,22 @@ object Sink {
     // the staging root sits OUTSIDE the table roots being read — writing
     // into a subdirectory of a path an active scan is listing would race
     // the read's file index
-    for (t <- Seq("exact", "bands", "shingles")) {
+    // a legacy index predating the r14 media tier has no `media` table
+    // and nothing to re-derive it from (fingerprints need the corpus
+    // text) — compaction preserves the absence, loudly, instead of
+    // failing; the stats tier below IS re-derivable, so it self-heals
+    val hconf0 = spark.sessionState.newHadoopConf()
+    val hasMedia = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/media")
+      p.getFileSystem(hconf0).exists(p)
+    }
+    if (!hasMedia)
+      System.err.println(s"[sink] NOTE: $path has no media table (legacy " +
+        "index) — compacting without it; rebuild with writeFingerprints " +
+        "to add the media tier")
+    val rowTables = Seq("exact", "bands", "shingles") ++
+      (if (hasMedia) Seq("media") else Nil)
+    for (t <- rowTables) {
       val full = spark.read.parquet(s"$path/$t").drop("batch")
       shapeFor(t)(full).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/.staging/$t")
@@ -210,7 +225,8 @@ object Sink {
       spark.read.parquet(s"$path/.staging/bands"),
       spark.read.parquet(s"$path/.staging/shingles"),
       t => s"$path/.staging/$t")
-    swapStagingIntoBase(spark, path)
+    swapStagingIntoBase(spark, path,
+      rowTables ++ Seq("dfc", "bkc", "xc", "dsh"))
   }
 
   /** Per-table physical layout: the probe-side join keys cluster the
@@ -220,6 +236,7 @@ object Sink {
     case "bands" => _.repartition(col("bandkey"))
     case "shingles" =>
       _.repartition(col("doc_id")).sortWithinPartitions("doc_id")
+    case "media" => _.repartition(col("doc_id"))
   }
 
   /** The near-atomic swap + sweep shared by rebuild and compaction:
@@ -319,6 +336,20 @@ object Sink {
       .write.mode(SaveMode.Overwrite).parquet(dir("bands"))
     shapeFor("shingles")(postings)
       .write.mode(SaveMode.Overwrite).parquet(dir("shingles"))
+    // X109's media tier (r14): the 60-bit perceptual fingerprint per
+    // payload — one row of (doc_id, fp) per fingerprintable doc, the
+    // same bits q125 computes in-plan (one shared definition,
+    // Multimodal.fingerprintOf), so [[probeMediaNearDup]] buckets and
+    // verifies identically to the audit query. Payloads below the
+    // trigram floor are absent (the q125 convention — probes read them
+    // as 'fresh').
+    shapeFor("media")(docs
+      .filter(col("text").isNotNull && org.apache.spark.sql.functions
+        .length(col("text"))
+        >= graft.multimodal.Multimodal.FingerprintMinBytes)
+      .select(col("doc_id"), graft.multimodal.Multimodal
+        .fingerprint(col("text").cast("binary")).as("fp")))
+      .write.mode(SaveMode.Overwrite).parquet(dir("media"))
     writeFpStats(exact, bands, postings, dir)
     exact.unpersist(blocking = false)
     bands.unpersist(blocking = false)
@@ -359,10 +390,10 @@ object Sink {
       .write.mode(SaveMode.Overwrite).parquet(dir("dsh"))
   }
 
-  /** All fingerprint-index tables: the three row tables + the stats
-    * tier. */
+  /** All fingerprint-index tables: the row tables (incl. the r14 media
+    * fingerprints) + the stats tier. */
   private val fpTables =
-    Seq("exact", "bands", "shingles", "dfc", "bkc", "xc", "dsh")
+    Seq("exact", "bands", "shingles", "media", "dfc", "bkc", "xc", "dsh")
 
   /** Incremental dedup of a new batch against a [[writeFingerprints]]
     * index — the q95 verdict frame (doc_id, verdict, dup_of, jacc)
@@ -482,6 +513,65 @@ object Sink {
         when(col("novelty") >= 0.9, "novel")
           .when(col("novelty") >= 0.5, "mixed")
           .otherwise(lit("dup_heavy")))
+  }
+
+  /** Incremental MEDIA near-dup of a new batch against a
+    * [[writeFingerprints]] index (X109 at the sink tier — q125's
+    * semantics in the q95/q118 verdict shape): each batch payload is
+    * fingerprinted with the SAME trigram-parity sketch the index
+    * persists ([[graft.multimodal.Multimodal.fingerprintOf]] — one
+    * definition, no drift), banded 5×12 bits against the standing
+    * `media` table, and Hamming-verified; the verdict frame is
+    * (doc_id, verdict, near_of, hamming) with the best partner = min
+    * hamming, ties → min id. Payloads below the trigram floor read
+    * 'fresh' (they are absent from the index too — the q125
+    * convention). Self-match guarded (standing side anti-joins the
+    * batch's own doc_ids) and batch-excludable like the other probes,
+    * so a streaming replay sees the index as its first attempt did.
+    * Scale: the batch pays one fingerprint pass; the standing side is
+    * ONE compact row of 16 bytes per doc, exploded ×5 map-side; the
+    * band join is bucket-bounded (q125's measured collision rate) and
+    * the verify is output-sized.
+    */
+  def probeMediaNearDup(batch: DataFrame, path: String,
+      maxHamming: Int = 4,
+      excludeBatch: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val mediaBase = new org.apache.hadoop.fs.Path(s"$path/media/batch=base")
+    if (!mediaBase.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(mediaBase))
+      sys.error(s"$path has no media fingerprint table (legacy index, or " +
+        "batch-only media partitions whose probes would miss the standing " +
+        "corpus); rebuild it with writeFingerprints")
+    val minB = graft.multimodal.Multimodal.FingerprintMinBytes
+    val b = batch
+      .filter(col("text").isNotNull && length(col("text")) >= minB)
+      .select(col("doc_id"), graft.multimodal.Multimodal
+        .fingerprint(col("text").cast("binary")).as("fp"))
+    val idx0 = spark.read.parquet(s"$path/media")
+    val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val standing = idx1.select(col("doc_id").as("near_of"), col("fp").as("fpi"))
+      .join(batch.select(col("doc_id").as("bid")),
+        col("near_of") === col("bid"), "left_anti")
+    def banded(df: DataFrame, fpCol: String): DataFrame = df
+      .withColumn("bk", explode(sequence(lit(0), lit(4))))
+      .withColumn("bkey", expr(s"shiftright($fpCol, 12 * bk) & 4095"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("hamming"), col("near_of"))
+    val near = banded(b, "fp").join(banded(standing, "fpi"), Seq("bk", "bkey"))
+      .select(col("doc_id"), col("near_of"),
+        expr("bit_count(fp ^ fpi)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    batch.select("doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("fresh")).as("verdict"),
+        col("near_of"), col("hamming"))
   }
 
   /** The q123 triage page at the SINK tier (X107 in production

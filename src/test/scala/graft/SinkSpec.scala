@@ -351,4 +351,51 @@ class SinkSpec extends AnyFunSuite {
     assert(novSelf == novExp,
       "novelty against a batch-inclusive index must ignore the batch's own postings")
   }
+
+  test("probeMediaNearDup: near-identical payloads matched, self-guarded, replay-excludable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-media").toString + "/idx"
+    // two standing payloads well past the trigram floor, far apart
+    val base = "the quick brown fox jumps over the lazy dog again and again until done "
+    val other = "entirely different standing content with its own byte profile here okay " +
+      "more words to pass the floor easily"
+    Sink.writeFingerprints(
+      Seq((1L, base * 2), (2L, other)).toDF("doc_id", "text"), dir)
+
+    // batch: a 1-char edit of doc 1 (hamming <= 3 by the perceptual
+    // property), a novel payload, and a too-short payload
+    val nearCopy = "X" + (base * 2).substring(1)
+    val batch = Seq((10L, nearCopy),
+      (11L, "completely novel words that resemble neither standing payload " +
+        "and still clear the sixty two byte trigram floor for sure"),
+      (12L, "short")).toDF("doc_id", "text")
+    def verdicts(ex: Option[String] = None) =
+      Sink.probeMediaNearDup(batch, dir, 4, ex).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val v = verdicts()
+    assert(v(10L) == ("near", Some(1L)), v.toString)
+    assert(v(11L) == ("fresh", None))
+    assert(v(12L) == ("fresh", None), "below-floor payloads read fresh")
+
+    // independently recompute the fingerprint distance the probe claims
+    val d10 = java.lang.Long.bitCount(
+      graft.multimodal.Multimodal.fingerprintOf(nearCopy.getBytes("UTF-8"))
+        ^ graft.multimodal.Multimodal.fingerprintOf((base * 2).getBytes("UTF-8")))
+    assert(d10 <= 4, s"fixture edit moved the fingerprint $d10 bits")
+
+    // admit the batch, then: a replay probe EXCLUDING its own tag sees
+    // the index as the first attempt did; an unscoped re-probe of the
+    // same batch must not read docs as their own duplicates (self-guard)
+    Sink.appendFingerprints(batch, dir, "m1")
+    assert(verdicts(Some("m1")) == v, "replay-excluded probe diverged")
+    val again = verdicts()
+    assert(again(11L) == ("fresh", None), "self-match guard")
+    // compaction folds the media tier too; the unscoped probe is
+    // byte-identical before/after (the X91 discipline)
+    Sink.compactFingerprints(spark, dir)
+    assert(verdicts() == again, "probe changed across media compaction")
+    val dirs = new java.io.File(s"$dir/media").listFiles.map(_.getName)
+    assert(dirs.count(_.startsWith("batch=")) == 1 && dirs.contains("batch=base"))
+  }
 }
