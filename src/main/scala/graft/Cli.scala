@@ -160,8 +160,10 @@ object Cli {
         // r13c: batch novelty is postings-only — the purest index-riding
         // audit (both its sides come off the persisted postings) — and
         // the index datasheet audits the index itself (no corpus reads
-        // at all under the seam)
-        "q121_batch_novelty", "q124_index_stats")
+        // at all under the seam; r14: off the maintained stats tier)
+        "q121_batch_novelty", "q124_index_stats",
+        // r14: media near-dup off the index's persisted fingerprints
+        "q125_media_neardup")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the

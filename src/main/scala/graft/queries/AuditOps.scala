@@ -1570,18 +1570,24 @@ object AuditOps {
         // lshPairs discipline — one fingerprint pass, not two). The
         // fingerprint definition is SHARED with the sink tier
         // (Multimodal.fingerprintOf — the index persists the same bits
-        // this audit computes).
+        // this audit computes), which is what makes the seam below
+        // value-identical BY CONSTRUCTION: under `spark.graft.fpIndex`
+        // (an index whose media tier exists) the fingerprints come off
+        // the persisted `media` table — zero payload reads, the X97
+        // posture for the media modality.
         val fps = graft.util.Caches.transientPersist(
-          documents(s, d)
-            .filter(col("text").isNotNull && length(col("text"))
-              >= graft.multimodal.Multimodal.FingerprintMinBytes)
-            .select(col("doc_id"),
-              graft.multimodal.Multimodal
-                .fingerprint(col("text").cast("binary")).as("fp")))
+          TrainingOps.mediaFps(s, d))
         val bands = fps.select(col("doc_id"), col("fp"),
             explode(sequence(lit(0), lit(4))).as("bk"))
           .withColumn("bkey", expr("shiftright(fp, 12 * bk) & 4095"))
-        val cand = bands.as("a").join(bands.as("b"),
+        // shuffle_hash, not planner-gated (the cellPairCos precedent for
+        // corpus self-joins): under the fpIndex seam the planner sees
+        // the media table's 6.5 MB file size, misses the ×5 explode and
+        // the 2.5M-entry hash relation, and BROADCASTS — measured 5×
+        // slower at sf10 (6.3 s vs 1.2 s) from the single-threaded
+        // broadcast build alone; at 100 TB a corpus-sized build side
+        // must never broadcast regardless
+        val cand = bands.as("a").join(bands.hint("shuffle_hash").as("b"),
             col("a.bk") === col("b.bk") && col("a.bkey") === col("b.bkey")
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),

@@ -239,6 +239,30 @@ object TrainingOps {
           .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
     }
 
+  /** (doc_id, fp) 60-bit media fingerprints — q125's per-payload
+    * perceptual sketch. Session UDF pass by default; the index's
+    * `media` table under the seam (written with the ONE shared
+    * definition, [[graft.multimodal.Multimodal.fingerprintOf]], so the
+    * seam is value-identical by construction). Guarded on a BASE media
+    * generation — a legacy index without the r14 media tier falls back
+    * to the session pass rather than erroring an audit that can compute
+    * the answer itself (the fpStatsDir convention).
+    */
+  private[graft] def mediaFps(s: SparkSession, d: String): DataFrame =
+    fpIndexDir(s).filter { dir =>
+      val base = new org.apache.hadoop.fs.Path(s"$dir/media/batch=base")
+      base.getFileSystem(s.sessionState.newHadoopConf()).exists(base)
+    } match {
+      case Some(dir) =>
+        s.read.parquet(s"$dir/media").select(col("doc_id"), col("fp"))
+      case None =>
+        documents(s, d)
+          .filter(col("text").isNotNull && length(col("text"))
+            >= graft.multimodal.Multimodal.FingerprintMinBytes)
+          .select(col("doc_id"), graft.multimodal.Multimodal
+            .fingerprint(col("text").cast("binary")).as("fp"))
+    }
+
   /** Oracle CTE mirroring [[shingleIndex]]'s h1/h2 (expects `sh` in scope). */
   private[queries] val shhCte: String =
     s"shh AS (SELECT doc_id, ${oMd5Long("shingle")} AS h1, ${oMd5Long2("shingle")} AS h2 FROM sh)"

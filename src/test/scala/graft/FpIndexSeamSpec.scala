@@ -54,7 +54,11 @@ class FpIndexSeamSpec extends AnyFunSuite {
     "q121_batch_novelty", "q123_batch_triage",
     // the index datasheet: every accessor (postings, bands, exact) is
     // seam-aware, so under the seam the whole report is index reads
-    "q124_index_stats")
+    "q124_index_stats",
+    // r14: media near-dup rides the index's persisted fingerprints —
+    // under the seam the whole audit is one compact-table read (no
+    // payload bytes, no fingerprint UDF)
+    "q125_media_neardup")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
@@ -114,6 +118,14 @@ class FpIndexSeamSpec extends AnyFunSuite {
       assert(q124Plan.contains(dir) && !q124Plan.toLowerCase.contains("shingles(")
         && !q124Plan.contains("text#"),
         "q124 seam plan must be pure index reads")
+
+      // q125 under the seam reads the media table only: no text column,
+      // no fingerprint UDF anywhere in the plan
+      val q125Plan = SparkEntry.queries("q125_media_neardup")(
+        spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+      assert(q125Plan.contains(dir) && !q125Plan.contains("text#")
+        && !q125Plan.toLowerCase.contains("udf"),
+        "q125 seam plan must ride the persisted media fingerprints")
 
       // (a) value identity, every seam consumer
       for (q <- seamQueries) {
