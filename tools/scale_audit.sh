@@ -112,4 +112,18 @@ vseam() { # $1=sfdir $2=vecidx $3=fpidx $4=heap, then query names...
 }
 vseam /tmp/graft-sf10r /tmp/graft-vec10 /tmp/graft-fp10 64g \
   q115_semantic_contamination q116_dedup_tier_agreement q118_incremental_semantic
+# r14: the INTERLEAVED seam instrument (separate-JVM seam timings swung
+# 3x with writeback residue in the r14 session — seamab subjects both
+# arms to identical window drift; these are the authoritative seam
+# numbers, the per-arm `time` calls above are context only)
+java -Xmx64g -cp "$CP" graft.Profile /tmp/graft-sf10r seamab \
+  q115_semantic_contamination /tmp/graft-vec10 - 3 2>&1 | grep seamab
+java -Xmx64g -cp "$CP" graft.Profile /tmp/graft-sf10r seamab \
+  q116_dedup_tier_agreement /tmp/graft-vec10 /tmp/graft-fp10 3 2>&1 | grep seamab
+java -Xmx64g -cp "$CP" graft.Profile /tmp/graft-sf10r seamab \
+  q118_incremental_semantic /tmp/graft-vec10 - 3 2>&1 | grep seamab
+java -Xmx64g -cp "$CP" graft.Profile /tmp/graft-sf10r seamab \
+  q124_index_stats - /tmp/graft-fp10 3 2>&1 | grep seamab
+java -Xmx64g -cp "$CP" graft.Profile /tmp/graft-sf10r seamab \
+  q125_media_neardup - /tmp/graft-fp10 3 2>&1 | grep seamab
 echo "=== scale_audit done $(date +%T) load $(cut -d' ' -f1 /proc/loadavg)"
