@@ -309,6 +309,65 @@ object AuditOps {
       "sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e " +
       "FROM isl GROUP BY 1, 2)"
 
+  /** X109's shared pair kernel — verified media near-dup pairs
+    * (ida, idb, hamming ≤ 4), consumed by the q125 report and the q126
+    * tier-agreement (one fingerprint pass + one banded self-join per
+    * session, the lshPairs discipline). Fingerprints via the seam-aware
+    * [[TrainingOps.mediaFps]]; the cache key carries the index dir so
+    * the seam and kernel paths can never serve each other.
+    *
+    * The band self-join is shuffle_hash, not planner-gated (the
+    * cellPairCos precedent for corpus self-joins): under the fpIndex
+    * seam the planner prices the media table's 6.5 MB file, misses the
+    * ×5 explode and the 2.5M-entry hash-relation build, and BROADCASTS
+    * — measured 5× slower at sf10 (6.3 s vs 1.2 s); at 100 TB a
+    * corpus-sized build side must never broadcast regardless. The
+    * hamming verify references only the candidate distinct's grouping
+    * columns, so Catalyst pushes it BELOW the distinct — the 2.85e8
+    * sf10 candidates live and die inside one codegen stage and only
+    * the ~16k survivors reach an exchange.
+    */
+  private def mediaPairs(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s,
+      s"mediaPairs:$d${TrainingOps.fpIndexDir(s).fold("")(x => s"@idx=$x")}") {
+      val fps = graft.util.Caches.transientPersist(
+        TrainingOps.mediaFps(s, d))
+      val bands = fps.select(col("doc_id"), col("fp"),
+          explode(sequence(lit(0), lit(4))).as("bk"))
+        .withColumn("bkey", expr("shiftright(fp, 12 * bk) & 4095"))
+      bands.as("a").join(bands.hint("shuffle_hash").as("b"),
+          col("a.bk") === col("b.bk") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+        .distinct()
+        .select(col("ida"), col("idb"),
+          expr("bit_count(fpa ^ fpb)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 4)
+    }
+
+  /** Oracle CTE chain mirroring [[mediaPairs]] — ends in
+    * `mpairs(ida, idb, hamming)` with `mfp(doc_id, fp)` also in scope.
+    */
+  private val mediaPairCtes: String =
+    "mt AS (SELECT doc_id, text, strlen(text) AS n FROM documents " +
+      "WHERE text IS NOT NULL AND strlen(text) >= 62), " +
+      "mb AS (SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) * 65536 " +
+      "+ ord(substr(text, CAST(i + 1 AS INTEGER), 1)) * 256 " +
+      "+ ord(substr(text, CAST(i + 2 AS INTEGER), 1))) % 60 AS bkt " +
+      "FROM mt, unnest(range(1, n - 1)) AS u(i)), " +
+      "mh AS (SELECT doc_id, bkt, count(*) AS c FROM mb GROUP BY 1, 2), " +
+      "mfp AS (SELECT doc_id, CAST(sum(CASE WHEN c % 2 = 1 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp " +
+      "FROM mh GROUP BY 1), " +
+      "mbands AS (SELECT doc_id, fp, bk, (fp >> CAST(12 * bk AS INTEGER)) & 4095 AS bkey " +
+      "FROM mfp, unnest(range(0, 5)) AS u(bk)), " +
+      "mcand AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb, " +
+      "a.fp AS fpa, b2.fp AS fpb FROM mbands a JOIN mbands b2 " +
+      "ON a.bk = b2.bk AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id), " +
+      "mpairs AS (SELECT ida, idb, CAST(bit_count(xor(fpa, fpb)) AS INTEGER) AS hamming " +
+      "FROM mcand WHERE bit_count(xor(fpa, fpb)) <= 4)"
+
   val all: Seq[Q] = Seq(
 
     // Cross-source n-gram overlap matrix: for every pair of sources, how
@@ -1565,56 +1624,52 @@ object AuditOps {
     // column belongs IN the media index the sink maintains (the X76
     // posture); here it is computed in-plan.
     Q("q125_media_neardup",
+      (s, d) => mediaPairs(s, d).orderBy("ida", "idb"),
+      Some(s"WITH $mediaPairCtes " +
+        "SELECT ida, idb, hamming FROM mpairs ORDER BY ida, idb")),
+
+    // Media × lexical dedup TIER AGREEMENT (r14): where the perceptual
+    // byte-level tier (q125: fingerprint hamming ≤ 4) and the lexical
+    // near-dup tier (q29: verified Jaccard ≥ 0.8) agree and disagree —
+    // q116's measurement (SemDeDup's pitch, applied to the media
+    // modality): media_only rows are byte-level near-identity the
+    // token tier's shingles missed or diluted, lexical_only rows are
+    // token-overlap the byte profile doesn't see (e.g. re-ordered
+    // sections shift trigram counts two parities apart). Restricted to
+    // pairs where BOTH docs are fingerprintable (an unfingerprintable
+    // payload must read "not evaluated", never "disagreement" — q116's
+    // embedded-subset discipline). Scale: both inputs are shared
+    // session kernels with overlap-bounded outputs; the full-outer join
+    // shuffles only those pair rows; the gate semi-joins 8-byte ids.
+    Q("q126_media_tier_agreement",
       (s, d) => {
-        // persisted: both sides of the band self-join read it (the
-        // lshPairs discipline — one fingerprint pass, not two). The
-        // fingerprint definition is SHARED with the sink tier
-        // (Multimodal.fingerprintOf — the index persists the same bits
-        // this audit computes), which is what makes the seam below
-        // value-identical BY CONSTRUCTION: under `spark.graft.fpIndex`
-        // (an index whose media tier exists) the fingerprints come off
-        // the persisted `media` table — zero payload reads, the X97
-        // posture for the media modality.
-        val fps = graft.util.Caches.transientPersist(
-          TrainingOps.mediaFps(s, d))
-        val bands = fps.select(col("doc_id"), col("fp"),
-            explode(sequence(lit(0), lit(4))).as("bk"))
-          .withColumn("bkey", expr("shiftright(fp, 12 * bk) & 4095"))
-        // shuffle_hash, not planner-gated (the cellPairCos precedent for
-        // corpus self-joins): under the fpIndex seam the planner sees
-        // the media table's 6.5 MB file size, misses the ×5 explode and
-        // the 2.5M-entry hash relation, and BROADCASTS — measured 5×
-        // slower at sf10 (6.3 s vs 1.2 s) from the single-threaded
-        // broadcast build alone; at 100 TB a corpus-sized build side
-        // must never broadcast regardless
-        val cand = bands.as("a").join(bands.hint("shuffle_hash").as("b"),
-            col("a.bk") === col("b.bk") && col("a.bkey") === col("b.bkey")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-            col("a.fp").as("fpa"), col("b.fp").as("fpb"))
-          .distinct()
-        cand
-          .select(col("ida"), col("idb"),
-            expr("bit_count(fpa ^ fpb)").cast("int").as("hamming"))
-          .filter(col("hamming") <= 4)
+        // one persisted single-column projection serves both semi-joins
+        // (the q116/exactHashes discipline)
+        val fpd = graft.util.Caches.transientPersist(
+          TrainingOps.mediaFps(s, d).select(col("doc_id")))
+        val med = mediaPairs(s, d)
+        val lex = TrainingOps.lshPairs(s, d)
+          .join(fpd.withColumnRenamed("doc_id", "ida"), Seq("ida"), "left_semi")
+          .join(fpd.withColumnRenamed("doc_id", "idb"), Seq("idb"), "left_semi")
+          .select(col("ida"), col("idb"), col("jacc"))
+        med.join(lex, Seq("ida", "idb"), "full_outer")
+          .select(col("ida"), col("idb"), col("hamming"), col("jacc"),
+            when(col("hamming").isNotNull && col("jacc").isNotNull, lit("both"))
+              .when(col("hamming").isNotNull, lit("media_only"))
+              .otherwise(lit("lexical_only")).as("tier"))
           .orderBy("ida", "idb")
       },
-      Some("WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents " +
-        "WHERE text IS NOT NULL AND strlen(text) >= 62), " +
-        "b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) * 65536 " +
-        "+ ord(substr(text, CAST(i + 1 AS INTEGER), 1)) * 256 " +
-        "+ ord(substr(text, CAST(i + 2 AS INTEGER), 1))) % 60 AS bkt " +
-        "FROM t, unnest(range(1, n - 1)) AS u(i)), " +
-        "h AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2), " +
-        "fp AS (SELECT doc_id, CAST(sum(CASE WHEN c % 2 = 1 " +
-        "THEN (CAST(1 AS BIGINT) << CAST(bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp " +
-        "FROM h GROUP BY 1), " +
-        "bands AS (SELECT doc_id, fp, bk, (fp >> CAST(12 * bk AS INTEGER)) & 4095 AS bkey " +
-        "FROM fp, unnest(range(0, 5)) AS u(bk)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb, " +
-        "a.fp AS fpa, b2.fp AS fpb FROM bands a JOIN bands b2 " +
-        "ON a.bk = b2.bk AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id) " +
-        "SELECT ida, idb, CAST(bit_count(xor(fpa, fpb)) AS INTEGER) AS hamming " +
-        "FROM cand WHERE bit_count(xor(fpa, fpb)) <= 4 ORDER BY ida, idb")),
+      Some(s"WITH ${TrainingOps.lshPairsCtes}, $mediaPairCtes, " +
+        "lexf AS (SELECT ida, idb, jacc FROM pairs " +
+        "WHERE ida IN (SELECT doc_id FROM mfp) " +
+        "AND idb IN (SELECT doc_id FROM mfp)) " +
+        "SELECT coalesce(m.ida, l.ida) AS ida, coalesce(m.idb, l.idb) AS idb, " +
+        "m.hamming, l.jacc, " +
+        "CASE WHEN m.ida IS NOT NULL AND l.ida IS NOT NULL THEN 'both' " +
+        "WHEN m.ida IS NOT NULL THEN 'media_only' " +
+        "ELSE 'lexical_only' END AS tier " +
+        "FROM mpairs m FULL OUTER JOIN lexf l ON m.ida = l.ida AND m.idb = l.idb " +
+        "ORDER BY 1, 2")),
   )
+
 }

@@ -890,4 +890,43 @@ class AuditSpec extends AnyFunSuite {
     assert(med(med.length / 2) >= 15,
       s"background median hamming ${med(med.length / 2)} — fingerprint lost discrimination")
   }
+
+  test("q126 media×lexical tier agreement: all three tiers on a constructed corpus") {
+    import spark.implicits._
+    // a corpus exercising each disagreement cell BY CONSTRUCTION:
+    //  - docs 1,2: exact duplicates → jacc 1.0 AND hamming 0 → 'both';
+    //  - doc 3 = doc 1 with ONE of 60 words replaced by a 40-char blob
+    //    → 57/63 shared shingles (jacc 0.90 ≥ 0.8, LSH-caught) while
+    //    ~42 changed trigram instances blow the parity sketch past
+    //    hamming 4 → 'lexical_only' (token overlap the byte profile
+    //    does not see);
+    //  - docs 4,5: TWO-word payloads over the 62-byte floor, one char
+    //    apart — no 3-shingle exists, the lexical tier structurally
+    //    cannot evaluate them, the byte tier reads hamming 2 →
+    //    'media_only';
+    //  - doc 6: unrelated (absent from every pair list).
+    val words = (0 until 60).map(i => s"w${i}alpha")
+    val a = words.mkString(" ")
+    val b = words.updated(30, "x" * 40).mkString(" ")
+    val short1 = "a" * 40 + " " + "b" * 40
+    val short2 = "a" * 40 + " " + "b" * 39 + "c"
+    val dir = java.nio.file.Files.createTempDirectory("graft-tieragree-")
+      .toFile.getAbsolutePath
+    Seq((1L, a, "en", "s1", a.length.toLong),
+      (2L, a, "en", "s1", a.length.toLong),
+      (3L, b, "en", "s1", b.length.toLong),
+      (4L, short1, "en", "s1", short1.length.toLong),
+      (5L, short2, "en", "s1", short2.length.toLong),
+      (6L, "completely unrelated content that clears the trigram floor " +
+        "easily with many words here", "en", "s1", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q126_media_tier_agreement")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(got == Map(
+      (1L, 2L) -> "both",
+      (1L, 3L) -> "lexical_only", (2L, 3L) -> "lexical_only",
+      (4L, 5L) -> "media_only"), got.toString)
+  }
 }
