@@ -166,7 +166,11 @@ object ScaleCheck {
     // rewrites tokens), so candidate volume should scale with the
     // random-collision rate C(n,2)·5/4096, i.e. ~100× per decade, while
     // the verify stays output-sized; this row prices that growth
-    "q125_media_neardup")
+    "q125_media_neardup",
+    // the tier agreement stacks the media pair kernel and the lexical
+    // LSH pair kernel — in subset position AFTER q125 its marginal is
+    // the lexical kernel + an overlap-bounded full-outer join
+    "q126_media_tier_agreement")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of
