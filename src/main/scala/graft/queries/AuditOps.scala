@@ -1670,6 +1670,57 @@ object AuditOps {
         "ELSE 'lexical_only' END AS tier " +
         "FROM mpairs m FULL OUTER JOIN lexf l ON m.ida = l.ida AND m.idb = l.idb " +
         "ORDER BY 1, 2")),
+
+    // Incremental MEDIA dedup (r14): q95/q118's daily-crawl posture at
+    // the byte tier — each batch payload (doc_id ≡ 0 mod 10, the house
+    // convention) gets a verdict against the STANDING corpus only:
+    // 'near' with its best standing partner (fingerprint hamming ≤ 4,
+    // ties by partner id) or 'fresh'. The registry TWIN of
+    // [[graft.sink.Sink.probeMediaNearDup]] — every sink probe has an
+    // oracle-checked twin (q95↔probeFingerprints, q118↔probeVectorIndex,
+    // q121↔probeNovelty, q123↔triageBatch), pinned equal on this split
+    // in SinkSpec. Unfingerprintable payloads read 'fresh' (the probe's
+    // spine convention). Scale: a filter + best-partner window over the
+    // SHARED media pair kernel; the spine join is planner-gated; at
+    // production the standing side is the index's media table and a
+    // batch pays one fingerprint pass + bucket-bounded band probes.
+    Q("q127_incremental_media",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val isA = col("ida") % 10 === 0
+        val isB = col("idb") % 10 === 0
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("hamming"), col("near_of"))
+        val near = mediaPairs(s, d)
+          .filter(isA =!= isB)
+          .select(
+            when(isA, col("ida")).otherwise(col("idb")).as("doc_id"),
+            when(isA, col("idb")).otherwise(col("ida")).as("near_of"),
+            col("hamming"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        documents(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"))
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("near_of").isNotNull, lit("near"))
+              .otherwise(lit("fresh")).as("verdict"),
+            col("near_of"), col("hamming"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $mediaPairCtes, " +
+        "mhits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS doc_id, " +
+        "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, hamming FROM mpairs " +
+        "WHERE (ida % 10 = 0) <> (idb % 10 = 0)), " +
+        "mnr AS (SELECT doc_id, near_of, hamming FROM (SELECT doc_id, near_of, hamming, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY hamming, near_of) AS rn " +
+        "FROM mhits) WHERE rn = 1) " +
+        "SELECT b.doc_id, " +
+        "CASE WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
+        "near_of, hamming " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
+        "LEFT JOIN mnr ON b.doc_id = mnr.doc_id " +
+        "ORDER BY b.doc_id")),
   )
 
 }

@@ -55,10 +55,12 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // the index datasheet: every accessor (postings, bands, exact) is
     // seam-aware, so under the seam the whole report is index reads
     "q124_index_stats",
-    // r14: media near-dup rides the index's persisted fingerprints —
-    // under the seam the whole audit is one compact-table read (no
-    // payload bytes, no fingerprint UDF)
-    "q125_media_neardup")
+    // r14: the media tier rides the index's persisted fingerprints —
+    // under the seam the audits read one compact table (no payload
+    // bytes, no fingerprint UDF); q126 additionally rides the seamed
+    // lexical pair kernel, q127 is the incremental twin
+    "q125_media_neardup", "q126_media_tier_agreement",
+    "q127_incremental_media")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)

@@ -391,6 +391,24 @@ class SinkSpec extends AnyFunSuite {
     assert(verdicts(Some("m1")) == v, "replay-excluded probe diverged")
     val again = verdicts()
     assert(again(11L) == ("fresh", None), "self-match guard")
+    // the registry TWIN: probeMediaNearDup against a standing index
+    // built from the %10 split equals the session q127 (the
+    // q95/q118/q121/q123 twin discipline)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+        .select(col("doc_id"), col("text"))
+      val idx10 = Files.createTempDirectory("graft-media10").toString + "/idx"
+      Sink.writeFingerprints(docs.filter(col("doc_id") % 10 =!= 0), idx10)
+      val exp = SparkEntry.queries("q127_incremental_media")(
+        spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+      val gotTwin = Sink.probeMediaNearDup(
+        docs.filter(col("doc_id") % 10 === 0), idx10)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(gotTwin == exp,
+        "sink-tier media probe must equal the session q127 on the %10 split")
+    }
+
     // compaction folds the media tier too; the unscoped probe is
     // byte-identical before/after (the X91 discipline)
     Sink.compactFingerprints(spark, dir)
