@@ -170,7 +170,10 @@ object ScaleCheck {
     // the tier agreement stacks the media pair kernel and the lexical
     // LSH pair kernel — in subset position AFTER q125 its marginal is
     // the lexical kernel + an overlap-bounded full-outer join
-    "q126_media_tier_agreement")
+    "q126_media_tier_agreement",
+    // the incremental twin and the CC endpoint are marginal consumers of
+    // the same kernel in subset position (window + spine; hybrid-CC)
+    "q127_incremental_media", "q128_media_clusters")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

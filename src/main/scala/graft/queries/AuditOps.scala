@@ -1721,6 +1721,25 @@ object AuditOps {
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
         "LEFT JOIN mnr ON b.doc_id = mnr.doc_id " +
         "ORDER BY b.doc_id")),
+
+    // Media dedup CLUSTERS (r14): connected components over the
+    // verified media pair list — the q51/q90 endpoint for the byte
+    // tier, completing the modality matrix (every near-dup tier ends
+    // in cluster labels a keep-one policy can act on: lexical q51,
+    // semantic q90, media q128). Rides the SHARED media pair kernel and
+    // the SHARED hybrid-CC machinery (driver union-find under the edge
+    // threshold, distributed min-label propagation above it — the q51
+    // scale story; media components are band-collision-bounded like
+    // LSH components, so no propagation round moves corpus-sized
+    // state). cluster_id = component minimum, the house convention.
+    Q("q128_media_clusters",
+      (s, d) => AnalyticsOps.clusterLabels(s,
+        mediaPairs(s, d).select("ida", "idb")).orderBy("doc_id"),
+      Some("WITH RECURSIVE " + mediaPairCtes + ", " +
+        "edges AS (SELECT ida AS u, idb AS v FROM mpairs UNION SELECT idb, ida FROM mpairs), " +
+        "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) " +
+        "SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
   )
 
 }

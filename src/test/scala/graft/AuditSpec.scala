@@ -889,6 +889,23 @@ class AuditSpec extends AnyFunSuite {
       yield java.lang.Long.bitCount(a ^ b)).sorted
     assert(med(med.length / 2) >= 15,
       s"background median hamming ${med(med.length / 2)} — fingerprint lost discrimination")
+
+    // q128: cluster labels equal a driver union-find over the same
+    // verified pairs (root = component minimum, the house convention)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    expected.foreach { case (a0, b0, _) =>
+      parent.getOrElseUpdate(a0, a0); parent.getOrElseUpdate(b0, b0)
+      val (ra, rb) = (find(a0), find(b0))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo }
+    }
+    val expLabels = parent.keySet.toSeq.sorted.map(n => (n, find(n)))
+    val gotLabels = SparkEntry.queries("q128_media_clusters")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotLabels == expLabels)
   }
 
   test("q126 media×lexical tier agreement: all three tiers on a constructed corpus") {
