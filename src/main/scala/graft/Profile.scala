@@ -330,6 +330,14 @@ object Profile {
     // and applied via session conf — the env-var fallback would leak
     // the seam into the kernel arm.
     if (args.length >= 5 && args(1) == "seamab") {
+      // the kernel arm only UNSETS the session confs, but fpIndexDir /
+      // vecIndexDir fall back to these env vars — launched with either
+      // set, the "kernel" arm would silently ride the seam and the A/B
+      // would compare seam vs seam. Fail fast instead (r15 ADVICE).
+      for (v <- Seq("SPARK_GRAFT_FP_INDEX", "SPARK_GRAFT_VEC_INDEX"))
+        require(!sys.env.get(v).exists(_.nonEmpty),
+          s"seamab: unset $v — the env fallback would leak the seam " +
+            "into the kernel arm")
       val fn = SparkEntry.queries(args(2))
       val vecIdx = Option(args(3)).filter(_ != "-")
       val fpIdx = Option(args(4)).filter(_ != "-")

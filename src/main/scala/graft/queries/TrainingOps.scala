@@ -779,9 +779,15 @@ object TrainingOps {
   private def cellPairsFromIndex(s: SparkSession, dir: String): DataFrame = {
     val pairsPath = new org.apache.hadoop.fs.Path(s"$dir/pairs")
     val fs = pairsPath.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(pairsPath))
-      sys.error(s"$dir has no pairs table (legacy vectors-only vector " +
-        "index); rebuild it with Sink.writeVectorIndex")
+    // guard on pairs/batch=base, not the table root (r15, the
+    // fpStatsDir/mediaFps convention): a legacy vectors-only index that
+    // received a new-code append would have a DELTA-ONLY pairs table —
+    // every base-internal pair missing — and the root-existence check
+    // would silently serve it to all seven pair consumers
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pairsPath, "batch=base")))
+      sys.error(s"$dir has no base pairs generation (legacy vectors-only " +
+        "vector index, possibly with appended pair deltas); rebuild it " +
+        "with Sink.writeVectorIndex")
     s.read.parquet(pairsPath.toString)
       .select(col("ida"), col("idb"), col("cell").cast("int").as("cell"),
         col("cos"))

@@ -201,14 +201,31 @@ object Sink {
     // text) — compaction preserves the absence, loudly, instead of
     // failing; the stats tier below IS re-derivable, so it self-heals
     val hconf0 = spark.sessionState.newHadoopConf()
+    // gate on media/batch=base, not the table root (r15): a legacy base
+    // index appended to by the new sink has BATCH-ONLY media partitions —
+    // folding those into batch=base would make the probes' base guards
+    // pass while the table misses the entire legacy base corpus (standing
+    // near-dups silently reading 'fresh'). Compaction preserves the
+    // absence — batch-only media partitions are DROPPED, loudly — until a
+    // full writeFingerprints rebuild mints a complete media base.
     val hasMedia = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/media")
+      val p = new org.apache.hadoop.fs.Path(s"$path/media/batch=base")
       p.getFileSystem(hconf0).exists(p)
     }
-    if (!hasMedia)
-      System.err.println(s"[sink] NOTE: $path has no media table (legacy " +
-        "index) — compacting without it; rebuild with writeFingerprints " +
-        "to add the media tier")
+    if (!hasMedia) {
+      val mediaRoot = new org.apache.hadoop.fs.Path(s"$path/media")
+      val mfs = mediaRoot.getFileSystem(hconf0)
+      if (mfs.exists(mediaRoot)) {
+        System.err.println(s"[sink] NOTE: $path/media has batch partitions " +
+          "but no base generation (legacy index appended to by a newer " +
+          "sink) — dropping the partial media table; rebuild with " +
+          "writeFingerprints to add a complete media tier")
+        mfs.delete(mediaRoot, true)
+      } else
+        System.err.println(s"[sink] NOTE: $path has no media table (legacy " +
+          "index) — compacting without it; rebuild with writeFingerprints " +
+          "to add the media tier")
+    }
     val rowTables = Seq("exact", "bands", "shingles") ++
       (if (hasMedia) Seq("media") else Nil)
     for (t <- rowTables) {
@@ -666,6 +683,15 @@ object Sink {
     require(batch.matches("[A-Za-z0-9_-]+") && batch != "base",
       s"unsafe batch tag: $batch")
     val spark = emb.sparkSession
+    // fail LOUDLY on a legacy vectors-only index (r15, mirroring
+    // compactVectorIndex): appending a pairs DELTA to an index with no
+    // base pairs generation would mint a partial pairs table that the
+    // seam (and a later compaction) would silently serve as complete
+    val pairsBase = new org.apache.hadoop.fs.Path(s"$path/pairs/batch=base")
+    if (!pairsBase.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(pairsBase))
+      sys.error(s"$path has no base pairs generation (legacy vectors-only " +
+        "vector index); rebuild it with writeVectorIndex before appending")
     writeVecTable(emb, s"$path/vectors/batch=$batch")
     // the new side is re-derived from `emb`, not read back: quantization
     // is deterministic (exact int math), and an EMPTY batch (a streaming
@@ -697,11 +723,15 @@ object Sink {
     */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val pairsPath = new org.apache.hadoop.fs.Path(s"$path/pairs")
-    if (!pairsPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(pairsPath))
-      sys.error(s"$path has no pairs table (legacy vectors-only vector " +
-        "index); rebuild it with writeVectorIndex")
+    // batch=base, not the table root (r15): once a delta-only pairs table
+    // exists (a mis-sequenced append against a legacy index), a
+    // root-existence guard would pass and this fold would bake the
+    // partial table into batch=base permanently
+    val pairsBase = new org.apache.hadoop.fs.Path(s"$path/pairs/batch=base")
+    if (!pairsBase.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(pairsBase))
+      sys.error(s"$path has no base pairs generation (legacy vectors-only " +
+        "vector index); rebuild it with writeVectorIndex")
     val full = spark.read.parquet(s"$path/vectors").drop("batch")
     full.repartition(col("label")).write.partitionBy("label")
       .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
