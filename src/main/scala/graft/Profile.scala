@@ -319,6 +319,33 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> mediacand`: the media band-join's
+    // candidate volume — Σ c·(c−1)/2 over the (bk, bkey) bucket
+    // occupancies (the exact pre-distinct collision count of the q125
+    // self-join, the q124 candidate_pairs idea applied to the media
+    // tier), plus the max bucket and the verified-pair count. The r15
+    // re-band's acceptance instrument: 5×12-bit bands read 2.85e8 at
+    // sf10; 5×24 should read ~10⁵.
+    if (args.length >= 2 && args(1) == "mediacand") {
+      import org.apache.spark.sql.functions._
+      val fps = graft.queries.TrainingOps.mediaFps(spark, sfDir)
+      val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
+          explode(sequence(lit(0), lit(4))).as("bk"))
+        .withColumn("bkey",
+          expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+      val occ = bands.groupBy("bk", "bkey").agg(count(lit(1)).as("c"))
+      val row = occ.agg(
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand"),
+        max("c").as("bucket_max"), count(lit(1)).as("buckets")).head
+      val verified = SparkEntry.queries("q125_media_neardup")(spark, sfDir)
+        .count()
+      println(s"[mediacand] docs=${fps.count()} candidates=${row.getLong(0)} " +
+        s"bucket_max=${row.getLong(1)} occupied_buckets=${row.getLong(2)} " +
+        s"verified_pairs=$verified")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> seamab <query> <vecIdx|-> <fpIdx|->
     // [passes]`: INTERLEAVED session-kernel vs index-riding A/B in ONE
     // JVM — the shufab discipline applied to the seam question.

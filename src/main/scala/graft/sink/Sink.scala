@@ -353,19 +353,21 @@ object Sink {
       .write.mode(SaveMode.Overwrite).parquet(dir("bands"))
     shapeFor("shingles")(postings)
       .write.mode(SaveMode.Overwrite).parquet(dir("shingles"))
-    // X109's media tier (r14): the 60-bit perceptual fingerprint per
-    // payload — one row of (doc_id, fp) per fingerprintable doc, the
-    // same bits q125 computes in-plan (one shared definition,
-    // Multimodal.fingerprintOf), so [[probeMediaNearDup]] buckets and
-    // verifies identically to the audit query. Payloads below the
-    // trigram floor are absent (the q125 convention — probes read them
-    // as 'fresh').
+    // X109's media tier (r14; widened r15): the 120-bit perceptual
+    // fingerprint per payload — one row of (doc_id, fp0, fp1) per
+    // fingerprintable doc, the same bits q125 computes in-plan (one
+    // shared definition, Multimodal.fingerprintOf), so
+    // [[probeMediaNearDup]] buckets and verifies identically to the
+    // audit query. Payloads below the trigram floor are absent (the
+    // q125 convention — probes read them as 'fresh').
     shapeFor("media")(docs
       .filter(col("text").isNotNull && org.apache.spark.sql.functions
         .length(col("text"))
         >= graft.multimodal.Multimodal.FingerprintMinBytes)
       .select(col("doc_id"), graft.multimodal.Multimodal
-        .fingerprint(col("text").cast("binary")).as("fp")))
+        .fingerprint(col("text").cast("binary")).as("f"))
+      .select(col("doc_id"), col("f").getField("_1").as("fp0"),
+        col("f").getField("_2").as("fp1")))
       .write.mode(SaveMode.Overwrite).parquet(dir("media"))
     writeFpStats(exact, bands, postings, dir)
     exact.unpersist(blocking = false)
@@ -537,7 +539,7 @@ object Sink {
     * semantics in the q95/q118 verdict shape): each batch payload is
     * fingerprinted with the SAME trigram-parity sketch the index
     * persists ([[graft.multimodal.Multimodal.fingerprintOf]] — one
-    * definition, no drift), banded 5×12 bits against the standing
+    * definition, no drift), banded 5×24 bits against the standing
     * `media` table, and Hamming-verified; the verdict frame is
     * (doc_id, verdict, near_of, hamming) with the best partner = min
     * hamming, ties → min id. Payloads below the trigram floor read
@@ -546,9 +548,9 @@ object Sink {
     * batch's own doc_ids) and batch-excludable like the other probes,
     * so a streaming replay sees the index as its first attempt did.
     * Scale: the batch pays one fingerprint pass; the standing side is
-    * ONE compact row of 16 bytes per doc, exploded ×5 map-side; the
-    * band join is bucket-bounded (q125's measured collision rate) and
-    * the verify is output-sized.
+    * ONE compact row of 24 bytes per doc, exploded ×5 map-side; the
+    * band join is bucket-bounded over the 2^24 keyspace (q125's
+    * measured collision rate) and the verify is output-sized.
     */
   def probeMediaNearDup(batch: DataFrame, path: String,
       maxHamming: Int = 4,
@@ -565,20 +567,32 @@ object Sink {
     val b = batch
       .filter(col("text").isNotNull && length(col("text")) >= minB)
       .select(col("doc_id"), graft.multimodal.Multimodal
-        .fingerprint(col("text").cast("binary")).as("fp"))
+        .fingerprint(col("text").cast("binary")).as("f"))
+      .select(col("doc_id"), col("f").getField("_1").as("fp0"),
+        col("f").getField("_2").as("fp1"))
     val idx0 = spark.read.parquet(s"$path/media")
+    // the r14 60-bit single-long schema cannot be banded or hammed
+    // against the r15 sketch — fail loudly and named, like the legacy
+    // no-media case above
+    if (!idx0.columns.contains("fp0"))
+      sys.error(s"$path/media has the legacy 60-bit single-long schema; " +
+        "rebuild the index with writeFingerprints")
     val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
-    val standing = idx1.select(col("doc_id").as("near_of"), col("fp").as("fpi"))
+    val standing = idx1.select(col("doc_id").as("near_of"),
+        col("fp0").as("fpi0"), col("fp1").as("fpi1"))
       .join(batch.select(col("doc_id").as("bid")),
         col("near_of") === col("bid"), "left_anti")
-    def banded(df: DataFrame, fpCol: String): DataFrame = df
+    def banded(df: DataFrame, c0: String, c1: String): DataFrame = df
       .withColumn("bk", explode(sequence(lit(0), lit(4))))
-      .withColumn("bkey", expr(s"shiftright($fpCol, 12 * bk) & 4095"))
+      .withColumn("bkey",
+        expr(graft.multimodal.Multimodal.bandKeySql(c0, c1)))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("hamming"), col("near_of"))
-    val near = banded(b, "fp").join(banded(standing, "fpi"), Seq("bk", "bkey"))
+    val near = banded(b, "fp0", "fp1")
+      .join(banded(standing, "fpi0", "fpi1"), Seq("bk", "bkey"))
       .select(col("doc_id"), col("near_of"),
-        expr("bit_count(fp ^ fpi)").cast("int").as("hamming"))
+        expr(graft.multimodal.Multimodal
+          .hammingSql("fp0", "fp1", "fpi0", "fpi1")).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .withColumn("rn", row_number().over(w))

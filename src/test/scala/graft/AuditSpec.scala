@@ -847,47 +847,56 @@ class AuditSpec extends AnyFunSuite {
   }
 
   test("q125 media near-dup matches a driver recomputation; edits flip O(edit) bits") {
-    // independent fingerprint: plain Scala over the raw text bytes
-    def fpOf(bytes: Array[Byte]): Long = {
-      val hist = new Array[Long](60)
+    // independent fingerprint: plain Scala over the raw text bytes (the
+    // r15 skip-gram sketch — 120 buckets packed as two 60-bit longs)
+    def fpOf(bytes: Array[Byte]): (Long, Long) = {
+      val hist = new Array[Long](120)
       var i = 0
-      while (i + 2 < bytes.length) {
-        hist(((bytes(i) & 0xff) * 65536 + (bytes(i + 1) & 0xff) * 256
-          + (bytes(i + 2) & 0xff)) % 60) += 1
+      while (i + 5 < bytes.length) {
+        val g = (bytes(i) & 0xffL) * 16777216L +
+          (bytes(i + 1) & 0xffL) * 65536L +
+          (bytes(i + 3) & 0xffL) * 256L + (bytes(i + 5) & 0xffL)
+        hist((((g * 2654435761L) >>> 16) % 120L).toInt) += 1
         i += 1
       }
-      (0 until 60).foldLeft(0L)((fp, j) =>
+      val fp0 = (0 until 60).foldLeft(0L)((fp, j) =>
         if ((hist(j) & 1L) == 1L) fp | (1L << j) else fp)
+      val fp1 = (60 until 120).foldLeft(0L)((fp, j) =>
+        if ((hist(j) & 1L) == 1L) fp | (1L << (j - 60)) else fp)
+      (fp0, fp1)
     }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     val texts = graft.util.Tables.documents(spark, d)
       .select("doc_id", "text").collect()
       .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
-      .filter(_._2.length >= 62)
+      .filter(_._2.length >= 125)
     val fps = texts.map { case (id, t) => id -> fpOf(t.getBytes("UTF-8")) }
     // ground truth: all pairs at hamming <= 4 (exhaustive at sf0.001 —
-    // the banded join must find EXACTLY these: pigeonhole over 5x12-bit
+    // the banded join must find EXACTLY these: pigeonhole over 5x24-bit
     // bands guarantees a shared band at hamming <= 4, so banding loses
     // nothing the verify would keep)
     val expected = (for {
       (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
-      h = java.lang.Long.bitCount(fa ^ fb) if h <= 4
+      h = ham(fa, fb) if h <= 4
     } yield (ia, ib, h)).sortBy(p => (p._1, p._2)).toSeq
     val got = SparkEntry.queries("q125_media_neardup")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got == expected)
 
     // the perceptual property, pinned directly: a small byte edit moves
-    // the fingerprint a small hamming distance (each edited trigram
-    // instance flips at most one bucket parity), while the corpus
-    // background sits near the 60-bit binomial mean
+    // the fingerprint a small hamming distance (a byte at position p is
+    // sampled only by windows starting at p, p−1, p−3, p−5, so a 1-byte
+    // edit flips at most 4 bucket parities), while the corpus
+    // background sits near the 120-bit binomial mean (~60)
     val (_, t0) = texts.head
-    val edited = ("Z" + t0.substring(1)).getBytes("UTF-8") // 1-byte edit -> <= 3 trigrams touched
-    val dEdit = java.lang.Long.bitCount(fpOf(t0.getBytes("UTF-8")) ^ fpOf(edited))
-    assert(dEdit <= 3, s"1-byte edit moved the fingerprint $dEdit bits")
+    val edited = ("Z" + t0.substring(1)).getBytes("UTF-8") // 1-byte edit -> <= 4 windows touched
+    val dEdit = ham(fpOf(t0.getBytes("UTF-8")), fpOf(edited))
+    assert(dEdit <= 4, s"1-byte edit moved the fingerprint $dEdit bits")
     val back = fps.map(_._2)
     val med = (for (a <- back.take(20); b <- back.drop(20).take(20))
-      yield java.lang.Long.bitCount(a ^ b)).sorted
-    assert(med(med.length / 2) >= 15,
+      yield ham(a, b)).sorted
+    assert(med(med.length / 2) >= 30,
       s"background median hamming ${med(med.length / 2)} — fingerprint lost discrimination")
 
     // q128: cluster labels equal a driver union-find over the same
@@ -917,16 +926,19 @@ class AuditSpec extends AnyFunSuite {
     //    ~42 changed trigram instances blow the parity sketch past
     //    hamming 4 → 'lexical_only' (token overlap the byte profile
     //    does not see);
-    //  - docs 4,5: TWO-word payloads over the 62-byte floor, one char
+    //  - docs 4,5: TWO-word payloads over the 125-byte floor, one char
     //    apart — no 3-shingle exists, the lexical tier structurally
-    //    cannot evaluate them, the byte tier reads hamming 2 →
-    //    'media_only';
+    //    cannot evaluate them, the byte tier reads hamming <= 2 (the
+    //    last byte is sampled by exactly one window) → 'media_only';
     //  - doc 6: unrelated (absent from every pair list).
     val words = (0 until 60).map(i => s"w${i}alpha")
     val a = words.mkString(" ")
     val b = words.updated(30, "x" * 40).mkString(" ")
-    val short1 = "a" * 40 + " " + "b" * 40
-    val short2 = "a" * 40 + " " + "b" * 39 + "c"
+    val short1 = "a" * 62 + " " + "b" * 62
+    val short2 = "a" * 62 + " " + "b" * 61 + "c"
+    val unrel = "completely unrelated content that clears the skip-gram " +
+      "floor easily with many distinct words here and still more padding " +
+      "words to pass the one twenty five byte minimum"
     val dir = java.nio.file.Files.createTempDirectory("graft-tieragree-")
       .toFile.getAbsolutePath
     Seq((1L, a, "en", "s1", a.length.toLong),
@@ -934,8 +946,7 @@ class AuditSpec extends AnyFunSuite {
       (3L, b, "en", "s1", b.length.toLong),
       (4L, short1, "en", "s1", short1.length.toLong),
       (5L, short2, "en", "s1", short2.length.toLong),
-      (6L, "completely unrelated content that clears the trigram floor " +
-        "easily with many words here", "en", "s1", 90L))
+      (6L, unrel, "en", "s1", unrel.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("q126_media_tier_agreement")(spark, dir)

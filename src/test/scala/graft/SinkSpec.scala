@@ -355,10 +355,10 @@ class SinkSpec extends AnyFunSuite {
   test("probeMediaNearDup: near-identical payloads matched, self-guarded, replay-excludable") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-media").toString + "/idx"
-    // two standing payloads well past the trigram floor, far apart
+    // two standing payloads well past the 125-byte skip-gram floor, far apart
     val base = "the quick brown fox jumps over the lazy dog again and again until done "
     val other = "entirely different standing content with its own byte profile here okay " +
-      "more words to pass the floor easily"
+      "more words to pass the one hundred twenty five byte floor easily today"
     Sink.writeFingerprints(
       Seq((1L, base * 2), (2L, other)).toDF("doc_id", "text"), dir)
 
@@ -367,7 +367,8 @@ class SinkSpec extends AnyFunSuite {
     val nearCopy = "X" + (base * 2).substring(1)
     val batch = Seq((10L, nearCopy),
       (11L, "completely novel words that resemble neither standing payload " +
-        "and still clear the sixty two byte trigram floor for sure"),
+        "and still clear the one hundred twenty five byte gram floor extra " +
+        "for sure with room to spare"),
       (12L, "short")).toDF("doc_id", "text")
     def verdicts(ex: Option[String] = None) =
       Sink.probeMediaNearDup(batch, dir, 4, ex).collect()
@@ -379,9 +380,9 @@ class SinkSpec extends AnyFunSuite {
     assert(v(12L) == ("fresh", None), "below-floor payloads read fresh")
 
     // independently recompute the fingerprint distance the probe claims
-    val d10 = java.lang.Long.bitCount(
-      graft.multimodal.Multimodal.fingerprintOf(nearCopy.getBytes("UTF-8"))
-        ^ graft.multimodal.Multimodal.fingerprintOf((base * 2).getBytes("UTF-8")))
+    val d10 = graft.multimodal.Multimodal.hammingOf(
+      graft.multimodal.Multimodal.fingerprintOf(nearCopy.getBytes("UTF-8")),
+      graft.multimodal.Multimodal.fingerprintOf((base * 2).getBytes("UTF-8")))
     assert(d10 <= 4, s"fixture edit moved the fingerprint $d10 bits")
 
     // admit the batch, then: a replay probe EXCLUDING its own tag sees
