@@ -175,7 +175,11 @@ object ScaleCheck {
     "q126_media_tier_agreement",
     // the incremental twin and the CC endpoint are marginal consumers of
     // the same kernel in subset position (window + spine; hybrid-CC)
-    "q127_incremental_media", "q128_media_clusters")
+    "q127_incremental_media", "q128_media_clusters",
+    // r15: the calibration row is panel×corpus — LINEAR by the fixed-
+    // panel contract (the q98 argument); this row pins that slope for
+    // the media tier too
+    "q129_media_calibration")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

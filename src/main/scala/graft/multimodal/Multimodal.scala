@@ -269,19 +269,41 @@ object Multimodal {
     udf((p: Array[Byte]) => { val a = fingerprintOf(p); (a(0), a(1)) })
       .apply(payload)
 
-  /** SQL expression for band `bk` (0–4) over the two packed longs — the
+  /** SQL expression for band `k` (0–4) over the two packed longs — the
     * 5×24-bit band layout every media consumer shares (bands 0–1 live in
     * fp0, band 2 straddles fp0[48..59]|fp1[0..11], bands 3–4 in fp1).
-    * One definition, mirrored verbatim in the DuckDB oracle CTE, so the
-    * banding the index probe uses and the one the audit query uses can
-    * never drift.
+    */
+  private def bandKeyOf(fp0: String, fp1: String, k: Int): String = k match {
+    case 0 => s"$fp0 & 16777215"
+    case 1 => s"shiftright($fp0, 24) & 16777215"
+    case 2 => s"(shiftright($fp0, 48) & 4095) | shiftleft($fp1 & 4095, 12)"
+    case 3 => s"shiftright($fp1, 12) & 16777215"
+    case _ => s"shiftright($fp1, 36) & 16777215"
+  }
+
+  /** The band key as one expression over a band-index column — the form
+    * the exploded band joins use (mediaPairs, probeMediaNearDup). One
+    * definition (via [[bandKeyOf]]), mirrored verbatim in the DuckDB
+    * oracle CTE, so the banding the index probe uses and the one the
+    * audit query uses can never drift.
     */
   def bandKeySql(fp0: String, fp1: String, bk: String = "bk"): String =
-    s"CASE $bk WHEN 0 THEN $fp0 & 16777215 " +
-      s"WHEN 1 THEN shiftright($fp0, 24) & 16777215 " +
-      s"WHEN 2 THEN (shiftright($fp0, 48) & 4095) | shiftleft($fp1 & 4095, 12) " +
-      s"WHEN 3 THEN shiftright($fp1, 12) & 16777215 " +
-      s"ELSE shiftright($fp1, 36) & 16777215 END"
+    s"CASE $bk WHEN 0 THEN ${bandKeyOf(fp0, fp1, 0)} " +
+      s"WHEN 1 THEN ${bandKeyOf(fp0, fp1, 1)} " +
+      s"WHEN 2 THEN ${bandKeyOf(fp0, fp1, 2)} " +
+      s"WHEN 3 THEN ${bandKeyOf(fp0, fp1, 3)} " +
+      s"ELSE ${bandKeyOf(fp0, fp1, 4)} END"
+
+  /** Boolean SQL expression: do two fingerprints share ≥ 1 of the 5
+    * bands? The explode-free form for panel-bounded audits (q129's
+    * calibration row) — same [[bandKeyOf]] definition as the banded
+    * joins, so "would the candidate join surface this pair" is answered
+    * with the join's own keys.
+    */
+  def bandsShareSql(a0: String, a1: String, b0: String, b1: String): String =
+    (0 until 5).map(k =>
+      s"(${bandKeyOf(a0, a1, k)}) = (${bandKeyOf(b0, b1, k)})")
+      .mkString(" OR ")
 
   /** SQL expression for the hamming distance between two packed pairs. */
   def hammingSql(a0: String, a1: String, b0: String, b1: String): String =

@@ -1767,6 +1767,64 @@ object AuditOps {
         "reach(u, r) AS (SELECT DISTINCT u, u FROM edges " +
         "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) " +
         "SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+
+    // Media-tier CALIBRATION (r15 — the q98/q99 treatment for the byte
+    // tier, the r15 verdict's ask #2): per true-hamming radius, the
+    // fraction of pairs the 5×24 banding would SURFACE as candidates —
+    // the measurement that justifies trusting the banded tier at 100 TB.
+    // Ground truth is exact hamming between a FIXED 64-probe panel
+    // (smallest (md5(doc_id), doc_id) among fingerprintable docs — the
+    // q98 deterministic-panel convention) and every fingerprintable
+    // corpus doc; the banding answer is explode-free (the OR of the five
+    // band-key equalities — the SAME bandKeyOf definition the candidate
+    // joins use, so this audits the join's own keys). Pigeonhole says
+    // hit_rate ≡ 1.0 at hamming ≤ 4 — MEASURED here, not asserted — and
+    // the decay beyond 4 prices the miss rate of any wider radius before
+    // anyone re-thresholds. Scale: the panel is the only broadcast
+    // (bounded audit contract — panel×corpus is LINEAR in the corpus,
+    // the q98 argument); the only exchange is a ≤ 121-group aggregate;
+    // hit_rate is a ratio of exact integer sums (the house rule).
+    Q("q129_media_calibration",
+      (s, d) => {
+        val fps = graft.util.Caches.transientPersist(
+          TrainingOps.mediaFps(s, d))
+        val panel = fps
+          .orderBy(Hashing.md5Long(col("doc_id").cast("string")).asc,
+            col("doc_id").asc)
+          .limit(TrainingOps.ProbePanelSize)
+          .select(col("doc_id").as("qid"), col("fp0").as("qf0"),
+            col("fp1").as("qf1"))
+        fps.join(broadcast(panel), col("doc_id") =!= col("qid"))
+          .select(
+            expr(graft.multimodal.Multimodal
+              .hammingSql("qf0", "qf1", "fp0", "fp1")).cast("int").as("hamming"),
+            expr(graft.multimodal.Multimodal
+              .bandsShareSql("qf0", "qf1", "fp0", "fp1")).cast("int").as("hit"))
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"), sum("hit").as("n_band_hit"))
+          .select(col("hamming"), col("n_pairs"), col("n_band_hit"),
+            (col("n_band_hit").cast("double") /
+              col("n_pairs").cast("double")).as("hit_rate"))
+          .orderBy("hamming")
+      },
+      Some(s"WITH $mediaPairCtes, " +
+        "mpanel AS (SELECT doc_id AS qid, fp0 AS qf0, fp1 AS qf1 FROM mfp " +
+        s"ORDER BY ${oMd5Long("doc_id::VARCHAR")}, doc_id " +
+        s"LIMIT ${TrainingOps.ProbePanelSize}), " +
+        "mpp AS (SELECT " +
+        "CAST(bit_count(xor(qf0, fp0)) + bit_count(xor(qf1, fp1)) AS INTEGER) AS hamming, " +
+        "CASE WHEN (qf0 & 16777215) = (fp0 & 16777215) " +
+        "OR ((qf0 >> 24) & 16777215) = ((fp0 >> 24) & 16777215) " +
+        "OR (((qf0 >> 48) & 4095) | ((qf1 & 4095) << 12)) = " +
+        "(((fp0 >> 48) & 4095) | ((fp1 & 4095) << 12)) " +
+        "OR ((qf1 >> 12) & 16777215) = ((fp1 >> 12) & 16777215) " +
+        "OR ((qf1 >> 36) & 16777215) = ((fp1 >> 36) & 16777215) " +
+        "THEN 1 ELSE 0 END AS hit " +
+        "FROM mfp, mpanel WHERE doc_id <> qid) " +
+        "SELECT hamming, count(*) AS n_pairs, " +
+        "CAST(sum(hit) AS BIGINT) AS n_band_hit, " +
+        "CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hit_rate " +
+        "FROM mpp GROUP BY 1 ORDER BY 1")),
   )
 
 }

@@ -917,6 +917,63 @@ class AuditSpec extends AnyFunSuite {
     assert(gotLabels == expLabels)
   }
 
+  test("q129 media calibration matches a driver recomputation; hit_rate is 1.0 inside the verify radius") {
+    // the independent fingerprint from the q125 test, duplicated here so
+    // the two recomputations cannot share a bug with the engine
+    def fpOf(bytes: Array[Byte]): (Long, Long) = {
+      val hist = new Array[Long](120)
+      var i = 0
+      while (i + 5 < bytes.length) {
+        val g = (bytes(i) & 0xffL) * 16777216L +
+          (bytes(i + 1) & 0xffL) * 65536L +
+          (bytes(i + 3) & 0xffL) * 256L + (bytes(i + 5) & 0xffL)
+        hist((((g * 2654435761L) >>> 16) % 120L).toInt) += 1
+        i += 1
+      }
+      val fp0 = (0 until 60).foldLeft(0L)((fp, j) =>
+        if ((hist(j) & 1L) == 1L) fp | (1L << j) else fp)
+      val fp1 = (60 until 120).foldLeft(0L)((fp, j) =>
+        if ((hist(j) & 1L) == 1L) fp | (1L << (j - 60)) else fp)
+      (fp0, fp1)
+    }
+    def bandKeys(f: (Long, Long)): Seq[Long] = Seq(
+      f._1 & 0xFFFFFF, (f._1 >> 24) & 0xFFFFFF,
+      ((f._1 >> 48) & 0xFFF) | ((f._2 & 0xFFF) << 12),
+      (f._2 >> 12) & 0xFFFFFF, (f._2 >> 36) & 0xFFFFFF)
+    val fps = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 125)
+      .map { case (id, t) => id -> fpOf(t.getBytes("UTF-8")) }
+    // the fixed probe panel: smallest (md5Long(doc_id), doc_id) — the
+    // fixedPanel mirror, over media fingerprints
+    val panel = fps.sortBy { case (id, _) => (h1(id.toString), id) }
+      .take(graft.queries.TrainingOps.ProbePanelSize)
+    val expected = (for {
+      (qid, qf) <- panel; (id, f) <- fps if id != qid
+    } yield {
+      val h = java.lang.Long.bitCount(qf._1 ^ f._1) +
+        java.lang.Long.bitCount(qf._2 ^ f._2)
+      val hit = bandKeys(qf).zip(bandKeys(f)).exists(p => p._1 == p._2)
+      (h, hit)
+    }).groupBy(_._1).map { case (h, rows) =>
+      (h.toLong, rows.size.toLong, rows.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+      .map { case (h, n, k) => (h, n, k, k.toDouble / n.toDouble) }
+    val got = SparkEntry.queries("q129_media_calibration")(spark, d)
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // the pigeonhole claim, MEASURED: every pooled radius inside the
+    // verify threshold surfaces at rate exactly 1.0
+    assert(got.filter(_._1 <= 4).forall(_._4 == 1.0),
+      "banding missed a pair inside the hamming-4 radius")
+    // and the panel saw pairs on both sides of the radius (the
+    // calibration is vacuous otherwise)
+    assert(got.exists(_._1 <= 4) && got.exists(_._1 > 4), got.take(6).toString)
+  }
+
   test("q126 media×lexical tier agreement: all three tiers on a constructed corpus") {
     import spark.implicits._
     // a corpus exercising each disagreement cell BY CONSTRUCTION:

@@ -60,7 +60,10 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // bytes, no fingerprint UDF); q126 additionally rides the seamed
     // lexical pair kernel, q127 is the incremental twin
     "q125_media_neardup", "q126_media_tier_agreement",
-    "q127_incremental_media", "q128_media_clusters")
+    "q127_incremental_media", "q128_media_clusters",
+    // r15: the calibration row rides the seamed mediaFps (panel and
+    // corpus sides both read the persisted fingerprints)
+    "q129_media_calibration")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
