@@ -353,6 +353,55 @@ object AuditOps {
         .filter(col("hamming") <= 4)
     }
 
+  /** The q127 verdict frame, factored (r15) so the q123 triage
+    * composite can carry a media column off the SAME kernel (the
+    * incrementalVerdicts/noveltyFrame discipline): each batch payload
+    * (doc_id ≡ 0 mod 10) gets 'near' with its best standing partner
+    * (min hamming, ties → min id) or 'fresh'; unfingerprintable
+    * payloads read 'fresh' (the probe's spine convention). A filter +
+    * best-partner window over the shared [[mediaPairs]] kernel; the
+    * spine join is planner-gated.
+    */
+  private def mediaVerdicts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("ida") % 10 === 0
+    val isB = col("idb") % 10 === 0
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hamming"), col("near_of"))
+    val near = mediaPairs(s, d)
+      .filter(isA =!= isB)
+      .select(
+        when(isA, col("ida")).otherwise(col("idb")).as("doc_id"),
+        when(isA, col("idb")).otherwise(col("ida")).as("near_of"),
+        col("hamming"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("fresh")).as("verdict"),
+        col("near_of"), col("hamming"))
+  }
+
+  /** Oracle CTE chain mirroring [[mediaVerdicts]] — ends in
+    * `mv(doc_id, verdict, near_of, hamming)`; expects `mpairs`
+    * ([[mediaPairCtes]]) in scope.
+    */
+  private val mvCtes: String =
+    "mhits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS doc_id, " +
+      "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, hamming FROM mpairs " +
+      "WHERE (ida % 10 = 0) <> (idb % 10 = 0)), " +
+      "mnr AS (SELECT doc_id, near_of, hamming FROM (SELECT doc_id, near_of, hamming, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY hamming, near_of) AS rn " +
+      "FROM mhits) WHERE rn = 1), " +
+      "mv AS (SELECT b.doc_id, " +
+      "CASE WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
+      "near_of, hamming " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
+      "LEFT JOIN mnr ON b.doc_id = mnr.doc_id)"
+
   /** Oracle CTE chain mirroring [[mediaPairs]] — ends in
     * `mpairs(ida, idb, hamming)` with `mfp(doc_id, fp0, fp1)` also in
     * scope (the r15 120-bit two-long packing, 5×24-bit bands).
@@ -1261,13 +1310,19 @@ object AuditOps {
     // shingles (q65/q101's release rule) OR the semantic tier finds an
     // eval near-match (q115 — paraphrase leakage has no span to mask);
     // else MASK if span surgery applies (q112's overlap-bounded spans);
-    // else KEEP. Scale: all three flag frames are shared-kernel
+    // else KEEP. r15 adds the MEDIA tier to the drop rule (the r15
+    // verdict's ask #3): a train doc whose PAYLOAD is a byte-level
+    // near-dup of an eval payload (q125's hamming ≤ 4, cross-split) is
+    // leakage whether or not the token tier sees it — byte-near-identity
+    // has no span to mask, so it composes at drop severity beside the
+    // semantic flag. Scale: all four flag frames are shared-kernel
     // derivatives bounded by TRUE contamination (hit counts, retained
-    // pairs, span docs) — the doc spine left-joins them on doc_id with
-    // no broadcast hints (planner-gated, the q108 posture), and the
-    // final aggregate is |sources| × 3 groups. The clean bulk of the
-    // corpus flows through as three null flags and one 'keep' counter —
-    // no text moves anywhere in this plan.
+    // pairs, span docs, band-bounded media pairs) — the doc spine
+    // left-joins them on doc_id with no broadcast hints (planner-gated,
+    // the q108 posture), and the final aggregate is |sources| × 3
+    // groups. The clean bulk of the corpus flows through as four null
+    // flags and one 'keep' counter — no text moves anywhere in this
+    // plan.
     Q("q117_decontam_decision",
       (s, d) => {
         val base = documents(s, d).filter(col("doc_id") % 50 =!= 0)
@@ -1278,13 +1333,20 @@ object AuditOps {
         val dsem = semanticContamPairs(s, d)
           .select(col("train_id").as("doc_id"))
           .distinct().withColumn("dsem", lit(true))
+        val isEvA = col("ida") % 50 === 0
+        val isEvB = col("idb") % 50 === 0
+        val dmed = mediaPairs(s, d)
+          .filter(isEvA =!= isEvB)
+          .select(when(isEvA, col("idb")).otherwise(col("ida")).as("doc_id"))
+          .distinct().withColumn("dmed", lit(true))
         val dmask = maskSpans(s, d).select(col("doc_id")).distinct()
           .withColumn("dmask", lit(true))
         base.join(dlex, Seq("doc_id"), "left")
           .join(dsem, Seq("doc_id"), "left")
+          .join(dmed, Seq("doc_id"), "left")
           .join(dmask, Seq("doc_id"), "left")
           .withColumn("decision",
-            when(col("dlex") || col("dsem"), lit("drop"))
+            when(col("dlex") || col("dsem") || col("dmed"), lit("drop"))
               .when(col("dmask"), lit("mask"))
               .otherwise(lit("keep")))
           .groupBy("source", "decision")
@@ -1296,10 +1358,13 @@ object AuditOps {
       // derives it directly without the islands machinery — and without
       // spanCtes' `toks`, which would collide with shCte's
       Some(s"WITH $shCte, $shhCte, ${TrainingOps.cellPairCosCtes}, $semContamCte, " +
+        s"$mediaPairCtes, " +
         "cevh AS (SELECT DISTINCT h1 FROM shh WHERE doc_id % 50 = 0), " +
         "chit AS (SELECT t.doc_id FROM shh t JOIN cevh USING (h1) " +
         "WHERE t.doc_id % 50 <> 0 GROUP BY 1 HAVING count(DISTINCT t.h1) >= 8), " +
         "dsem AS (SELECT DISTINCT train_id AS doc_id FROM semcp), " +
+        "dmed AS (SELECT DISTINCT CASE WHEN ida % 50 = 0 THEN idb ELSE ida END " +
+        "AS doc_id FROM mpairs WHERE (ida % 50 = 0) <> (idb % 50 = 0)), " +
         "t8 AS (SELECT doc_id, " +
         "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws " +
         "FROM documents WHERE text IS NOT NULL), " +
@@ -1312,7 +1377,8 @@ object AuditOps {
         "WHERE doc_id % 50 <> 0) p JOIN e8 USING (h1)), " +
         "dec AS (SELECT d.source, CASE " +
         "WHEN d.doc_id IN (SELECT doc_id FROM chit) " +
-        "OR d.doc_id IN (SELECT doc_id FROM dsem) THEN 'drop' " +
+        "OR d.doc_id IN (SELECT doc_id FROM dsem) " +
+        "OR d.doc_id IN (SELECT doc_id FROM dmed) THEN 'drop' " +
         "WHEN d.doc_id IN (SELECT doc_id FROM dmask) THEN 'mask' " +
         "ELSE 'keep' END AS decision, d.n_chars " +
         "FROM documents d WHERE d.doc_id % 50 <> 0) " +
@@ -1430,12 +1496,17 @@ object AuditOps {
     // of it is exact/near duplication, how novel the 'fresh' remainder
     // actually is (a fresh-but-dup_heavy cell is recombined boilerplate
     // — the triage signal q95 alone cannot give), and what quality
-    // range each cell spans. Scale: all three inputs are shared-kernel
-    // derivatives (verdict frame batch-sized over the pair kernel,
-    // novelty bands postings-bounded, quality map-side); the joins are
-    // batch-sized doc_id-keyed and planner-gated; the final aggregate
-    // is ≤ 3 × 4 groups. min/max over doubles are order-insensitive
-    // (the house exactness rule — no double SUMs cross engines).
+    // range each cell spans. r15 adds the MEDIA verdict as a third
+    // grouping dimension (the r15 verdict's ask #3): a lexically-fresh
+    // doc whose payload is a byte-level near-dup of a standing payload
+    // is duplication the token tier diluted — the sign-off page now
+    // shows it. Scale: all four inputs are shared-kernel derivatives
+    // (verdict frame batch-sized over the pair kernel, novelty bands
+    // postings-bounded, quality map-side, media verdicts band-bounded
+    // over the media kernel); the joins are batch-sized doc_id-keyed
+    // and planner-gated; the final aggregate is ≤ 3 × 4 × 2 groups.
+    // min/max over doubles are order-insensitive (the house exactness
+    // rule — no double SUMs cross engines).
     Q("q123_batch_triage",
       (s, d) => {
         val v = TrainingOps.incrementalVerdicts(s, d)
@@ -1443,25 +1514,30 @@ object AuditOps {
         val nb = noveltyFrame(s, d).select(col("doc_id"), col("band"))
         val qual = TrainingOps.qualityFeatures(s, d)
           .select(col("doc_id"), col("n_tokens"), col("score"))
+        val mv = mediaVerdicts(s, d)
+          .select(col("doc_id"), col("verdict").as("media"))
         v.join(nb, Seq("doc_id"), "left")
           .join(qual, Seq("doc_id"), "left")
+          .join(mv, Seq("doc_id"), "left")
           .groupBy(col("verdict"),
-            coalesce(col("band"), lit("none")).as("band"))
+            coalesce(col("band"), lit("none")).as("band"),
+            col("media"))
           .agg(count(lit(1)).as("n_docs"),
             sum("n_tokens").cast("long").as("n_tokens"),
             min("score").as("min_score"), max("score").as("max_score"))
-          .orderBy("verdict", "band")
+          .orderBy("verdict", "band", "media")
       },
       Some(s"WITH ${TrainingOps.lshPairsCtes}, ${TrainingOps.bvCte}, " +
-        s"$nvCtes, ${TrainingOps.qualCte}, " +
+        s"$nvCtes, ${TrainingOps.qualCte}, $mediaPairCtes, $mvCtes, " +
         "tri AS (SELECT bv.verdict, coalesce(nvb.band, 'none') AS band, " +
-        "q.n_tokens, q.score FROM bv " +
+        "mv.verdict AS media, q.n_tokens, q.score FROM bv " +
         "LEFT JOIN nvb ON bv.doc_id = nvb.doc_id " +
-        "LEFT JOIN qual q ON bv.doc_id = q.doc_id) " +
-        "SELECT verdict, band, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "LEFT JOIN qual q ON bv.doc_id = q.doc_id " +
+        "LEFT JOIN mv ON bv.doc_id = mv.doc_id) " +
+        "SELECT verdict, band, media, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
         "min(score) AS min_score, max(score) AS max_score " +
-        "FROM tri GROUP BY 1, 2 ORDER BY 1, 2")),
+        "FROM tri GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
 
     // Fingerprint-index datasheet (X108, r13c): the ops health report
     // over the standing dedup index — the page an operator reads before
@@ -1712,42 +1788,9 @@ object AuditOps {
     // production the standing side is the index's media table and a
     // batch pays one fingerprint pass + bucket-bounded band probes.
     Q("q127_incremental_media",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val isA = col("ida") % 10 === 0
-        val isB = col("idb") % 10 === 0
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("hamming"), col("near_of"))
-        val near = mediaPairs(s, d)
-          .filter(isA =!= isB)
-          .select(
-            when(isA, col("ida")).otherwise(col("idb")).as("doc_id"),
-            when(isA, col("idb")).otherwise(col("ida")).as("near_of"),
-            col("hamming"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        documents(s, d).filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"))
-          .join(near, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("near_of").isNotNull, lit("near"))
-              .otherwise(lit("fresh")).as("verdict"),
-            col("near_of"), col("hamming"))
-          .orderBy("doc_id")
-      },
-      Some(s"WITH $mediaPairCtes, " +
-        "mhits AS (SELECT CASE WHEN ida % 10 = 0 THEN ida ELSE idb END AS doc_id, " +
-        "CASE WHEN ida % 10 = 0 THEN idb ELSE ida END AS near_of, hamming FROM mpairs " +
-        "WHERE (ida % 10 = 0) <> (idb % 10 = 0)), " +
-        "mnr AS (SELECT doc_id, near_of, hamming FROM (SELECT doc_id, near_of, hamming, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY hamming, near_of) AS rn " +
-        "FROM mhits) WHERE rn = 1) " +
-        "SELECT b.doc_id, " +
-        "CASE WHEN near_of IS NOT NULL THEN 'near' ELSE 'fresh' END AS verdict, " +
-        "near_of, hamming " +
-        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b " +
-        "LEFT JOIN mnr ON b.doc_id = mnr.doc_id " +
-        "ORDER BY b.doc_id")),
+      (s, d) => mediaVerdicts(s, d).orderBy("doc_id"),
+      Some(s"WITH $mediaPairCtes, $mvCtes " +
+        "SELECT doc_id, verdict, near_of, hamming FROM mv ORDER BY doc_id")),
 
     // Media dedup CLUSTERS (r14): connected components over the
     // verified media pair list — the q51/q90 endpoint for the byte

@@ -607,13 +607,14 @@ object Sink {
 
   /** The q123 triage page at the SINK tier (X107 in production
     * posture): dedup verdicts ([[probeFingerprints]]) × novelty bands
-    * ([[probeNovelty]]) × the shared quality score, for a REAL incoming
-    * batch against a REAL standing index — one row per (verdict, band)
-    * with doc counts, token mass and the quality range. The sign-off
-    * page an operator reads before [[appendFingerprints]] admits the
-    * day. Unbandable docs (too short to shingle) read band 'none', the
-    * q123 convention; value identity with the oracle-green q123 on the
-    * %10 split is pinned in SinkSpec.
+    * ([[probeNovelty]]) × media verdicts ([[probeMediaNearDup]], r15) ×
+    * the shared quality score, for a REAL incoming batch against a REAL
+    * standing index — one row per (verdict, band, media) with doc
+    * counts, token mass and the quality range. The sign-off page an
+    * operator reads before [[appendFingerprints]] admits the day.
+    * Unbandable docs (too short to shingle) read band 'none', the q123
+    * convention; value identity with the oracle-green q123 on the %10
+    * split is pinned in SinkSpec.
     */
   def triageBatch(batch: DataFrame, path: String,
       excludeBatch: Option[String] = None): DataFrame =
@@ -628,6 +629,28 @@ object Sink {
   private[graft] def triageOf(batch: DataFrame, verdicts: DataFrame,
       path: String, excludeBatch: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    // the MEDIA verdict is the composite's third dimension (r15, the
+    // q123 shape) — a lexically-fresh doc whose payload is a byte-level
+    // near-dup is duplication the token tier diluted. A legacy index
+    // without a current-schema media base cannot serve it: the page
+    // still lands, loudly, with media = 'none' (the probe itself stays
+    // fail-fast — an explicit media probe must not silently miss the
+    // standing corpus; the triage composite is a best-effort page).
+    val mediaBase = new org.apache.hadoop.fs.Path(s"$path/media/batch=base")
+    val hasMedia = mediaBase
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(mediaBase) &&
+      spark.read.parquet(s"$path/media").columns.contains("fp0")
+    val mv =
+      if (hasMedia)
+        probeMediaNearDup(batch, path, 4, excludeBatch)
+          .select(col("doc_id"), col("verdict").as("media"))
+      else {
+        System.err.println(s"[sink] NOTE: $path has no current-schema " +
+          "media base — triage page lands with media='none'; rebuild " +
+          "with writeFingerprints for the media verdict column")
+        batch.select(col("doc_id"), lit("none").as("media"))
+      }
     val v = verdicts.select(col("doc_id"), col("verdict"))
     val nb = probeNovelty(batch, path, excludeBatch)
       .select(col("doc_id"), col("band"))
@@ -635,7 +658,9 @@ object Sink {
       .select(col("doc_id"), col("n_tokens"), col("score"))
     v.join(nb, Seq("doc_id"), "left")
       .join(qual, Seq("doc_id"), "left")
-      .groupBy(col("verdict"), coalesce(col("band"), lit("none")).as("band"))
+      .join(mv, Seq("doc_id"), "left")
+      .groupBy(col("verdict"), coalesce(col("band"), lit("none")).as("band"),
+        col("media"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"),
         min("score").as("min_score"), max("score").as("max_score"))

@@ -560,14 +560,20 @@ class AuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("q117 decision table recomposes from the q65/q115/q112 outputs over the raw doc spine") {
-    // severity composition pinned against the three tiers' own
+  test("q117 decision table recomposes from the q65/q115/q112/q125 outputs over the raw doc spine") {
+    // severity composition pinned against the four tiers' own
     // oracle-green outputs: drop beats mask beats keep, and the doc
-    // spine is ALL train docs (null-text docs count as keep)
+    // spine is ALL train docs (null-text docs count as keep). The media
+    // drop flag (r15) is q125's pair list restricted to cross-split
+    // pairs, train side.
     val dlex = SparkEntry.queries("q65_decontaminate")(spark, d).collect()
       .filter(_.getLong(1) >= 8).map(_.getLong(0)).toSet
     val dsem = SparkEntry.queries("q115_semantic_contamination")(spark, d)
       .collect().map(_.getLong(1)).toSet
+    val dmed = SparkEntry.queries("q125_media_neardup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 50 == 0) != (b % 50 == 0) }
+      .map { case (a, b) => if (a % 50 == 0) b else a }.toSet
     val dmask = SparkEntry.queries("q112_decontaminate_spans")(spark, d)
       .collect().map(_.getLong(0)).toSet
     val base = graft.util.Tables.documents(spark, d)
@@ -576,7 +582,7 @@ class AuditSpec extends AnyFunSuite {
       .filter(_._1 % 50 != 0)
     val expected = base.toSeq.groupBy { case (id, src, _) =>
       val dec =
-        if (dlex(id) || dsem(id)) "drop"
+        if (dlex(id) || dsem(id) || dmed(id)) "drop"
         else if (dmask(id)) "mask"
         else "keep"
       (src, dec)
@@ -823,16 +829,19 @@ class AuditSpec extends AnyFunSuite {
       "an eval 8-gram survives the mask apply")
   }
 
-  test("q123 batch triage recomposes from the q95/q121/q36 outputs") {
+  test("q123 batch triage recomposes from the q95/q121/q36/q127 outputs") {
     val v = SparkEntry.queries("q95_incremental_dedup")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
     val nb = SparkEntry.queries("q121_batch_novelty")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val mv = SparkEntry.queries("q127_incremental_media")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val q = SparkEntry.queries("q36_quality_score")(spark, d).collect()
       .map(r => r.getLong(0) -> ((
         if (r.isNullAt(1)) None else Some(r.getInt(1).toLong),
         if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
-    val expected = v.groupBy { case (id, ve) => (ve, nb.getOrElse(id, "none")) }
+    val expected = v.groupBy { case (id, ve) =>
+        (ve, nb.getOrElse(id, "none"), mv(id)) }
       .view.mapValues { xs =>
         val toks = xs.flatMap(x => q.get(x._1).flatMap(_._1)).sum
         val scores = xs.flatMap(x => q.get(x._1).flatMap(_._2))
@@ -841,8 +850,8 @@ class AuditSpec extends AnyFunSuite {
     // non-vacuous: more than one triage cell at this SF
     assert(expected.size > 1)
     val got = SparkEntry.queries("q123_batch_triage")(spark, d).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
     assert(got == expected)
   }
 

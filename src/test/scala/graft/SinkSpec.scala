@@ -338,7 +338,8 @@ class SinkSpec extends AnyFunSuite {
       "sink-tier novelty must equal the session q121 on the %10 split")
     val triExp = SparkEntry.queries("q123_batch_triage")(spark, TestSpark.sfDir)
       .collect().map(_.toString).toSeq
-    val triGot = Sink.triageBatch(batch, dir).orderBy("verdict", "band")
+    val triGot = Sink.triageBatch(batch, dir)
+      .orderBy("verdict", "band", "media")
       .collect().map(_.toString).toSeq
     assert(triGot == triExp,
       "sink-tier triage must equal the session q123 on the %10 split")
