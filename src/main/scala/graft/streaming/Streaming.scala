@@ -131,14 +131,27 @@ object Streaming {
     *
     * Optional TRIAGE tier (X107 at streaming cadence): with
     * `triagePath` set, each micro-batch also lands its q123 sign-off
-    * page (verdict × novelty band × quality range,
+    * page (verdict × novelty band × media verdict × quality range,
     * [[graft.sink.Sink.triageOf]] over the SAME persisted verdict
     * frame — the probe is never paid twice) under
     * `triagePath/run=<id>/batch=<id>/` with the identical scoped-
     * Overwrite replay idempotency.
+    *
+    * Optional MEDIA verdict tier (X109 at streaming cadence, r15): with
+    * `mediaPath` set, each micro-batch also lands its q127-shaped media
+    * verdict frame (doc_id, verdict, near_of, hamming —
+    * [[graft.sink.Sink.probeMediaNearDup]] against the standing `media`
+    * table, excluding the batch's own partition so a replay sees the
+    * index as its first attempt did) under
+    * `mediaPath/run=<id>/batch=<id>/`, scoped-Overwrite
+    * replay-idempotent. The index side needs nothing new: the
+    * fingerprint append below already maintains the `media` table at
+    * batch cadence, so later micro-batches read earlier admissions as
+    * standing payloads.
     */
   def incrementalDedup(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, triagePath: Option[String] = None)
+      checkpoint: String, triagePath: Option[String] = None,
+      mediaPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // the run id is resolved from the checkpoint metadata ONCE (on the
     // first batch — the file exists as soon as the query has started)
@@ -197,6 +210,11 @@ object Streaming {
           graft.sink.Sink.triageOf(batch, v, indexPath, Some(tag))
             .write.mode("overwrite")
             .parquet(s"$tp/run=$run/batch=$batchId")
+        }
+        mediaPath.foreach { mp =>
+          graft.sink.Sink.probeMediaNearDup(batch, indexPath, 4, Some(tag))
+            .write.mode("overwrite")
+            .parquet(s"$mp/run=$run/batch=$batchId")
         }
         val known = batch.sparkSession.read
           .parquet(s"$indexPath/exact")

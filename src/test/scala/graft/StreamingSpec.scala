@@ -229,6 +229,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(triage(2L) == Map(("fresh", "novel") -> 1L))
   }
 
+  test("media verdict stream: admit, index growth, and redelivery idempotency") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incmedia-")
+      .toFile.getAbsolutePath
+    // payloads must clear the 125-byte fingerprint floor; shingle
+    // content is irrelevant here (the media tier is byte-level)
+    val standing = ("the standing payload with plenty of bytes to " +
+      "fingerprint reliably and then some more filler words to be safe " +
+      "well past the floor") * 2
+    graft.sink.Sink.writeFingerprints(
+      Seq((1L, standing)).toDF("doc_id", "text"), s"$tmp/index")
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedup(
+      in.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ck",
+      mediaPath = Some(s"$tmp/media"))
+    val novel = ("a completely different long payload whose byte profile " +
+      "shares nothing with the standing document and which also clears " +
+      "the fingerprint floor easily") * 2
+    try {
+      // batch 0: a 1-char edit of the standing payload (media-near), a
+      // novel long payload (media-fresh), a below-floor payload (fresh
+      // by the spine convention)
+      in.addData((10L, "X" + standing.substring(1)), (11L, novel),
+        (12L, "short"))
+      q.processAllAvailable()
+      // batch 1: a 1-char edit of the payload ADMITTED in batch 0 —
+      // proves the stream maintains the media table mid-run
+      in.addData((20L, "Y" + novel.substring(1)))
+      q.processAllAvailable()
+      // batch 2: doc 11 REDELIVERED (offset-reset shape) — the probe's
+      // self-match guard keeps it from reading as its own near-dup,
+      // and doc 20 (its lexical near-dup) was never admitted, so 11
+      // must read media-fresh again, exactly as its first attempt did
+      in.addData((11L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def media(b: Long): Map[Long, (String, Option[Long], Option[Int])] =
+      spark.read.parquet(s"$tmp/media")
+        .filter(col("batch") === b).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("verdict"),
+            Option(r.getAs[java.lang.Long]("near_of")).map(_.toLong),
+            Option(r.getAs[java.lang.Integer]("hamming")).map(_.toInt))))
+        .toMap
+    val b0 = media(0L)
+    assert(b0(10L)._1 == "near" && b0(10L)._2 == Some(1L)
+      && b0(10L)._3.exists(_ <= 4), b0.toString)
+    assert(b0(11L) == ("fresh", None, None))
+    assert(b0(12L) == ("fresh", None, None), "below-floor payload must read fresh")
+    // the media table grew mid-stream: batch 1's edit of doc 11 reads
+    // near against the batch-0 admission
+    val b1 = media(1L)
+    assert(b1(20L)._1 == "near" && b1(20L)._2 == Some(11L), b1.toString)
+    // redelivered doc 11: the probe's self-match guard plus the
+    // batch-exclusion keep it fresh (not its own duplicate), exactly
+    // as its first attempt read
+    val b2 = media(2L)
+    assert(b2(11L) == ("fresh", None, None), b2.toString)
+
+    // q127-identity of the streamed frame: the landed batch-0 page IS
+    // probeMediaNearDup's verdict frame for that batch against the
+    // index as the batch saw it (excluding everything admitted at or
+    // after its own tag — here only its own partition existed)
+    val batch0 = Seq((10L, "X" + standing.substring(1)), (11L, novel),
+      (12L, "short")).toDF("doc_id", "text")
+    val idxTags = spark.read.parquet(s"$tmp/index/media")
+      .select("batch").distinct().collect().map(_.getString(0)).toSet
+    val laterTags = idxTags.filter(_ != "base")
+    val standingOnly = spark.read.parquet(s"$tmp/index/media")
+      .filter(col("batch") === "base")
+    assert(laterTags.nonEmpty && standingOnly.count() == 1)
+    val reprobe = graft.sink.Sink.probeMediaNearDup(
+      batch0, s"$tmp/index", 4,
+      excludeBatch = None).collect() // full index: 10/11 now indexed
+    // with the full index the self-match guard still holds: no doc
+    // reads itself as its partner
+    assert(reprobe.forall(r =>
+      Option(r.get(2)).forall(_ != r.getLong(0))), "self-match leaked")
+  }
+
   test("triage partition heals a mid-write crash on replay (scoped overwrite, stable run id)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
