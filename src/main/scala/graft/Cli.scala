@@ -162,8 +162,11 @@ object Cli {
         // the index datasheet audits the index itself (no corpus reads
         // at all under the seam; r14: off the maintained stats tier)
         "q121_batch_novelty", "q124_index_stats",
-        // r14: media near-dup off the index's persisted fingerprints
-        "q125_media_neardup")
+        // r14: media near-dup off the index's persisted fingerprints;
+        // r15: the banding calibration row and the vector-index
+        // datasheet (pure index reads when vecIdx is supplied)
+        "q125_media_neardup", "q129_media_calibration",
+        "q130_vector_index_stats")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the

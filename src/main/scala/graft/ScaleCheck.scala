@@ -179,7 +179,12 @@ object ScaleCheck {
     // r15: the calibration row is panel×corpus — LINEAR by the fixed-
     // panel contract (the q98 argument); this row pins that slope for
     // the media tier too
-    "q129_media_calibration")
+    "q129_media_calibration",
+    // r15: the vector-index datasheet — occupancy aggregates are
+    // vector-volume linear, the threshold tier rides the shared pair
+    // kernel in subset position; its slope pins the datasheet's
+    // distinct-key-bounded claim
+    "q130_vector_index_stats")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

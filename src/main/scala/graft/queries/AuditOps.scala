@@ -1683,6 +1683,95 @@ object AuditOps {
         "UNION ALL SELECT 'postings_rows', CAST(postings_rows AS DOUBLE) FROM rw " +
         "ORDER BY metric")),
 
+    // Vector-index datasheet (r15 — the q124 treatment for X103, the
+    // r15 verdict's ask #5): the ops health report over the semantic
+    // tier's standing index. Eleven metrics in one (metric, value)
+    // frame:
+    //  - the IVF occupancy tier (vectors, cells, cell_max/mean/p50/p99)
+    //    — cell_max is THE IVF-skew indicator (the reason cellPairsOf
+    //    block-salts), and cand_pairs = Σ c·(c−1)/2 over cells PREDICTS
+    //    the pair build's exact in-cell enumeration volume (the one
+    //    real compute writeVectorIndex pays) before anyone runs it —
+    //    the q124 candidate_pairs idea at the embedding tier;
+    //  - the retained-pair tier at the θ = 0.35 threshold (near_pairs,
+    //    near_vecs, near_deg_max/p99) — the q33/q90 edge volume and the
+    //    kNN-graph degree skew. Threshold metrics only, deliberately:
+    //    they are SUPERSET-CLOSED under the retention contract, so the
+    //    datasheet reads identically off a full-build index, an
+    //    append-maintained one (whose pairs region is a bounded
+    //    superset), and the session kernel — the raw retained-row count
+    //    is not contract-stable and stays out of the oracle surface.
+    // Every accessor is SEAM-AWARE: with `spark.graft.vecIndex` set the
+    // whole datasheet is parquet reads of the index itself (vectors +
+    // pairs — no corpus access, no quantize, no dot products; pinned in
+    // VectorIndexSpec). No stats tier yet, measured as unnecessary: the
+    // index rows are fixed-width and the aggregates are
+    // distinct-key-bounded (BASELINE.md r15) — unlike q124's postings
+    // volume, there is no O(index) scan to amortize.
+    Q("q130_vector_index_stats",
+      (s, d) => {
+        val occ = TrainingOps.vectorCells(s, d)
+          .groupBy("label").agg(count(lit(1)).as("c"))
+        val a1 = occ.agg(count(lit(1)).as("cells"),
+          sum("c").as("vectors"), max("c").as("cell_max"),
+          expr("percentile(c, 0.5)").as("cell_p50"),
+          expr("percentile(c, 0.99)").as("cell_p99"),
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+        val near = graft.util.Caches.transientPersist(
+          TrainingOps.cellPairCos(s, d)
+            .filter(col("cos") >= TrainingOps.CellPairRetainCos)
+            .select("ida", "idb"))
+        val a2 = near.agg(count(lit(1)).as("near_pairs"))
+        val a3 = near.select(col("ida").as("v"))
+          .unionAll(near.select(col("idb").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+          .agg(count(lit(1)).as("near_vecs"), max("dg").as("near_deg_max"),
+            expr("percentile(dg, 0.99)").as("near_deg_p99"))
+        a1.crossJoin(a2).crossJoin(a3)
+          .withColumn("cell_mean",
+            col("vectors").cast("double") / col("cells"))
+          .selectExpr("stack(11, " +
+            "'cand_pairs', CAST(cand_pairs AS DOUBLE), " +
+            "'cell_max', CAST(cell_max AS DOUBLE), " +
+            "'cell_mean', cell_mean, " +
+            "'cell_p50', cell_p50, " +
+            "'cell_p99', cell_p99, " +
+            "'cells', CAST(cells AS DOUBLE), " +
+            "'near_deg_max', CAST(near_deg_max AS DOUBLE), " +
+            "'near_deg_p99', near_deg_p99, " +
+            "'near_pairs', CAST(near_pairs AS DOUBLE), " +
+            "'near_vecs', CAST(near_vecs AS DOUBLE), " +
+            "'vectors', CAST(vectors AS DOUBLE)" +
+            ") AS (metric, value)")
+          .orderBy("metric")
+      },
+      Some(s"WITH ${TrainingOps.cellPairCosCtes}, " +
+        "vocc AS (SELECT label, count(*) AS c FROM ev GROUP BY 1), " +
+        "va1 AS (SELECT count(*) AS cells, sum(c) AS vectors, " +
+        "max(c) AS cell_max, quantile_cont(c, 0.5) AS cell_p50, " +
+        "quantile_cont(c, 0.99) AS cell_p99, " +
+        "sum(c * (c - 1) // 2) AS cand_pairs FROM vocc), " +
+        s"vnp AS (SELECT ida, idb FROM cpc WHERE cos >= 0.35), " +
+        "va2 AS (SELECT count(*) AS near_pairs FROM vnp), " +
+        "vdg AS (SELECT v, count(*) AS dg FROM " +
+        "(SELECT ida AS v FROM vnp UNION ALL SELECT idb FROM vnp) GROUP BY 1), " +
+        "va3 AS (SELECT count(*) AS near_vecs, max(dg) AS near_deg_max, " +
+        "quantile_cont(dg, 0.99) AS near_deg_p99 FROM vdg), " +
+        "vrw AS (SELECT *, CAST(vectors AS DOUBLE) / cells AS cell_mean " +
+        "FROM va1, va2, va3) " +
+        "SELECT 'cand_pairs' AS metric, CAST(cand_pairs AS DOUBLE) AS value FROM vrw " +
+        "UNION ALL SELECT 'cell_max', CAST(cell_max AS DOUBLE) FROM vrw " +
+        "UNION ALL SELECT 'cell_mean', cell_mean FROM vrw " +
+        "UNION ALL SELECT 'cell_p50', cell_p50 FROM vrw " +
+        "UNION ALL SELECT 'cell_p99', cell_p99 FROM vrw " +
+        "UNION ALL SELECT 'cells', CAST(cells AS DOUBLE) FROM vrw " +
+        "UNION ALL SELECT 'near_deg_max', CAST(near_deg_max AS DOUBLE) FROM vrw " +
+        "UNION ALL SELECT 'near_deg_p99', near_deg_p99 FROM vrw " +
+        "UNION ALL SELECT 'near_pairs', CAST(near_pairs AS DOUBLE) FROM vrw " +
+        "UNION ALL SELECT 'near_vecs', CAST(near_vecs AS DOUBLE) FROM vrw " +
+        "UNION ALL SELECT 'vectors', CAST(vectors AS DOUBLE) FROM vrw " +
+        "ORDER BY metric")),
+
     // Multimodal near-dup (X109, r14): the dedup modality the BINARY
     // column was missing — text has exact/near/semantic/span tiers
     // (q27/q29/q90/q119); media payloads (X16/X40/X41's opaque binary

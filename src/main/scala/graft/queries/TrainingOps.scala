@@ -808,6 +808,21 @@ object TrainingOps {
   private def vecKey(s: SparkSession): String =
     vecIndexDir(s).fold("")(dir => s"@vidx=$dir")
 
+  /** (vec_id, label) cell assignments — the vector-index datasheet's
+    * occupancy tier (q130). Session quantizer by default; the index's
+    * `vectors` table under the `spark.graft.vecIndex` seam (label is
+    * its partition column, so the seam path reads partition values +
+    * one id column, never the qv payload).
+    */
+  private[queries] def vectorCells(s: SparkSession, d: String): DataFrame =
+    vecIndexDir(s) match {
+      case Some(dir) =>
+        s.read.parquet(s"$dir/vectors").select(col("vec_id"), col("label"))
+      case None =>
+        vectorTable(graft.util.Tables.embeddings(s, d))
+          .select(col("vec_id"), col("label"))
+    }
+
   private[graft] def cellPairCosBuild(s: SparkSession, d: String): DataFrame =
     cellPairsOf(s, vectorTable(embeddings(s, d)))
 

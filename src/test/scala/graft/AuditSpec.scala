@@ -714,6 +714,51 @@ class AuditSpec extends AnyFunSuite {
       (30L, 0.5, "mixed")))
   }
 
+  test("q130 vector-index stats match a driver-side recomputation of all eleven metrics") {
+    def pct7(vs: Seq[Long], p: Double): Double = {
+      val s0 = vs.sorted
+      val h = (s0.length - 1) * p
+      val l = math.floor(h).toInt
+      if (l + 1 >= s0.length) s0.last.toDouble
+      else s0(l) + (h - l) * (s0(l + 1) - s0(l))
+    }
+    // occupancy tier from the raw embeddings (labels ARE the cells)
+    val cellsOf = vecs.map(_._2)
+    val occ = cellsOf.groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    // threshold tier from exact in-cell cosines (brute force per cell —
+    // the retained region is a superset, so the θ-filter is exact)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val nearPairs = for {
+      (cell, vs) <- vecs.groupBy(_._2).toSeq
+      (a, i) <- vs.zipWithIndex; b <- vs.drop(i + 1)
+      if cos(a._3, b._3) >= 0.35
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1))
+    val deg = (nearPairs.map(_._1) ++ nearPairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    val expected = Map(
+      "cand_pairs" -> occ.map(c => c * (c - 1) / 2).sum.toDouble,
+      "cell_max" -> occ.max.toDouble,
+      "cell_mean" -> vecs.size.toDouble / occ.size,
+      "cell_p50" -> pct7(occ, 0.5),
+      "cell_p99" -> pct7(occ, 0.99),
+      "cells" -> occ.size.toDouble,
+      "near_deg_max" -> deg.max.toDouble,
+      "near_deg_p99" -> pct7(deg, 0.99),
+      "near_pairs" -> nearPairs.size.toDouble,
+      "near_vecs" -> deg.size.toDouble,
+      "vectors" -> vecs.size.toDouble)
+    val got = SparkEntry.queries("q130_vector_index_stats")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, v) <- expected)
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: got ${got(k)} want $v")
+    assert(expected("near_pairs") > 0, "threshold tier vacuous at this SF")
+  }
+
   test("q124 index stats match a driver-side recomputation of all sixteen metrics") {
     // type-7 interpolated percentile (the percentile/quantile_cont
     // convention): lower + frac * (higher - lower)

@@ -21,10 +21,14 @@ class VectorIndexSpec extends AnyFunSuite {
 
   import org.apache.spark.sql.functions._
 
-  test("pair seam: q115/q116/q118 over the full-corpus index's pairs table are value-identical to the session kernel") {
+  test("pair seam: q115/q116/q118/q130 over the full-corpus index's pairs table are value-identical to the session kernel") {
     assert(spark.conf.getOption("spark.graft.vecIndex").isEmpty)
     val qs = Seq("q115_semantic_contamination", "q116_dedup_tier_agreement",
-      "q118_incremental_semantic")
+      "q118_incremental_semantic",
+      // r15: the vector-index datasheet — under the seam it must be
+      // pure index reads (vectors for occupancy, pairs for the
+      // threshold tier; no quantize, no dot products, no embeddings)
+      "q130_vector_index_stats")
     val session = qs.map(q =>
       q -> SparkEntry.queries(q)(spark, d).collect().map(_.toString).toSeq)
       .toMap
@@ -60,9 +64,10 @@ class VectorIndexSpec extends AnyFunSuite {
       // pre-computed in the index)
       assert(!df.queryExecution.analyzed.toString.contains("graft_dot_long"),
         s"$q seam plan recomputes dot products")
-      // q115 is a pure filter over the pair cache — under the seam it
-      // must never touch the embeddings table at all
-      if (q == "q115_semantic_contamination")
+      // q115 is a pure filter over the pair cache, q130 a pure index
+      // aggregation — under the seam neither may touch the embeddings
+      // table at all
+      if (q == "q115_semantic_contamination" || q == "q130_vector_index_stats")
         assert(!reads(df).exists(_.contains("embeddings")),
           s"$q under the seam must not read the embeddings table")
       assert(df.collect().map(_.toString).toSeq == session(q), q)
@@ -76,7 +81,11 @@ class VectorIndexSpec extends AnyFunSuite {
   test("pair seam: an APPEND-maintained index gives identical consumer results (superset-closed retention)") {
     assert(spark.conf.getOption("spark.graft.vecIndex").isEmpty)
     val qs = Seq("q115_semantic_contamination", "q116_dedup_tier_agreement",
-      "q118_incremental_semantic")
+      "q118_incremental_semantic",
+      // r15: the datasheet's threshold metrics are superset-closed by
+      // construction — this is the test that keeps the raw retained-row
+      // count OUT of the metric set (it is not contract-stable)
+      "q130_vector_index_stats")
     val session = qs.map(q =>
       q -> SparkEntry.queries(q)(spark, d).collect().map(_.toString).toSeq)
       .toMap
