@@ -1827,7 +1827,7 @@ object AuditOps {
     // modality): media_only rows are byte-level near-identity the
     // token tier's shingles missed or diluted, lexical_only rows are
     // token-overlap the byte profile doesn't see (e.g. re-ordered
-    // sections shift trigram counts two parities apart). Restricted to
+    // sections shift gram counts two parities apart). Restricted to
     // pairs where BOTH docs are fingerprintable (an unfingerprintable
     // payload must read "not evaluated", never "disagreement" — q116's
     // embedded-subset discipline). Scale: both inputs are shared

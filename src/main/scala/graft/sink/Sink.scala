@@ -358,7 +358,7 @@ object Sink {
     // fingerprintable doc, the same bits q125 computes in-plan (one
     // shared definition, Multimodal.fingerprintOf), so
     // [[probeMediaNearDup]] buckets and verifies identically to the
-    // audit query. Payloads below the trigram floor are absent (the
+    // audit query. Payloads below the skip-gram floor are absent (the
     // q125 convention — probes read them as 'fresh').
     shapeFor("media")(docs
       .filter(col("text").isNotNull && org.apache.spark.sql.functions
@@ -537,12 +537,12 @@ object Sink {
   /** Incremental MEDIA near-dup of a new batch against a
     * [[writeFingerprints]] index (X109 at the sink tier — q125's
     * semantics in the q95/q118 verdict shape): each batch payload is
-    * fingerprinted with the SAME trigram-parity sketch the index
+    * fingerprinted with the SAME skip-gram parity sketch the index
     * persists ([[graft.multimodal.Multimodal.fingerprintOf]] — one
     * definition, no drift), banded 5×24 bits against the standing
     * `media` table, and Hamming-verified; the verdict frame is
     * (doc_id, verdict, near_of, hamming) with the best partner = min
-    * hamming, ties → min id. Payloads below the trigram floor read
+    * hamming, ties → min id. Payloads below the skip-gram floor read
     * 'fresh' (they are absent from the index too — the q125
     * convention). Self-match guarded (standing side anti-joins the
     * batch's own doc_ids) and batch-excludable like the other probes,

@@ -1034,7 +1034,7 @@ class AuditSpec extends AnyFunSuite {
     //  - docs 1,2: exact duplicates → jacc 1.0 AND hamming 0 → 'both';
     //  - doc 3 = doc 1 with ONE of 60 words replaced by a 40-char blob
     //    → 57/63 shared shingles (jacc 0.90 ≥ 0.8, LSH-caught) while
-    //    ~42 changed trigram instances blow the parity sketch past
+    //    ~80 changed skip-gram instances blow the parity sketch past
     //    hamming 4 → 'lexical_only' (token overlap the byte profile
     //    does not see);
     //  - docs 4,5: TWO-word payloads over the 125-byte floor, one char
