@@ -166,7 +166,7 @@ object Cli {
         // r15: the banding calibration row and the vector-index
         // datasheet (pure index reads when vecIdx is supplied)
         "q125_media_neardup", "q129_media_calibration",
-        "q130_vector_index_stats")
+        "q130_vector_index_stats", "q131_media_index_stats")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the

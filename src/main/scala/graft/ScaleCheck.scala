@@ -184,7 +184,10 @@ object ScaleCheck {
     // vector-volume linear, the threshold tier rides the shared pair
     // kernel in subset position; its slope pins the datasheet's
     // distinct-key-bounded claim
-    "q130_vector_index_stats")
+    "q130_vector_index_stats",
+    // r15: the media-index datasheet — one fingerprint pass + a ×5
+    // map-side band explode + bucket-bounded aggregates
+    "q131_media_index_stats")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -1772,6 +1772,60 @@ object AuditOps {
         "UNION ALL SELECT 'vectors', CAST(vectors AS DOUBLE) FROM vrw " +
         "ORDER BY metric")),
 
+    // Media-index datasheet (r15): the third leg of the datasheet
+    // family — lexical q124, vector q130, media q131 — so EVERY
+    // standing dedup tier has an ops health report whose
+    // candidate_pairs metric predicts its pair join's exact collision
+    // volume before anyone runs it (the number the r14→r15 media
+    // re-sketch was judged on; `Profile mediacand` promoted to an
+    // oracle-checked registry row). Six metrics: fingerprintable docs,
+    // band bucket count/max/p99 over the 5×24 banding, candidate_pairs
+    // = Σ c·(c−1)/2 over (bk, bkey) buckets, and docs_per_bucket_mean.
+    // Seam-aware via mediaFps: under `spark.graft.fpIndex` the whole
+    // report is parquet reads of the index's own media table — 24-byte
+    // rows, so no stats tier (the q130 argument: there is no O(postings)
+    // volume to amortize; the band explode is ×5 map-side).
+    Q("q131_media_index_stats",
+      (s, d) => {
+        val fps = TrainingOps.mediaFps(s, d)
+        val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
+            explode(sequence(lit(0), lit(4))).as("bk"))
+          .withColumn("bkey",
+            expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+        val occ = bands.groupBy("bk", "bkey").agg(count(lit(1)).as("c"))
+        fps.agg(count(lit(1)).as("media_docs"))
+          .crossJoin(occ.agg(count(lit(1)).as("bucket_count"),
+            max("c").as("bucket_max"),
+            expr("percentile(c, 0.99)").as("bucket_p99"),
+            sum(expr("c * (c - 1) div 2")).as("candidate_pairs")))
+          .withColumn("docs_per_bucket_mean",
+            col("media_docs").cast("double") * 5.0 / col("bucket_count"))
+          .selectExpr("stack(6, " +
+            "'bucket_count', CAST(bucket_count AS DOUBLE), " +
+            "'bucket_max', CAST(bucket_max AS DOUBLE), " +
+            "'bucket_p99', bucket_p99, " +
+            "'candidate_pairs', CAST(candidate_pairs AS DOUBLE), " +
+            "'docs_per_bucket_mean', docs_per_bucket_mean, " +
+            "'media_docs', CAST(media_docs AS DOUBLE)" +
+            ") AS (metric, value)")
+          .orderBy("metric")
+      },
+      Some(s"WITH $mediaPairCtes, " +
+        "mocc AS (SELECT bk, bkey, count(*) AS c FROM mbands GROUP BY 1, 2), " +
+        "ma1 AS (SELECT count(*) AS media_docs FROM mfp), " +
+        "ma2 AS (SELECT count(*) AS bucket_count, max(c) AS bucket_max, " +
+        "quantile_cont(c, 0.99) AS bucket_p99, " +
+        "sum(c * (c - 1) // 2) AS candidate_pairs FROM mocc), " +
+        "mrw AS (SELECT *, CAST(media_docs AS DOUBLE) * 5.0 / bucket_count " +
+        "AS docs_per_bucket_mean FROM ma1, ma2) " +
+        "SELECT 'bucket_count' AS metric, CAST(bucket_count AS DOUBLE) AS value FROM mrw " +
+        "UNION ALL SELECT 'bucket_max', CAST(bucket_max AS DOUBLE) FROM mrw " +
+        "UNION ALL SELECT 'bucket_p99', bucket_p99 FROM mrw " +
+        "UNION ALL SELECT 'candidate_pairs', CAST(candidate_pairs AS DOUBLE) FROM mrw " +
+        "UNION ALL SELECT 'docs_per_bucket_mean', docs_per_bucket_mean FROM mrw " +
+        "UNION ALL SELECT 'media_docs', CAST(media_docs AS DOUBLE) FROM mrw " +
+        "ORDER BY metric")),
+
     // Multimodal near-dup (X109, r14): the dedup modality the BINARY
     // column was missing — text has exact/near/semantic/span tiers
     // (q27/q29/q90/q119); media payloads (X16/X40/X41's opaque binary

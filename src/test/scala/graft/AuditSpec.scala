@@ -1028,6 +1028,66 @@ class AuditSpec extends AnyFunSuite {
     assert(got.exists(_._1 <= 4) && got.exists(_._1 > 4), got.take(6).toString)
   }
 
+  test("q131 media-index stats match a driver recomputation; candidate_pairs predicts the q125 join") {
+    def fpOf(bytes: Array[Byte]): (Long, Long) = {
+      val hist = new Array[Long](120)
+      var i = 0
+      while (i + 5 < bytes.length) {
+        val g = (bytes(i) & 0xffL) * 16777216L +
+          (bytes(i + 1) & 0xffL) * 65536L +
+          (bytes(i + 3) & 0xffL) * 256L + (bytes(i + 5) & 0xffL)
+        hist((((g * 2654435761L) >>> 16) % 120L).toInt) += 1
+        i += 1
+      }
+      val fp0 = (0 until 60).foldLeft(0L)((fp, j) =>
+        if ((hist(j) & 1L) == 1L) fp | (1L << j) else fp)
+      val fp1 = (60 until 120).foldLeft(0L)((fp, j) =>
+        if ((hist(j) & 1L) == 1L) fp | (1L << (j - 60)) else fp)
+      (fp0, fp1)
+    }
+    def bandKeys(f: (Long, Long)): Seq[Long] = Seq(
+      f._1 & 0xFFFFFF, (f._1 >> 24) & 0xFFFFFF,
+      ((f._1 >> 48) & 0xFFF) | ((f._2 & 0xFFF) << 12),
+      (f._2 >> 12) & 0xFFFFFF, (f._2 >> 36) & 0xFFFFFF)
+    def pct7(vs: Seq[Long], p: Double): Double = {
+      val s0 = vs.sorted
+      val h = (s0.length - 1) * p
+      val l = math.floor(h).toInt
+      if (l + 1 >= s0.length) s0.last.toDouble
+      else s0(l) + (h - l) * (s0(l + 1) - s0(l))
+    }
+    val fps = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 125)
+      .map { case (id, t) => id -> fpOf(t.getBytes("UTF-8")) }
+    val occ = fps.flatMap { case (_, f) =>
+      bandKeys(f).zipWithIndex.map { case (k, bk) => (bk, k) } }
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    val candPairs = occ.map(c => c * (c - 1) / 2).sum
+    val expected = Map(
+      "bucket_count" -> occ.size.toDouble,
+      "bucket_max" -> occ.max.toDouble,
+      "bucket_p99" -> pct7(occ, 0.99),
+      "candidate_pairs" -> candPairs.toDouble,
+      "docs_per_bucket_mean" -> fps.size.toDouble * 5.0 / occ.size,
+      "media_docs" -> fps.size.toDouble)
+    val got = SparkEntry.queries("q131_media_index_stats")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, v) <- expected)
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: got ${got(k)} want $v")
+    // the PREDICTION claim: candidate_pairs equals the exact
+    // pre-distinct row count of q125's band self-join (each unordered
+    // in-bucket pair appears exactly once per shared (bk, bkey))
+    val joinRows = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      k <- 0 until 5 if bandKeys(fa)(k) == bandKeys(fb)(k)
+    } yield 1).size.toLong
+    assert(candPairs == joinRows,
+      s"candidate_pairs $candPairs != band-join rows $joinRows")
+  }
+
   test("q126 media×lexical tier agreement: all three tiers on a constructed corpus") {
     import spark.implicits._
     // a corpus exercising each disagreement cell BY CONSTRUCTION:

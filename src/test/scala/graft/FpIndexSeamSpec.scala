@@ -61,9 +61,9 @@ class FpIndexSeamSpec extends AnyFunSuite {
     // lexical pair kernel, q127 is the incremental twin
     "q125_media_neardup", "q126_media_tier_agreement",
     "q127_incremental_media", "q128_media_clusters",
-    // r15: the calibration row rides the seamed mediaFps (panel and
-    // corpus sides both read the persisted fingerprints)
-    "q129_media_calibration")
+    // r15: the calibration row and the media-index datasheet ride the
+    // seamed mediaFps (pure reads of the persisted fingerprints)
+    "q129_media_calibration", "q131_media_index_stats")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
