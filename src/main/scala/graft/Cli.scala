@@ -135,6 +135,16 @@ object Cli {
       println(s"[graft] vecindex: index -> $idxDir")
       0
 
+    case "vecstats" :: idxDir :: Nil =>
+      // r15: the ARTIFACT-level vector-index report — the metrics q130
+      // deliberately excludes because they describe this index
+      // generation's actual pairs region (not superset-closed, so not
+      // corpus-oracle rows): retained volume, per-cell skew, top-K
+      // saturation. Pure index reads; no corpus dir needed.
+      Sink.vectorIndexStats(spark, idxDir).collect().foreach(r =>
+        println(f"[graft] vecstats: ${r.getString(0)}%-20s ${r.getDouble(1)}%.4f"))
+      0
+
     case "audit" :: sfDir :: idxDir :: rest if rest.size == 1 || rest.size == 2 =>
       // X97: the standing-corpus audit suite, INDEX-RIDING — the
       // contamination/leakage/memorization reports load the persisted
@@ -200,6 +210,7 @@ object Cli {
            |  release <sfDir> <outDir> [numShards]
            |  fingerprint <sfDir> <indexDir>
            |  vecindex <sfDir> <indexDir>
+           |  vecstats <indexDir>
            |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

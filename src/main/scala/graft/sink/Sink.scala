@@ -780,6 +780,50 @@ object Sink {
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
   }
 
+  /** ARTIFACT-level vector-index report (r15) — the companion of the
+    * oracle-checked q130 datasheet for the metrics that are NOT
+    * superset-closed under the retention contract and therefore cannot
+    * be corpus-oracle rows: they describe THIS index generation's
+    * actual pairs table, which legitimately differs between a full
+    * build and an append-maintained index. One (metric, value) frame
+    * over the index's own parquet:
+    *  - `retained_rows` — the persisted pair region's size (what
+    *    cellPairCos consumers actually scan under the seam);
+    *  - `retained_cell_max` / `retained_cell_p99` — per-cell retained
+    *    volume (the q85/q90 per-cell read cost and its skew);
+    *  - `subthreshold_rows` / `topk_saturation` — pairs kept ONLY by
+    *    the per-block top-K rank (cos < the retain threshold): the
+    *    fraction of the region that exists for q85's kNN contract
+    *    rather than the q33/q90 threshold consumers — the knob to
+    *    re-price if [[graft.queries.TrainingOps.CellPairRetainTopK]]
+    *    ever moves.
+    * Pure index reads (no corpus, no quantize); value-pinned against a
+    * driver recomputation over the same files in VectorIndexSpec.
+    */
+  def vectorIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, retainCos: Double = 0.35): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.read.parquet(s"$path/pairs")
+    val perCell = pairs.groupBy("cell").agg(count(lit(1)).as("c"))
+    val a1 = pairs.agg(count(lit(1)).as("retained_rows"),
+      sum(when(col("cos") < retainCos, 1L).otherwise(0L))
+        .as("subthreshold_rows"))
+    val a2 = perCell.agg(max("c").as("retained_cell_max"),
+      expr("percentile(c, 0.99)").as("retained_cell_p99"))
+    a1.crossJoin(a2)
+      .withColumn("topk_saturation",
+        col("subthreshold_rows").cast("double") /
+          col("retained_rows").cast("double"))
+      .selectExpr("stack(5, " +
+        "'retained_cell_max', CAST(retained_cell_max AS DOUBLE), " +
+        "'retained_cell_p99', retained_cell_p99, " +
+        "'retained_rows', CAST(retained_rows AS DOUBLE), " +
+        "'subthreshold_rows', CAST(subthreshold_rows AS DOUBLE), " +
+        "'topk_saturation', topk_saturation" +
+        ") AS (metric, value)")
+      .orderBy("metric")
+  }
+
   /** Incremental SEMANTIC dedup of a new batch against a
     * [[writeVectorIndex]] index — the q118 verdict frame (vec_id,
     * verdict, near_of, cos) computed against the persisted standing

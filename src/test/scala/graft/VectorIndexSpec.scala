@@ -119,6 +119,40 @@ class VectorIndexSpec extends AnyFunSuite {
     check("compacted")
   }
 
+  test("vectorIndexStats: artifact metrics match a driver recomputation over the index files") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-vecstats-")
+      .toString + "/idx"
+    graft.sink.Sink.writeVectorIndex(
+      graft.util.Tables.embeddings(spark, d), idx)
+    val rows = spark.read.parquet(s"$idx/pairs")
+      .select("cell", "cos").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows.nonEmpty)
+    def pct7(vs: Seq[Long], p: Double): Double = {
+      val s0 = vs.sorted
+      val h = (s0.length - 1) * p
+      val l = math.floor(h).toInt
+      if (l + 1 >= s0.length) s0.last.toDouble
+      else s0(l) + (h - l) * (s0(l + 1) - s0(l))
+    }
+    val perCell = rows.groupBy(_._1).view.mapValues(_.size.toLong).values.toSeq
+    val sub = rows.count(_._2 < 0.35).toLong
+    val expected = Map(
+      "retained_cell_max" -> perCell.max.toDouble,
+      "retained_cell_p99" -> pct7(perCell, 0.99),
+      "retained_rows" -> rows.size.toDouble,
+      "subthreshold_rows" -> sub.toDouble,
+      "topk_saturation" -> sub.toDouble / rows.size)
+    val got = graft.sink.Sink.vectorIndexStats(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, v) <- expected)
+      assert(math.abs(got(k) - v) < 1e-9, s"$k: got ${got(k)} want $v")
+    // the metric names the report exists for: at least part of the
+    // region is top-K-only at this SF, or the saturation row is vacuous
+    assert(got("retained_rows") > 0)
+  }
+
   test("append grows the probe's reach; compaction is probe-identical; replay exclusion and self-guard hold") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-vecidx2-")
