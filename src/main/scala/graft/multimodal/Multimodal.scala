@@ -201,10 +201,18 @@ object Multimodal {
     * gram (b[i], b[i+1], b[i+3], b[i+5]), feature-hashed into 120
     * buckets by a multiplicative mix; bit_j = parity of bucket j's count
     * (a 1-bit count-sketch), packed as two 60-bit longs (fp0 = buckets
-    * 0–59, fp1 = 60–119). Position-invariant; a 1-byte edit touches ≤ 4
-    * windows (offsets p, p−1, p−3, p−5) so flips ≤ 4 bits, a contiguous
-    * k-byte edit ≤ k+5; unrelated payloads sit near the 120-bit binomial
-    * mean (~60). Integer-only and exactly oracle-expressible (the q43
+    * 0–59, fp1 = 60–119). Position-invariant. Edit bounds, property-
+    * pinned in PureFunctionProps (ScalaCheck falsified the first draft's
+    * tighter claim — each changed window toggles TWO parities, old gram
+    * out + new gram in): a 1-byte substitution touches ≤ 4 windows
+    * (starts p, p−1, p−3, p−5; fewer at payload edges) so flips ≤ 8
+    * bits; a contiguous k-byte edit ≤ 2(k+5). The hamming ≤ 4 verify is
+    * therefore a NEAR-IDENTITY contract (exact dups + edge-region
+    * edits), not a 1-interior-edit guarantee — q129's calibration row
+    * measures the banding's per-radius recall, which is exactly the
+    * number to read before widening the radius toward edit tolerance.
+    * Unrelated payloads sit near the 120-bit binomial mean (~60).
+    * Integer-only and exactly oracle-expressible (the q43
     * ASCII char==byte identity; on ASCII the multiply stays < 2^63, so
     * the logical shift below equals the oracle's arithmetic one — on
     * arbitrary binary the Scala wrap is deterministic but outside the
@@ -227,9 +235,9 @@ object Multimodal {
     *     pinned (P(1) ≈ 0.2 — even a cryptographic bucket map left 52×
     *     the uniform collision rate, and XOR-folding wider bucket
     *     arrays did not help: the entropy is not there). The 6-byte
-    *     skip-gram samples cross-word structure, restoring per-bit
-    *     fairness at the SAME ≤ 4-bit 1-byte-edit bound (4 windows
-    *     touch a byte, vs 3 for trigrams, vs 6 for contiguous 6-grams).
+    *     skip-gram samples cross-word structure at near-trigram window
+    *     cost (4 windows touch a byte, vs 3 for trigrams, vs 6 for
+    *     contiguous 6-grams — the window count drives the edit bound).
     *     Measured candidates: sf0.1 439 / sf1 4,518 / sf10 77,151 —
     *     2.4× the irreducible C(n,2)·5/2^24 floor at sf10, vs 2.85e8
     *     for the shipped r14 design and 3.4e5 for contiguous 4-grams.

@@ -1840,9 +1840,12 @@ object AuditOps {
     //    bit_j = parity of bucket j's count, packed as two 60-bit
     //    longs. Integer-only and exactly oracle-expressible on the
     //    ASCII corpus (the q43 char==byte identity).
-    //    Position-INVARIANT by construction: a 1-byte edit flips ≤ 4
-    //    bits (a contiguous k-byte edit ≤ k+5) while unrelated
-    //    payloads land at the binomial mean (~60 of 120 bits). The
+    //    Position-INVARIANT by construction: a 1-byte substitution
+    //    flips ≤ 8 bits (4 windows × remove+add; fewer at payload
+    //    edges), a contiguous k-byte edit ≤ 2(k+5) — property-pinned in
+    //    PureFunctionProps — while unrelated payloads land at the
+    //    binomial mean (~60 of 120 bits). The hamming ≤ 4 verify is the
+    //    NEAR-IDENTITY contract (q129 prices any wider radius). The
     //    blockhash-style byte-mean grid was built first and MEASURED
     //    OUT (r14): a 4-byte edit shifts every downstream block
     //    boundary, so true near-identical pairs read hamming ≥ 8 —

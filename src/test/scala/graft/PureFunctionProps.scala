@@ -118,4 +118,64 @@ object PureFunctionProps extends Properties("graft.pure") {
         whole.sameElements(p.take(whole.length)) &&
         whole.length == math.min(p.length, k.toLong * stride).toInt)
     }
+
+  // ---- media fingerprint (X109, r15 skip-gram sketch) -------------------
+
+  private val payload: Gen[Array[Byte]] =
+    Gen.chooseNum(125, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+
+  property("fingerprintOf: a 1-byte substitution flips at most 8 bits (any payload, any position)") =
+    forAll(payload, Gen.chooseNum(0, 1 << 20), Gen.chooseNum(0, 255)) {
+      (p, posRaw, bRaw) =>
+        val pos = posRaw % p.length
+        val q = p.clone(); q(pos) = bRaw.toByte
+        // a byte at position pos is sampled only by the skip-gram windows
+        // starting at pos, pos−1, pos−3, pos−5 (≤ 4 windows; fewer at
+        // the payload edges — the AuditSpec/SinkSpec position-0 fixtures
+        // see exactly 1). Each changed window toggles TWO bucket
+        // parities (its old gram removed, its new gram added), so the
+        // tight universal bound is 8 — this property originally claimed
+        // 4 and ScalaCheck falsified it (the corpus tests never edited
+        // an interior byte). The verify radius stays a CONTRACT (near-
+        // identity), not an edit-distance guarantee: q129's calibration
+        // row prices the band recall of any wider radius directly.
+        graft.multimodal.Multimodal.hammingOf(
+          graft.multimodal.Multimodal.fingerprintOf(p),
+          graft.multimodal.Multimodal.fingerprintOf(q)) <= 8
+    }
+
+  property("fingerprintOf: a contiguous k-byte edit flips at most 2(k+5) bits") =
+    forAll(payload, Gen.chooseNum(0, 1 << 20), Gen.chooseNum(1, 16),
+      Gen.chooseNum(0, 255)) { (p, posRaw, k, bRaw) =>
+      val pos = posRaw % p.length
+      val q = p.clone()
+      var i = 0
+      while (i < k && pos + i < q.length) { q(pos + i) = bRaw.toByte; i += 1 }
+      // the edited span touches windows starting in [pos−5, pos+k−1]:
+      // ≤ k+5 windows, each toggling ≤ 2 bucket parities
+      graft.multimodal.Multimodal.hammingOf(
+        graft.multimodal.Multimodal.fingerprintOf(p),
+        graft.multimodal.Multimodal.fingerprintOf(q)) <= 2 * (k + 5)
+    }
+
+  property("fingerprintOf: position-invariant bag semantics — a rotation by a window-aligned prefix swap preserves most bits") =
+    forAll(payload, Gen.chooseNum(6, 60)) { (p, cut0) =>
+      // moving a prefix to the end preserves every window EXCEPT the ≤ 10
+      // windows straddling the two seam points (the old start/cut and the
+      // new join) — the bag-of-windows sketch moves ≤ 2·(seam windows)
+      // bits while a positional sketch would be destroyed
+      val cut = cut0 % (p.length - 6)
+      val q = p.drop(cut) ++ p.take(cut)
+      graft.multimodal.Multimodal.hammingOf(
+        graft.multimodal.Multimodal.fingerprintOf(p),
+        graft.multimodal.Multimodal.fingerprintOf(q)) <= 20
+    }
+
+  property("fingerprintOf: packed longs use exactly 60 bits each") =
+    forAll(payload) { p =>
+      val f = graft.multimodal.Multimodal.fingerprintOf(p)
+      (f(0) >>> 60) == 0L && (f(1) >>> 60) == 0L
+    }
 }
