@@ -247,6 +247,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streaming.incrementalDedup(
       in.toDF().toDF("doc_id", "text"),
       s"$tmp/index", s"$tmp/out", s"$tmp/ck",
+      triagePath = Some(s"$tmp/triage"),
       mediaPath = Some(s"$tmp/media"))
     val novel = ("a completely different long payload whose byte profile " +
       "shares nothing with the standing document and which also clears " +
@@ -292,6 +293,17 @@ class StreamingSpec extends AnyFunSuite {
     // as its first attempt read
     val b2 = media(2L)
     assert(b2(11L) == ("fresh", None, None), b2.toString)
+
+    // the streamed TRIAGE page carries the media dimension (r15): batch
+    // 0's media-near doc and its media-fresh docs land in SEPARATE
+    // cells — the composition holds at streaming cadence, not just in
+    // the batch q123
+    val tri0 = spark.read.parquet(s"$tmp/triage")
+      .filter(col("batch") === 0L).collect()
+      .map(r => (r.getAs[String]("verdict"), r.getAs[String]("media")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(tri0.keySet.map(_._2) == Set("near", "fresh"), tri0.toString)
+    assert(tri0.filter(_._1._2 == "near").values.sum == 1L, tri0.toString)
 
     // q127-identity of the streamed frame: the landed batch-0 page IS
     // probeMediaNearDup's verdict frame for that batch against the
