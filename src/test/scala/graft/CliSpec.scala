@@ -48,6 +48,16 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("vecindex + vecstats: the artifact report runs off the built index") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-cli-vec").toString + "/idx"
+    assert(Cli.run(spark, List("vecindex", TestSpark.sfDir, idx)) == 0)
+    assert(Cli.run(spark, List("vecstats", idx)) == 0)
+    // and the report frame itself is well-formed off this index
+    val m = graft.sink.Sink.vectorIndexStats(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("retained_rows") > 0 && m("retained_cell_max") > 0)
+  }
+
   test("unknown command exits 2") {
     assert(Cli.run(spark, List("frobnicate")) == 2)
   }
