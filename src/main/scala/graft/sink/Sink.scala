@@ -551,6 +551,13 @@ object Sink {
     * ONE compact row of 24 bytes per doc, exploded ×5 map-side; the
     * band join is bucket-bounded over the 2^24 keyspace (q125's
     * measured collision rate) and the verify is output-sized.
+    *
+    * `maxHamming` caveat: the 5×24 banding is EXHAUSTIVE only for
+    * hamming ≤ 4 (pigeonhole — 5 differing bands need ≥ 5 differing
+    * bits). A caller widening the radius gets a candidate set that is
+    * recall-bounded by the banding; q129's calibration row measures
+    * that per-radius recall (at sf10 it held 5/5 at radii 5–6), which
+    * is the number to read before trusting a wider threshold.
     */
   def probeMediaNearDup(batch: DataFrame, path: String,
       maxHamming: Int = 4,
