@@ -509,6 +509,81 @@ object AuditOps {
         "GROUP BY a.source, b.source, za.n, zb.n " +
         "ORDER BY source_a, source_b")),
 
+    // q96's overlap matrix from BOUNDED per-source state (r15 — closes
+    // the q96 watch item): q96's set-profile aggregate is bounded by the
+    // DISTINCT SOURCE SETS that actually co-occur, which is fine at tens
+    // of sources but regrows toward per-shingle rows if sources ever
+    // become fine-grained (per-domain provenance). This variant estimates
+    // the same pairwise Jaccard from a bottom-k/KMV SIGNATURE per source
+    // (the k=256 smallest distinct shingle hashes — KmvSignature, the
+    // mergeable typed Aggregator): per-source state is O(k) REGARDLESS of
+    // granularity, and bottom-k sketches COMPOSE (the k smallest of a
+    // union fall out of the two truncated signatures), so the estimator
+    // est = |{h ∈ A∩B : h ≤ kth-min(A∪B)}| / min(k, |A∪B|) is exact
+    // integer arithmetic until one final division — deterministic, hence
+    // oracle-checkable, unlike HLL. When a pair's union fits inside k the
+    // estimate IS the exact Jaccard (both signatures complete); beyond
+    // it the error concentrates at ~1/√k (AuditSpec pins both the exact
+    // driver recomputation of the signatures and the error envelope
+    // against q96's exact answer). Scale: ONE exchange of partial
+    // signature buffers (|sources|·k longs per task, map-side combined —
+    // no per-shingle set profile, no |S|²-per-shingle expansion); the
+    // pair stage is a broadcast nested-loop over the |sources|-row
+    // signature frame (bounded-panel posture). At 10⁵ fine-grained
+    // sources the pair stage is |S|²/2 ≈ 5·10⁹ bounded-cost rows — still
+    // embarrassingly parallel with NO shuffle (documented posture: band
+    // the signatures' minima first if |S| ever makes even that heavy).
+    Q("q132_source_overlap_sketch",
+      (s, d) => {
+        val k = 256
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        val sig = org.apache.spark.sql.functions
+          .udaf(new graft.functions.KmvSignature(k))
+        // same doc_id-keyed source attach as q96 (shuffle_hash for the
+        // same planner-estimate reason); duplicates need no pre-distinct
+        // — the signature buffer dedups by construction
+        val sigs = TrainingOps.shinglePostings(s, d)
+          .join(src.hint("shuffle_hash"), "doc_id")
+          .groupBy("source").agg(sig(col("h1")).as("sig"))
+        val pairs = sigs.select(col("source").as("source_a"), col("sig").as("sa"))
+          .join(broadcast(sigs.select(col("source").as("source_b"),
+            col("sig").as("sb"))), col("source_a") < col("source_b"))
+        pairs
+          .withColumn("u", array_sort(array_union(col("sa"), col("sb"))))
+          .withColumn("denom", least(size(col("u")), lit(k)))
+          .withColumn("t", element_at(col("u"), col("denom")))
+          .withColumn("n_common", size(expr(
+            "filter(array_intersect(sa, sb), x -> x <= t)")).cast("long"))
+          .filter(col("n_common") > 0)
+          .select(col("source_a"), col("source_b"), col("n_common"),
+            (col("n_common").cast("double") / col("denom").cast("double"))
+              .as("est_jacc"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"WITH ${TrainingOps.shCte}, ${TrainingOps.shhCte}, " +
+        "ss AS (SELECT DISTINCT dd.source, shh.h1 FROM shh JOIN documents dd USING (doc_id)), " +
+        "sig AS (SELECT source, h1 FROM (SELECT source, h1, " +
+        "row_number() OVER (PARTITION BY source ORDER BY h1) AS rn FROM ss) " +
+        "WHERE rn <= 256), " +
+        "srcs AS (SELECT DISTINCT source FROM sig), " +
+        "pr AS (SELECT a.source AS sa, b.source AS sb FROM srcs a " +
+        "JOIN srcs b ON a.source < b.source), " +
+        "uni AS (SELECT pr.sa, pr.sb, s.h1, " +
+        "max(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END) AS ina, " +
+        "max(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END) AS inb " +
+        "FROM pr JOIN sig s ON s.source = pr.sa OR s.source = pr.sb " +
+        "GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT sa, sb, h1, ina, inb, " +
+        "row_number() OVER (PARTITION BY sa, sb ORDER BY h1) AS rn, " +
+        "count(*) OVER (PARTITION BY sa, sb) AS nu FROM uni) " +
+        "SELECT sa AS source_a, sb AS source_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / CAST(denom AS DOUBLE) AS est_jacc " +
+        "FROM (SELECT sa, sb, " +
+        "CAST(sum(CASE WHEN rn <= LEAST(nu, 256) AND ina = 1 AND inb = 1 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_common, " +
+        "LEAST(min(nu), 256) AS denom FROM rk GROUP BY sa, sb) " +
+        "WHERE n_common > 0 ORDER BY source_a, source_b")),
+
     // DSIR-shaped importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): score every
     // document by how much its hashed-unigram feature mass looks like a

@@ -49,6 +49,47 @@ class AuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q132 sketch overlap matches a driver KMV recomputation; error vs exact bounded") {
+    val k = 256
+    val bySrc = docs.groupBy(_._3).view
+      .mapValues(_.map(_._4).reduce(_ ++ _)).toMap
+    val sigOf = bySrc.view.mapValues(_.toArray.sorted.take(k)).toMap
+    // exact KMV estimate per pair: threshold = kth smallest of the union
+    // of the two signatures (bottom-k composes), common counted under it
+    val expected = (for {
+      (sa, siga) <- sigOf; (sb, sigb) <- sigOf if sa < sb
+      u = (siga.toSet ++ sigb.toSet).toArray.sorted
+      denom = math.min(u.length, k)
+      t = u(denom - 1)
+      common = (siga.toSet & sigb.toSet).count(_ <= t)
+      if common > 0
+    } yield (sa, sb) -> (common.toLong, common.toDouble / denom.toDouble))
+      .toMap
+    val got = SparkEntry.queries("q132_source_overlap_sketch")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected)
+    // the estimator's accuracy claim against the EXACT per-pair Jaccard
+    // (q96's ground truth): exact when a pair's union fits inside k (both
+    // signatures complete), and inside the ~1/sqrt(k) concentration
+    // envelope everywhere (3.5 sigma — a regression in the sketch shows
+    // up as a gross violation, not a near-miss)
+    val exact = (for {
+      (sa, ha) <- bySrc; (sb, hb) <- bySrc if sa < sb
+      inter = (ha & hb).size if inter > 0
+    } yield (sa, sb) ->
+      (inter.toDouble / (ha.size + hb.size - inter).toDouble)).toMap
+    got.foreach { case ((sa, sb), (_, est)) =>
+      val truth = exact((sa, sb))
+      val unionN = bySrc(sa).size + bySrc(sb).size -
+        (bySrc(sa) & bySrc(sb)).size
+      if (unionN <= k) assert(est == truth, s"($sa,$sb) union<=k must be exact")
+      else assert(math.abs(est - truth) <= 3.5 / math.sqrt(k.toDouble),
+        s"($sa,$sb) est=$est exact=$truth outside the envelope")
+    }
+  }
+
   test("q97 DSIR weights match a driver-side fixed-point recomputation") {
     val tok = docs.map { case (id, lang, _, _, ws) => (id, lang, ws) }
     val bucketOf = (w: String) => java.lang.Math.floorMod(h1(w), 512L)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Hashing, KmvDistinct}
+import graft.functions.{Hashing, KmvDistinct, KmvSignature}
 
 /** KMV distinct sketch: exact below k, sane estimates above, and
   * partition-order invariance (the mergeability contract).
@@ -34,6 +34,20 @@ class KmvSketchSpec extends AnyFunSuite {
     val whole = hs.foldLeft(a.zero)(a.reduce)
     assert(a.merge(b1, b2).toSeq == whole.toSeq)
     assert(a.merge(b2, b1).toSeq == whole.toSeq)
+  }
+
+  test("signature form returns the sorted bottom-k and composes over a union") {
+    val a = new KmvSignature(4)
+    val buf = Seq(9L, 2L, 7L, 2L, 11L, 5L, 3L).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(buf).toSeq == Seq(2L, 3L, 5L, 7L))
+    // bottom-k composability: merge(sig(A), sig(B)) == sig(A ∪ B) —
+    // the property the q132 pairwise estimator rests on
+    val xs = (1 to 40).map(i => (i * 2654435761L) & ((1L << 60) - 1))
+    val (l, r) = (xs.take(25), xs.drop(15)) // overlapping halves
+    val sl = l.foldLeft(a.zero)(a.reduce)
+    val sr = r.foldLeft(a.zero)(a.reduce)
+    val whole = xs.foldLeft(a.zero)(a.reduce)
+    assert(a.merge(sl, sr).toSeq == whole.toSeq)
   }
 
   test("estimates track truth on the corpus at k=16") {
