@@ -307,9 +307,11 @@ object Bench {
       }
     // The driver keeps only the LAST 2000 chars of stdout — BENCH_r07.json
     // lost q01–q10 to that window. The stdout line therefore rounds
-    // per-query seconds to 1 ms (floor ~60 ms, so 3 decimals lose nothing
-    // a cross-round comparison can see) and omits an empty failed list;
-    // full precision goes to a sidecar file for regression archaeology.
+    // per-query seconds to 10 ms (r15, when the 129-query map outgrew the
+    // 1 ms budget; the per-query floor is ~60 ms and cross-round reads
+    // compare 0.1 s-scale moves, so 2 decimals still lose nothing — and
+    // the TOTAL keeps 3) and omits an empty failed list; full precision
+    // goes to a sidecar file for regression archaeology.
     // stdout keys are the unique qNN prefix ("q79", not
     // "q79_bigram_lift") — at 80+ queries the full names alone overflow
     // the capture window; the sidecar keeps full names and is the
@@ -317,7 +319,13 @@ object Bench {
     def key(name: String, sidecar: Boolean): String =
       if (sidecar) name else name.takeWhile(_ != '_')
     def line(fmt: Double => String, sidecar: Boolean): String = {
-      val qs = results.map { case (k, v) => "\"" + key(k, sidecar) + "\":" + fmt(v) }
+      // per-QUERY values take one fewer decimal than the total on stdout
+      // (the 2000-char window prices every map entry ×129; the total is
+      // one field)
+      val qfmt: Double => String =
+        if (sidecar) fmt
+        else v => String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + key(k, sidecar) + "\":" + qfmt(v) }
         .mkString("{", ",", "}")
       // stdout caps the failed list at 10 names + a count: with 100+
       // queries an everyone-failed list alone would blow the 2000-char

@@ -145,6 +145,23 @@ object Cli {
         println(f"[graft] vecstats: ${r.getString(0)}%-20s ${r.getDouble(1)}%.4f"))
       0
 
+    case "takedown" :: idxDir :: idsPath :: tag :: rest
+        if rest.isEmpty || rest == List("vec") =>
+      // X116: land a takedown batch against a standing index — the ids
+      // (a parquet of doc_id rows for the fingerprint index; vec_id
+      // rows with the trailing `vec` flag) stop being served by every
+      // probe, seam read and audit IMMEDIATELY (tombstone anti-joins),
+      // and are folded physically at the next compaction. Replays of
+      // the same batch tag are idempotent (scoped Overwrite, like every
+      // other batch write). Run q133's takedown-impact report BEFORE
+      // landing one — that page prices what the dedup tiers lose.
+      val ids = spark.read.parquet(idsPath)
+      if (rest == List("vec")) Sink.deleteVectors(ids, idxDir, tag)
+      else Sink.deleteFingerprints(ids, idxDir, tag)
+      val n = spark.read.parquet(s"$idxDir/deleted/batch=$tag").count()
+      println(s"[graft] takedown: $n ids -> $idxDir/deleted/batch=$tag")
+      0
+
     case "audit" :: sfDir :: idxDir :: rest if rest.size == 1 || rest.size == 2 =>
       // X97: the standing-corpus audit suite, INDEX-RIDING — the
       // contamination/leakage/memorization reports load the persisted
@@ -211,6 +228,7 @@ object Cli {
            |  fingerprint <sfDir> <indexDir>
            |  vecindex <sfDir> <indexDir>
            |  vecstats <indexDir>
+           |  takedown <indexDir> <idsParquet> <batchTag> [vec]
            |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

@@ -187,7 +187,15 @@ object ScaleCheck {
     "q130_vector_index_stats",
     // r15: the media-index datasheet — one fingerprint pass + a ×5
     // map-side band explode + bucket-bounded aggregates
-    "q131_media_index_stats")
+    "q131_media_index_stats",
+    // r15: the sketch overlap's state is |sources|·k longs regardless of
+    // corpus size — its slope prices the one postings-volume exchange
+    // feeding the signature aggregate (the pair stage is |S|²-bounded)
+    "q132_source_overlap_sketch",
+    // r15: the takedown impact page rides the three shared pair kernels
+    // in subset position — its marginal is three output-sized endpoint
+    // explodes + a request-sized join; the slope pins that claim
+    "q133_takedown_report")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

@@ -584,6 +584,88 @@ object AuditOps {
         "LEAST(min(nu), 256) AS denom FROM rk GROUP BY sa, sb) " +
         "WHERE n_common > 0 ORDER BY source_a, source_b")),
 
+    // Takedown impact report (X116, r15): the page a curator reads
+    // BEFORE landing a deletion batch against the standing indexes
+    // ([[graft.sink.Sink.deleteFingerprints]]/[[graft.sink.Sink
+    // .deleteVectors]] — the tombstone tier this query is the registry
+    // face of). The deletion set here is the deterministic stand-in
+    // doc_id ≡ 0 (mod 97) (~1% of the corpus — the q95 %-convention
+    // for a takedown-sized batch). One row per source with at least one
+    // takedown: how many docs and tokens leave, and how many VERIFIED
+    // near-dup pairs at each tier (lexical jacc ≥ 0.8, semantic in-cell
+    // cos ≥ 0.35, media hamming ≤ 4) reference a deleted doc from this
+    // source — the dedup coverage the corpus loses (a surviving doc
+    // whose only duplicate partner is taken down silently becomes
+    // 'unique'; a release manager re-prices keep-best decisions against
+    // exactly these counts). Attribution is per deleted ENDPOINT: a
+    // pair with both endpoints deleted counts once for each endpoint's
+    // source. Scale: all three pair inputs are the shared session
+    // kernels (overlap-bounded lists — nothing here enumerates pairs);
+    // the endpoint explode is map-side ×2; the deletion-set join is
+    // planner-gated (request-sized side — broadcast at any real scale);
+    // final aggregate has ≤ |sources| groups.
+    Q("q133_takedown_report",
+      (s, d) => {
+        val isDel = col("doc_id") % 97 === 0
+        // 4 consumers (spine + three tier attachments) — persisted once
+        val del = graft.util.Caches.transientPersist(
+          documents(s, d).filter(isDel).select(col("doc_id"), col("source")))
+        val tok = documents(s, d).filter(isDel)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "[ \\t\\n\\u000B\\f\\r]+"))
+              .cast("long").as("n_tokens"))
+        val spine = del.join(tok, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_del"),
+            coalesce(sum("n_tokens"), lit(0L)).cast("long").as("tok_del"))
+        // deleted endpoints of a verified pair list, counted per source
+        def tier(pairs: DataFrame, name: String): DataFrame = pairs
+          .select(explode(array(col("ida"), col("idb"))).as("doc_id"))
+          .join(del, Seq("doc_id"))
+          .groupBy("source").agg(count(lit(1)).as(name))
+        val lex = tier(TrainingOps.lshPairs(s, d), "lex_pairs")
+        val sem = tier(TrainingOps.cellPairCos(s, d)
+          .filter(col("cos") >= TrainingOps.CellPairRetainCos), "sem_pairs")
+        val med = tier(mediaPairs(s, d), "media_pairs")
+        spine
+          .join(lex, Seq("source"), "left")
+          .join(sem, Seq("source"), "left")
+          .join(med, Seq("source"), "left")
+          .select(col("source"), col("n_del"), col("tok_del"),
+            coalesce(col("lex_pairs"), lit(0L)).as("lex_pairs"),
+            coalesce(col("sem_pairs"), lit(0L)).as("sem_pairs"),
+            coalesce(col("media_pairs"), lit(0L)).as("media_pairs"))
+          .orderBy("source")
+      },
+      Some(s"WITH ${TrainingOps.lshPairsCtes}, " +
+        s"${TrainingOps.cellPairCosCtes}, $mediaPairCtes, " +
+        "del AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 = 0), " +
+        "dtok AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) " +
+        "AS BIGINT) AS n_tokens FROM documents " +
+        "WHERE doc_id % 97 = 0 AND text IS NOT NULL), " +
+        "spine AS (SELECT d.source, count(*) AS n_del, " +
+        "CAST(coalesce(sum(t.n_tokens), 0) AS BIGINT) AS tok_del " +
+        "FROM del d LEFT JOIN dtok t USING (doc_id) GROUP BY 1), " +
+        "lexc AS (SELECT d.source, count(*) AS c FROM " +
+        "(SELECT ida AS doc_id FROM pairs UNION ALL SELECT idb FROM pairs) ep " +
+        "JOIN del d USING (doc_id) GROUP BY 1), " +
+        "semc AS (SELECT d.source, count(*) AS c FROM " +
+        "(SELECT ida AS doc_id FROM cpc WHERE cos >= 0.35 " +
+        "UNION ALL SELECT idb FROM cpc WHERE cos >= 0.35) ep " +
+        "JOIN del d USING (doc_id) GROUP BY 1), " +
+        "medc AS (SELECT d.source, count(*) AS c FROM " +
+        "(SELECT ida AS doc_id FROM mpairs UNION ALL SELECT idb FROM mpairs) ep " +
+        "JOIN del d USING (doc_id) GROUP BY 1) " +
+        "SELECT s.source, s.n_del, s.tok_del, " +
+        "CAST(coalesce(l.c, 0) AS BIGINT) AS lex_pairs, " +
+        "CAST(coalesce(e.c, 0) AS BIGINT) AS sem_pairs, " +
+        "CAST(coalesce(m.c, 0) AS BIGINT) AS media_pairs " +
+        "FROM spine s LEFT JOIN lexc l USING (source) " +
+        "LEFT JOIN semc e USING (source) LEFT JOIN medc m USING (source) " +
+        "ORDER BY source")),
+
     // DSIR-shaped importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): score every
     // document by how much its hashed-unigram feature mass looks like a

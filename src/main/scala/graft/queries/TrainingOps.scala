@@ -152,6 +152,19 @@ object TrainingOps {
     fpIndexDir(s).filter { dir =>
       val base = new org.apache.hadoop.fs.Path(s"$dir/dfc/batch=base")
       base.getFileSystem(s.sessionState.newHadoopConf()).exists(base)
+    }.filter { dir =>
+      // takedown tombstones (X116) invalidate the stats fast path: the
+      // pre-aggregated counts include the deleted docs and aggregates
+      // cannot be anti-joined — fall back to the raw-table accessors
+      // (which ARE tombstone-filtered) until a compaction folds the
+      // deletes and re-derives the stats from the filtered rows
+      val del = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+      val has = del.getFileSystem(s.sessionState.newHadoopConf()).exists(del)
+      if (has)
+        System.err.println(s"[fpStatsDir] NOTE: $dir has takedown " +
+          "tombstones — the stats tier is pre-delete; riding the raw " +
+          "tables until compactFingerprints folds the deletes")
+      !has
     }
 
   /** Cache-key suffix isolating seam-path shared indexes from
@@ -191,7 +204,11 @@ object TrainingOps {
   private[graft] def shinglePostings(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s) match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/shingles").select(col("doc_id"), col("h1"))
+        // every seam read is tombstone-filtered (X116): an index that
+        // received takedowns serves the post-delete truth immediately
+        graft.sink.Sink.minusTombstones(
+          s.read.parquet(s"$dir/shingles").select(col("doc_id"), col("h1")),
+          dir, "doc_id")
       case None => shingleIndex(s, d).select(col("doc_id"), col("h1"))
     }
 
@@ -204,8 +221,10 @@ object TrainingOps {
   private def docSizes(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s) match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/bands")
-          .select(col("doc_id"), col("n")).dropDuplicates("doc_id")
+        graft.sink.Sink.minusTombstones(
+          s.read.parquet(s"$dir/bands")
+            .select(col("doc_id"), col("n")).dropDuplicates("doc_id"),
+          dir, "doc_id")
       case None => minhashSigWide(s, d).select("doc_id", "n")
     }
 
@@ -217,8 +236,10 @@ object TrainingOps {
   private[queries] def bandBuckets(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s) match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/bands")
-          .select(col("doc_id"), col("bk"), col("bandkey"))
+        graft.sink.Sink.minusTombstones(
+          s.read.parquet(s"$dir/bands")
+            .select(col("doc_id"), col("bk"), col("bandkey")),
+          dir, "doc_id")
       case None =>
         bandKeysOf(minhashSigWide(s, d))
           .select(col("doc_id"), col("bk"), col("bandkey"))
@@ -233,7 +254,9 @@ object TrainingOps {
   private[graft] def exactHashes(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s) match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/exact").select(col("doc_id"), col("h"))
+        graft.sink.Sink.minusTombstones(
+          s.read.parquet(s"$dir/exact").select(col("doc_id"), col("h")),
+          dir, "doc_id")
       case None =>
         docTextLean(s, d)
           .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
@@ -263,8 +286,10 @@ object TrainingOps {
       current
     } match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/media")
-          .select(col("doc_id"), col("fp0"), col("fp1"))
+        graft.sink.Sink.minusTombstones(
+          s.read.parquet(s"$dir/media")
+            .select(col("doc_id"), col("fp0"), col("fp1")),
+          dir, "doc_id")
       case None =>
         documents(s, d)
           .filter(col("text").isNotNull && length(col("text"))
@@ -576,8 +601,10 @@ object TrainingOps {
     * — is replaced by two parquet scans of pre-hashed int64s.
     */
   private def lshPairsFromIndex(s: SparkSession, dir: String): DataFrame = {
-    val bk = s.read.parquet(s"$dir/bands")
-      .select(col("doc_id"), col("n"), col("bk"), col("bandkey"))
+    val bk = graft.sink.Sink.minusTombstones(
+      s.read.parquet(s"$dir/bands")
+        .select(col("doc_id"), col("n"), col("bk"), col("bandkey")),
+      dir, "doc_id")
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
@@ -585,6 +612,8 @@ object TrainingOps {
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+    // the intersection side needs no tombstone filter of its own: every
+    // candidate (ida, idb) already has both endpoints alive via `bk`
     val shk = s.read.parquet(s"$dir/shingles").select(col("doc_id"), col("h1"))
     cand
       .join(shk.as("sa"), col("ida") === col("sa.doc_id"))
@@ -800,9 +829,11 @@ object TrainingOps {
       sys.error(s"$dir has no base pairs generation (legacy vectors-only " +
         "vector index, possibly with appended pair deltas); rebuild it " +
         "with Sink.writeVectorIndex")
-    s.read.parquet(pairsPath.toString)
-      .select(col("ida"), col("idb"), col("cell").cast("int").as("cell"),
-        col("cos"))
+    graft.sink.Sink.minusTombstones(
+      s.read.parquet(pairsPath.toString)
+        .select(col("ida"), col("idb"), col("cell").cast("int").as("cell"),
+          col("cos")),
+      dir, "vec_id", Seq("ida", "idb"))
   }
 
   private def vecKey(s: SparkSession): String =
@@ -817,7 +848,9 @@ object TrainingOps {
   private[queries] def vectorCells(s: SparkSession, d: String): DataFrame =
     vecIndexDir(s) match {
       case Some(dir) =>
-        s.read.parquet(s"$dir/vectors").select(col("vec_id"), col("label"))
+        graft.sink.Sink.minusTombstones(
+          s.read.parquet(s"$dir/vectors").select(col("vec_id"), col("label")),
+          dir, "vec_id")
       case None =>
         vectorTable(graft.util.Tables.embeddings(s, d))
           .select(col("vec_id"), col("label"))

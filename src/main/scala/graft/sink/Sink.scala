@@ -180,6 +180,7 @@ object Sink {
   def writeFingerprints(docs: DataFrame, path: String): Unit = {
     writeFpTables(docs, t => s"$path/.staging/$t")
     swapStagingIntoBase(docs.sparkSession, path)
+    clearTombstones(docs.sparkSession, path, "writeFingerprints")
   }
 
   /** Fold every `batch=<tag>` partition into `batch=base` — one
@@ -229,7 +230,11 @@ object Sink {
     val rowTables = Seq("exact", "bands", "shingles") ++
       (if (hasMedia) Seq("media") else Nil)
     for (t <- rowTables) {
-      val full = spark.read.parquet(s"$path/$t").drop("batch")
+      // the takedown fold (X116): tombstoned docs are dropped during the
+      // staged rewrite — the one pass that already touches every row —
+      // and the stats re-derivation below then counts the filtered rows
+      val full = minusTombstones(
+        spark.read.parquet(s"$path/$t").drop("batch"), path, "doc_id")
       shapeFor(t)(full).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/.staging/$t")
     }
@@ -244,6 +249,11 @@ object Sink {
       t => s"$path/.staging/$t")
     swapStagingIntoBase(spark, path,
       rowTables ++ Seq("dfc", "bkc", "xc", "dsh"))
+    // the fold above physically removed the tombstoned rows and the
+    // stats were re-derived from the filtered tables — the tombstone
+    // table has served its purpose (silently: this is the designed fold,
+    // not a truth re-assertion)
+    clearTombstones(spark, path, "")
   }
 
   /** Per-table physical layout: the probe-side join keys cluster the
@@ -414,6 +424,114 @@ object Sink {
   private val fpTables =
     Seq("exact", "bands", "shingles", "media", "dfc", "bkc", "xc", "dsh")
 
+  // ---- the TAKEDOWN tier (X116, r15) ---------------------------------
+  //
+  // Standing indexes at production scale receive DELETIONS (takedown
+  // requests, licensing retractions, PII purges) between rebuilds, and
+  // rewriting a 100 TB index per request is not an option. The LSM
+  // tombstone model (the RocksDB/Cassandra delete discipline): a delete
+  // lands as an O(delta) tombstone batch under `deleted/batch=<tag>`
+  // (scoped-Overwrite ⇒ replay-idempotent like every other batch write);
+  // every read path — sink probes, seam accessors, pair-region reads —
+  // anti-joins the tombstone set, so the index SERVES the post-takedown
+  // truth immediately; compaction folds the deletes physically (row
+  // tables anti-joined during the staged rewrite, stats re-derived from
+  // the filtered rows) and clears the tombstone table. Semantics, stated
+  // precisely:
+  //  - a tombstoned id is shadowed in EVERY batch partition, including
+  //    batches appended AFTER the delete — re-admitting a taken-down id
+  //    needs a compaction (or rebuild) between the delete and the
+  //    re-append;
+  //  - the pre-aggregated stats tier keeps PRE-DELETE counts (aggregates
+  //    cannot be anti-joined), so stats-riding readers must fall back to
+  //    the raw tables while tombstones exist ([[graft.queries
+  //    .TrainingOps.fpStatsDir]] gates on exactly this) — compaction
+  //    re-derives the stats from the filtered rows and heals the fast
+  //    path;
+  //  - a full rebuild ([[writeFingerprints]]/[[writeVectorIndex]])
+  //    re-asserts CORPUS truth and clears tombstones, loudly: a takedown
+  //    must be applied to the corpus itself before rebuilding from it;
+  //  - like every offline-audit contract here, a session that cached
+  //    seam kernels BEFORE a delete serves pre-delete values (the
+  //    mid-rebuild rule: run deletes at a quiescent point).
+
+  /** The distinct tombstoned ids of the index at `path`, or None when no
+    * delete has landed. `idCol` is the index's id column (`doc_id` for
+    * the fingerprint index, `vec_id` for the vector index).
+    */
+  private[graft] def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      Some(spark.read.parquet(s"$path/deleted").select(col(idCol)).distinct())
+    else None
+  }
+
+  /** Anti-join every column in `cols` of `df` against the tombstone set
+    * of the index at `path` — a no-op (the same plan) when no delete has
+    * landed. The tombstone side is deletion-request-sized; the planner
+    * broadcasts it at any real scale.
+    */
+  private[graft] def minusTombstones(df: DataFrame, path: String,
+      idCol: String, cols: Seq[String] = Seq.empty): DataFrame =
+    tombstones(df.sparkSession, path, idCol) match {
+      case Some(t) =>
+        val on = if (cols.isEmpty) Seq(idCol) else cols
+        on.foldLeft(df)((acc, c) =>
+          acc.join(t.select(col(idCol).as(c)), Seq(c), "left_anti"))
+      case None => df
+    }
+
+  /** Land a takedown batch against a fingerprint index: the doc_ids in
+    * `ids` stop being served by every probe and seam read immediately
+    * (anti-join semantics above), and are physically removed at the next
+    * [[compactFingerprints]]. Guarded on a live base generation — a
+    * delete against a directory that is not an index is a sequencing
+    * bug, not a no-op.
+    */
+  def deleteFingerprints(ids: DataFrame, path: String, batch: String): Unit =
+    writeTombstoneBatch(ids, path, batch, "doc_id", "exact",
+      "fingerprint", "writeFingerprints")
+
+  /** [[deleteFingerprints]] for the vector index (vec_id domain). */
+  def deleteVectors(ids: DataFrame, path: String, batch: String): Unit =
+    writeTombstoneBatch(ids, path, batch, "vec_id", "vectors",
+      "vector", "writeVectorIndex")
+
+  private def writeTombstoneBatch(ids: DataFrame, path: String,
+      batch: String, idCol: String, guardTable: String, kind: String,
+      rebuild: String): Unit = {
+    require(batch.matches("[A-Za-z0-9_-]+") && batch != "base",
+      s"unsafe batch tag: $batch")
+    val base = new org.apache.hadoop.fs.Path(s"$path/$guardTable/batch=base")
+    if (!base.getFileSystem(
+        ids.sparkSession.sessionState.newHadoopConf()).exists(base))
+      sys.error(s"$path has no base $kind index generation to delete " +
+        s"from; build it with $rebuild first")
+    // takedown batches are request-sized by nature: one file per batch
+    // keeps the tombstone read a single-footer open until compaction
+    // clears the table
+    ids.select(col(idCol)).distinct().repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/deleted/batch=$batch")
+  }
+
+  /** Remove the tombstone table after a compaction folded it (or a
+    * rebuild re-asserted corpus truth over it — loudly, see the tier
+    * note above).
+    */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, context: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      if (context.nonEmpty)
+        System.err.println(s"[sink] NOTE: $context cleared the tombstone " +
+          s"table at $p — a rebuild re-asserts corpus truth; takedowns " +
+          "must be applied to the corpus before rebuilding from it")
+      fs.delete(p, true)
+    }
+  }
+
   /** Incremental dedup of a new batch against a [[writeFingerprints]]
     * index — the q95 verdict frame (doc_id, verdict, dup_of, jacc)
     * computed WITHOUT touching any standing-corpus text: the batch pays
@@ -445,7 +563,10 @@ object Sink {
       if (excludeBatch.isDefined && !t.columns.contains("batch"))
         sys.error(s"$path/$table is a legacy unpartitioned fingerprint " +
           "index (no batch column); rebuild it with writeFingerprints")
-      excludeBatch.fold(t)(tag => t.filter(col("batch") =!= tag))
+      // takedown tombstones shadow every batch partition (X116)
+      minusTombstones(
+        excludeBatch.fold(t)(tag => t.filter(col("batch") =!= tag)),
+        path, "doc_id")
     }
     // self-match guards: a batch doc whose doc_id is ALREADY indexed (a
     // replayed batch, or a re-probe of an admitted day) must not be
@@ -517,7 +638,9 @@ object Sink {
     if (excludeBatch.isDefined && !idx0.columns.contains("batch"))
       sys.error(s"$path/shingles is a legacy unpartitioned fingerprint " +
         "index (no batch column); rebuild it with writeFingerprints")
-    val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val idx1 = minusTombstones(
+      excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag)),
+      path, "doc_id")
     val standing = idx1.select(col("doc_id"), col("h1"))
       .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
       .select("h1").distinct().withColumn("seen", lit(1L))
@@ -584,7 +707,9 @@ object Sink {
     if (!idx0.columns.contains("fp0"))
       sys.error(s"$path/media has the legacy 60-bit single-long schema; " +
         "rebuild the index with writeFingerprints")
-    val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val idx1 = minusTombstones(
+      excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag)),
+      path, "doc_id")
     val standing = idx1.select(col("doc_id").as("near_of"),
         col("fp0").as("fpi0"), col("fp1").as("fpi1"))
       .join(batch.select(col("doc_id").as("bid")),
@@ -712,6 +837,7 @@ object Sink {
     writePairTable(graft.queries.TrainingOps.cellPairsOf(spark, vt),
       s"$path/.staging/pairs")
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
+    clearTombstones(spark, path, "writeVectorIndex")
   }
 
   /** Add a batch's vectors under its own `batch=<tag>` partition —
@@ -744,8 +870,12 @@ object Sink {
     // micro-batch whose docs were all dups) leaves a file-less partition
     // dir that parquet schema inference cannot read
     val newVt = graft.queries.TrainingOps.vectorTable(emb)
-    val standing = spark.read.parquet(s"$path/vectors")
-      .filter(col("batch") =!= batch)
+    // tombstone-filtered (X116): a pair delta must not be minted against
+    // deleted standing vectors — the reads would hide such pairs anyway,
+    // but compaction would have to carry them forever
+    val standing = minusTombstones(
+      spark.read.parquet(s"$path/vectors").filter(col("batch") =!= batch),
+      path, "vec_id")
       .select("vec_id", "label", "qv", "n2")
     writePairTable(
       graft.queries.TrainingOps.cellPairsDelta(spark, newVt, standing),
@@ -778,13 +908,21 @@ object Sink {
         .exists(pairsBase))
       sys.error(s"$path has no base pairs generation (legacy vectors-only " +
         "vector index); rebuild it with writeVectorIndex")
-    val full = spark.read.parquet(s"$path/vectors").drop("batch")
+    // the takedown fold (X116): tombstoned vectors are dropped, and the
+    // pair region drops every row with a deleted ENDPOINT — compaction
+    // still never recomputes pairs, it only stops carrying rows no read
+    // path can serve
+    val full = minusTombstones(
+      spark.read.parquet(s"$path/vectors").drop("batch"), path, "vec_id")
     full.repartition(col("label")).write.partitionBy("label")
       .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
-    val pairs = spark.read.parquet(s"$path/pairs").drop("batch")
+    val pairs = minusTombstones(
+      spark.read.parquet(s"$path/pairs").drop("batch"), path, "vec_id",
+      Seq("ida", "idb"))
     pairs.repartition(col("cell")).write.partitionBy("cell")
       .mode(SaveMode.Overwrite).parquet(s"$path/.staging/pairs")
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
+    clearTombstones(spark, path, "")
   }
 
   /** ARTIFACT-level vector-index report (r15) — the companion of the
@@ -806,6 +944,12 @@ object Sink {
     *    ever moves.
     * Pure index reads (no corpus, no quantize); value-pinned against a
     * driver recomputation over the same files in VectorIndexSpec.
+    *
+    * Deliberately PHYSICAL (X116): tombstoned rows are still counted —
+    * until a compaction folds them they are still scanned by every seam
+    * read (the anti-join filters after the scan), so the physical row
+    * count is the honest cost predictor; the logical (post-takedown)
+    * view is what the oracle-checked q130 reports.
     */
   def vectorIndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String, retainCos: Double = 0.35): DataFrame = {
@@ -851,7 +995,9 @@ object Sink {
     if (excludeBatch.isDefined && !idx0.columns.contains("batch"))
       sys.error(s"$path/vectors is a legacy unpartitioned vector " +
         "index (no batch column); rebuild it with writeVectorIndex")
-    val idx1 = excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag))
+    val idx1 = minusTombstones(
+      excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag)),
+      path, "vec_id")
     // STATIC cell pruning: the batch's distinct cell set is bounded by
     // design (a daily batch touches few cells — that is the coarse
     // quantizer's contract), so collecting it driver-side and pushing a

@@ -216,6 +216,12 @@ object Streaming {
             .write.mode("overwrite")
             .parquet(s"$mp/run=$run/batch=$batchId")
         }
+        // deliberately NOT tombstone-filtered (X116): a taken-down doc
+        // that re-arrives mid-stream reads 'fresh' (the probe's standing
+        // side IS filtered) but must not be re-admitted while its
+        // tombstone stands — the compaction fold would delete the
+        // re-admitted rows along with the old ones. Re-admission after a
+        // fold behaves normally (the tombstone is gone).
         val known = batch.sparkSession.read
           .parquet(s"$indexPath/exact")
           .filter(col("batch") =!= tag).select("doc_id")
@@ -262,6 +268,7 @@ object Streaming {
             Some(tag)))
         v.write.mode("overwrite")
           .parquet(s"$outPath/run=$run/batch=$batchId")
+        // NOT tombstone-filtered — the incrementalDedup admit's X116 rule
         val known = batch.sparkSession.read
           .parquet(s"$indexPath/vectors")
           .filter(col("batch") =!= tag).select("vec_id")

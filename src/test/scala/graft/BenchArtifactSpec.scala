@@ -18,11 +18,12 @@ class BenchArtifactSpec extends AnyFunSuite {
     val shorts = benched.map(_.name.takeWhile(_ != '_'))
     assert(shorts.distinct.size == shorts.size,
       s"duplicate qNN prefixes: ${shorts.diff(shorts.distinct).mkString(",")}")
-    // worst case per entry: "qNN":99.999 — every query under 100 s,
-    // ~60× the worst observed per-query time even in loaded windows, so
-    // the bound is safely pessimistic without budgeting for a broken run
-    // (-1.000 for a failed query is the same 6 chars)
-    val entries = shorts.map(_.length + 2 + 1 + 6)
+    // worst case per entry: "qNN":99.99 — every query under 100 s at the
+    // stdout map's 10 ms resolution (r15), ~60× the worst observed
+    // per-query time even in loaded windows, so the bound is safely
+    // pessimistic without budgeting for a broken run (-1.00 for a failed
+    // query is the same 5 chars)
+    val entries = shorts.map(_.length + 2 + 1 + 5)
     val prefix = """{"metric":"total","value":99999.999,"unit":"sec","queries":{""".length
     val suffix = """},"sf":"sf0.001"}""".length
     // Bench appends `"failed_n":N,"failed":[...]` when queries crash,

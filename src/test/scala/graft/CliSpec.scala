@@ -58,6 +58,33 @@ class CliSpec extends AnyFunSuite {
     assert(m("retained_rows") > 0 && m("retained_cell_max") > 0)
   }
 
+  test("takedown: lands a tombstone batch the probes honor") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft-cli-td").toString + "/idx"
+    assert(Cli.run(spark, List("fingerprint", TestSpark.sfDir, idx)) == 0)
+    val ids = java.nio.file.Files.createTempDirectory("graft-cli-ids").toString + "/ids"
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+    docs.filter(col("doc_id") % 7 === 0).select("doc_id").write.parquet(ids)
+    assert(Cli.run(spark, List("takedown", idx, ids, "t0")) == 0)
+    // the standing side no longer serves the tombstoned docs: a probe of
+    // exactly those docs cannot read any of them as its own partner, and
+    // none of them appear as dup_of partners anywhere
+    val probe = graft.sink.Sink.probeFingerprints(
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"), idx)
+    val partners = probe.collect().flatMap(r => Option(r.get(2)))
+      .map(_.asInstanceOf[Long]).toSet
+    assert(partners.forall(_ % 7 != 0),
+      "a tombstoned doc surfaced as a dedup partner")
+    // the vec flag routes to the vector index's id domain
+    val vidx = java.nio.file.Files.createTempDirectory("graft-cli-tdv").toString + "/idx"
+    assert(Cli.run(spark, List("vecindex", TestSpark.sfDir, vidx)) == 0)
+    val vids = java.nio.file.Files.createTempDirectory("graft-cli-vids").toString + "/ids"
+    graft.util.Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("vec_id") % 7 === 0).select("vec_id").write.parquet(vids)
+    assert(Cli.run(spark, List("takedown", vidx, vids, "t0", "vec")) == 0)
+    assert(spark.read.parquet(s"$vidx/deleted").count() > 0)
+  }
+
   test("unknown command exits 2") {
     assert(Cli.run(spark, List("frobnicate")) == 2)
   }

@@ -174,4 +174,47 @@ class FpIndexSeamSpec extends AnyFunSuite {
       assert(rows("q124_index_stats") == session, "compacted index")
     } finally spark.conf.unset("spark.graft.fpIndex")
   }
+
+  test("takedown tombstones (X116): seam audits serve the filtered corpus; the stats fast path stands down until the fold") {
+    import org.apache.spark.sql.functions.col
+    assert(spark.conf.getOption("spark.graft.fpIndex").isEmpty)
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+    // the post-takedown truth: the session kernels over a corpus the
+    // deleted docs never entered
+    val fDir = Files.createTempDirectory("graft-fcorpus").toString
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .write.parquet(s"$fDir/documents.parquet")
+    def rowsAt(name: String, dd: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dd).collect().map(_.toString).toSeq
+    val wantQ29 = rowsAt("q29_lsh_neardup", fDir)
+    val wantQ124 = rowsAt("q124_index_stats", fDir)
+
+    val dir = Files.createTempDirectory("graft-fpdel").toString + "/idx"
+    graft.sink.Sink.writeFingerprints(
+      docs.select(col("doc_id"), col("text")), dir)
+    graft.sink.Sink.deleteFingerprints(
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), dir, "t0")
+    spark.conf.set("spark.graft.fpIndex", dir)
+    try {
+      // the pre-aggregated stats include the deleted docs — the fast
+      // path must stand down (q124 then rides the tombstone-filtered
+      // raw accessors and still lands on the filtered-corpus truth)
+      assert(graft.queries.TrainingOps.fpStatsDir(spark).isEmpty,
+        "stats tier must stand down while tombstones exist")
+      assert(rowsAt("q29_lsh_neardup", TestSpark.sfDir) == wantQ29,
+        "seam pair kernel must serve the post-takedown corpus")
+      assert(rowsAt("q124_index_stats", TestSpark.sfDir) == wantQ124,
+        "raw-riding datasheet must count only live rows")
+      // compaction folds the deletes, re-derives the stats from the
+      // filtered rows, and heals the fast path — same answers
+      graft.sink.Sink.compactFingerprints(spark, dir)
+      spark.sqlContext.clearCache()
+      assert(graft.queries.TrainingOps.fpStatsDir(spark).contains(dir),
+        "stats tier must heal after the fold")
+      assert(rowsAt("q124_index_stats", TestSpark.sfDir) == wantQ124,
+        "stats-riding datasheet must reflect the folded deletes")
+      assert(rowsAt("q29_lsh_neardup", TestSpark.sfDir) == wantQ29,
+        "pair kernel changed across the fold")
+    } finally spark.conf.unset("spark.graft.fpIndex")
+  }
 }

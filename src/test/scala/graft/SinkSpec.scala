@@ -418,4 +418,72 @@ class SinkSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$dir/media").listFiles.map(_.getName)
     assert(dirs.count(_.startsWith("batch=")) == 1 && dirs.contains("batch=base"))
   }
+
+  test("takedown tombstones (X116): probes serve the post-delete truth, folds are physical, rebuild re-asserts") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val del = standing.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val dir = Files.createTempDirectory("graft-takedown").toString + "/idx"
+    val dirF = Files.createTempDirectory("graft-takedown-f").toString + "/idx"
+    Sink.writeFingerprints(standing, dir)
+    // the post-takedown truth: an index REBUILT on the filtered corpus —
+    // every probe against the tombstoned index must be value-identical
+    Sink.writeFingerprints(
+      standing.join(del, Seq("doc_id"), "left_anti"), dirF)
+    def frames(path: String): Seq[Seq[String]] = Seq(
+      Sink.probeFingerprints(batch, path),
+      Sink.probeNovelty(batch, path),
+      Sink.probeMediaNearDup(batch, path),
+      Sink.triageBatch(batch, path))
+      .map(df => df.orderBy(df.columns.map(col): _*)
+        .collect().map(_.toString).toSeq)
+    val before = frames(dir)
+    val want = frames(dirF)
+    assert(before != want,
+      "fixture must make the deletion set observable, or the test is vacuous")
+
+    // a delete against a directory that is not an index is a sequencing
+    // bug — fail fast, not a silent tombstone no one will ever fold
+    val empty = Files.createTempDirectory("graft-noidx").toString + "/idx"
+    intercept[RuntimeException](Sink.deleteFingerprints(del, empty, "t0"))
+
+    Sink.deleteFingerprints(del, dir, "t0")
+    assert(frames(dir) == want,
+      "tombstoned index must probe exactly like the filtered rebuild")
+    // replay-idempotent like every batch write (scoped Overwrite)
+    Sink.deleteFingerprints(del, dir, "t0")
+    assert(frames(dir) == want, "tombstone replay changed the served truth")
+    // tombstones shadow EVERY partition, including batches appended
+    // AFTER the delete — a taken-down doc cannot be resurrected by a
+    // later (buggy or racing) append without a compaction in between
+    Sink.appendFingerprints(
+      standing.join(del, Seq("doc_id"), "left_semi"), dir, "zz")
+    assert(frames(dir) == want, "append after delete resurrected tombstoned docs")
+
+    // compaction folds physically: the row tables hold no tombstoned id
+    // (including the post-delete `zz` rows), the tombstone table is
+    // gone, and the served truth is unchanged
+    Sink.compactFingerprints(spark, dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    assert(!delPath.getFileSystem(hconf).exists(delPath),
+      "compaction must clear the folded tombstones")
+    val delIds = del.collect().map(_.getLong(0))
+    for (t <- Seq("exact", "bands", "shingles", "media"))
+      assert(spark.read.parquet(s"$dir/$t")
+        .filter(col("doc_id").isin(delIds: _*)).count() == 0,
+        s"$t still holds tombstoned rows after compaction")
+    assert(frames(dir) == want, "compaction changed the served truth")
+
+    // a full rebuild re-asserts CORPUS truth: standing tombstones are
+    // cleared (loudly) — takedowns must reach the corpus before a rebuild
+    Sink.deleteFingerprints(del, dir, "t1")
+    Sink.writeFingerprints(standing, dir)
+    assert(!delPath.getFileSystem(hconf).exists(delPath),
+      "rebuild must clear standing tombstones")
+    assert(frames(dir) == before, "rebuild must serve the corpus truth again")
+  }
 }

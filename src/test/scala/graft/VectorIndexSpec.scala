@@ -119,6 +119,85 @@ class VectorIndexSpec extends AnyFunSuite {
     check("compacted")
   }
 
+  test("takedown tombstones (X116): vector probes and pair reads serve the post-delete truth; delta and fold are clean") {
+    assert(spark.conf.getOption("spark.graft.vecIndex").isEmpty)
+    val emb = graft.util.Tables.embeddings(spark, d)
+    val alive = emb.filter(col("vec_id") % 7 =!= 0)
+    val delIds = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    assert(delSet.nonEmpty)
+    val idx = java.nio.file.Files.createTempDirectory("graft-vecdel-")
+      .toString + "/idx"
+    graft.sink.Sink.writeVectorIndex(emb, idx)
+    intercept[RuntimeException](graft.sink.Sink.deleteVectors(
+      delIds, idx + "-nope", "t0"))
+    graft.sink.Sink.deleteVectors(delIds, idx, "t0")
+
+    // pair reads under the seam: at the threshold tier (the retention
+    // contract's consumer surface) the tombstoned full-corpus index must
+    // equal the session kernel over the FILTERED embeddings — the
+    // tombstoned region is a subset of the filtered build's retained
+    // region (dropping vectors only improves surviving pairs' in-block
+    // ranks) and both carry every threshold pair with live endpoints
+    def consumer(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .filter(col("cos") >= 0.35) // CellPairRetainCos (private[queries])
+      .select("ida", "idb", "cos").orderBy("ida", "idb")
+      .collect().map(_.toString).toSeq
+    val want = consumer(graft.queries.TrainingOps.cellPairsOf(spark,
+      graft.queries.TrainingOps.vectorTable(alive)))
+    spark.conf.set("spark.graft.vecIndex", idx)
+    val got =
+      try consumer(graft.queries.TrainingOps.cellPairCos(spark, d))
+      finally spark.conf.unset("spark.graft.vecIndex")
+    assert(got == want,
+      "tombstoned pair region must read like the filtered session kernel")
+
+    // probe identity with a filtered rebuild — including re-submitted
+    // taken-down vectors, which must now read FRESH (the index no longer
+    // remembers them)
+    val idxF = java.nio.file.Files.createTempDirectory("graft-vecdel-f-")
+      .toString + "/idx"
+    graft.sink.Sink.writeVectorIndex(alive, idxF)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    def pv(p: String): Seq[String] =
+      graft.sink.Sink.probeVectorIndex(batch, p).orderBy("vec_id")
+        .collect().map(_.toString).toSeq
+    assert(pv(idx) == pv(idxF),
+      "tombstoned index must probe exactly like the filtered rebuild")
+    graft.sink.Sink.deleteVectors(delIds, idx, "t0") // replay
+    assert(pv(idx) == pv(idxF), "tombstone replay changed the served truth")
+
+    // an append while tombstones stand: the pair DELTA is computed
+    // against the live standing side only — the new partition must not
+    // mint pairs to deleted endpoints (compaction would otherwise carry
+    // rows no read path can serve)
+    val fresh = alive.limit(40)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    graft.sink.Sink.appendVectorIndex(fresh, idx, "b9")
+    val deltaEnds = spark.read.parquet(s"$idx/pairs/batch=b9")
+      .select(explode(array(col("ida"), col("idb"))).as("v"))
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaEnds.intersect(delSet).isEmpty,
+      "append delta minted pairs to tombstoned vectors")
+
+    // compaction folds physically: no tombstoned vector or pair
+    // endpoint survives, the tombstone table is gone, and no probe or
+    // pair read can ever surface a deleted id again
+    graft.sink.Sink.compactVectorIndex(spark, idx)
+    spark.sqlContext.clearCache()
+    val hconf = spark.sessionState.newHadoopConf()
+    val delPath = new org.apache.hadoop.fs.Path(s"$idx/deleted")
+    assert(!delPath.getFileSystem(hconf).exists(delPath),
+      "compaction must clear the folded tombstones")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id").isin(delSet.toSeq: _*)).count() == 0,
+      "vectors table still holds tombstoned rows after compaction")
+    assert(spark.read.parquet(s"$idx/pairs")
+      .filter(col("ida").isin(delSet.toSeq: _*)
+        || col("idb").isin(delSet.toSeq: _*)).count() == 0,
+      "pairs table still references tombstoned vectors after compaction")
+  }
+
   test("vectorIndexStats: artifact metrics match a driver recomputation over the index files") {
     val idx = java.nio.file.Files.createTempDirectory("graft-vecstats-")
       .toString + "/idx"

@@ -45,6 +45,14 @@ run q108_corpus_release,q109_memorization_ngrams /tmp/graft-sf1r 10 48g
 run q108_corpus_release,q109_memorization_ngrams /tmp/graft-sf10r 100 64g
 run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf1r 10 48g
 run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf10r 100 64g
+# r15: the sketch overlap (per-source state O(k) — the slope prices the
+# one postings exchange feeding the signature aggregate) and the
+# takedown impact page in MARGINAL position after the three pair
+# kernels it composes (q29 lexical, q33 semantic, q125 media)
+run q132_source_overlap_sketch /tmp/graft-sf1r 10 48g
+run q132_source_overlap_sketch /tmp/graft-sf10r 100 64g
+run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf1r 10 48g
+run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf10r 100 64g
 # r12b: span decontamination (q114 rides q112's shared kernel — its row
 # is the MARGINAL cost) and the per-source caps
 run q112_decontaminate_spans,q114_mask_apply /tmp/graft-sf1r 10 48g
