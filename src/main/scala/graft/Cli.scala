@@ -193,7 +193,11 @@ object Cli {
         // r15: the banding calibration row and the vector-index
         // datasheet (pure index reads when vecIdx is supplied)
         "q125_media_neardup", "q129_media_calibration",
-        "q130_vector_index_stats", "q131_media_index_stats")
+        "q130_vector_index_stats", "q131_media_index_stats",
+        // r15: the sketch overlap (seamed postings feed the signature
+        // aggregate) and the takedown impact page (all three pair
+        // kernels seam-aware — run it BEFORE `takedown` lands a batch)
+        "q132_source_overlap_sketch", "q133_takedown_report")
       // RESTORE any pre-existing seam value, don't blindly unset: a
       // session that pinned its own index must get it back after the
       // command (unsetting would silently flip later queries in the

@@ -453,7 +453,12 @@ object Sink {
   //    must be applied to the corpus itself before rebuilding from it;
   //  - like every offline-audit contract here, a session that cached
   //    seam kernels BEFORE a delete serves pre-delete values (the
-  //    mid-rebuild rule: run deletes at a quiescent point).
+  //    mid-rebuild rule: run deletes at a quiescent point);
+  //  - crash window: a fold that dies between its swap and the
+  //    tombstone clear leaves a STALE tombstone table — harmless (the
+  //    folded rows are already gone, so the anti-joins are no-ops; the
+  //    stats fast path stands down conservatively) and cleared by the
+  //    next fold or rebuild.
 
   /** The distinct tombstoned ids of the index at `path`, or None when no
     * delete has landed. `idCol` is the index's id column (`doc_id` for

@@ -63,7 +63,12 @@ class FpIndexSeamSpec extends AnyFunSuite {
     "q127_incremental_media", "q128_media_clusters",
     // r15: the calibration row and the media-index datasheet ride the
     // seamed mediaFps (pure reads of the persisted fingerprints)
-    "q129_media_calibration", "q131_media_index_stats")
+    "q129_media_calibration", "q131_media_index_stats",
+    // r15: the sketch overlap rides the seamed shinglePostings (its
+    // signature aggregate then reads pre-hashed postings); the takedown
+    // impact page rides all three seam-aware pair kernels (its
+    // deletion-set spine legitimately reads the corpus)
+    "q132_source_overlap_sketch", "q133_takedown_report")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
