@@ -346,6 +346,47 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> kmvab [passes]`: stage isolation for
+    // the q132 signature pipeline — times, over the SAME postings⋈source
+    // input: (join) the join alone under a count, (native) a
+    // native count aggregate per source, (kmv) the KmvSignature udaf per
+    // source, (full) the whole q132. The deltas attribute cost to the
+    // join, the aggregate machinery, and the pair stage respectively —
+    // the instrument that settles where a q132 scale-tier number goes.
+    if (args.length >= 2 && args(1) == "kmvab") {
+      import org.apache.spark.sql.functions._
+      val passes = args.lift(2).map(_.toInt).getOrElse(2)
+      val src = graft.util.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"))
+      def joined = graft.queries.TrainingOps.shinglePostings(spark, sfDir)
+        .join(src.hint("shuffle_hash"), "doc_id")
+      val kmvAgg = udaf(new graft.functions.KmvSignature(256))
+      val arms: Seq[(String, () => Unit)] = Seq(
+        "join" -> (() => noop(joined.groupBy("doc_id").agg(count(lit(1))))),
+        "native" -> (() => noop(joined.groupBy("source")
+          .agg(count(lit(1)).as("n")))),
+        "kmv" -> (() => noop(joined.groupBy("source")
+          .agg(kmvAgg(col("h1")).as("sig")))),
+        "full" -> (() => noop(
+          SparkEntry.queries("q132_source_overlap_sketch")(spark, sfDir))))
+      // interleaved (the seamab discipline): every arm sees the same
+      // window drift; min-of-passes per arm
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (_ <- 1 to passes; (name, arm) <- arms) {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime()
+        arm()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      }
+      for ((name, _) <- arms)
+        println(f"[kmvab] $name%-6s min=${times(name).min}%7.3f runs " +
+          times(name).reverse.map(v => f"$v%.3f").mkString(" "))
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> seamab <query> <vecIdx|-> <fpIdx|->
     // [passes]`: INTERLEAVED session-kernel vs index-riding A/B in ONE
     // JVM — the shufab discipline applied to the seam question.

@@ -65,8 +65,14 @@ class AuditSpec extends AnyFunSuite {
       if common > 0
     } yield (sa, sb) -> (common.toLong, common.toDouble / denom.toDouble))
       .toMap
-    val got = SparkEntry.queries("q132_source_overlap_sketch")(spark, d)
-      .collect()
+    val df = SparkEntry.queries("q132_source_overlap_sketch")(spark, d)
+    // the scale claim rests on MAP-SIDE partial aggregation of the
+    // signature buffers (the exchange carries |sources|·k longs, never
+    // raw postings) — pin it on the physical plan
+    assert(df.queryExecution.sparkPlan.toString
+      .contains("partial_kmvsignature"),
+      "q132 must partially aggregate signatures map-side")
+    val got = df.collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
       .toMap
     assert(got == expected)

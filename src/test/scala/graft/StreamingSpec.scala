@@ -195,6 +195,24 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.read.parquet(s"$tmp/index/shingles").count()
         == postingsAfterAdmit, "redelivered doc duplicated in the index")
+      // batch 4 (X116): docs 2 and 12 are taken down MID-STREAM — the
+      // very next micro-batch's probe honors the tombstones (a fresh
+      // near-dup of 2's text reads fresh; the redelivered 12 reads
+      // fresh), and the admit does NOT re-admit a tombstoned id while
+      // its tombstone stands (the known-ids read is deliberately
+      // unfiltered — see the incrementalDedup admit comment)
+      graft.sink.Sink.deleteFingerprints(
+        Seq(2L, 12L).toDF("doc_id"), s"$tmp/index", "t0")
+      in.addData((30L, nearB),
+        (12L, "completely different words here entirely novel content stream"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/index/shingles")
+        .filter(col("doc_id") === 12L)
+        .select("batch").distinct().count() == 1,
+        "tombstoned doc re-admitted under a new partition")
+      assert(spark.read.parquet(s"$tmp/index/shingles")
+        .filter(col("doc_id") === 30L).count() > 0,
+        "the genuinely-new doc must still be admitted")
     } finally q.stop()
 
     val out = spark.read.parquet(s"$tmp/out").collect()
@@ -210,6 +228,12 @@ class StreamingSpec extends AnyFunSuite {
     // near-dup relation to OTHER index docs is unchanged: 20 was never
     // admitted (exact dup), so 12's only index presence is itself
     assert(out((2L, 12L)) == ("fresh", None))
+    // post-takedown batch: the near-dup of the tombstoned doc 2 reads
+    // FRESH (the standing side no longer serves it) and the tombstoned,
+    // redelivered 12 reads fresh too
+    assert(out((3L, 30L)) == ("fresh", None),
+      "near-dup of a taken-down doc must read fresh")
+    assert(out((3L, 12L)) == ("fresh", None))
 
     // the per-batch TRIAGE page: batch 0's three docs land one per
     // (verdict, band) cell — the exact copy and the near-dup read
@@ -227,6 +251,10 @@ class StreamingSpec extends AnyFunSuite {
       ("near", "dup_heavy") -> 1L,
       ("fresh", "novel") -> 1L))
     assert(triage(2L) == Map(("fresh", "novel") -> 1L))
+    // the post-takedown batch's page: both docs (the near-dup of the
+    // tombstoned 2, the tombstoned redelivered 12) read fresh+novel —
+    // the standing side serves neither tombstoned doc to any dimension
+    assert(triage(3L) == Map(("fresh", "novel") -> 2L))
   }
 
   test("media verdict stream: admit, index growth, and redelivery idempotency") {
