@@ -537,6 +537,122 @@ object Sink {
     }
   }
 
+  /** Price a PROSPECTIVE takedown batch against the standing artifacts
+    * — the PRODUCTION twin of the oracle-green `q133_takedown_report`
+    * (the q95↔probeFingerprints / q127↔probeMediaNearDup discipline):
+    * q133 prices the %97 stand-in set against session kernels; this
+    * prices a REAL id list against a real fingerprint index (and
+    * optionally a vector index) with NO corpus access. One
+    * (metric, value) frame:
+    *  - `ids_given` / `ids_indexed` — the batch, and how much of it the
+    *    index actually holds (exact tier membership);
+    *  - `exact_rows`/`bands_rows`/`postings_rows`/`media_rows` — the
+    *    physical rows the tombstones will shadow (what the next
+    *    compaction fold removes);
+    *  - `lex_pairs_lost` — verified near-dup INCIDENCES (jacc ≥ 0.8,
+    *    one count per deleted endpoint — q133's convention) computed
+    *    probe-style: the deleted docs' own band rows against the
+    *    standing bands, Jaccard-verified over the index postings —
+    *    bounded by the ids' band collisions, never an index-wide pair
+    *    build;
+    *  - `media_pairs_lost` — the same at the byte tier (hamming ≤ 4
+    *    over the persisted 120-bit fingerprints);
+    *  - `sem_pairs_lost` (with `vecIndexPath`) — retained-pair rows at
+    *    cos ≥ 0.35 with a deleted endpoint, counted per endpoint: a
+    *    pure read of the pairs region.
+    * Already-tombstoned rows are EXCLUDED everywhere (pricing a second
+    * batch must not re-bill the first). SinkSpec pins the whole frame
+    * against the oracle-green q133's per-source sums on the %97 split
+    * plus driver recomputations of the row counts.
+    */
+  def takedownImpact(ids: DataFrame, path: String,
+      vecIndexPath: Option[String] = None): DataFrame = {
+    val spark = ids.sparkSession
+    import org.apache.spark.sql.functions._
+    val del = graft.util.Caches.transientPersist(
+      ids.select(col("doc_id")).distinct())
+    def idx(t: String): DataFrame =
+      minusTombstones(spark.read.parquet(s"$path/$t"), path, "doc_id")
+    def delSide(df: DataFrame): DataFrame =
+      df.join(del, Seq("doc_id"), "left_semi")
+    val nGiven = del.count()
+    val nIndexed = delSide(idx("exact")).count()
+    val rowCounts = Seq("exact", "bands", "shingles", "media")
+      .map(t => t -> delSide(idx(t)).count()).toMap
+    // lexical incidences, probe-style (the probeFingerprints shape with
+    // the batch side read FROM the index): deleted docs' band rows ⋈
+    // standing bands on the bucket key, self-pairs dropped, then the
+    // exact-Jaccard verify over candidate-restricted postings — both
+    // denominators travel on the band rows (the lshPairs r7 trick)
+    val bandsAll = graft.util.Caches.transientPersist(idx("bands"))
+    val postAll = idx("shingles")
+    val cand = delSide(bandsAll).as("a")
+      .join(bandsAll.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bandkey") === col("b.bandkey")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val lexLost = cand
+      .join(postAll.select(col("doc_id"), col("h1")), Seq("doc_id"))
+      .join(postAll.select(col("doc_id").as("partner"), col("h1")),
+        Seq("partner", "h1"))
+      .groupBy("doc_id", "partner", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.8)
+      .count()
+    // media incidences: deleted fingerprints banded 5×24 against the
+    // standing media table, hamming-verified ≤ 4 (q125's kernel shapes)
+    val mediaAll = graft.util.Caches.transientPersist(idx("media"))
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("bk", explode(sequence(lit(0), lit(4))))
+      .withColumn("bkey",
+        expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+    val mediaLost = banded(delSide(mediaAll))
+      .select(col("doc_id"), col("fp0"), col("fp1"), col("bk"), col("bkey"))
+      .join(banded(mediaAll)
+        .select(col("doc_id").as("partner"), col("fp0").as("gp0"),
+          col("fp1").as("gp1"), col("bk"), col("bkey")),
+        Seq("bk", "bkey"))
+      .filter(col("doc_id") =!= col("partner"))
+      .select(col("doc_id"), col("partner"),
+        expr(graft.multimodal.Multimodal
+          .hammingSql("fp0", "fp1", "gp0", "gp1")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+      .count()
+    bandsAll.unpersist(blocking = false)
+    mediaAll.unpersist(blocking = false)
+    // semantic incidences: a pure read of the vector index's retained
+    // pair region at the threshold tier (superset-closed — identical
+    // off full/appended/compacted indexes), one count per deleted
+    // endpoint; vec_id shares the doc_id domain (the q116 convention)
+    val semLost = vecIndexPath.map { vp =>
+      val vdel = del.select(col("doc_id").as("vid"))
+      minusTombstones(spark.read.parquet(s"$vp/pairs"), vp, "vec_id",
+        Seq("ida", "idb"))
+        .filter(col("cos") >= 0.35)
+        .join(vdel.select(col("vid").as("ida"))
+          .withColumn("da", lit(1L)), Seq("ida"), "left")
+        .join(vdel.select(col("vid").as("idb"))
+          .withColumn("db", lit(1L)), Seq("idb"), "left")
+        .agg(coalesce(sum(coalesce(col("da"), lit(0L))
+          + coalesce(col("db"), lit(0L))), lit(0L)))
+        .head.getLong(0)
+    }
+    del.unpersist(blocking = false)
+    val metrics = Seq(
+      "ids_given" -> nGiven, "ids_indexed" -> nIndexed,
+      "exact_rows" -> rowCounts("exact"), "bands_rows" -> rowCounts("bands"),
+      "postings_rows" -> rowCounts("shingles"),
+      "media_rows" -> rowCounts("media"),
+      "lex_pairs_lost" -> lexLost, "media_pairs_lost" -> mediaLost) ++
+      semLost.map("sem_pairs_lost" -> _)
+    import spark.implicits._
+    metrics.toDF("metric", "value").orderBy("metric")
+  }
+
   /** Incremental dedup of a new batch against a [[writeFingerprints]]
     * index — the q95 verdict frame (doc_id, verdict, dup_of, jacc)
     * computed WITHOUT touching any standing-corpus text: the batch pays

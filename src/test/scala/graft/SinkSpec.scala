@@ -486,4 +486,46 @@ class SinkSpec extends AnyFunSuite {
       "rebuild must clear standing tombstones")
     assert(frames(dir) == before, "rebuild must serve the corpus truth again")
   }
+
+  test("takedownImpact: the production twin equals the oracle-green q133 on the %97 split; a landed batch is not re-billed") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sfDir
+    val docs = graft.util.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val fpDir = Files.createTempDirectory("graft-tdimp").toString + "/idx"
+    val vecDir = Files.createTempDirectory("graft-tdimp-v").toString + "/idx"
+    Sink.writeFingerprints(docs, fpDir)
+    Sink.writeVectorIndex(graft.util.Tables.embeddings(spark, d), vecDir)
+    val ids = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+    val impact = Sink.takedownImpact(ids, fpDir, Some(vecDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the pair-loss metrics must equal the oracle-green q133's summed
+    // columns — the twin discipline: the artifact-priced counts and the
+    // session-kernel counts are the same numbers
+    val q133 = SparkEntry.queries("q133_takedown_report")(spark, d).collect()
+    assert(impact("ids_given") == q133.map(_.getLong(1)).sum, "n_del")
+    assert(impact("ids_indexed") == impact("ids_given"),
+      "full-corpus index must hold every deleted doc")
+    assert(impact("lex_pairs_lost") == q133.map(_.getLong(3)).sum, "lex")
+    assert(impact("sem_pairs_lost") == q133.map(_.getLong(4)).sum, "sem")
+    assert(impact("media_pairs_lost") == q133.map(_.getLong(5)).sum, "media")
+    assert(impact("lex_pairs_lost") > 0 || impact("media_pairs_lost") > 0
+      || impact("sem_pairs_lost") > 0,
+      "fixture must lose at least one pair somewhere, or the pin is vacuous")
+    // row-removal counts against a driver recomputation over the files
+    val delSeq = ids.collect().map(_.getLong(0)).toSeq
+    for ((t, m) <- Seq("exact" -> "exact_rows", "bands" -> "bands_rows",
+        "shingles" -> "postings_rows", "media" -> "media_rows"))
+      assert(impact(m) == spark.read.parquet(s"$fpDir/$t")
+        .filter(col("doc_id").isin(delSeq: _*)).count(), t)
+    // pricing the SAME batch after it landed reads zero everywhere —
+    // tombstoned rows are excluded, a second batch is not re-billed
+    Sink.deleteFingerprints(ids, fpDir, "t0")
+    Sink.deleteVectors(ids.select(col("doc_id").as("vec_id")), vecDir, "t0")
+    val again = Sink.takedownImpact(ids, fpDir, Some(vecDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again("ids_indexed") == 0 && again("exact_rows") == 0
+      && again("lex_pairs_lost") == 0 && again("media_pairs_lost") == 0
+      && again("sem_pairs_lost") == 0, again.toString)
+  }
 }
