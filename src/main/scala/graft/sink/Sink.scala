@@ -229,12 +229,22 @@ object Sink {
     }
     val rowTables = Seq("exact", "bands", "shingles") ++
       (if (hasMedia) Seq("media") else Nil)
+    // SNAPSHOT the tombstone batches once, at fold start (r16): the
+    // per-table reads below execute lazily, so without a pinned list a
+    // takedown batch landing mid-fold would be filtered from only the
+    // tables staged after it — and then ERASED by the clear, its
+    // surviving rows served again (silent loss, the wrong failure
+    // direction for a deletion tier). With the snapshot, every table
+    // filters against the same batch set and the clear removes exactly
+    // those batches; a mid-fold batch stands until the next fold.
+    val delSnap = tombstoneBatchDirs(spark, path)
     for (t <- rowTables) {
       // the takedown fold (X116): tombstoned docs are dropped during the
       // staged rewrite — the one pass that already touches every row —
       // and the stats re-derivation below then counts the filtered rows
       val full = minusTombstones(
-        spark.read.parquet(s"$path/$t").drop("batch"), path, "doc_id")
+        spark.read.parquet(s"$path/$t").drop("batch"), path, "doc_id",
+        snapshot = Some(delSnap))
       shapeFor(t)(full).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/.staging/$t")
     }
@@ -250,10 +260,10 @@ object Sink {
     swapStagingIntoBase(spark, path,
       rowTables ++ Seq("dfc", "bkc", "xc", "dsh"))
     // the fold above physically removed the tombstoned rows and the
-    // stats were re-derived from the filtered tables — the tombstone
-    // table has served its purpose (silently: this is the designed fold,
-    // not a truth re-assertion)
-    clearTombstones(spark, path, "")
+    // stats were re-derived from the filtered tables — the SNAPSHOTTED
+    // batches have served their purpose (silently: this is the designed
+    // fold, not a truth re-assertion); a batch landed mid-fold survives
+    clearTombstones(spark, path, "", only = Some(delSnap))
   }
 
   /** Per-table physical layout: the probe-side join keys cluster the
@@ -460,16 +470,48 @@ object Sink {
   //    stats fast path stands down conservatively) and cleared by the
   //    next fold or rebuild.
 
+  /** The `deleted/batch=<tag>` partition directories at `path` that hold
+    * at least one data file. Two duties (r16):
+    *  - crash tolerance: a tombstone write that died before landing any
+    *    file leaves a file-less directory, which `spark.read.parquet` of
+    *    the whole `deleted/` root cannot schema-infer — every read path
+    *    of the index would throw until the batch was replayed. Listing
+    *    data-bearing batch dirs explicitly makes such residue invisible
+    *    instead of wedging;
+    *  - the compaction fold's SNAPSHOT unit: the fold pins this list at
+    *    start, filters every table against exactly these batches, and
+    *    clears exactly these directories — a takedown batch landing
+    *    MID-FOLD (between the fold's reads and its clear) survives to
+    *    the next fold instead of being silently lost with its rows
+    *    still serving.
+    */
+  private[graft] def tombstoneBatchDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.listStatus(st.getPath).exists(f =>
+        f.isFile && f.getLen > 0 && !f.getPath.getName.startsWith("_")))
+      .map(_.getPath)
+  }
+
   /** The distinct tombstoned ids of the index at `path`, or None when no
     * delete has landed. `idCol` is the index's id column (`doc_id` for
-    * the fingerprint index, `vec_id` for the vector index).
+    * the fingerprint index, `vec_id` for the vector index). `snapshot`
+    * pins the batch-dir list (the compaction fold's discipline above);
+    * callers without one read whatever data-bearing batches exist now.
     */
   private[graft] def tombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
-    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      Some(spark.read.parquet(s"$path/deleted").select(col(idCol)).distinct())
-    else None
+      path: String, idCol: String,
+      snapshot: Option[Seq[org.apache.hadoop.fs.Path]] = None)
+      : Option[DataFrame] = {
+    val dirs = snapshot.getOrElse(tombstoneBatchDirs(spark, path))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*)
+      .select(col(idCol)).distinct())
   }
 
   /** Anti-join every column in `cols` of `df` against the tombstone set
@@ -478,8 +520,9 @@ object Sink {
     * broadcasts it at any real scale.
     */
   private[graft] def minusTombstones(df: DataFrame, path: String,
-      idCol: String, cols: Seq[String] = Seq.empty): DataFrame =
-    tombstones(df.sparkSession, path, idCol) match {
+      idCol: String, cols: Seq[String] = Seq.empty,
+      snapshot: Option[Seq[org.apache.hadoop.fs.Path]] = None): DataFrame =
+    tombstones(df.sparkSession, path, idCol, snapshot) match {
       case Some(t) =>
         val on = if (cols.isEmpty) Seq(idCol) else cols
         on.foldLeft(df)((acc, c) =>
@@ -515,25 +558,58 @@ object Sink {
         s"from; build it with $rebuild first")
     // takedown batches are request-sized by nature: one file per batch
     // keeps the tombstone read a single-footer open until compaction
-    // clears the table
+    // clears the table.
+    // STAGED write + rename (r16): a crash mid-write must not leave a
+    // file-less `deleted/batch=` dir in the live table — the dot-prefixed
+    // staging dir is invisible to [[tombstoneBatchDirs]], and the
+    // delete+rename swap is two metadata ops (a replay overwrites its
+    // own batch, the scoped-Overwrite convention). tombstoneBatchDirs'
+    // data-file filter additionally tolerates the residue of a crash
+    // between those two ops.
+    val spark = ids.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val staging =
+      new org.apache.hadoop.fs.Path(s"$path/.deleted-staging/batch=$batch")
     ids.select(col(idCol)).distinct().repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/deleted/batch=$batch")
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val fs = staging.getFileSystem(hconf)
+    val target = new org.apache.hadoop.fs.Path(s"$path/deleted/batch=$batch")
+    fs.mkdirs(target.getParent)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      sys.error(s"tombstone batch swap failed: $staging -> $target " +
+        "(replay the takedown batch)")
+    val stagingRoot = new org.apache.hadoop.fs.Path(s"$path/.deleted-staging")
+    if (fs.exists(stagingRoot) && fs.listStatus(stagingRoot).isEmpty)
+      fs.delete(stagingRoot, true)
   }
 
   /** Remove the tombstone table after a compaction folded it (or a
     * rebuild re-asserted corpus truth over it — loudly, see the tier
-    * note above).
+    * note above). With `only` set (the compaction fold), EXACTLY those
+    * batch directories are removed — a takedown batch that landed after
+    * the fold snapshotted its list survives, still serving, to the next
+    * fold; without it (rebuilds) the whole table goes, because the new
+    * base is corpus truth by definition.
     */
-  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, context: String): Unit = {
+  private[graft] def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, context: String,
+      only: Option[Seq[org.apache.hadoop.fs.Path]] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      if (context.nonEmpty)
-        System.err.println(s"[sink] NOTE: $context cleared the tombstone " +
-          s"table at $p — a rebuild re-asserts corpus truth; takedowns " +
-          "must be applied to the corpus before rebuilding from it")
-      fs.delete(p, true)
+    if (!fs.exists(p)) return
+    only match {
+      case Some(dirs) =>
+        dirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
+        // the root goes only when nothing (a mid-fold batch, a staged
+        // write in flight) remains under it
+        if (fs.listStatus(p).isEmpty) fs.delete(p, true)
+      case None =>
+        if (context.nonEmpty)
+          System.err.println(s"[sink] NOTE: $context cleared the tombstone " +
+            s"table at $p — a rebuild re-asserts corpus truth; takedowns " +
+            "must be applied to the corpus before rebuilding from it")
+        fs.delete(p, true)
     }
   }
 
@@ -556,7 +632,9 @@ object Sink {
     *    bounded by the ids' band collisions, never an index-wide pair
     *    build;
     *  - `media_pairs_lost` — the same at the byte tier (hamming ≤ 4
-    *    over the persisted 120-bit fingerprints);
+    *    over the persisted 120-bit fingerprints); with no current-schema
+    *    media base (legacy index) both media metrics are OMITTED with a
+    *    loud note — the triageOf degradation posture;
     *  - `sem_pairs_lost` (with `vecIndexPath`) — retained-pair rows at
     *    cos ≥ 0.35 with a deleted endpoint, counted per endpoint: a
     *    pure read of the pairs region.
@@ -577,7 +655,20 @@ object Sink {
       df.join(del, Seq("doc_id"), "left_semi")
     val nGiven = del.count()
     val nIndexed = delSide(idx("exact")).count()
-    val rowCounts = Seq("exact", "bands", "shingles", "media")
+    // the media tier is gated on a current-schema base generation (r16,
+    // the triageOf posture): a legacy pre-media index would otherwise
+    // throw a raw path-not-found instead of the repo's loud degradation
+    // — the report lands without the media metrics, named
+    val mediaBase = new org.apache.hadoop.fs.Path(s"$path/media/batch=base")
+    val hasMedia = mediaBase
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(mediaBase) &&
+      spark.read.parquet(s"$path/media").columns.contains("fp0")
+    if (!hasMedia)
+      System.err.println(s"[sink] NOTE: $path has no current-schema media " +
+        "base (legacy index) — takedownImpact omits media_rows/" +
+        "media_pairs_lost; rebuild with writeFingerprints for the media tier")
+    val rowCounts = (Seq("exact", "bands", "shingles") ++
+      (if (hasMedia) Seq("media") else Nil))
       .map(t => t -> delSide(idx(t)).count()).toMap
     // lexical incidences, probe-style (the probeFingerprints shape with
     // the batch side read FROM the index): deleted docs' band rows ⋈
@@ -604,26 +695,29 @@ object Sink {
       .count()
     // media incidences: deleted fingerprints banded 5×24 against the
     // standing media table, hamming-verified ≤ 4 (q125's kernel shapes)
-    val mediaAll = graft.util.Caches.transientPersist(idx("media"))
-    def banded(df: DataFrame): DataFrame = df
-      .withColumn("bk", explode(sequence(lit(0), lit(4))))
-      .withColumn("bkey",
-        expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
-    val mediaLost = banded(delSide(mediaAll))
-      .select(col("doc_id"), col("fp0"), col("fp1"), col("bk"), col("bkey"))
-      .join(banded(mediaAll)
-        .select(col("doc_id").as("partner"), col("fp0").as("gp0"),
-          col("fp1").as("gp1"), col("bk"), col("bkey")),
-        Seq("bk", "bkey"))
-      .filter(col("doc_id") =!= col("partner"))
-      .select(col("doc_id"), col("partner"),
-        expr(graft.multimodal.Multimodal
-          .hammingSql("fp0", "fp1", "gp0", "gp1")).cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 4)
-      .count()
+    val mediaLost = if (!hasMedia) None else Some {
+      val mediaAll = graft.util.Caches.transientPersist(idx("media"))
+      def banded(df: DataFrame): DataFrame = df
+        .withColumn("bk", explode(sequence(lit(0), lit(4))))
+        .withColumn("bkey",
+          expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+      val n = banded(delSide(mediaAll))
+        .select(col("doc_id"), col("fp0"), col("fp1"), col("bk"), col("bkey"))
+        .join(banded(mediaAll)
+          .select(col("doc_id").as("partner"), col("fp0").as("gp0"),
+            col("fp1").as("gp1"), col("bk"), col("bkey")),
+          Seq("bk", "bkey"))
+        .filter(col("doc_id") =!= col("partner"))
+        .select(col("doc_id"), col("partner"),
+          expr(graft.multimodal.Multimodal
+            .hammingSql("fp0", "fp1", "gp0", "gp1")).cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 4)
+        .count()
+      mediaAll.unpersist(blocking = false)
+      n
+    }
     bandsAll.unpersist(blocking = false)
-    mediaAll.unpersist(blocking = false)
     // semantic incidences: a pure read of the vector index's retained
     // pair region at the threshold tier (superset-closed — identical
     // off full/appended/compacted indexes), one count per deleted
@@ -646,8 +740,9 @@ object Sink {
       "ids_given" -> nGiven, "ids_indexed" -> nIndexed,
       "exact_rows" -> rowCounts("exact"), "bands_rows" -> rowCounts("bands"),
       "postings_rows" -> rowCounts("shingles"),
-      "media_rows" -> rowCounts("media"),
-      "lex_pairs_lost" -> lexLost, "media_pairs_lost" -> mediaLost) ++
+      "lex_pairs_lost" -> lexLost) ++
+      rowCounts.get("media").map("media_rows" -> _) ++
+      mediaLost.map("media_pairs_lost" -> _) ++
       semLost.map("sem_pairs_lost" -> _)
     import spark.implicits._
     metrics.toDF("metric", "value").orderBy("metric")
@@ -1032,18 +1127,22 @@ object Sink {
     // the takedown fold (X116): tombstoned vectors are dropped, and the
     // pair region drops every row with a deleted ENDPOINT — compaction
     // still never recomputes pairs, it only stops carrying rows no read
-    // path can serve
+    // path can serve. Batch list snapshotted at fold start, the
+    // compactFingerprints discipline (r16): a takedown landing mid-fold
+    // survives the clear instead of being silently lost.
+    val delSnap = tombstoneBatchDirs(spark, path)
     val full = minusTombstones(
-      spark.read.parquet(s"$path/vectors").drop("batch"), path, "vec_id")
+      spark.read.parquet(s"$path/vectors").drop("batch"), path, "vec_id",
+      snapshot = Some(delSnap))
     full.repartition(col("label")).write.partitionBy("label")
       .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
     val pairs = minusTombstones(
       spark.read.parquet(s"$path/pairs").drop("batch"), path, "vec_id",
-      Seq("ida", "idb"))
+      Seq("ida", "idb"), snapshot = Some(delSnap))
     pairs.repartition(col("cell")).write.partitionBy("cell")
       .mode(SaveMode.Overwrite).parquet(s"$path/.staging/pairs")
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
-    clearTombstones(spark, path, "")
+    clearTombstones(spark, path, "", only = Some(delSnap))
   }
 
   /** ARTIFACT-level vector-index report (r15) — the companion of the

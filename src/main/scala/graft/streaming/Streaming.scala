@@ -103,7 +103,11 @@ object Streaming {
     * [[graft.sink.Sink.probeFingerprints]] — exact content-hash tier,
     * then LSH band buckets + exact-Jaccard verify at θ = 0.8 — its
     * verdict rows (doc_id, verdict, dup_of, jacc) land under
-    * `outPath/run=<id>/batch=<id>/`, and the FRESH documents'
+    * `outPath/run=<id>/batch=<id>/`. Verdicts are 'exact' / 'near' /
+    * 'fresh' / 'tombstoned' — the last for a doc whose id is currently
+    * tombstoned (X116): it is neither served nor (re-)admitted while the
+    * tombstone stands, so consumers must not read it as keep-worthy.
+    * The FRESH documents'
     * fingerprints are written to the index under the batch's own
     * (run, batch) partition, so later micro-batches dedup against both
     * the standing corpus and everything the stream has already admitted.
@@ -201,9 +205,17 @@ object Streaming {
         // the probe excludes this batch's own partition so a REPLAY sees
         // the index exactly as the first attempt did — intra-batch
         // duplicates stay 'fresh' and the re-append reproduces, never
-        // erases, the partition
+        // erases, the partition. A doc whose id is TOMBSTONED (X116)
+        // gets the distinct verdict 'tombstoned' (r16): the probe's
+        // standing side is tombstone-filtered, so it would read 'fresh'
+        // — yet the admit below deliberately never re-admits it while
+        // its tombstone stands, and the next fold physically removes its
+        // old rows. The output contract now carries that divergence
+        // instead of hiding it behind a fresh-but-never-admitted row.
         val v = graft.util.Caches.transientPersist(
-          graft.sink.Sink.probeFingerprints(batch, indexPath, Some(tag)))
+          markTombstoned(
+            graft.sink.Sink.probeFingerprints(batch, indexPath, Some(tag)),
+            indexPath, "doc_id", Seq("dup_of", "jacc")))
         v.write.mode("overwrite")
           .parquet(s"$outPath/run=$run/batch=$batchId")
         triagePath.foreach { tp =>
@@ -212,16 +224,20 @@ object Streaming {
             .parquet(s"$tp/run=$run/batch=$batchId")
         }
         mediaPath.foreach { mp =>
-          graft.sink.Sink.probeMediaNearDup(batch, indexPath, 4, Some(tag))
+          markTombstoned(
+            graft.sink.Sink.probeMediaNearDup(batch, indexPath, 4, Some(tag)),
+            indexPath, "doc_id", Seq("near_of", "hamming"))
             .write.mode("overwrite")
             .parquet(s"$mp/run=$run/batch=$batchId")
         }
         // deliberately NOT tombstone-filtered (X116): a taken-down doc
-        // that re-arrives mid-stream reads 'fresh' (the probe's standing
-        // side IS filtered) but must not be re-admitted while its
+        // that re-arrives mid-stream must not be re-admitted while its
         // tombstone stands — the compaction fold would delete the
         // re-admitted rows along with the old ones. Re-admission after a
-        // fold behaves normally (the tombstone is gone).
+        // fold behaves normally (the tombstone is gone). The 'fresh'
+        // filter below excludes such docs anyway now (their verdict is
+        // 'tombstoned'); the anti-join stays as the invariant's own
+        // guard, independent of the verdict presentation.
         val known = batch.sparkSession.read
           .parquet(s"$indexPath/exact")
           .filter(col("batch") =!= tag).select("doc_id")
@@ -263,9 +279,13 @@ object Streaming {
           cachedRun.get
         }
         val tag = s"c${run}b$batchId"
+        // 'tombstoned' verdict for taken-down vec_ids, the
+        // incrementalDedup contract (r16)
         val v = graft.util.Caches.transientPersist(
-          graft.sink.Sink.probeVectorIndex(batch, indexPath, threshold,
-            Some(tag)))
+          markTombstoned(
+            graft.sink.Sink.probeVectorIndex(batch, indexPath, threshold,
+              Some(tag)),
+            indexPath, "vec_id", Seq("near_of", "cos")))
         v.write.mode("overwrite")
           .parquet(s"$outPath/run=$run/batch=$batchId")
         // NOT tombstone-filtered — the incrementalDedup admit's X116 rule
@@ -282,6 +302,30 @@ object Streaming {
       }
       .start()
   }
+
+  /** Flip the verdict of rows whose `idCol` is tombstoned in the index
+    * at `indexPath` to the distinct value 'tombstoned', nulling the
+    * partner columns (r16 — the consumer-facing face of the X116 rule):
+    * such docs are served to no probe, are never re-admitted while the
+    * tombstone stands, and lose their old rows at the next fold — a
+    * 'fresh' verdict would mark them keep-worthy for an index they will
+    * never exist in. No-op (same plan) when no delete has landed; the
+    * tombstone side is deletion-request-sized (broadcast at any scale).
+    */
+  private def markTombstoned(v0: DataFrame, indexPath: String,
+      idCol: String, partnerCols: Seq[String]): DataFrame =
+    graft.sink.Sink.tombstones(v0.sparkSession, indexPath, idCol) match {
+      case Some(t) =>
+        val hit = col("__tomb").isNotNull
+        v0.join(t.withColumn("__tomb", lit(1)), Seq(idCol), "left")
+          .select(col(idCol) +:
+            when(hit, lit("tombstoned")).otherwise(col("verdict"))
+              .as("verdict") +:
+            partnerCols.map(c =>
+              when(hit, lit(null).cast(v0.schema(c).dataType))
+                .otherwise(col(c)).as(c)): _*)
+      case None => v0
+    }
 
   /** The streaming query's RUN identity, read from the checkpoint's own
     * `metadata` file (`{"id": "<uuid>"}`, written by Spark at query

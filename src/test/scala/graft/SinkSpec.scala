@@ -528,4 +528,58 @@ class SinkSpec extends AnyFunSuite {
       && again("lex_pairs_lost") == 0 && again("media_pairs_lost") == 0
       && again("sem_pairs_lost") == 0, again.toString)
   }
+
+  test("takedown tier hardening (r16): mid-fold batches survive the clear, file-less batch dirs tolerated, legacy-media impact degrades") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-takedown-r16").toString + "/idx"
+    Sink.writeFingerprints(docs, dir)
+    val hconf = spark.sessionState.newHadoopConf()
+
+    // a crash mid-tombstone-write used to leave a file-less batch dir
+    // that wedged schema inference for EVERY index read; the staged
+    // write keeps such residue out of the live table, and the
+    // data-bearing-dirs listing tolerates one planted by hand
+    val crashed = new org.apache.hadoop.fs.Path(s"$dir/deleted/batch=crashed")
+    val fs = crashed.getFileSystem(hconf)
+    fs.mkdirs(crashed)
+    assert(Sink.tombstones(spark, dir, "doc_id").isEmpty,
+      "a file-less batch dir is not a tombstone set")
+    assert(Sink.probeFingerprints(docs.limit(5), dir).count() == 5,
+      "probes must serve with a crashed tombstone write present")
+    fs.delete(crashed, true)
+
+    // the fold's SNAPSHOT discipline: a takedown batch landing between
+    // the fold's table reads and its clear must SURVIVE the clear
+    // (silent loss of a landed takedown is the wrong failure direction
+    // for a deletion tier)
+    Sink.deleteFingerprints(Seq(1L).toDF("doc_id"), dir, "t0")
+    Sink.deleteFingerprints(Seq(2L).toDF("doc_id"), dir, "t1")
+    val snap = Sink.tombstoneBatchDirs(spark, dir)
+    assert(snap.size == 2)
+    Sink.deleteFingerprints(Seq(3L).toDF("doc_id"), dir, "midfold")
+    Sink.clearTombstones(spark, dir, "", only = Some(snap))
+    val left = Sink.tombstones(spark, dir, "doc_id")
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+    assert(left == Set(3L),
+      s"mid-fold batch must survive the snapshotted clear: $left")
+    // and the surviving batch folds normally at the NEXT compaction
+    Sink.compactFingerprints(spark, dir)
+    assert(Sink.tombstones(spark, dir, "doc_id").isEmpty)
+    assert(spark.read.parquet(s"$dir/exact")
+      .filter(col("doc_id") === 3L).count() == 0,
+      "the surviving batch must fold at the next compaction")
+
+    // takedownImpact against a legacy pre-media index: the media
+    // metrics are OMITTED (loud note, the triageOf degradation), not a
+    // raw parquet path-not-found throw
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/media"), true)
+    val impact = Sink.takedownImpact(Seq(5L).toDF("doc_id"), dir)
+      .collect().map(_.getString(0)).toSet
+    assert(!impact.contains("media_rows")
+      && !impact.contains("media_pairs_lost"), impact.toString)
+    assert(impact.contains("exact_rows") && impact.contains("lex_pairs_lost"))
+  }
 }

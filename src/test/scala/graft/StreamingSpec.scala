@@ -198,9 +198,10 @@ class StreamingSpec extends AnyFunSuite {
       // batch 4 (X116): docs 2 and 12 are taken down MID-STREAM — the
       // very next micro-batch's probe honors the tombstones (a fresh
       // near-dup of 2's text reads fresh; the redelivered 12 reads
-      // fresh), and the admit does NOT re-admit a tombstoned id while
-      // its tombstone stands (the known-ids read is deliberately
-      // unfiltered — see the incrementalDedup admit comment)
+      // 'tombstoned', the r16 consumer-facing verdict), and the admit
+      // does NOT re-admit a tombstoned id while its tombstone stands
+      // (the known-ids read is deliberately unfiltered — see the
+      // incrementalDedup admit comment)
       graft.sink.Sink.deleteFingerprints(
         Seq(2L, 12L).toDF("doc_id"), s"$tmp/index", "t0")
       in.addData((30L, nearB),
@@ -229,11 +230,14 @@ class StreamingSpec extends AnyFunSuite {
     // admitted (exact dup), so 12's only index presence is itself
     assert(out((2L, 12L)) == ("fresh", None))
     // post-takedown batch: the near-dup of the tombstoned doc 2 reads
-    // FRESH (the standing side no longer serves it) and the tombstoned,
-    // redelivered 12 reads fresh too
+    // FRESH (the standing side no longer serves it); the tombstoned,
+    // redelivered 12 carries the DISTINCT verdict 'tombstoned' (r16 —
+    // it will never be admitted while the tombstone stands, so a
+    // 'fresh' verdict would mislead downstream keep decisions)
     assert(out((3L, 30L)) == ("fresh", None),
       "near-dup of a taken-down doc must read fresh")
-    assert(out((3L, 12L)) == ("fresh", None))
+    assert(out((3L, 12L)) == ("tombstoned", None),
+      "redelivered tombstoned doc must carry the 'tombstoned' verdict")
 
     // the per-batch TRIAGE page: batch 0's three docs land one per
     // (verdict, band) cell — the exact copy and the near-dup read
@@ -251,10 +255,14 @@ class StreamingSpec extends AnyFunSuite {
       ("near", "dup_heavy") -> 1L,
       ("fresh", "novel") -> 1L))
     assert(triage(2L) == Map(("fresh", "novel") -> 1L))
-    // the post-takedown batch's page: both docs (the near-dup of the
-    // tombstoned 2, the tombstoned redelivered 12) read fresh+novel —
-    // the standing side serves neither tombstoned doc to any dimension
-    assert(triage(3L) == Map(("fresh", "novel") -> 2L))
+    // the post-takedown batch's page: the near-dup of the tombstoned 2
+    // reads fresh+novel (the standing side no longer serves 2 to any
+    // dimension); the tombstoned redelivered 12 lands in its own
+    // 'tombstoned' verdict cell (r16) — the sign-off page shows the
+    // operator exactly which rows are takedown-blocked
+    assert(triage(3L) == Map(
+      ("fresh", "novel") -> 1L,
+      ("tombstoned", "novel") -> 1L))
   }
 
   test("media verdict stream: admit, index growth, and redelivery idempotency") {
