@@ -13,6 +13,28 @@ import org.apache.spark.sql.SparkSession
   * DuckDB baseline enjoys from the OS page cache.
   */
 object Bench {
+
+  /** Committed quiet-window CONTROL reference at sf0.1 (r16 — the
+    * judge's self-certification ask): loadavg gates only say how busy
+    * the box CLAIMS to be; these say how fast it actually IS, measured
+    * inside the run. q01 prices one cold count scan (IO + job floor);
+    * q29 prices the full shared shingle-kernel build + band join (the
+    * compute- and shuffle-sensitive control). Both run in the control
+    * posture (caches cleared, storage re-warmed — a fresh pass's
+    * accounting) FIRST and LAST, and the artifact carries all four
+    * numbers plus a verdict: 'loaded' when either control at either end
+    * exceeds reference × [[ControlLoadedFactor]]. Reference values are
+    * the min of 5 control runs in a certified-quiet window (1-min
+    * loadavg 0.9, BASELINE.md r16); the factor 3 sits above the ±20%
+    * JVM noise band and well below the 10–30× co-tenant burst swings
+    * this box documents (BASELINE r15: identical runs 2.5–97 s).
+    * sf0.1-only (the driver's bench posture) — other sf dirs read
+    * 'unknown'.
+    */
+  private val ControlRef =
+    Seq("q01_count_scan" -> 0.35, "q29_lsh_neardup" -> 2.50)
+  private val ControlLoadedFactor = 3.0
+
   private def sysLoad(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -186,6 +208,20 @@ object Bench {
     warmStorage()
     benched.foreach(runOnce) // warmup (JIT, codegen cache, parquet footers)
 
+    // in-run window CONTROLS (see ControlRef): first measurement AFTER
+    // warmup (steady-state engine, so the control reads the WINDOW, not
+    // JIT), second after everything else — a burst arriving mid-run
+    // shows up in at least one end
+    def controlRun(): Seq[Double] = ControlRef.map { case (name, _) =>
+      SparkEntry.registry.find(_.name == name).fold(-1.0) { q =>
+        spark.sqlContext.clearCache(); warmStorage()
+        val t0 = System.nanoTime()
+        runOnce(q)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val ctrlFirst = controlRun()
+
     // N timed passes after warmup, per-query MIN reported — single runs
     // swing ±20% from JVM/host noise; min-of-N is the steady-state figure
     // BASELINE.md describes, and "passes" in the JSON records N so the
@@ -305,6 +341,34 @@ object Bench {
           System.err.println(s"[bench] WARNING: pair denominator skipped: $e")
           None
       }
+    // second control measurement — LAST timed work of the run, so a
+    // burst arriving after the pair still marks the artifact
+    val ctrlLast = controlRun()
+    def f2v(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val refOk = new java.io.File(sfDir).getName == "sf0.1"
+    val windowVerdict =
+      if (!refOk) "unknown"
+      else if (Seq(ctrlFirst, ctrlLast).forall(c =>
+        c.zip(ControlRef).forall { case (v, (_, ref)) =>
+          v >= 0 && v <= ref * ControlLoadedFactor })) "quiet"
+      else "loaded"
+    // compact on stdout (every byte competes with the 2000-char tail —
+    // ctrl = [first q01, first q29, last q01, last q29]); the sidecar
+    // carries the named form with the committed reference
+    def windowJson(sidecar: Boolean): String =
+      if (sidecar)
+        s""","window":{"controls":[${ControlRef.map(c => "\"" + c._1 + "\"")
+          .mkString(",")}],""" +
+          s""""control_first":[${ctrlFirst.map(f2v).mkString(",")}],""" +
+          s""""control_last":[${ctrlLast.map(f2v).mkString(",")}],""" +
+          s""""ref":[${ControlRef.map(c => f2v(c._2)).mkString(",")}],""" +
+          s""""loaded_factor":$ControlLoadedFactor,""" +
+          s""""verdict":"$windowVerdict"}"""
+      else
+        s""","window":{"ctrl":[${(ctrlFirst ++ ctrlLast).map(f2v)
+          .mkString(",")}],"v":"$windowVerdict"}"""
+
     // The driver keeps only the LAST 2000 chars of stdout — BENCH_r07.json
     // lost q01–q10 to that window. The stdout line therefore rounds
     // per-query seconds to 10 ms (r15, when the 129-query map outgrew the
@@ -351,9 +415,11 @@ object Bench {
         s""","load_start":${String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(loadStart))}""" else ""
       // the pair rides on BOTH stdout and sidecar — it is the round
-      // artifact's denominator, not archaeology
+      // artifact's denominator, not archaeology; likewise the window
+      // self-certification (r16): a loaded driver window is then
+      // attributable from the artifact alone
       val pairPart = pairJson.fold("")("," + _)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson$loadJson,"queries":$qs$failedJson$pairPart,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson$loadJson,"queries":$qs$failedJson$pairPart${windowJson(sidecar)},"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // Locale.ROOT: Scala's f"" interpolator uses the JVM default locale,
     // which under comma-decimal locales (de_DE, ...) would emit 22,43 —

@@ -330,7 +330,7 @@ object Profile {
       import org.apache.spark.sql.functions._
       val fps = graft.queries.TrainingOps.mediaFps(spark, sfDir)
       val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
-          explode(sequence(lit(0), lit(4))).as("bk"))
+          explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))).as("bk"))
         .withColumn("bkey",
           expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
       val occ = bands.groupBy("bk", "bkey").agg(count(lit(1)).as("c"))
@@ -342,6 +342,53 @@ object Profile {
       println(s"[mediacand] docs=${fps.count()} candidates=${row.getLong(0)} " +
         s"bucket_max=${row.getLong(1)} occupied_buckets=${row.getLong(2)} " +
         s"verified_pairs=$verified")
+      // r16 SIZE-CLASS knob A/B (Multimodal.sizeClassesOf): the same
+      // bands additionally keyed by the exploded size class — candidate
+      // volume divides by the corpus's size spread; the verified pair
+      // count must MATCH the plain banding (near-dups at hamming ≤ 4
+      // have single-digit |Δn|, covered by the ±slack two-class
+      // emission). Session-path fingerprints (n_bytes travels with the
+      // row; the persisted media table deliberately stays n-free until
+      // the knob is turned on for real).
+      val minB = graft.multimodal.Multimodal.FingerprintMinBytes
+      val fpn = graft.util.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull && length(col("text")) >= minB)
+        .select(col("doc_id"), length(col("text")).as("n"),
+          graft.multimodal.Multimodal
+            .fingerprint(col("text").cast("binary")).as("f"))
+        .select(col("doc_id"), col("n"), col("f").getField("_1").as("fp0"),
+          col("f").getField("_2").as("fp1"))
+      val bandsSc = fpn.select(col("doc_id"), col("fp0"), col("fp1"),
+          explode(graft.multimodal.Multimodal.sizeClassesOf(col("n")))
+            .as("scls"))
+        .select(col("doc_id"), col("fp0"), col("fp1"), col("scls"),
+          explode(sequence(lit(0),
+            lit(graft.multimodal.Multimodal.MediaBands - 1))).as("bk"))
+        .withColumn("bkey",
+          expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+      val occSc = bandsSc.groupBy("scls", "bk", "bkey")
+        .agg(count(lit(1)).as("c"))
+      val rowSc = occSc.agg(
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand"),
+        max("c").as("bucket_max"), count(lit(1)).as("buckets")).head
+      val verifiedSc = bandsSc.as("a")
+        .join(bandsSc.hint("shuffle_hash").as("b"),
+          col("a.scls") === col("b.scls") && col("a.bk") === col("b.bk")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.fp0").as("fpa0"), col("a.fp1").as("fpa1"),
+          col("b.fp0").as("fpb0"), col("b.fp1").as("fpb1"))
+        .distinct()
+        .select(expr(graft.multimodal.Multimodal
+          .hammingSql("fpa0", "fpa1", "fpb0", "fpb1")).cast("int")
+          .as("hamming"))
+        .filter(col("hamming") <= graft.multimodal.Multimodal.MediaBands - 1)
+        .count()
+      println(s"[mediacand] sizeclass candidates=${rowSc.getLong(0)} " +
+        s"bucket_max=${rowSc.getLong(1)} occupied_buckets=${rowSc.getLong(2)} " +
+        s"verified_pairs=$verifiedSc (recall ${
+          if (verifiedSc == verified) "IDENTICAL" else s"DIVERGED vs $verified"})")
       spark.stop()
       return
     }
@@ -383,6 +430,49 @@ object Profile {
       for ((name, _) <- arms)
         println(f"[kmvab] $name%-6s min=${times(name).min}%7.3f runs " +
           times(name).reverse.map(v => f"$v%.3f").mkString(" "))
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> kmvscale [grains...]`: the q132
+    // fine-grained-provenance question (r16, the r15 watch item) — at
+    // |S| sources, is the |S|²/2 broadcast-NL pair stage still the
+    // right shape, and where does the banded stage (q134's
+    // kmvPairsBanded — candidates from joining exploded signatures on
+    // the element) cross over? Synthesizes |S| by refining source to
+    // source#(doc_id % grain), prints actual |S|, output pairs, and
+    // warmed min-of-2 for both stages off the SAME persisted signature
+    // frame (pair-stage isolation — the signature build is priced by
+    // kmvab). Numbers go to BASELINE.md r16.
+    if (args.length >= 2 && args(1) == "kmvscale") {
+      // a grain suffixed `:b` measures the banded stage only — the NL
+      // stage at |S| ≥ ~5·10³ is 10⁷+ pair evaluations (the measured
+      // per-pair estimator cost × |S|²/2), i.e. the REJECTION the tier
+      // table documents, not a number worth hours of wall-clock
+      val grains: Seq[(Int, Boolean)] =
+        (if (args.length > 2) args.drop(2).toSeq else Seq("5", "50", "500"))
+          .map { a =>
+            if (a.endsWith(":b")) (a.dropRight(2).toInt, false)
+            else (a.toInt, true)
+          }
+      for ((g, withNl) <- grains) {
+        val sigs = graft.queries.AuditOps
+          .kmvSigs(spark, sfDir, Some(g)).persist()
+        val nS = sigs.count()
+        def t(f: => Unit): Double = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        if (withNl) noop(graft.queries.AuditOps.kmvPairsNL(sigs)) // warm
+        noop(graft.queries.AuditOps.kmvPairsBanded(sigs))
+        val tNl =
+          if (withNl) t(noop(graft.queries.AuditOps.kmvPairsNL(sigs)))
+          else -1.0
+        val tBd = t(noop(graft.queries.AuditOps.kmvPairsBanded(sigs)))
+        val nPairs = graft.queries.AuditOps.kmvPairsBanded(sigs).count()
+        println(f"[kmvscale] grain=$g%-5d |S|=$nS%-6d out_pairs=$nPairs%-9d " +
+          f"nl_s=$tNl%7.3f banded_s=$tBd%7.3f")
+        sigs.unpersist()
+      }
       spark.stop()
       return
     }
@@ -598,6 +688,91 @@ object Profile {
       println(s"""{"metric":"compaction_cadence","n_batches":$nBatches,""" +
         s""""compact_every":$every,"uncompacted":${fmt(un)},""" +
         s""""compacted":${fmt(co)}}""")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> takedowncost [ns...]`: the X91
+    // treatment for the takedown tier (r16) — the three asserted-but-
+    // unmeasured numbers, measured:
+    //  (a) q124's stats STAND-DOWN penalty while tombstones exist (the
+    //      fpStatsDir gate: stats fast path → tombstone-filtered raw
+    //      accessors → healed after the fold);
+    //  (b) probe latency under N accumulated tombstone batches — each
+    //      probe pays a deleted/ read + anti-join per batch count
+    //      (flat-vs-degrading is the production cadence question: N
+    //      grows until a fold);
+    //  (c) the fold's marginal cost over a plain compaction of an
+    //      identical index (single-shot by nature — a fold clears its
+    //      own input; the comparator index is built identically).
+    // Numbers go to the BASELINE.md r16 cadence table.
+    if (args.length >= 2 && args(1) == "takedowncost") {
+      import org.apache.spark.sql.functions.col
+      val ns = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(1, 4, 16, 64)
+      val docs = graft.util.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      val emb = graft.util.Tables.embeddings(spark, sfDir)
+      val probe = docs.filter(col("doc_id") % 35 === 0)
+      val probeEmb = emb.filter(col("vec_id") % 35 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tdcost").toString
+      val fpDir = s"$tmp/fp"; val fpDir2 = s"$tmp/fp2"
+      val vecDir = s"$tmp/vec"; val vecDir2 = s"$tmp/vec2"
+      graft.sink.Sink.writeFingerprints(docs, fpDir)
+      graft.sink.Sink.writeFingerprints(docs, fpDir2)
+      graft.sink.Sink.writeVectorIndex(emb, vecDir)
+      graft.sink.Sink.writeVectorIndex(emb, vecDir2)
+      def timed(f: => Unit): Double = (1 to 3).map { _ =>
+        spark.sqlContext.clearCache(); graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      // (a) stats path / stand-down / healed
+      spark.conf.set("spark.graft.fpIndex", fpDir)
+      val q124 = SparkEntry.queries("q124_index_stats")
+      noop(q124(spark, sfDir)) // warm
+      val statsS = timed(noop(q124(spark, sfDir)))
+      graft.sink.Sink.deleteFingerprints(
+        docs.filter(col("doc_id") % 997 === 0).select("doc_id"), fpDir, "sd")
+      val downS = timed(noop(q124(spark, sfDir)))
+      graft.sink.Sink.compactFingerprints(spark, fpDir)
+      val healS = timed(noop(q124(spark, sfDir)))
+      spark.conf.unset("spark.graft.fpIndex")
+      println(f"[takedowncost] q124 stats=$statsS%.3f standdown=$downS%.3f " +
+        f"healed=$healS%.3f")
+      // (b) probe latency vs accumulated batches (request-sized slices)
+      def probeRow(n: Int): Unit = {
+        val fpS = timed(noop(graft.sink.Sink.probeFingerprints(probe, fpDir)))
+        val mdS = timed(noop(graft.sink.Sink.probeMediaNearDup(probe, fpDir)))
+        val nvS = timed(noop(graft.sink.Sink.probeNovelty(probe, fpDir)))
+        val vcS = timed(noop(
+          graft.sink.Sink.probeVectorIndex(probeEmb, vecDir)))
+        println(f"[takedowncost] n_batches=$n%-3d probe_fp=$fpS%.3f " +
+          f"probe_media=$mdS%.3f probe_novelty=$nvS%.3f probe_vec=$vcS%.3f")
+      }
+      probeRow(0)
+      var landed = 0
+      for (n <- ns) {
+        while (landed < n) {
+          graft.sink.Sink.deleteFingerprints(
+            docs.filter(col("doc_id") % 4099 === landed).select("doc_id")
+              .limit(64), fpDir, s"n$landed")
+          graft.sink.Sink.deleteVectors(
+            emb.filter(col("vec_id") % 4099 === landed)
+              .select(col("vec_id")).limit(64), vecDir, s"n$landed")
+          landed += 1
+        }
+        probeRow(n)
+      }
+      // (c) fold-with-tombstones vs plain compaction, both indexes
+      def once(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val foldFp = once(graft.sink.Sink.compactFingerprints(spark, fpDir))
+      val plainFp = once(graft.sink.Sink.compactFingerprints(spark, fpDir2))
+      val foldVec = once(graft.sink.Sink.compactVectorIndex(spark, vecDir))
+      val plainVec = once(graft.sink.Sink.compactVectorIndex(spark, vecDir2))
+      println(f"[takedowncost] fold_fp=$foldFp%.3f plain_fp=$plainFp%.3f " +
+        f"fold_vec=$foldVec%.3f plain_vec=$plainVec%.3f (n_batches=$landed)")
       spark.stop()
       return
     }

@@ -277,16 +277,44 @@ object Multimodal {
     udf((p: Array[Byte]) => { val a = fingerprintOf(p); (a(0), a(1)) })
       .apply(payload)
 
-  /** SQL expression for band `k` (0–4) over the two packed longs — the
-    * 5×24-bit band layout every media consumer shares (bands 0–1 live in
-    * fp0, band 2 straddles fp0[48..59]|fp1[0..11], bands 3–4 in fp1).
+  /** THE BAND KNOB (r16 — the 1e9-doc staging): the 120 fingerprint
+    * bits are banded [[MediaBands]] × [[MediaBandBits]]. The pigeonhole
+    * arithmetic that makes the pair joins EXHAUSTIVE: a pair at hamming
+    * h has at most h differing bands, so any h ≤ MediaBands − 1 leaves
+    * ≥ 1 band intact and the equi-join on (bk, bandkey) surfaces the
+    * pair — the radius-(MediaBands−1) guarantee every media consumer
+    * (q125/q129/q131, probeMediaNearDup, takedownImpact) relies on.
+    * The residual candidate floor is C(n,2) · MediaBands / 2^MediaBandBits
+    * by construction (q129 certifies the uniform model), so the
+    * documented 1e9-doc escape is trading radius for keyspace — e.g.
+    * 4×30 bits halves the guaranteed radius to 3 while cutting the
+    * uniform floor 64×/band — or partitioning the corpus by the
+    * SIZE-CLASS component below. Changing either constant changes the
+    * persisted index layout AND the hand-mirrored oracle CTEs
+    * (AuditOps.mediaPairCtes, q129's inline CASE): rebuild indexes with
+    * writeFingerprints and re-pin the oracles together.
     */
-  private def bandKeyOf(fp0: String, fp1: String, k: Int): String = k match {
-    case 0 => s"$fp0 & 16777215"
-    case 1 => s"shiftright($fp0, 24) & 16777215"
-    case 2 => s"(shiftright($fp0, 48) & 4095) | shiftleft($fp1 & 4095, 12)"
-    case 3 => s"shiftright($fp1, 12) & 16777215"
-    case _ => s"shiftright($fp1, 36) & 16777215"
+  val MediaBands = 5
+  val MediaBandBits = 24
+
+  /** SQL expression for band `k` (0 until [[MediaBands]]) over the two
+    * packed 60-bit longs — derived from the constants (band k covers
+    * bits [k·W, (k+1)·W); a band straddling the fp0/fp1 seam at bit 60
+    * recombines both).
+    */
+  private def bandKeyOf(fp0: String, fp1: String, k: Int): String = {
+    val lo = k * MediaBandBits
+    val hi = lo + MediaBandBits
+    val mask = (1L << MediaBandBits) - 1
+    if (hi <= 60) {
+      if (lo == 0) s"$fp0 & $mask" else s"shiftright($fp0, $lo) & $mask"
+    } else if (lo >= 60) s"shiftright($fp1, ${lo - 60}) & $mask"
+    else {
+      val loBits = 60 - lo
+      val loMask = (1L << loBits) - 1
+      val hiMask = (1L << (MediaBandBits - loBits)) - 1
+      s"(shiftright($fp0, $lo) & $loMask) | shiftleft($fp1 & $hiMask, $loBits)"
+    }
   }
 
   /** The band key as one expression over a band-index column — the form
@@ -296,22 +324,48 @@ object Multimodal {
     * audit query uses can never drift.
     */
   def bandKeySql(fp0: String, fp1: String, bk: String = "bk"): String =
-    s"CASE $bk WHEN 0 THEN ${bandKeyOf(fp0, fp1, 0)} " +
-      s"WHEN 1 THEN ${bandKeyOf(fp0, fp1, 1)} " +
-      s"WHEN 2 THEN ${bandKeyOf(fp0, fp1, 2)} " +
-      s"WHEN 3 THEN ${bandKeyOf(fp0, fp1, 3)} " +
-      s"ELSE ${bandKeyOf(fp0, fp1, 4)} END"
+    (0 until MediaBands - 1).map(k =>
+      s"WHEN $k THEN ${bandKeyOf(fp0, fp1, k)} ").mkString(s"CASE $bk ", "",
+      s"ELSE ${bandKeyOf(fp0, fp1, MediaBands - 1)} END")
 
-  /** Boolean SQL expression: do two fingerprints share ≥ 1 of the 5
-    * bands? The explode-free form for panel-bounded audits (q129's
-    * calibration row) — same [[bandKeyOf]] definition as the banded
-    * joins, so "would the candidate join surface this pair" is answered
-    * with the join's own keys.
+  /** Boolean SQL expression: do two fingerprints share ≥ 1 band? The
+    * explode-free form for panel-bounded audits (q129's calibration
+    * row) — same [[bandKeyOf]] definition as the banded joins, so
+    * "would the candidate join surface this pair" is answered with the
+    * join's own keys.
     */
   def bandsShareSql(a0: String, a1: String, b0: String, b1: String): String =
-    (0 until 5).map(k =>
+    (0 until MediaBands).map(k =>
       s"(${bandKeyOf(a0, a1, k)}) = (${bandKeyOf(b0, b1, k)})")
       .mkString(" OR ")
+
+  /** The SIZE-CLASS band-key component (r16, staged — default OFF, no
+    * behavior change at current scale): partitioning the band join by
+    * floor(log2(n_bytes)) divides every bucket's occupancy by the
+    * corpus's size-class spread, attacking the uniform candidate floor
+    * directly — near-dup payloads at hamming ≤ MediaBands−1 are
+    * near-identical byte streams whose length delta is bounded by the
+    * edit-bound arithmetic (a contiguous k-byte insert flips up to
+    * 2(k+5) parities, so a ≤4-bit pair's |Δn| is single-digit bytes).
+    * To stay EXHAUSTIVE across a power-of-2 boundary each side emits
+    * the classes of BOTH n and n + [[SizeClassSlack]] (≤ 2 distinct —
+    * an 8-byte span straddles at most one boundary for n ≥ 8, and
+    * FingerprintMinBytes = 125 ≫ 8): for any pair with
+    * na ≤ nb ≤ na + Slack, cls(nb) ∈ {cls(na), cls(na+Slack)}, so the
+    * join on the exploded class matches; the existing candidate
+    * distinct() absorbs the ≤2× emission. Measured on/off by Profile
+    * `mediacand` (BASELINE.md r16) — at the current corpus the verified
+    * pair set is IDENTICAL with the knob on.
+    */
+  val SizeClassSlack = 8
+
+  /** The ≤ 2 size classes a payload of `n` bytes participates in (see
+    * [[SizeClassSlack]]): array(floor(log2 n), floor(log2 (n+slack))),
+    * deduplicated. */
+  def sizeClassesOf(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_distinct(array(
+      floor(log2(n.cast("double"))).cast("long"),
+      floor(log2((n + lit(SizeClassSlack)).cast("double"))).cast("long")))
 
   /** SQL expression for the hamming distance between two packed pairs. */
   def hammingSql(a0: String, a1: String, b0: String, b1: String): String =

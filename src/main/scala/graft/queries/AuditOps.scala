@@ -336,7 +336,7 @@ object AuditOps {
       val fps = graft.util.Caches.transientPersist(
         TrainingOps.mediaFps(s, d))
       val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
-          explode(sequence(lit(0), lit(4))).as("bk"))
+          explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))).as("bk"))
         .withColumn("bkey",
           expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
       bands.as("a").join(bands.hint("shuffle_hash").as("b"),
@@ -434,6 +434,87 @@ object AuditOps {
       "mpairs AS (SELECT ida, idb, " +
       "CAST(bit_count(xor(fpa0, fpb0)) + bit_count(xor(fpa1, fpb1)) AS INTEGER) AS hamming " +
       "FROM mcand WHERE bit_count(xor(fpa0, fpb0)) + bit_count(xor(fpa1, fpb1)) <= 4)"
+
+  // ---- the KMV source-overlap pair stages (q132/q134, r15/r16) -------
+
+  /** The bottom-k/KMV signature frame per source — q132's aggregate,
+    * parameterized by provenance granularity: `grain` refines `source`
+    * to `source#(doc_id % grain)`, the synthetic fine-grained-provenance
+    * scenario (per-domain sources) the sketch exists for. Per-source
+    * state is O(k) at ANY granularity; one exchange of map-side-combined
+    * partial buffers.
+    */
+  private[graft] def kmvSigs(s: SparkSession, d: String,
+      grain: Option[Int] = None, k: Int = 256): DataFrame = {
+    val srcCol = grain match {
+      case Some(g) => concat(col("source"), lit("#"),
+        (col("doc_id") % g).cast("string"))
+      case None => col("source")
+    }
+    val src = documents(s, d).select(col("doc_id"), srcCol.as("source"))
+    val sig = udaf(new graft.functions.KmvSignature(k))
+    TrainingOps.shinglePostings(s, d)
+      .join(src.hint("shuffle_hash"), "doc_id")
+      .groupBy("source").agg(sig(col("h1")).as("sig"))
+  }
+
+  /** The KMV Jaccard estimator over a candidate frame of (source_a,
+    * source_b, sa, sb): est = |{h ∈ A∩B : h ≤ kth-min(A∪B)}| /
+    * min(k, |A∪B|) — exact integer arithmetic until the one division
+    * (q132's oracle-checkable contract). ONE definition shared by the
+    * NL and banded pair stages, so the estimate cannot drift between
+    * the bounded-|S| and fine-grained paths.
+    */
+  private def kmvEstimate(k: Int)(pairs: DataFrame): DataFrame = pairs
+    .withColumn("u", array_sort(array_union(col("sa"), col("sb"))))
+    .withColumn("denom", least(size(col("u")), lit(k)))
+    .withColumn("t", element_at(col("u"), col("denom")))
+    .withColumn("n_common", size(expr(
+      "filter(array_intersect(sa, sb), x -> x <= t)")).cast("long"))
+    .filter(col("n_common") > 0)
+    .select(col("source_a"), col("source_b"), col("n_common"),
+      (col("n_common").cast("double") / col("denom").cast("double"))
+        .as("est_jacc"))
+
+  /** q132's pair stage: broadcast nested-loop over the |sources|-row
+    * signature frame — |S|²/2 bounded-cost rows, shuffle-free, the
+    * right shape at the documented tens-of-sources contract. At
+    * fine-grained provenance |S|²/2 dominates ([[kmvPairsBanded]] is
+    * the scale path; Profile `kmvscale` measures the crossover).
+    */
+  private[graft] def kmvPairsNL(sigs: DataFrame, k: Int = 256): DataFrame =
+    kmvEstimate(k)(
+      sigs.select(col("source").as("source_a"), col("sig").as("sa"))
+        .join(broadcast(sigs.select(col("source").as("source_b"),
+          col("sig").as("sb"))), col("source_a") < col("source_b")))
+
+  /** The fine-grained-provenance pair stage (r16 — the r15 "band the
+    * signature minima" posture as code): every output pair has
+    * n_common > 0, i.e. shares a signature element ≤ the union's
+    * kth-min — in particular shares a signature ELEMENT — so joining
+    * the exploded signatures on the element finds every output pair
+    * and ONLY co-occurring ones. Candidate volume is the co-occurrence
+    * structure itself (output-bounded + the per-element fan-out),
+    * never |S|²/2: at 10⁵ sources the NL stage enumerates 5·10⁹ pairs
+    * whether or not they overlap; this stage pays |S|·k exploded rows
+    * (one shuffle on the 64-bit element) plus the pairs that actually
+    * co-occur. Estimate-identity with [[kmvPairsNL]] is pinned in
+    * AuditSpec; the per-element fan-out is bounded by the number of
+    * sources sharing a bottom-k hash (skew = real cross-source
+    * duplication, exactly what the report exists to surface).
+    */
+  private[graft] def kmvPairsBanded(sigs: DataFrame, k: Int = 256): DataFrame = {
+    val el = sigs.select(col("source"), explode(col("sig")).as("h"))
+    val cand = el.select(col("source").as("source_a"), col("h"))
+      .join(el.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .select("source_a", "source_b").distinct()
+    kmvEstimate(k)(cand
+      .join(sigs.select(col("source").as("source_a"), col("sig").as("sa")),
+        Seq("source_a"))
+      .join(sigs.select(col("source").as("source_b"), col("sig").as("sb")),
+        Seq("source_b")))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -535,30 +616,13 @@ object AuditOps {
     // the signatures' minima first if |S| ever makes even that heavy).
     Q("q132_source_overlap_sketch",
       (s, d) => {
-        val k = 256
-        val src = documents(s, d).select(col("doc_id"), col("source"))
-        val sig = org.apache.spark.sql.functions
-          .udaf(new graft.functions.KmvSignature(k))
-        // same doc_id-keyed source attach as q96 (shuffle_hash for the
-        // same planner-estimate reason); duplicates need no pre-distinct
-        // — the signature buffer dedups by construction
-        val sigs = TrainingOps.shinglePostings(s, d)
-          .join(src.hint("shuffle_hash"), "doc_id")
-          .groupBy("source").agg(sig(col("h1")).as("sig"))
-        val pairs = sigs.select(col("source").as("source_a"), col("sig").as("sa"))
-          .join(broadcast(sigs.select(col("source").as("source_b"),
-            col("sig").as("sb"))), col("source_a") < col("source_b"))
-        pairs
-          .withColumn("u", array_sort(array_union(col("sa"), col("sb"))))
-          .withColumn("denom", least(size(col("u")), lit(k)))
-          .withColumn("t", element_at(col("u"), col("denom")))
-          .withColumn("n_common", size(expr(
-            "filter(array_intersect(sa, sb), x -> x <= t)")).cast("long"))
-          .filter(col("n_common") > 0)
-          .select(col("source_a"), col("source_b"), col("n_common"),
-            (col("n_common").cast("double") / col("denom").cast("double"))
-              .as("est_jacc"))
-          .orderBy("source_a", "source_b")
+        // signature aggregate + NL pair stage, both factored (r16) so
+        // the fine-grained path (q134/kmvPairsBanded) shares the same
+        // doc_id-keyed source attach (shuffle_hash for the q96
+        // planner-estimate reason; duplicates need no pre-distinct —
+        // the signature buffer dedups by construction) and the SAME
+        // estimator expression
+        kmvPairsNL(kmvSigs(s, d)).orderBy("source_a", "source_b")
       },
       Some(s"WITH ${TrainingOps.shCte}, ${TrainingOps.shhCte}, " +
         "ss AS (SELECT DISTINCT dd.source, shh.h1 FROM shh JOIN documents dd USING (doc_id)), " +
@@ -1946,7 +2010,7 @@ object AuditOps {
       (s, d) => {
         val fps = TrainingOps.mediaFps(s, d)
         val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
-            explode(sequence(lit(0), lit(4))).as("bk"))
+            explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))).as("bk"))
           .withColumn("bkey",
             expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
         val occ = bands.groupBy("bk", "bkey").agg(count(lit(1)).as("c"))
@@ -2171,6 +2235,50 @@ object AuditOps {
         "CAST(sum(hit) AS BIGINT) AS n_band_hit, " +
         "CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hit_rate " +
         "FROM mpp GROUP BY 1 ORDER BY 1")),
+
+    // q132 at FINE-GRAINED provenance (r16 — the r15 watch item as a
+    // first-class oracle row, not a posture): source refined to
+    // source#(doc_id % 7) — the per-domain-provenance stand-in that
+    // multiplies |S| past the tens-of-sources contract — and the pair
+    // stage BANDED BY THE SIGNATURE MINIMA ([[kmvPairsBanded]]) instead
+    // of q132's |S|²/2 broadcast NL: candidates come from joining the
+    // exploded signatures on the element (every output pair shares a
+    // signature element by construction — n_common > 0 needs one), so
+    // the stage pays |S|·k exploded rows + the pairs that actually
+    // co-occur, never the full cross square. Same signature aggregate,
+    // same estimator expression (kmvEstimate — one definition), so the
+    // two stages cannot drift; estimate-identity additionally pinned in
+    // AuditSpec and the |S| crossover measured by Profile `kmvscale`
+    // (BASELINE.md r16). The oracle mirrors the banded shape: candidate
+    // pairs from the sig-element self-join, then the q132 estimator.
+    Q("q134_source_overlap_fine",
+      (s, d) => kmvPairsBanded(kmvSigs(s, d, grain = Some(7)))
+        .orderBy("source_a", "source_b"),
+      Some(s"WITH ${TrainingOps.shCte}, ${TrainingOps.shhCte}, " +
+        "ss AS (SELECT DISTINCT dd.source || '#' || " +
+        "CAST(dd.doc_id % 7 AS VARCHAR) AS source, shh.h1 " +
+        "FROM shh JOIN documents dd USING (doc_id)), " +
+        "sig AS (SELECT source, h1 FROM (SELECT source, h1, " +
+        "row_number() OVER (PARTITION BY source ORDER BY h1) AS rn FROM ss) " +
+        "WHERE rn <= 256), " +
+        "pr AS (SELECT DISTINCT a.source AS sa, b.source AS sb " +
+        "FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.source < b.source), " +
+        "ua AS (SELECT pr.sa, pr.sb, s.h1, 1 AS ina, 0 AS inb " +
+        "FROM pr JOIN sig s ON s.source = pr.sa), " +
+        "ub AS (SELECT pr.sa, pr.sb, s.h1, 0 AS ina, 1 AS inb " +
+        "FROM pr JOIN sig s ON s.source = pr.sb), " +
+        "uni AS (SELECT sa, sb, h1, max(ina) AS ina, max(inb) AS inb " +
+        "FROM (SELECT * FROM ua UNION ALL SELECT * FROM ub) GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT sa, sb, h1, ina, inb, " +
+        "row_number() OVER (PARTITION BY sa, sb ORDER BY h1) AS rn, " +
+        "count(*) OVER (PARTITION BY sa, sb) AS nu FROM uni) " +
+        "SELECT sa AS source_a, sb AS source_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / CAST(denom AS DOUBLE) AS est_jacc " +
+        "FROM (SELECT sa, sb, " +
+        "CAST(sum(CASE WHEN rn <= LEAST(nu, 256) AND ina = 1 AND inb = 1 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_common, " +
+        "LEAST(min(nu), 256) AS denom FROM rk GROUP BY sa, sb) " +
+        "WHERE n_common > 0 ORDER BY source_a, source_b")),
   )
 
 }

@@ -698,7 +698,7 @@ object Sink {
     val mediaLost = if (!hasMedia) None else Some {
       val mediaAll = graft.util.Caches.transientPersist(idx("media"))
       def banded(df: DataFrame): DataFrame = df
-        .withColumn("bk", explode(sequence(lit(0), lit(4))))
+        .withColumn("bk", explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))))
         .withColumn("bkey",
           expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
       val n = banded(delSide(mediaAll))
@@ -931,7 +931,7 @@ object Sink {
       .join(batch.select(col("doc_id").as("bid")),
         col("near_of") === col("bid"), "left_anti")
     def banded(df: DataFrame, c0: String, c1: String): DataFrame = df
-      .withColumn("bk", explode(sequence(lit(0), lit(4))))
+      .withColumn("bk", explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))))
       .withColumn("bkey",
         expr(graft.multimodal.Multimodal.bandKeySql(c0, c1)))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")

@@ -96,6 +96,31 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q134: the banded pair stage is estimate-identical to the NL stage at fine-grained provenance") {
+    // the r16 scale path: candidates from joining exploded signatures on
+    // the element must reproduce the |S|²/2 NL stage's output EXACTLY —
+    // every output pair shares a signature element (n_common > 0 needs
+    // one), and both stages share the kmvEstimate expression
+    val sigs = graft.queries.AuditOps.kmvSigs(spark, d, grain = Some(7))
+      .persist()
+    try {
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val nl = asMap(graft.queries.AuditOps.kmvPairsNL(sigs))
+      val banded = asMap(graft.queries.AuditOps.kmvPairsBanded(sigs))
+      assert(nl.nonEmpty,
+        "fixture must co-occur somewhere or the pin is vacuous")
+      assert(banded == nl)
+      // and the registry face rides exactly the banded stage
+      val q134 = SparkEntry
+        .queries("q134_source_overlap_fine")(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(q134 == nl)
+    } finally { sigs.unpersist(); () }
+  }
+
   test("q97 DSIR weights match a driver-side fixed-point recomputation") {
     val tok = docs.map { case (id, lang, _, _, ws) => (id, lang, ws) }
     val bucketOf = (w: String) => java.lang.Math.floorMod(h1(w), 512L)

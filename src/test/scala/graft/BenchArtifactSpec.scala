@@ -39,8 +39,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     val pairWorst = (""","pair":{"spark_s":99999.999,"duckdb_s":99999.999,""" +
       """"ratio":99.999,"common":999,"duck_passes":999,""" +
       """"loadavg":[99.99,99.99,99.99]}""").length
+    // the r16 window self-certification fragment: four control values
+    // at 2 decimals (a pathological window can push a control past
+    // 100 s — budget 6-char values) + the verdict word
+    val windowWorst =
+      ""","window":{"ctrl":[999.99,999.99,999.99,999.99],"v":"unknown"}""".length
     val worst = prefix + entries.sum + (entries.size - 1) + suffix +
-      failedWorst + pairWorst
+      failedWorst + pairWorst + windowWorst
     assert(worst < 2000,
       s"projected bench JSON line $worst chars for ${benched.size} benched queries — " +
         "the driver captures only the last 2000; shorten names or the format")
