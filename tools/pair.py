@@ -45,8 +45,11 @@ def main():
 
     load0 = loadavg()
 
-    # numerator: Bench, full-precision sidecar
-    bench_sidecar = f"{tmp}/bench_full.json"
+    # numerator: Bench, full-precision sidecar (SPARK_GRAFT_BENCH_OUT
+    # overrides — the deliberate path for refreshing the committed
+    # bench_full.json from a certified-quiet closing pair)
+    bench_sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT") \
+        or f"{tmp}/bench_full.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_BENCH_PASSES=bench_passes,

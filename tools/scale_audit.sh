@@ -51,6 +51,11 @@ run q110_neardup_split_leakage,q111_contamination_pairs /tmp/graft-sf10r 100 64g
 # kernels it composes (q29 lexical, q33 semantic, q125 media)
 run q132_source_overlap_sketch /tmp/graft-sf1r 10 48g
 run q132_source_overlap_sketch /tmp/graft-sf10r 100 64g
+# r16: the fine-grained-provenance face (banded pair stage off the same
+# signature aggregate — slope prices the exploded-signature exchange +
+# the co-occurrence-bounded candidate join)
+run q134_source_overlap_fine /tmp/graft-sf1r 10 48g
+run q134_source_overlap_fine /tmp/graft-sf10r 100 64g
 run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf1r 10 48g
 run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf10r 100 64g
 # r12b: span decontamination (q114 rides q112's shared kernel — its row
