@@ -162,6 +162,18 @@ object Cli {
       println(s"[graft] takedown: $n ids -> $idxDir/deleted/batch=$tag")
       0
 
+    case "impact" :: idxDir :: idsPath :: rest if rest.size <= 1 =>
+      // X116 (r16): price a PROSPECTIVE takedown batch against the
+      // standing artifacts BEFORE `takedown` lands it — the production
+      // twin of the oracle-green q133 (which prices the %97 stand-in):
+      // a REAL id list against a REAL fingerprint index (and optionally
+      // a vector index), no corpus access. Already-tombstoned rows are
+      // excluded, so pricing after a partial landing never re-bills.
+      Sink.takedownImpact(spark.read.parquet(idsPath), idxDir,
+        rest.headOption).collect().foreach(r =>
+        println(f"[graft] impact: ${r.getString(0)}%-17s ${r.getLong(1)}%d"))
+      0
+
     case "audit" :: sfDir :: idxDir :: rest if rest.size == 1 || rest.size == 2 =>
       // X97: the standing-corpus audit suite, INDEX-RIDING — the
       // contamination/leakage/memorization reports load the persisted
@@ -233,6 +245,7 @@ object Cli {
            |  vecindex <sfDir> <indexDir>
            |  vecstats <indexDir>
            |  takedown <indexDir> <idsParquet> <batchTag> [vec]
+           |  impact <indexDir> <idsParquet> [vecIndexDir]
            |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

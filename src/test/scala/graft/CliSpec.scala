@@ -83,6 +83,13 @@ class CliSpec extends AnyFunSuite {
       .filter(col("vec_id") % 7 === 0).select("vec_id").write.parquet(vids)
     assert(Cli.run(spark, List("takedown", vidx, vids, "t0", "vec")) == 0)
     assert(spark.read.parquet(s"$vidx/deleted").count() > 0)
+
+    // `impact` (r16): the pre-takedown pricing page runs off the same
+    // index + id parquet the takedown consumes — with and without the
+    // optional vector index (the fp index above already carries t0
+    // tombstones, so the run also exercises the no-re-bill path)
+    assert(Cli.run(spark, List("impact", idx, ids)) == 0)
+    assert(Cli.run(spark, List("impact", idx, ids, vidx)) == 0)
   }
 
   test("unknown command exits 2") {
