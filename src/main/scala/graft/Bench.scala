@@ -31,8 +31,20 @@ object Bench {
     * and well below the 10–30× co-tenant burst swings this box
     * documents (BASELINE r15: identical runs 2.5–97 s). sf0.1-only
     * (the driver's bench posture) — other sf dirs read 'unknown'.
+    *
+    * PORTABILITY (r17 — the committed values are THIS box's, and a
+    * driver-box change would otherwise flip every future artifact to
+    * 'loaded'): `SPARK_GRAFT_CTRL_REF="<q01_s>,<q29_s>"` overrides the
+    * committed reference (the sf gate then defers to the operator —
+    * the override asserts "these are quiet values for THIS sfDir/box"),
+    * and `SPARK_GRAFT_CTRL_MEASURE=N` is the one-command re-measure:
+    * Bench warms the two controls, runs the control loop N times in
+    * the exact artifact posture, prints the per-control MIN (the
+    * quiet-window figure to commit here / export as the override) as
+    * one JSON line, and exits without benching. Run it in a certified
+    * quiet window (loadavg + a repeat agreeing within the noise band).
     */
-  private val ControlRef =
+  private val DefaultControlRef =
     Seq("q01_count_scan" -> 0.12, "q29_lsh_neardup" -> 1.30)
   private val ControlLoadedFactor = 3.0
 
@@ -205,22 +217,67 @@ object Bench {
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
       } catch { case _: Throwable => false }
 
+    // committed reference, or the operator's override (defensive parse:
+    // a malformed override falls back to the committed values, loudly —
+    // a typo must not silently re-baseline the verdict)
+    val controlRef: Seq[(String, Double)] =
+      sys.env.get("SPARK_GRAFT_CTRL_REF").flatMap { s =>
+        val vs = s.split(",").map(v => v.trim.toDoubleOption)
+        if (vs.length == DefaultControlRef.length && vs.forall(_.exists(_ > 0)))
+          Some(DefaultControlRef.map(_._1).zip(vs.map(_.get)))
+        else {
+          System.err.println(s"[bench] WARNING: malformed " +
+            s"SPARK_GRAFT_CTRL_REF '$s' (want ${DefaultControlRef.size} " +
+            "positive comma-separated seconds) — using the committed reference")
+          None
+        }
+      }.getOrElse(DefaultControlRef)
+    val ctrlOverridden = controlRef != DefaultControlRef
+
+    // in-run window CONTROLS (see DefaultControlRef): first measurement
+    // AFTER warmup (steady-state engine, so the control reads the
+    // WINDOW, not JIT), second after everything else — a burst arriving
+    // mid-run shows up in at least one end
+    // a control that CRASHES (runOnce false) or is missing from the
+    // registry reads -1 and the verdict becomes 'control_failed' below
+    // (r17 advice): letting a crashed control's short elapsed time pass
+    // the quiet check would self-certify exactly the windows the
+    // controls exist to flag
+    def controlRun(): Seq[Double] = controlRef.map { case (name, _) =>
+      SparkEntry.registry.find(_.name == name).fold(-1.0) { q =>
+        spark.sqlContext.clearCache(); warmStorage()
+        val t0 = System.nanoTime()
+        val ok = runOnce(q)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+    }
+
+    // re-measure mode (see the DefaultControlRef portability note):
+    // print the per-control min over N control runs and exit
+    scala.util.Try(sys.env("SPARK_GRAFT_CTRL_MEASURE").trim.toInt).toOption
+      .foreach { n0 =>
+        val n = n0.max(1)
+        spark.sqlContext.clearCache(); warmStorage()
+        controlRef.foreach(c =>
+          SparkEntry.registry.find(_.name == c._1).foreach(runOnce)) // warmup
+        val runs = (1 to n).map(_ => controlRun())
+        def f2m(v: Double) =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val mins = controlRef.indices.map { i =>
+          val ok = runs.map(_(i)).filter(_ >= 0)
+          if (ok.isEmpty) -1.0 else ok.min
+        }
+        println(controlRef.map(_._1).zip(mins)
+          .map { case (nm, v) => s""""$nm":${f2m(v)}""" }
+          .mkString("""{"ctrl_ref":{""", ",",
+            s"""},"runs":$n,"sf":"${new java.io.File(sfDir).getName}"}"""))
+        spark.stop(); sys.exit(0)
+      }
+
     spark.sqlContext.clearCache() // pass boundary: shared index rebuilt within the pass
     warmStorage()
     benched.foreach(runOnce) // warmup (JIT, codegen cache, parquet footers)
 
-    // in-run window CONTROLS (see ControlRef): first measurement AFTER
-    // warmup (steady-state engine, so the control reads the WINDOW, not
-    // JIT), second after everything else — a burst arriving mid-run
-    // shows up in at least one end
-    def controlRun(): Seq[Double] = ControlRef.map { case (name, _) =>
-      SparkEntry.registry.find(_.name == name).fold(-1.0) { q =>
-        spark.sqlContext.clearCache(); warmStorage()
-        val t0 = System.nanoTime()
-        runOnce(q)
-        (System.nanoTime() - t0) / 1e9
-      }
-    }
     val ctrlFirst = controlRun()
 
     // N timed passes after warmup, per-query MIN reported — single runs
@@ -347,23 +404,29 @@ object Bench {
     val ctrlLast = controlRun()
     def f2v(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val refOk = new java.io.File(sfDir).getName == "sf0.1"
+    // an explicit SPARK_GRAFT_CTRL_REF asserts quiet values for THIS
+    // sfDir/box, so it lifts the sf0.1-only gate (the committed values
+    // are sf0.1's); a crashed/missing control is its own verdict — a
+    // failure must not read as 'loaded' (and certainly not 'quiet')
+    val refOk = ctrlOverridden || new java.io.File(sfDir).getName == "sf0.1"
     val windowVerdict =
-      if (!refOk) "unknown"
+      if ((ctrlFirst ++ ctrlLast).exists(_ < 0)) "control_failed"
+      else if (!refOk) "unknown"
       else if (Seq(ctrlFirst, ctrlLast).forall(c =>
-        c.zip(ControlRef).forall { case (v, (_, ref)) =>
-          v >= 0 && v <= ref * ControlLoadedFactor })) "quiet"
+        c.zip(controlRef).forall { case (v, (_, ref)) =>
+          v <= ref * ControlLoadedFactor })) "quiet"
       else "loaded"
     // compact on stdout (every byte competes with the 2000-char tail —
     // ctrl = [first q01, first q29, last q01, last q29]); the sidecar
     // carries the named form with the committed reference
     def windowJson(sidecar: Boolean): String =
       if (sidecar)
-        s""","window":{"controls":[${ControlRef.map(c => "\"" + c._1 + "\"")
+        s""","window":{"controls":[${controlRef.map(c => "\"" + c._1 + "\"")
           .mkString(",")}],""" +
           s""""control_first":[${ctrlFirst.map(f2v).mkString(",")}],""" +
           s""""control_last":[${ctrlLast.map(f2v).mkString(",")}],""" +
-          s""""ref":[${ControlRef.map(c => f2v(c._2)).mkString(",")}],""" +
+          s""""ref":[${controlRef.map(c => f2v(c._2)).mkString(",")}],""" +
+          s""""ref_overridden":$ctrlOverridden,""" +
           s""""loaded_factor":$ControlLoadedFactor,""" +
           s""""verdict":"$windowVerdict"}"""
       else

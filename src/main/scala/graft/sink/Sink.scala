@@ -468,7 +468,20 @@ object Sink {
   //    tombstone clear leaves a STALE tombstone table — harmless (the
   //    folded rows are already gone, so the anti-joins are no-ops; the
   //    stats fast path stands down conservatively) and cleared by the
-  //    next fold or rebuild.
+  //    next fold or rebuild;
+  //  - SINGLE WRITER per index (r17, stated explicitly): takedown
+  //    writes, batch appends, compactions and rebuilds must not run
+  //    concurrently against one index path. The fold reads its
+  //    snapshotted batch dirs LAZILY (Spark actions under the staged
+  //    writes), so a same-tag tombstone REPLAY racing a fold can
+  //    delete+rename a snapshotted dir out from under an executing read
+  //    (FileNotFoundException mid-fold — a loud failure, not data loss:
+  //    re-run the fold). CONCURRENT takedowns with distinct tags are
+  //    safe against probes (batch dirs land atomically via rename) but
+  //    not against a running fold, same reason. Production sequencing:
+  //    one maintenance writer at a quiescent point, the same rule the
+  //    lifecycle notes on [[writeFingerprints]] already state for
+  //    rebuilds vs in-flight micro-batches.
 
   /** The `deleted/batch=<tag>` partition directories at `path` that hold
     * at least one data file. Two duties (r16):
@@ -575,10 +588,29 @@ object Sink {
     val fs = staging.getFileSystem(hconf)
     val target = new org.apache.hadoop.fs.Path(s"$path/deleted/batch=$batch")
     fs.mkdirs(target.getParent)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      sys.error(s"tombstone batch swap failed: $staging -> $target " +
+    // REPLAY swap via set-aside, never delete-then-rename (r17 — the
+    // swapStagingIntoBase .old-base pattern at tombstone tier): deleting
+    // the live batch before renaming the staging in would mean a crash
+    // between the two ops silently DROPS the previously landed batch's
+    // tombstones — its deleted docs serve again with nothing on disk to
+    // recover from. With the aside, every crash window leaves the old
+    // batch intact under the dot-prefixed staging root (invisible to
+    // tombstoneBatchDirs, recoverable by hand or by replaying the batch).
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$path/.deleted-staging/old-batch=$batch")
+    if (fs.exists(aside)) fs.delete(aside, true) // stale residue; staging supersedes it
+    if (fs.exists(target) && !fs.rename(target, aside))
+      sys.error(s"tombstone batch set-aside failed: $target -> $aside " +
         "(replay the takedown batch)")
+    if (!fs.rename(staging, target)) {
+      val restored = fs.exists(aside) && fs.rename(aside, target)
+      val state =
+        if (restored) "(previous batch restored)"
+        else s"(no previous batch live — replay the takedown batch; " +
+          s"residue, if any, is at $aside)"
+      sys.error(s"tombstone batch swap failed: $staging -> $target $state")
+    }
+    if (fs.exists(aside)) fs.delete(aside, true)
     val stagingRoot = new org.apache.hadoop.fs.Path(s"$path/.deleted-staging")
     if (fs.exists(stagingRoot) && fs.listStatus(stagingRoot).isEmpty)
       fs.delete(stagingRoot, true)
@@ -602,8 +634,17 @@ object Sink {
       case Some(dirs) =>
         dirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
         // the root goes only when nothing (a mid-fold batch, a staged
-        // write in flight) remains under it
-        if (fs.listStatus(p).isEmpty) fs.delete(p, true)
+        // write in flight) remains under it — and the removal is
+        // NON-recursive (r17): a recursive delete here would re-open the
+        // exact TOCTOU the snapshot discipline closes (a takedown batch
+        // renamed in between the emptiness check and the delete would be
+        // silently erased). A non-recursive delete of a dir that just
+        // gained children fails instead — swallowed, the batch survives,
+        // and an empty leftover root is harmless (the stats tier standing
+        // down on an empty root is the conservative direction; the next
+        // fold or rebuild removes it).
+        if (fs.listStatus(p).isEmpty)
+          scala.util.Try(fs.delete(p, false)): Unit
       case None =>
         if (context.nonEmpty)
           System.err.println(s"[sink] NOTE: $context cleared the tombstone " +

@@ -41,9 +41,11 @@ class BenchArtifactSpec extends AnyFunSuite {
       """"loadavg":[99.99,99.99,99.99]}""").length
     // the r16 window self-certification fragment: four control values
     // at 2 decimals (a pathological window can push a control past
-    // 100 s — budget 6-char values) + the verdict word
+    // 1000 s — budget 7-char values, the r17 advice) + the longest
+    // verdict word ('control_failed')
     val windowWorst =
-      ""","window":{"ctrl":[999.99,999.99,999.99,999.99],"v":"unknown"}""".length
+      (""","window":{"ctrl":[9999.99,9999.99,9999.99,9999.99],""" +
+        """"v":"control_failed"}""").length
     val worst = prefix + entries.sum + (entries.size - 1) + suffix +
       failedWorst + pairWorst + windowWorst
     assert(worst < 2000,

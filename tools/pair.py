@@ -45,11 +45,15 @@ def main():
 
     load0 = loadavg()
 
-    # numerator: Bench, full-precision sidecar (SPARK_GRAFT_BENCH_OUT
-    # overrides — the deliberate path for refreshing the committed
-    # bench_full.json from a certified-quiet closing pair)
-    bench_sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT") \
-        or f"{tmp}/bench_full.json"
+    # numerator: Bench, full-precision sidecar. SPARK_GRAFT_BENCH_OUT
+    # names a PROMOTION target (the deliberate path for refreshing the
+    # committed bench_full.json from a closing pair) — Bench itself
+    # writes to the temp sidecar, and the copy to the target happens
+    # only after the window verdict is known: a git-tracked target is
+    # refused unless the run self-certified 'quiet' (r17 advice — a
+    # loaded run must not silently refresh the committed artifact).
+    bench_target = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    bench_sidecar = f"{tmp}/bench_full.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_BENCH_PASSES=bench_passes,
@@ -61,6 +65,23 @@ def main():
     bench = json.load(open(bench_sidecar))
     if bench.get("failed"):
         sys.exit(f"bench reported failures: {bench['failed']}")
+    if bench_target:
+        verdict = bench.get("window", {}).get("verdict", "unknown")
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", bench_target],
+            capture_output=True).returncode == 0
+        if tracked and verdict != "quiet":
+            sys.stderr.write(
+                f"[pair] REFUSING to overwrite tracked {bench_target}: "
+                f"window verdict {verdict!r} (run kept at {bench_sidecar}; "
+                "re-run in a quiet window)\n")
+        else:
+            if verdict != "quiet":
+                sys.stderr.write(f"[pair] WARNING: promoting a "
+                                 f"{verdict!r}-window sidecar to "
+                                 f"{bench_target} (untracked target)\n")
+            import shutil
+            shutil.copyfile(bench_sidecar, bench_target)
 
     load1 = loadavg()
 
