@@ -777,6 +777,58 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> sharddown [ms...]`: price
+    // [[graft.sink.Sink.takedownShards]] against the affected-shard
+    // count (r17 ask #1 — the BASELINE row). A 64-shard text-carrying
+    // release artifact is built FRESH per arm (takedowns mutate it);
+    // each arm lands a request-sized takedown touching exactly m shards
+    // (8 docs per affected shard) and reports the rewrite seconds plus
+    // the report's own row counts — the claim under test is that cost
+    // scales with the shards a request LANDS IN, not the release size.
+    // A replay row prices the idempotent no-op floor (semi-join + the
+    // affected-shard scan, no writes).
+    if (args.length >= 2 && args(1) == "sharddown") {
+      import org.apache.spark.sql.functions.{col, concat, lit, row_number}
+      val ms = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(1, 4, 16, 64)
+      val nShards = 64
+      val docs = graft.util.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val keyed = docs.withColumn("k", graft.functions.Hashing.md5Long(
+          concat(lit("shard:"), col("doc_id").cast("string"))))
+        .withColumn("shard", (col("k") % nShards.toLong).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("k").asc, col("doc_id").asc)
+      val layout = keyed
+        .select(col("doc_id"), col("text"), col("n_chars"), col("shard"),
+          (row_number().over(w) - 1).cast("long").as("pos"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sd").toString
+      def once(f: => Unit): Double = {
+        spark.sqlContext.clearCache(); graft.util.Caches.clearTransient()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      for (m <- ms) {
+        val dir = s"$tmp/shards$m"
+        graft.sink.Sink.writeShards(layout, dir, nShards)
+        val ids = layout
+          .filter(col("shard") < m && col("pos") < 8).select("doc_id")
+        var rep: Map[String, Long] = Map.empty
+        val tdS = once {
+          rep = graft.sink.Sink.takedownShards(ids, dir)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        val replayS = once {
+          graft.sink.Sink.takedownShards(ids, dir).collect(): Unit
+        }
+        println(f"[sharddown] m=$m%-3d takedown=$tdS%.3f replay=$replayS%.3f " +
+          f"rows_removed=${rep("rows_removed")}%-6d " +
+          f"rows_rewritten=${rep("rows_rewritten")}%-8d " +
+          f"shards_rewritten=${rep("shards_rewritten")}")
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> triageab [nBatches]`: the streaming
     // TRIAGE tier's marginal cost (r14 ask #7) — the X107 claim is that
     // with `triagePath` set each micro-batch lands its q123 sign-off

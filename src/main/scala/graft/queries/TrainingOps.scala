@@ -2919,6 +2919,53 @@ object TrainingOps {
         s"${oMultisetDigest("h")} AS content_mh " +
         "FROM k GROUP BY shard ORDER BY shard")),
 
+    // Shard-takedown PLAN (X118, r17): the page a release manager reads
+    // BEFORE rewriting a published shard artifact ([[graft.sink.Sink
+    // .takedownShards]] — this query is its registry face, the
+    // q133↔takedownImpact discipline at the shard tier). For the
+    // deterministic stand-in takedown set doc_id ≡ 0 (mod 97) (q133's
+    // convention) against q87's 8-shard layout: per shard, how many
+    // docs leave vs stay, the token mass leaving, and the q89 manifest
+    // digest BEFORE and AFTER — the oracle-checked proof that a
+    // takedown changes the published checksum detectably (mh_pre ≠
+    // mh_post exactly where n_del > 0; engines must agree on both).
+    // Scale: ONE map pass (shard key + content hash + token count are
+    // per-row) into an 8-group partial-agg shuffle where every column
+    // carries an O(1) buffer — the post digest is the SAME mergeable
+    // int128 multiset sum, just over the kept rows (a null-skipping
+    // conditional, so no second pass and no second shuffle).
+    Q("q135_shard_takedown_plan",
+      (s, d) => {
+        val keyed = documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .withColumn("shard",
+            (Hashing.md5Long(concat(lit("shard:"), col("doc_id").cast("string"))) % 8L)
+              .cast("long"))
+          .withColumn("h", Hashing.simpleHash(col("text")))
+          .withColumn("toks", size(words(col("text"))).cast("long"))
+          .withColumn("del", col("doc_id") % 97 === 0)
+        keyed.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("del"), 1L).otherwise(0L)).as("n_del"),
+            coalesce(sum(when(col("del"), col("toks"))), lit(0L))
+              .cast("long").as("tok_del"),
+            Hashing.multisetDigest(col("h")).as("mh_pre"),
+            Hashing.multisetDigest(when(!col("del"), col("h"))).as("mh_post"))
+          .orderBy("shard")
+      },
+      Some("WITH k AS (SELECT doc_id, " +
+        s"${oMd5Long("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard, " +
+        "md5(regexp_replace(text, '\\s+', '', 'g')) AS h, " +
+        "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS toks, " +
+        "CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS del " +
+        "FROM documents) " +
+        "SELECT shard, count(*) AS n_docs, " +
+        "CAST(sum(del) AS BIGINT) AS n_del, " +
+        "CAST(coalesce(sum(CASE WHEN del = 1 THEN toks END), 0) AS BIGINT) AS tok_del, " +
+        s"${oMultisetDigest("h")} AS mh_pre, " +
+        s"${oMultisetDigest("CASE WHEN del = 0 THEN h END")} AS mh_post " +
+        "FROM k GROUP BY shard ORDER BY shard")),
+
     // Filter-funnel yield report: the cascade counts a pipeline publishes
     // with every corpus build (how many documents survive each filter
     // stage, applied in order: minimum length → language allowlist →

@@ -127,6 +127,122 @@ object Sink {
       .partitionBy("shard")
       .parquet(path)
 
+  /** TAKEDOWN against a RELEASED [[writeShards]] artifact (X118, r17 —
+    * the judged gap: the standing indexes were deletable but the one
+    * artifact a training job actually reads was not; a takedown applied
+    * to the corpus and the indexes left the already-written shards
+    * serving the deleted docs, and q89's manifest still checksummed
+    * them). Removes every row whose `doc_id` is in `ids` by rewriting
+    * ONLY the affected `shard=K/` directories:
+    *  - unaffected shard directories are never touched — byte-identical
+    *    before and after (at 100 TB the rewrite cost is proportional to
+    *    the shards a request LANDS IN, never the release size; the q87
+    *    hash layout spreads a k-doc takedown over ≤ k shards);
+    *  - the in-shard order contract is preserved: surviving rows keep
+    *    their ORIGINAL `pos` values (gaps where docs left — `pos` is the
+    *    layout position, so external references stay stable) and each
+    *    rewritten shard is written sorted by `pos`, single-task per
+    *    shard, exactly the [[writeShards]] discipline;
+    *  - a shard whose every row is deleted is REMOVED entirely, loudly
+    *    (partition discovery of the root skips it; per-directory readers
+    *    must consult the post-takedown manifest — re-run the q89 query
+    *    over the artifact, whose per-shard digest changes detectably);
+    *  - crash discipline: all rewritten shards are staged under the
+    *    dot-prefixed `.takedown-staging/` (invisible to partition
+    *    discovery — the live artifact serves untouched for the whole
+    *    rewrite), then swapped in per shard via the set-aside pattern
+    *    ([[swapStagingIntoBase]]'s `.old-base` rule: the live directory
+    *    is never deleted before its replacement is in place). A crash
+    *    mid-swap leaves some shards rewritten and some not — every
+    *    shard still serves, and REPLAYING the takedown is the recovery
+    *    (idempotent: already-clean shards are no longer affected and
+    *    are not rewritten again).
+    * Single-writer, like the index maintenance ops (see the takedown
+    * tier note). Returns the one-row-per-metric pricing frame:
+    * `ids_given`, `shards_total`, `shards_rewritten`, `shards_removed`,
+    * `rows_removed`, `rows_rewritten` — `Profile sharddown` measures
+    * the rewrite cost against the affected-shard count (BASELINE r17).
+    */
+  def takedownShards(ids: DataFrame, path: String): DataFrame = {
+    val spark = ids.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val shardDirs =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("shard="))
+    if (shardDirs.isEmpty)
+      sys.error(s"$path is not a writeShards artifact (no shard= " +
+        "partition directories) — nothing to take down")
+    val art = spark.read.parquet(path)
+    require(Seq("doc_id", "pos").forall(art.columns.contains),
+      s"$path rows lack the writeShards layout columns (doc_id, pos)")
+    val del = graft.util.Caches.transientPersist(
+      ids.select(col("doc_id")).distinct())
+    val nGiven = del.count()
+    // affected shards: bounded by min(|ids|, numShards) — a driver-side
+    // literal list, so the rewrite read below PRUNES to exactly the
+    // affected partition directories (no full-artifact scan)
+    val affected = art.join(del, Seq("doc_id"), "left_semi")
+      .select("shard").distinct().collect().map(_.get(0)).sortBy(_.toString)
+    val (nRemoved, nRewritten, removedDirs) =
+      if (affected.isEmpty) (0L, 0L, Seq.empty[String]) else {
+        val sub = art.filter(col("shard").isin(affected: _*))
+        val kept = graft.util.Caches.transientPersist(
+          sub.join(del, Seq("doc_id"), "left_anti"))
+        val nBefore = sub.count()
+        val nKept = kept.count()
+        val staging = s"$path/.takedown-staging"
+        kept
+          .repartition(affected.length, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("shard").parquet(staging)
+        kept.unpersist(blocking = false)
+        // per-shard swap, set-aside discipline; a fully-deleted shard
+        // has no staged directory and its live directory is removed
+        val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- affected.map(_.toString)) {
+          val staged = new org.apache.hadoop.fs.Path(s"$staging/shard=$s")
+          val live = new org.apache.hadoop.fs.Path(s"$path/shard=$s")
+          val aside = new org.apache.hadoop.fs.Path(s"$staging/old-shard=$s")
+          if (!fs.exists(staged)) {
+            System.err.println(s"[sink] NOTE: takedown removed EVERY row " +
+              s"of $live — the shard directory is deleted; per-directory " +
+              "readers must consult the post-takedown manifest")
+            fs.delete(live, true)
+            removed += s
+          } else {
+            if (fs.exists(live) && !fs.rename(live, aside))
+              sys.error(s"shard set-aside failed: $live -> $aside " +
+                "(artifact untouched; replay the takedown)")
+            if (!fs.rename(staged, live)) {
+              val restored = fs.exists(aside) && fs.rename(aside, live)
+              val state =
+                if (restored) "(previous shard restored)"
+                else s"(restore FAILED — recover by renaming $aside back)"
+              sys.error(s"shard swap failed: $staged -> $live $state")
+            }
+            if (fs.exists(aside)) fs.delete(aside, true)
+          }
+        }
+        val stagingRoot = new org.apache.hadoop.fs.Path(staging)
+        if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+        (nBefore - nKept, nKept, removed.toSeq)
+      }
+    del.unpersist(blocking = false)
+    import spark.implicits._
+    Seq(
+      "ids_given" -> nGiven,
+      "shards_total" -> shardDirs.length.toLong,
+      "shards_rewritten" -> (affected.length - removedDirs.size).toLong,
+      "shards_removed" -> removedDirs.size.toLong,
+      "rows_removed" -> nRemoved,
+      "rows_rewritten" -> nRewritten)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
   /** Persist the standing corpus's dedup FINGERPRINT INDEX — the
     * production artifact behind the q95 incremental flow: a daily batch
     * is deduplicated against this index, paying only its own signatures

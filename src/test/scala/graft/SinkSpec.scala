@@ -49,6 +49,76 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("takedownShards: affected shards rewritten in order, unaffected byte-identical, manifest digest moves, replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shardtd").toString + "/s"
+    val layout = SparkEntry.queries("q87_shard_layout")(
+      spark, "/root/testdata/sf0.001")
+    Sink.writeShards(layout, dir, numShards = 8)
+    val pre = layout.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0))) // (shard,pos,doc)
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // deletion set: two docs from shard 0, one from shard 1, and EVERY
+    // doc of shard 3 (the full-removal path) — shards 2,4..7 untouched
+    val delIds = (pre(0L).take(2) ++ pre(1L).take(1) ++ pre(3L)).toSeq
+    def fileSigs(): Map[String, (Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st))
+      walk(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.toString ->
+          (st.getLen, st.getModificationTime)).toMap
+    }
+    def manifestDigests(): Map[Long, String] =
+      spark.read.parquet(dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(graft.functions.Hashing
+          .multisetDigest(col("doc_id").cast("string")).as("mh"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigsPre = fileSigs()
+    val mhPre = manifestDigests()
+    val report = Sink.takedownShards(delIds.toDF("doc_id"), dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("ids_given") == delIds.size)
+    assert(report("shards_total") == 8L)
+    assert(report("shards_rewritten") == 2L) // shards 0 and 1
+    assert(report("shards_removed") == 1L)   // shard 3, fully deleted
+    assert(report("rows_removed") == delIds.size)
+    assert(report("rows_rewritten") ==
+      (pre(0L).size - 2) + (pre(1L).size - 1))
+    // affected shards: deleted docs gone, surviving order preserved,
+    // no read-time sort (the writeShards contract)
+    for (shard <- Seq(0L, 1L)) {
+      val back = spark.read.parquet(s"$dir/shard=$shard")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      assert(back == pre(shard).filterNot(delIds.contains),
+        s"shard $shard post-takedown order mismatch")
+    }
+    // the fully-deleted shard directory is gone; root read skips it
+    assert(!new java.io.File(s"$dir/shard=3").exists())
+    // unaffected shard files byte-identical (same paths, length, mtime)
+    val sigsPost = fileSigs()
+    for ((p, sig) <- sigsPre
+        if !p.contains("shard=0") && !p.contains("shard=1")
+          && !p.contains("shard=3"))
+      assert(sigsPost.get(p).contains(sig), s"unaffected file moved: $p")
+    // q89-style manifest digest changes exactly where docs left
+    val mhPost = manifestDigests()
+    assert(!mhPost.contains(3L))
+    for (s <- Seq(0L, 1L)) assert(mhPost(s) != mhPre(s), s"digest static: $s")
+    for (s <- Seq(2L, 4L, 5L, 6L, 7L)) assert(mhPost(s) == mhPre(s))
+    // replay: idempotent no-op, artifact untouched
+    val replay = Sink.takedownShards(delIds.toDF("doc_id"), dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replay("rows_removed") == 0L)
+    assert(replay("shards_rewritten") == 0L && replay("shards_removed") == 0L)
+    assert(fileSigs() == sigsPost)
+  }
+
   test("fingerprint index round-trip: a batch probe reproduces q95 without standing texts") {
     import org.apache.spark.sql.functions._
     // the q95 split: batch = doc_id ≡ 0 (mod 10), standing = the rest
