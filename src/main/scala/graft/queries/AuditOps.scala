@@ -516,6 +516,49 @@ object AuditOps {
         Seq("source_b")))
   }
 
+  /** The banded-stage choice rule, pure (r17 — the measured crossover as
+    * code): each stage's dominant cost in CANDIDATE ROWS — NL feeds
+    * |S|·(|S|−1)/2 pairs straight into the O(k) estimator whether or not
+    * they overlap; banded pays Σ_h C(c_h, 2) thin element-join rows
+    * (+ one |S|·k exchange) and only co-occurring pairs reach the
+    * estimator. Banded wins when its join volume undercuts the NL
+    * square. The rule reproduces BOTH measured regimes (Profile
+    * `kmvscale`, BASELINE r16): sparse fine-grained provenance (banded
+    * ~2× from |S|≈100 — the element join is postings-bounded there) AND
+    * the dense shared-vocabulary corpus where banding backfires
+    * (q134's bench posture: |S|=140 but Σc_h² ≈ 2.6M ≫ |S|²/2 ≈ 10⁴ —
+    * the r16 verdict's one materially-slower-than-oracle row, now
+    * routed to NL by the same statistics).
+    */
+  private[graft] def kmvChooseBanded(nSources: Long, bandedRows: Long): Boolean =
+    bandedRows < nSources * (nSources - 1) / 2
+
+  /** The source-overlap pair FRONT DOOR (r17 ask #2): chooses the NL or
+    * banded stage from the signature frame's own cheap statistics —
+    * |S| (one count of the already-aggregated frame) and the banded
+    * stage's pre-distinct join volume Σ_h C(c_h, 2) (one bounded agg
+    * over the |S|·k exploded signatures — rows keyed by the 64-bit
+    * element, counts bounded by |S|). The choice is LOGGED; the two
+    * stages are estimate-identical by construction (one shared
+    * [[kmvEstimate]] expression, pinned in AuditSpec), so dispatch can
+    * change the plan but never the answer. The signature frame is
+    * transient-persisted: the stats pass and the chosen stage must not
+    * re-pay the corpus-side signature build.
+    */
+  private[graft] def kmvPairs(sigs0: DataFrame, k: Int = 256): DataFrame = {
+    val sigs = graft.util.Caches.transientPersist(sigs0)
+    val nS = sigs.count()
+    val bandedRows = sigs.select(explode(col("sig")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
+      .head.getLong(0) / 2
+    val banded = kmvChooseBanded(nS, bandedRows)
+    System.err.println(s"[audit] kmvPairs dispatch: |S|=$nS " +
+      s"nl_pairs=${nS * (nS - 1) / 2} banded_rows=$bandedRows -> " +
+      (if (banded) "banded" else "nl"))
+    if (banded) kmvPairsBanded(sigs, k) else kmvPairsNL(sigs, k)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Cross-source n-gram overlap matrix: for every pair of sources, how

@@ -121,6 +121,33 @@ class AuditSpec extends AnyFunSuite {
     } finally { sigs.unpersist(); () }
   }
 
+  test("kmvPairs front door: choice rule anchored to the measured regimes, dispatch never changes the answer") {
+    import graft.queries.AuditOps
+    // the r16 measured anchors the rule must reproduce (BASELINE r16):
+    // dense shared-vocabulary corpus — |S|=140 but Σ C(c_h,2) ≈ 2.6M ≫
+    // |S|²/2 ≈ 10⁴ → NL (the r16 verdict's slow-row regime, routed away)
+    assert(!AuditOps.kmvChooseBanded(140, 2600000L))
+    // tens-of-sources contract: banded join volume dwarfs the tiny square
+    assert(!AuditOps.kmvChooseBanded(20, 48640L))
+    // sparse fine-grained provenance: the square dwarfs postings-bounded
+    // co-occurrence → banded (kmvscale: banded ~2× from |S|≈100 sparse)
+    assert(AuditOps.kmvChooseBanded(100000L, 1000000L))
+    assert(AuditOps.kmvChooseBanded(100L, 4000L))
+    // dispatch identity at both provenance grains of the gate corpus —
+    // whatever stage it picks, the answer IS the NL stage's
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for (grain <- Seq(Option.empty[Int], Some(7))) {
+      val sigs = graft.queries.AuditOps.kmvSigs(spark, d, grain).persist()
+      try {
+        val got = asMap(AuditOps.kmvPairs(sigs))
+        assert(got.nonEmpty && got == asMap(AuditOps.kmvPairsNL(sigs)),
+          s"dispatch output diverged at grain=$grain")
+      } finally { sigs.unpersist(); () }
+    }
+  }
+
   test("q97 DSIR weights match a driver-side fixed-point recomputation") {
     val tok = docs.map { case (id, lang, _, _, ws) => (id, lang, ws) }
     val bucketOf = (w: String) => java.lang.Math.floorMod(h1(w), 512L)
