@@ -347,9 +347,10 @@ object Profile {
       // volume divides by the corpus's size spread; the verified pair
       // count must MATCH the plain banding (near-dups at hamming ≤ 4
       // have single-digit |Δn|, covered by the ±slack two-class
-      // emission). Session-path fingerprints (n_bytes travels with the
-      // row; the persisted media table deliberately stays n-free until
-      // the knob is turned on for real).
+      // emission). Session-path fingerprints with an inline n — the
+      // standing A/B instrument behind the production knob (r17:
+      // Multimodal.SizeClassFlag; the persisted media table now carries
+      // n_bytes and q131 reports candidate_pairs both ways).
       val minB = graft.multimodal.Multimodal.FingerprintMinBytes
       val fpn = graft.util.Tables.documents(spark, sfDir)
         .filter(col("text").isNotNull && length(col("text")) >= minB)
@@ -773,6 +774,70 @@ object Profile {
       val plainVec = once(graft.sink.Sink.compactVectorIndex(spark, vecDir2))
       println(f"[takedowncost] fold_fp=$foldFp%.3f plain_fp=$plainFp%.3f " +
         f"fold_vec=$foldVec%.3f plain_vec=$plainVec%.3f (n_batches=$landed)")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> pairanti`: A/B the pair-region
+    // tombstone anti-join SHAPE (r17 ask #3 — the vector fold's +8.9 s
+    // marginal at sf10 anti-joins BOTH endpoint columns). Three
+    // postures over one freshly built index + one request-sized
+    // tombstone batch, interleaved (the seamab window discipline),
+    // read-path only (pairs → anti → noop; the fold adds the same
+    // filtered volume to a write):
+    //  (a) chained  — two left_anti joins, the tombstone frame built
+    //      per join (the shipping r16 form);
+    //  (b) chained1 — the same two hash probes but ONE tombstone
+    //      materialization (persist + explicit broadcast);
+    //  (c) orbnlj   — single left_anti on (ida=t OR idb=t): one join
+    //      but OR-equi disables hash probing → BroadcastNestedLoop,
+    //      O(|t|) comparisons per pair row — the shape the ask names,
+    //      measured before it is believed.
+    if (args.length >= 2 && args(1) == "pairanti") {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val tombMod = if (args.length > 2) args(2).toLong else 997L
+      val emb = graft.util.Tables.embeddings(spark, sfDir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pa").toString
+      val vecDir = s"$tmp/vec"
+      graft.sink.Sink.writeVectorIndex(emb, vecDir)
+      graft.sink.Sink.deleteVectors(
+        emb.filter(col("vec_id") % tombMod === 0).select("vec_id"), vecDir,
+        "ab")
+      def pairs() = spark.read.parquet(s"$vecDir/pairs").drop("batch")
+      def tomb() = spark.read.parquet(s"$vecDir/deleted")
+        .select(col("vec_id")).distinct()
+      def chained(): Unit = noop(
+        Seq("ida", "idb").foldLeft(pairs())((acc, c) =>
+          acc.join(tomb().select(col("vec_id").as(c)), Seq(c), "left_anti")))
+      def chained1(): Unit = {
+        val t = tomb().persist()
+        try {
+          t.count()
+          noop(Seq("ida", "idb").foldLeft(pairs())((acc, c) =>
+            acc.join(broadcast(t.select(col("vec_id").as(c))), Seq(c),
+              "left_anti")))
+        } finally { t.unpersist(); () }
+      }
+      def orbnlj(): Unit = {
+        val p = pairs()
+        val t = broadcast(tomb().select(col("vec_id").as("__ts")))
+        noop(p.join(t,
+          p("ida") === t("__ts") || p("idb") === t("__ts"), "left_anti"))
+      }
+      val arms = Seq("chained" -> (() => chained()),
+        "chained1" -> (() => chained1()), "orbnlj" -> (() => orbnlj()))
+      arms.foreach(_._2()) // warm
+      val times = (1 to 3).map { _ =>
+        arms.map { case (n, f) =>
+          spark.sqlContext.clearCache(); graft.util.Caches.clearTransient()
+          val t0 = System.nanoTime(); f(); n -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+      val nPairs = pairs().count(); val nTomb = tomb().count()
+      arms.foreach { case (n, _) =>
+        println(f"[pairanti] $n%-8s min=${times.map(_(n)).min}%.3f " +
+          f"(pairs=$nPairs tomb=$nTomb)")
+      }
       spark.stop()
       return
     }

@@ -359,13 +359,38 @@ object Multimodal {
     */
   val SizeClassSlack = 8
 
+  /** THE production knob (r17 — the staged r16 A/B turned on-able):
+    * `spark.graft.mediaSizeClasses=true` makes the media pair/probe
+    * band joins additionally key on the exploded size class. Requires
+    * an index whose `media` table carries `n_bytes` (the r17 schema —
+    * [[graft.sink.Sink.writeFingerprints]] persists it); a legacy
+    * fp-only media table degrades LOUDLY to plain banding (the house
+    * rule: the flag is a cost knob, never a correctness knob — the
+    * verified pair set is identical either way, measured at two scales
+    * by `Profile mediacand` and value-pinned in the suite). Default
+    * OFF: at current corpus scale the plain 5×24 banding's candidate
+    * volume is already 2.4× the uniform floor; the knob is the
+    * measured −32%-candidates escape for the 1e9-doc tier (BASELINE
+    * r16), priced by q131's candidate_pairs_sized row.
+    */
+  val SizeClassFlag = "spark.graft.mediaSizeClasses"
+
+  /** Is the size-class band knob on for this session? */
+  def sizeClassesOn(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.getOption(SizeClassFlag).contains("true")
+
   /** The ≤ 2 size classes a payload of `n` bytes participates in (see
     * [[SizeClassSlack]]): array(floor(log2 n), floor(log2 (n+slack))),
-    * deduplicated. */
-  def sizeClassesOf(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array_distinct(array(
-      floor(log2(n.cast("double"))).cast("long"),
-      floor(log2((n + lit(SizeClassSlack)).cast("double"))).cast("long")))
+    * deduplicated. floor(log2) is computed EXACTLY as the bit length
+    * (length(bin(n)) − 1), never via libm (r17 — the q52 lesson applied
+    * to the one size-class expression an oracle row now mirrors:
+    * a float log2 at a power-of-2 boundary can round to either side,
+    * and the two engines need not agree). */
+  def sizeClassesOf(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def bitLen(c: org.apache.spark.sql.Column) =
+      (length(bin(c.cast("long"))) - lit(1)).cast("long")
+    array_distinct(array(bitLen(n), bitLen(n + lit(SizeClassSlack))))
+  }
 
   /** SQL expression for the hamming distance between two packed pairs. */
   def hammingSql(a0: String, a1: String, b0: String, b1: String): String =

@@ -330,18 +330,37 @@ object AuditOps {
     * decades at corpus scale (the r14 12-bit keyspace was the round's
     * one `weak`: 2.85e8 candidates at sf10, quadratic by construction).
     */
-  private def mediaPairs(s: SparkSession, d: String): DataFrame =
+  private def mediaPairs(s: SparkSession, d: String): DataFrame = {
+    // the r17 size-class knob: when on, the band join additionally keys
+    // on the exploded size class (≤ 2 classes per doc — the ±slack
+    // emission keeps the ≤ 4-hamming contract exhaustive; Multimodal
+    // .sizeClassesOf). A COST knob only: the verified pair set is
+    // identical on/off (measured at two scales by Profile mediacand,
+    // value-pinned in AuditSpec); the candidate distinct absorbs the
+    // ≤ 2× emission. Cache-keyed separately so a session toggling the
+    // flag never serves the other posture's kernel.
+    val scOn = graft.multimodal.Multimodal.sizeClassesOn(s)
     graft.util.Caches.sharedIndex(s,
-      s"mediaPairs:$d${TrainingOps.fpIndexDir(s).fold("")(x => s"@idx=$x")}") {
+      s"mediaPairs:$d${TrainingOps.fpIndexDir(s).fold("")(x => s"@idx=$x")}" +
+        (if (scOn) "@scls" else "")) {
       val fps = graft.util.Caches.transientPersist(
         TrainingOps.mediaFps(s, d))
-      val bands = fps.select(col("doc_id"), col("fp0"), col("fp1"),
-          explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))).as("bk"))
+      def withBands(df: DataFrame): DataFrame = df
+        .withColumn("bk", explode(sequence(lit(0),
+          lit(graft.multimodal.Multimodal.MediaBands - 1))))
         .withColumn("bkey",
           expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+      val bands = withBands(
+        if (scOn) fps.select(col("doc_id"), col("fp0"), col("fp1"),
+          explode(graft.multimodal.Multimodal.sizeClassesOf(col("n_bytes")))
+            .as("scls"))
+        else fps.select(col("doc_id"), col("fp0"), col("fp1")))
+      val joinCond = col("a.bk") === col("b.bk") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id")
       bands.as("a").join(bands.hint("shuffle_hash").as("b"),
-          col("a.bk") === col("b.bk") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
+          if (scOn) joinCond && col("a.scls") === col("b.scls")
+          else joinCond)
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
           col("a.fp0").as("fpa0"), col("a.fp1").as("fpa1"),
           col("b.fp0").as("fpb0"), col("b.fp1").as("fpb1"))
@@ -352,6 +371,7 @@ object AuditOps {
             .cast("int").as("hamming"))
         .filter(col("hamming") <= 4)
     }
+  }
 
   /** The q127 verdict frame, factored (r15) so the q123 triage
     * composite can carry a media column off the SAME kernel (the
@@ -2057,18 +2077,35 @@ object AuditOps {
           .withColumn("bkey",
             expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
         val occ = bands.groupBy("bk", "bkey").agg(count(lit(1)).as("c"))
+        // the size-class posture's collision volume, reported BESIDE the
+        // plain one (r17 — the knob decision reads off this page both
+        // ways): the same Σ c·(c−1)/2, over buckets additionally keyed
+        // by the exploded size class (n_bytes rides mediaFps from the
+        // r17 index schema / the session pass identically)
+        val bandsSc = fps.select(col("doc_id"), col("fp0"), col("fp1"),
+            explode(graft.multimodal.Multimodal
+              .sizeClassesOf(col("n_bytes"))).as("scls"))
+          .select(col("doc_id"), col("fp0"), col("fp1"), col("scls"),
+            explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))).as("bk"))
+          .withColumn("bkey",
+            expr(graft.multimodal.Multimodal.bandKeySql("fp0", "fp1")))
+        val occSc = bandsSc.groupBy("scls", "bk", "bkey")
+          .agg(count(lit(1)).as("c"))
         fps.agg(count(lit(1)).as("media_docs"))
           .crossJoin(occ.agg(count(lit(1)).as("bucket_count"),
             max("c").as("bucket_max"),
             expr("percentile(c, 0.99)").as("bucket_p99"),
             sum(expr("c * (c - 1) div 2")).as("candidate_pairs")))
+          .crossJoin(occSc.agg(
+            sum(expr("c * (c - 1) div 2")).as("candidate_pairs_sized")))
           .withColumn("docs_per_bucket_mean",
             col("media_docs").cast("double") * 5.0 / col("bucket_count"))
-          .selectExpr("stack(6, " +
+          .selectExpr("stack(7, " +
             "'bucket_count', CAST(bucket_count AS DOUBLE), " +
             "'bucket_max', CAST(bucket_max AS DOUBLE), " +
             "'bucket_p99', bucket_p99, " +
             "'candidate_pairs', CAST(candidate_pairs AS DOUBLE), " +
+            "'candidate_pairs_sized', CAST(candidate_pairs_sized AS DOUBLE), " +
             "'docs_per_bucket_mean', docs_per_bucket_mean, " +
             "'media_docs', CAST(media_docs AS DOUBLE)" +
             ") AS (metric, value)")
@@ -2076,16 +2113,23 @@ object AuditOps {
       },
       Some(s"WITH $mediaPairCtes, " +
         "mocc AS (SELECT bk, bkey, count(*) AS c FROM mbands GROUP BY 1, 2), " +
+        "msc AS (SELECT doc_id, length(bin(n)) - 1 AS scls FROM mt " +
+        "UNION SELECT doc_id, length(bin(n + 8)) - 1 FROM mt), " +
+        "mbsc AS (SELECT mb2.doc_id, msc.scls, mb2.bk, mb2.bkey " +
+        "FROM mbands mb2 JOIN msc USING (doc_id)), " +
+        "moccs AS (SELECT scls, bk, bkey, count(*) AS c FROM mbsc GROUP BY 1, 2, 3), " +
         "ma1 AS (SELECT count(*) AS media_docs FROM mfp), " +
         "ma2 AS (SELECT count(*) AS bucket_count, max(c) AS bucket_max, " +
         "quantile_cont(c, 0.99) AS bucket_p99, " +
         "sum(c * (c - 1) // 2) AS candidate_pairs FROM mocc), " +
+        "ma3 AS (SELECT sum(c * (c - 1) // 2) AS candidate_pairs_sized FROM moccs), " +
         "mrw AS (SELECT *, CAST(media_docs AS DOUBLE) * 5.0 / bucket_count " +
-        "AS docs_per_bucket_mean FROM ma1, ma2) " +
+        "AS docs_per_bucket_mean FROM ma1, ma2, ma3) " +
         "SELECT 'bucket_count' AS metric, CAST(bucket_count AS DOUBLE) AS value FROM mrw " +
         "UNION ALL SELECT 'bucket_max', CAST(bucket_max AS DOUBLE) FROM mrw " +
         "UNION ALL SELECT 'bucket_p99', bucket_p99 FROM mrw " +
         "UNION ALL SELECT 'candidate_pairs', CAST(candidate_pairs AS DOUBLE) FROM mrw " +
+        "UNION ALL SELECT 'candidate_pairs_sized', CAST(candidate_pairs_sized AS DOUBLE) FROM mrw " +
         "UNION ALL SELECT 'docs_per_bucket_mean', docs_per_bucket_mean FROM mrw " +
         "UNION ALL SELECT 'media_docs', CAST(media_docs AS DOUBLE) FROM mrw " +
         "ORDER BY metric")),

@@ -278,25 +278,34 @@ object TrainingOps {
       val base = new org.apache.hadoop.fs.Path(s"$dir/media/batch=base")
       base.getFileSystem(s.sessionState.newHadoopConf()).exists(base)
     }.filter { dir =>
-      val current = s.read.parquet(s"$dir/media").columns.contains("fp0")
+      // current schema = the two packed longs + n_bytes (r17 — the
+      // size-class knob and q131's candidate_pairs_sized row read it);
+      // both legacy generations degrade the same loud way
+      val cols = s.read.parquet(s"$dir/media").columns
+      val current = cols.contains("fp0") && cols.contains("n_bytes")
       if (!current)
-        System.err.println(s"[mediaFps] NOTE: $dir/media has the legacy " +
-          "60-bit single-long schema — falling back to the session " +
-          "fingerprint pass; rebuild the index with writeFingerprints")
+        System.err.println(s"[mediaFps] NOTE: $dir/media has a legacy " +
+          "schema (" + (if (cols.contains("fp0")) "no n_bytes column"
+            else "60-bit single-long fingerprints") +
+          ") — falling back to the session fingerprint pass; rebuild " +
+          "the index with writeFingerprints")
       current
     } match {
       case Some(dir) =>
         graft.sink.Sink.minusTombstones(
           s.read.parquet(s"$dir/media")
-            .select(col("doc_id"), col("fp0"), col("fp1")),
+            .select(col("doc_id"), col("n_bytes"), col("fp0"), col("fp1")),
           dir, "doc_id")
       case None =>
         documents(s, d)
           .filter(col("text").isNotNull && length(col("text"))
             >= graft.multimodal.Multimodal.FingerprintMinBytes)
-          .select(col("doc_id"), graft.multimodal.Multimodal
-            .fingerprint(col("text").cast("binary")).as("f"))
-          .select(col("doc_id"), col("f").getField("_1").as("fp0"),
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            graft.multimodal.Multimodal
+              .fingerprint(col("text").cast("binary")).as("f"))
+          .select(col("doc_id"), col("n_bytes"),
+            col("f").getField("_1").as("fp0"),
             col("f").getField("_2").as("fp1"))
     }
 

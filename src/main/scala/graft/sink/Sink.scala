@@ -354,16 +354,19 @@ object Sink {
     // filters against the same batch set and the clear removes exactly
     // those batches; a mid-fold batch stands until the next fold.
     val delSnap = tombstoneBatchDirs(spark, path)
-    for (t <- rowTables) {
+    // one tombstone materialization across the four per-table write
+    // jobs (r17 — the compactVectorIndex note; 4× deleted/ reads before)
+    val pin = pinnedTombstones(spark, path, "doc_id", delSnap)
+    try for (t <- rowTables) {
       // the takedown fold (X116): tombstoned docs are dropped during the
       // staged rewrite — the one pass that already touches every row —
       // and the stats re-derivation below then counts the filtered rows
-      val full = minusTombstones(
-        spark.read.parquet(s"$path/$t").drop("batch"), path, "doc_id",
-        snapshot = Some(delSnap))
+      val full0 = spark.read.parquet(s"$path/$t").drop("batch")
+      val full = pin.fold(full0)(tt =>
+        antiTombstones(full0, tt, "doc_id", Seq.empty))
       shapeFor(t)(full).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/.staging/$t")
-    }
+    } finally pin.foreach(_.unpersist(blocking = false))
     // the stats tier is RE-DERIVED from the just-staged row tables: a
     // pure function of them, so folding the per-batch count deltas and
     // recomputing give identical tables — and recomputing self-heals a
@@ -489,20 +492,28 @@ object Sink {
       .write.mode(SaveMode.Overwrite).parquet(dir("bands"))
     shapeFor("shingles")(postings)
       .write.mode(SaveMode.Overwrite).parquet(dir("shingles"))
-    // X109's media tier (r14; widened r15): the 120-bit perceptual
-    // fingerprint per payload — one row of (doc_id, fp0, fp1) per
-    // fingerprintable doc, the same bits q125 computes in-plan (one
-    // shared definition, Multimodal.fingerprintOf), so
+    // X109's media tier (r14; widened r15; size-sized r17): the 120-bit
+    // perceptual fingerprint per payload — one row of (doc_id, n_bytes,
+    // fp0, fp1) per fingerprintable doc, the same bits q125 computes
+    // in-plan (one shared definition, Multimodal.fingerprintOf), so
     // [[probeMediaNearDup]] buckets and verifies identically to the
     // audit query. Payloads below the skip-gram floor are absent (the
-    // q125 convention — probes read them as 'fresh').
+    // q125 convention — probes read them as 'fresh'). `n_bytes` is the
+    // payload's byte length — the r17 schema column the size-class band
+    // knob ([[graft.multimodal.Multimodal.SizeClassFlag]]) keys on; a
+    // pre-r17 fp-only media table degrades loudly wherever the knob is
+    // asked for.
     shapeFor("media")(docs
       .filter(col("text").isNotNull && org.apache.spark.sql.functions
         .length(col("text"))
         >= graft.multimodal.Multimodal.FingerprintMinBytes)
-      .select(col("doc_id"), graft.multimodal.Multimodal
-        .fingerprint(col("text").cast("binary")).as("f"))
-      .select(col("doc_id"), col("f").getField("_1").as("fp0"),
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.length(col("text").cast("binary"))
+          .cast("long").as("n_bytes"),
+        graft.multimodal.Multimodal
+          .fingerprint(col("text").cast("binary")).as("f"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("f").getField("_1").as("fp0"),
         col("f").getField("_2").as("fp1")))
       .write.mode(SaveMode.Overwrite).parquet(dir("media"))
     writeFpStats(exact, bands, postings, dir)
@@ -645,18 +656,50 @@ object Sink {
 
   /** Anti-join every column in `cols` of `df` against the tombstone set
     * of the index at `path` — a no-op (the same plan) when no delete has
-    * landed. The tombstone side is deletion-request-sized; the planner
-    * broadcasts it at any real scale.
+    * landed. The tombstone side is deletion-request-sized and EXPLICITLY
+    * broadcast (r17): the planner would usually get there from the tiny
+    * parquet's size estimate, but a mis-estimate demoting this to a
+    * sort-merge join would sort the corpus-sized probe side — the
+    * cellPairCos hint lesson applied to every tombstone read. Hash
+    * probes, never an OR-predicate single join: the Profile `pairanti`
+    * A/B measured the BroadcastNestedLoop form ~0.1 s faster at
+    * request-sized tombstone sets but 1.5× SLOWER by 10⁴ accumulated
+    * tombstones (O(|t|) comparisons per pair row, unbounded degradation
+    * at mass-purge volumes), while chained hash anti-joins stay flat in
+    * |t| and pipeline in one scan (BASELINE r17).
     */
   private[graft] def minusTombstones(df: DataFrame, path: String,
       idCol: String, cols: Seq[String] = Seq.empty,
       snapshot: Option[Seq[org.apache.hadoop.fs.Path]] = None): DataFrame =
     tombstones(df.sparkSession, path, idCol, snapshot) match {
-      case Some(t) =>
-        val on = if (cols.isEmpty) Seq(idCol) else cols
-        on.foldLeft(df)((acc, c) =>
-          acc.join(t.select(col(idCol).as(c)), Seq(c), "left_anti"))
+      case Some(t) => antiTombstones(df, t, idCol, cols)
       case None => df
+    }
+
+  /** The anti-join itself, over a caller-held tombstone frame. */
+  private def antiTombstones(df: DataFrame, t: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    val on = if (cols.isEmpty) Seq(idCol) else cols
+    on.foldLeft(df)((acc, c) =>
+      acc.join(org.apache.spark.sql.functions.broadcast(
+        t.select(col(idCol).as(c))), Seq(c), "left_anti"))
+  }
+
+  /** The tombstone frame MATERIALIZED once for a multi-table fold (r17
+    * ask #3): each [[minusTombstones]] call otherwise re-reads the
+    * `deleted/` parquet and re-runs its distinct per anti-join — the
+    * vector fold paid that three times (vectors + both pair writes are
+    * separate jobs, so no exchange reuse crosses them). Persisting the
+    * request-sized distinct once cuts the fold's tombstone marginal to
+    * one read; callers pass the result via `pinned` and MUST unpersist.
+    */
+  private def pinnedTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String,
+      snapshot: Seq[org.apache.hadoop.fs.Path]): Option[DataFrame] =
+    tombstones(spark, path, idCol, Some(snapshot)).map { t =>
+      val p = t.persist()
+      p.count()
+      p
     }
 
   /** Land a takedown batch against a fingerprint index: the doc_ids in
@@ -1067,12 +1110,6 @@ object Sink {
         "batch-only media partitions whose probes would miss the standing " +
         "corpus); rebuild it with writeFingerprints")
     val minB = graft.multimodal.Multimodal.FingerprintMinBytes
-    val b = batch
-      .filter(col("text").isNotNull && length(col("text")) >= minB)
-      .select(col("doc_id"), graft.multimodal.Multimodal
-        .fingerprint(col("text").cast("binary")).as("f"))
-      .select(col("doc_id"), col("f").getField("_1").as("fp0"),
-        col("f").getField("_2").as("fp1"))
     val idx0 = spark.read.parquet(s"$path/media")
     // the r14 60-bit single-long schema cannot be banded or hammed
     // against the r15 sketch — fail loudly and named, like the legacy
@@ -1080,21 +1117,53 @@ object Sink {
     if (!idx0.columns.contains("fp0"))
       sys.error(s"$path/media has the legacy 60-bit single-long schema; " +
         "rebuild the index with writeFingerprints")
+    // the r17 size-class knob (Multimodal.SizeClassFlag): honored only
+    // when the index carries n_bytes — a pre-r17 fp-only media table
+    // DEGRADES LOUDLY to plain banding (the flag is a cost knob, never
+    // a correctness knob: verified verdicts are identical either way,
+    // value-pinned in SinkSpec)
+    val scOn = graft.multimodal.Multimodal.sizeClassesOn(spark) && {
+      val has = idx0.columns.contains("n_bytes")
+      if (!has)
+        System.err.println(s"[sink] NOTE: ${graft.multimodal.Multimodal
+          .SizeClassFlag} is set but $path/media has no n_bytes column " +
+          "(pre-r17 schema) — probing with plain banding; rebuild with " +
+          "writeFingerprints to enable size-class banding")
+      has
+    }
+    val b0 = batch
+      .filter(col("text").isNotNull && length(col("text")) >= minB)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        graft.multimodal.Multimodal
+          .fingerprint(col("text").cast("binary")).as("f"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("f").getField("_1").as("fp0"),
+        col("f").getField("_2").as("fp1"))
+    val b = if (scOn) b0 else b0.drop("n_bytes")
     val idx1 = minusTombstones(
       excludeBatch.fold(idx0)(tag => idx0.filter(col("batch") =!= tag)),
       path, "doc_id")
-    val standing = idx1.select(col("doc_id").as("near_of"),
-        col("fp0").as("fpi0"), col("fp1").as("fpi1"))
+    val standing = idx1.select(Seq(col("doc_id").as("near_of"),
+        col("fp0").as("fpi0"), col("fp1").as("fpi1")) ++
+        (if (scOn) Seq(col("n_bytes")) else Nil): _*)
       .join(batch.select(col("doc_id").as("bid")),
         col("near_of") === col("bid"), "left_anti")
-    def banded(df: DataFrame, c0: String, c1: String): DataFrame = df
-      .withColumn("bk", explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))))
-      .withColumn("bkey",
-        expr(graft.multimodal.Multimodal.bandKeySql(c0, c1)))
+    def banded(df: DataFrame, c0: String, c1: String): DataFrame = {
+      val sized =
+        if (scOn) df.withColumn("scls", explode(graft.multimodal.Multimodal
+          .sizeClassesOf(col("n_bytes")))).drop("n_bytes")
+        else df
+      sized
+        .withColumn("bk", explode(sequence(lit(0), lit(graft.multimodal.Multimodal.MediaBands - 1))))
+        .withColumn("bkey",
+          expr(graft.multimodal.Multimodal.bandKeySql(c0, c1)))
+    }
+    val joinKeys = Seq("bk", "bkey") ++ (if (scOn) Seq("scls") else Nil)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("hamming"), col("near_of"))
     val near = banded(b, "fp0", "fp1")
-      .join(banded(standing, "fpi0", "fpi1"), Seq("bk", "bkey"))
+      .join(banded(standing, "fpi0", "fpi1"), joinKeys)
       .select(col("doc_id"), col("near_of"),
         expr(graft.multimodal.Multimodal
           .hammingSql("fp0", "fp1", "fpi0", "fpi1")).cast("int").as("hamming"))
@@ -1288,16 +1357,24 @@ object Sink {
     // compactFingerprints discipline (r16): a takedown landing mid-fold
     // survives the clear instead of being silently lost.
     val delSnap = tombstoneBatchDirs(spark, path)
-    val full = minusTombstones(
-      spark.read.parquet(s"$path/vectors").drop("batch"), path, "vec_id",
-      snapshot = Some(delSnap))
-    full.repartition(col("label")).write.partitionBy("label")
-      .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
-    val pairs = minusTombstones(
-      spark.read.parquet(s"$path/pairs").drop("batch"), path, "vec_id",
-      Seq("ida", "idb"), snapshot = Some(delSnap))
-    pairs.repartition(col("cell")).write.partitionBy("cell")
-      .mode(SaveMode.Overwrite).parquet(s"$path/.staging/pairs")
+    // ONE tombstone materialization for the whole fold (r17): vectors
+    // and pairs are separate write jobs, so without the pin each would
+    // re-read deleted/ and re-run the distinct (3× across the three
+    // anti-joined columns) — measured at sf10 as the bulk of the vector
+    // fold's tombstone marginal (Profile takedowncost, BASELINE r17)
+    val pin = pinnedTombstones(spark, path, "vec_id", delSnap)
+    try {
+      def minus(df: DataFrame, cols: Seq[String]): DataFrame =
+        pin.fold(df)(t => antiTombstones(df, t, "vec_id", cols))
+      val full = minus(
+        spark.read.parquet(s"$path/vectors").drop("batch"), Seq.empty)
+      full.repartition(col("label")).write.partitionBy("label")
+        .mode(SaveMode.Overwrite).parquet(s"$path/.staging/vectors")
+      val pairs = minus(
+        spark.read.parquet(s"$path/pairs").drop("batch"), Seq("ida", "idb"))
+      pairs.repartition(col("cell")).write.partitionBy("cell")
+        .mode(SaveMode.Overwrite).parquet(s"$path/.staging/pairs")
+    } finally pin.foreach(_.unpersist(blocking = false))
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
     clearTombstones(spark, path, "", only = Some(delSnap))
   }

@@ -1166,11 +1166,27 @@ class AuditSpec extends AnyFunSuite {
       bandKeys(f).zipWithIndex.map { case (k, bk) => (bk, k) } }
       .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
     val candPairs = occ.map(c => c * (c - 1) / 2).sum
+    // the r17 size-class posture: floor(log2) as the exact bit length,
+    // classes of n and n+8 deduplicated (Multimodal.sizeClassesOf)
+    val nByDoc = graft.util.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) ->
+        r.getString(1).getBytes("UTF-8").length.toLong)
+      .filter(_._2 >= 125).toMap
+    def scls(n: Long): Seq[Long] =
+      Seq(63L - java.lang.Long.numberOfLeadingZeros(n),
+        63L - java.lang.Long.numberOfLeadingZeros(n + 8)).distinct
+    val occSc = fps.flatMap { case (id, f) =>
+      for (sc <- scls(nByDoc(id)); (k, bk) <- bandKeys(f).zipWithIndex)
+        yield (sc, bk, k) }
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    val candPairsSc = occSc.map(c => c * (c - 1) / 2).sum
     val expected = Map(
       "bucket_count" -> occ.size.toDouble,
       "bucket_max" -> occ.max.toDouble,
       "bucket_p99" -> pct7(occ, 0.99),
       "candidate_pairs" -> candPairs.toDouble,
+      "candidate_pairs_sized" -> candPairsSc.toDouble,
       "docs_per_bucket_mean" -> fps.size.toDouble * 5.0 / occ.size,
       "media_docs" -> fps.size.toDouble)
     val got = SparkEntry.queries("q131_media_index_stats")(spark, d)
