@@ -162,6 +162,19 @@ object Cli {
       println(s"[graft] takedown: $n ids -> $idxDir/deleted/batch=$tag")
       0
 
+    case "shardtakedown" :: artifactDir :: idsPath :: Nil =>
+      // X118 (r17): remove docs from a RELEASED writeShards artifact —
+      // the one takedown surface `takedown` (index tombstones) does not
+      // cover. Rewrites ONLY the affected shard=K/ directories (order
+      // contract preserved, unaffected files byte-identical); replay is
+      // the crash recovery and is idempotent. Run `impact` (index side)
+      // and q135's plan page BEFORE landing one; re-publish the q89
+      // manifest AFTER (its per-shard digest moves detectably).
+      Sink.takedownShards(spark.read.parquet(idsPath), artifactDir)
+        .collect().foreach(r =>
+          println(f"[graft] shardtakedown: ${r.getString(0)}%-17s ${r.getLong(1)}%d"))
+      0
+
     case "impact" :: idxDir :: idsPath :: rest if rest.size <= 1 =>
       // X116 (r16): price a PROSPECTIVE takedown batch against the
       // standing artifacts BEFORE `takedown` lands it — the production
@@ -245,6 +258,7 @@ object Cli {
            |  vecindex <sfDir> <indexDir>
            |  vecstats <indexDir>
            |  takedown <indexDir> <idsParquet> <batchTag> [vec]
+           |  shardtakedown <shardArtifactDir> <idsParquet>
            |  impact <indexDir> <idsParquet> [vecIndexDir]
            |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)

@@ -195,7 +195,11 @@ object ScaleCheck {
     // r15: the takedown impact page rides the three shared pair kernels
     // in subset position — its marginal is three output-sized endpoint
     // explodes + a request-sized join; the slope pins that claim
-    "q133_takedown_report")
+    "q133_takedown_report",
+    // r17: the shard-takedown plan — one corpus map pass into an
+    // 8-group O(1)-buffer aggregate (two multiset digests + counts);
+    // its slope should track the raw scan like q89's
+    "q135_shard_takedown_plan")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

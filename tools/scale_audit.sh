@@ -56,6 +56,10 @@ run q132_source_overlap_sketch /tmp/graft-sf10r 100 64g
 # the co-occurrence-bounded candidate join)
 run q134_source_overlap_fine /tmp/graft-sf1r 10 48g
 run q134_source_overlap_fine /tmp/graft-sf10r 100 64g
+# r17: the shard-takedown plan (one map pass, 8-group O(1)-buffer agg —
+# should track the raw corpus scan)
+run q135_shard_takedown_plan /tmp/graft-sf1r 10 48g
+run q135_shard_takedown_plan /tmp/graft-sf10r 100 64g
 run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf1r 10 48g
 run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf10r 100 64g
 # r12b: span decontamination (q114 rides q112's shared kernel — its row
