@@ -470,6 +470,10 @@ object Profile {
           else -1.0
         val tBd = t(noop(graft.queries.AuditOps.kmvPairsBanded(sigs)))
         val nPairs = graft.queries.AuditOps.kmvPairsBanded(sigs).count()
+        // what the r17 front door would pick here (it logs its own
+        // statistics line) — the dispatch's observed choice beside the
+        // measured stage times it is supposed to reproduce
+        noop(graft.queries.AuditOps.kmvPairs(sigs))
         println(f"[kmvscale] grain=$g%-5d |S|=$nS%-6d out_pairs=$nPairs%-9d " +
           f"nl_s=$tNl%7.3f banded_s=$tBd%7.3f")
         sigs.unpersist()

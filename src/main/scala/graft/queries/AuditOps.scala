@@ -536,22 +536,37 @@ object AuditOps {
         Seq("source_b")))
   }
 
-  /** The banded-stage choice rule, pure (r17 — the measured crossover as
-    * code): each stage's dominant cost in CANDIDATE ROWS — NL feeds
-    * |S|·(|S|−1)/2 pairs straight into the O(k) estimator whether or not
-    * they overlap; banded pays Σ_h C(c_h, 2) thin element-join rows
-    * (+ one |S|·k exchange) and only co-occurring pairs reach the
-    * estimator. Banded wins when its join volume undercuts the NL
-    * square. The rule reproduces BOTH measured regimes (Profile
-    * `kmvscale`, BASELINE r16): sparse fine-grained provenance (banded
-    * ~2× from |S|≈100 — the element join is postings-bounded there) AND
-    * the dense shared-vocabulary corpus where banding backfires
-    * (q134's bench posture: |S|=140 but Σc_h² ≈ 2.6M ≫ |S|²/2 ≈ 10⁴ —
-    * the r16 verdict's one materially-slower-than-oracle row, now
-    * routed to NL by the same statistics).
+  /** The measured NL-win ceiling: NL is chosen only at |S| ≤ this. The
+    * r16 kmvscale table puts the crossover between |S|=20 (NL 1.35 s vs
+    * banded 1.61 — a noise-level margin at q132's tens-of-sources
+    * contract) and |S|=100 (banded ~2× and widening from there at EVERY
+    * measured tier, dense sf0.1 and sparse sf10 alike); both stages are
+    * sub-2 s anywhere under this ceiling, so the constant is uncritical.
+    */
+  private[graft] val KmvNlMaxSources = 64L
+
+  /** The banded-stage choice rule, pure (r17 — the measured crossover
+    * as code): banded from |S| > [[KmvNlMaxSources]]. The r16 verdict
+    * proposed comparing candidate VOLUMES instead — banded iff
+    * Σ_h C(c_h, 2) element-join rows < the NL square |S|²/2 — and that
+    * rule was implemented first and REFUTED by stage isolation
+    * (`Profile kmvscale`, r16 + r17, BASELINE r17): on the dense
+    * shared-vocabulary bench corpus at |S|=140 it reads 156k ≫ 9.7k
+    * and routes to NL, which MEASURES 1.6× slower than banded there
+    * (5.13 vs 3.26 s; r16's table already had banded ~2× ahead from
+    * |S|≈100 regardless of density). The volume comparison mis-prices
+    * the stages: banded's estimator evaluations are a SUBSET of NL's
+    * (only co-occurring pairs; in the dense regime the sets coincide),
+    * and its extra element-join rows are thin 64-bit hash rows, two
+    * orders cheaper than an O(k) array-estimator evaluation — so
+    * banded is never materially worse and wins everywhere the work is
+    * non-trivial. NL survives only at tiny |S|, where the shuffle-free
+    * broadcast plan's simplicity beats an exploded exchange that has
+    * nothing to amortize. `bandedRows` stays an input for the logged
+    * statistics line (observability), not the decision.
     */
   private[graft] def kmvChooseBanded(nSources: Long, bandedRows: Long): Boolean =
-    bandedRows < nSources * (nSources - 1) / 2
+    nSources > KmvNlMaxSources
 
   /** The source-overlap pair FRONT DOOR (r17 ask #2): chooses the NL or
     * banded stage from the signature frame's own cheap statistics —

@@ -123,16 +123,18 @@ class AuditSpec extends AnyFunSuite {
 
   test("kmvPairs front door: choice rule anchored to the measured regimes, dispatch never changes the answer") {
     import graft.queries.AuditOps
-    // the r16 measured anchors the rule must reproduce (BASELINE r16):
-    // dense shared-vocabulary corpus — |S|=140 but Σ C(c_h,2) ≈ 2.6M ≫
-    // |S|²/2 ≈ 10⁴ → NL (the r16 verdict's slow-row regime, routed away)
-    assert(!AuditOps.kmvChooseBanded(140, 2600000L))
-    // tens-of-sources contract: banded join volume dwarfs the tiny square
+    // the measured anchors the rule must reproduce (kmvscale, BASELINE
+    // r16 + r17): q132's tens-of-sources contract → NL (the only
+    // measured NL win, |S|=20); banded from |S|≈100 at EVERY measured
+    // tier, dense (sf0.1 shared vocabulary, |S|=140: banded 3.26 s vs
+    // NL 5.13) and sparse (sf10 replicas) alike — the volume-comparison
+    // rule the r16 verdict proposed would route dense |S|=140 to NL
+    // (156k ≫ 9.7k candidate rows) and is measured-refuted (see
+    // kmvChooseBanded's doc)
     assert(!AuditOps.kmvChooseBanded(20, 48640L))
-    // sparse fine-grained provenance: the square dwarfs postings-bounded
-    // co-occurrence → banded (kmvscale: banded ~2× from |S|≈100 sparse)
+    assert(AuditOps.kmvChooseBanded(140, 156441L))
+    assert(AuditOps.kmvChooseBanded(100, 111685L))
     assert(AuditOps.kmvChooseBanded(100000L, 1000000L))
-    assert(AuditOps.kmvChooseBanded(100L, 4000L))
     // dispatch identity at both provenance grains of the gate corpus —
     // whatever stage it picks, the answer IS the NL stage's
     def asMap(df: org.apache.spark.sql.DataFrame) =
