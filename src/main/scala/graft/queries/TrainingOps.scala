@@ -2975,6 +2975,52 @@ object TrainingOps {
         s"${oMultisetDigest("CASE WHEN del = 0 THEN h END")} AS mh_post " +
         "FROM k GROUP BY shard ORDER BY shard")),
 
+    // POST-takedown shard manifest (r18): the oracle face of the
+    // `_manifest` SIDECAR [[graft.sink.Sink.writeShards]] now persists
+    // beside every released shard artifact and [[graft.sink.Sink
+    // .takedownShards]] maintains per affected shard — for the %97
+    // stand-in takedown set (q133/q135's convention), the exact q89
+    // manifest frame a reader must find in the sidecar AFTER the
+    // takedown lands: per shard over the KEPT rows only. q89 stays the
+    // full-artifact manifest face; q135 prices the plan; this row pins
+    // the post-state values both engines must agree on (SinkSpec closes
+    // the loop by asserting the maintained sidecar equals this frame
+    // after a real takedownShards run). Scale: identical to q89 — one
+    // map pass into an 8-group partial-agg shuffle, every column an
+    // O(1) buffer (count/sums/min/max/mergeable int128 digest); the
+    // production sidecar is maintained incrementally from the takedown's
+    // own kept-rows aggregates, so learning this truth never costs a
+    // release-wide scan.
+    Q("q136_shard_manifest_post",
+      (s, d) => {
+        val kept = documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .filter(col("doc_id") % 97 =!= 0)
+          .withColumn("shard",
+            (Hashing.md5Long(concat(lit("shard:"), col("doc_id").cast("string"))) % 8L)
+              .cast("long"))
+          .withColumn("h", Hashing.simpleHash(col("text")))
+          .withColumn("toks", size(words(col("text"))).cast("long"))
+        kept.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"),
+            Hashing.multisetDigest(col("h")).as("content_mh"))
+          .orderBy("shard")
+      },
+      Some("WITH k AS (SELECT doc_id, n_chars, " +
+        s"${oMd5Long("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard, " +
+        "md5(regexp_replace(text, '\\s+', '', 'g')) AS h, " +
+        "CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS toks " +
+        "FROM documents WHERE doc_id % 97 <> 0) " +
+        "SELECT shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc, " +
+        s"${oMultisetDigest("h")} AS content_mh " +
+        "FROM k GROUP BY shard ORDER BY shard")),
+
     // Filter-funnel yield report: the cascade counts a pipeline publishes
     // with every corpus build (how many documents survive each filter
     // stage, applied in order: minimum length → language allowlist →

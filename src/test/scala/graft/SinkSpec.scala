@@ -111,12 +111,177 @@ class SinkSpec extends AnyFunSuite {
     assert(!mhPost.contains(3L))
     for (s <- Seq(0L, 1L)) assert(mhPost(s) != mhPre(s), s"digest static: $s")
     for (s <- Seq(2L, 4L, 5L, 6L, 7L)) assert(mhPost(s) == mhPre(s))
+    // the _manifest sidecar moved in lockstep: the fully-removed shard's
+    // manifest partition is gone, and with no `h` in this layout the
+    // digest falls back to doc_id membership — exactly the manifestDigests
+    // frame above (the sidecar IS the post-takedown truth, no q89 re-run)
+    assert(!new java.io.File(s"$dir/_manifest/shard=3").exists())
+    val sidecarMh = spark.read.parquet(s"$dir/_manifest")
+      .select(col("shard").cast("long"), col("content_mh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sidecarMh == mhPost)
     // replay: idempotent no-op, artifact untouched
     val replay = Sink.takedownShards(delIds.toDF("doc_id"), dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(replay("rows_removed") == 0L)
     assert(replay("shards_rewritten") == 0L && replay("shards_removed") == 0L)
     assert(fileSigs() == sigsPost)
+  }
+
+  /** The manifest frame in q89 column order, partition-typed uniformly —
+    * read-back sidecars append the `shard` partition column last and
+    * infer it as int, so compare on explicit casts.
+    */
+  private def mrows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("shard").cast("long"), col("n_docs").cast("long"),
+      col("n_tokens").cast("long"), col("sum_chars").cast("long"),
+      col("min_doc").cast("long"), col("max_doc").cast("long"),
+      col("content_mh"))
+      .orderBy("shard").collect().map(_.toSeq.toList).toSeq
+  }
+
+  test("manifest sidecar: writeShards lands a fresh q89, takedownShards maintains it to the q136 post frame, legacy degrades loudly") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val dir = Files.createTempDirectory("graft-shman").toString + "/s"
+    // the q89 keyed frame + a pos column = a writeShards layout carrying
+    // every manifest input (h, toks, n_chars)
+    val layout = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("shard", (graft.functions.Hashing.md5Long(
+        concat(lit("shard:"), col("doc_id").cast("string"))) % 8L).cast("long"))
+      .withColumn("h", graft.functions.Hashing.simpleHash(col("text")))
+      .withColumn("toks",
+        size(graft.functions.Text.words(col("text"))).cast("long"))
+      .drop("text")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")).cast("long"))
+    Sink.writeShards(layout, dir, numShards = 8)
+    // the sidecar as written == a fresh q89 manifest run over the corpus
+    assert(mrows(spark.read.parquet(s"$dir/_manifest")) ==
+      mrows(SparkEntry.queries("q89_shard_manifest")(spark, sf)))
+    // land the %97 takedown: the sidecar must now read EXACTLY the
+    // oracle-green q136 post frame — no release-wide q89 re-run needed
+    val ids = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(col("doc_id") % 97 === 0)
+    assert(ids.count() > 0, "gate corpus must exercise the %97 set")
+    Sink.takedownShards(ids, dir)
+    assert(mrows(spark.read.parquet(s"$dir/_manifest")) ==
+      mrows(SparkEntry.queries("q136_shard_manifest_post")(spark, sf)))
+    // legacy artifact (no sidecar): loud degrade, data takedown still
+    // lands, and no sidecar is invented after the fact
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), true)
+    val ids2 = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(col("doc_id") % 89 === 0)
+    val rep = Sink.takedownShards(ids2, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("rows_removed") > 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifest")))
+    val stillThere = spark.read.parquet(dir)
+      .filter(col("doc_id") % 89 === 0 || col("doc_id") % 97 === 0).count()
+    assert(stillThere == 0L)
+  }
+
+  test("takedownShards: a crash between set-aside and staged rename is recovered on replay (staged copy completes the swap)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shardcr").toString + "/s"
+    val layout = SparkEntry.queries("q87_shard_layout")(
+      spark, "/root/testdata/sf0.001")
+    Sink.writeShards(layout, dir, numShards = 8)
+    val pre = layout.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0))) // (shard,pos,doc)
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val delIds = pre(0L).take(3).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // construct the EXACT mid-swap crash state the ADVICE names: the
+    // staged post-takedown copy of shard 0 is fully written under
+    // .takedown-staging/, the live shard=0 has been renamed to the
+    // old-shard=0 set-aside, and the staged->live rename never ran —
+    // shard 0 is absent from the live artifact, its only two copies
+    // inside the directory a naive replay's Overwrite would destroy
+    spark.read.parquet(dir)
+      .filter(col("shard") === 0 && !col("doc_id").isin(delIds: _*))
+      .repartition(1, col("shard")).sortWithinPartitions("shard", "pos")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(s"$dir/.takedown-staging")
+    // the real swap order is manifest-first, so in this window shard 0's
+    // sidecar row is already the post-takedown one — reproduce that too
+    Sink.shardManifest(spark.read.parquet(dir)
+        .filter(col("shard") === 0 && !col("doc_id").isin(delIds: _*)))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(s"$dir/.mtmp")
+    fs.delete(path(s"$dir/_manifest/shard=0"), true)
+    assert(fs.rename(path(s"$dir/.mtmp/shard=0"),
+      path(s"$dir/_manifest/shard=0")))
+    fs.delete(path(s"$dir/.mtmp"), true)
+    assert(fs.rename(path(s"$dir/shard=0"),
+      path(s"$dir/.takedown-staging/old-shard=0")))
+    assert(!fs.exists(path(s"$dir/shard=0")))
+    // replaying the takedown is the documented recovery: the preamble
+    // must complete the interrupted swap from the staged copy BEFORE the
+    // staging root is overwritten, and the replay then sees shard 0
+    // already clean (no rows removed, nothing rewritten)
+    val replay = Sink.takedownShards(delIds.toDF("doc_id"), dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replay("rows_removed") == 0L)
+    assert(replay("shards_rewritten") == 0L && replay("shards_removed") == 0L)
+    val back = spark.read.parquet(s"$dir/shard=0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(back == pre(0L).filterNot(delIds.contains),
+      "recovered shard 0 must hold the staged post-takedown rows in order")
+    assert(!fs.exists(path(s"$dir/.takedown-staging")))
+    // every other shard untouched
+    for (s <- 1L until 8L) {
+      val b = spark.read.parquet(s"$dir/shard=$s")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      assert(b == pre(s))
+    }
+    // and the sidecar reads the truth of the final artifact
+    assert(mrows(spark.read.parquet(s"$dir/_manifest")) ==
+      mrows(Sink.shardManifest(spark.read.parquet(dir))))
+  }
+
+  test("takedownShards: a crash window with only the set-aside left rolls back, and the replay redoes the shard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shardrb").toString + "/s"
+    val layout = SparkEntry.queries("q87_shard_layout")(
+      spark, "/root/testdata/sf0.001")
+    Sink.writeShards(layout, dir, numShards = 8)
+    val pre = layout.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val delIds = pre(2L).take(2).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // the rarer window: the staged->live rename FAILED and its in-place
+    // restore also failed (live missing, only the old-shard= set-aside
+    // survives — the staged copy is gone with the failed rename)
+    fs.mkdirs(path(s"$dir/.takedown-staging"))
+    assert(fs.rename(path(s"$dir/shard=2"),
+      path(s"$dir/.takedown-staging/old-shard=2")))
+    val replay = Sink.takedownShards(delIds.toDF("doc_id"), dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the preamble rolled the pre-takedown shard back into place, so the
+    // replay finds the ids still present and performs the takedown
+    assert(replay("rows_removed") == delIds.size.toLong)
+    assert(replay("shards_rewritten") == 1L)
+    val back = spark.read.parquet(s"$dir/shard=2")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(back == pre(2L).filterNot(delIds.contains))
+    assert(!fs.exists(path(s"$dir/.takedown-staging")))
+    // the replay re-marked shard 2 affected and rewrote its manifest
+    // row too — the sidecar reads the truth of the final artifact
+    assert(mrows(spark.read.parquet(s"$dir/_manifest")) ==
+      mrows(Sink.shardManifest(spark.read.parquet(dir))))
   }
 
   test("fingerprint index round-trip: a batch probe reproduces q95 without standing texts") {
