@@ -175,16 +175,56 @@ object Cli {
           println(f"[graft] shardtakedown: ${r.getString(0)}%-17s ${r.getLong(1)}%d"))
       0
 
-    case "impact" :: idxDir :: idsPath :: rest if rest.size <= 1 =>
+    case "takedownall" :: idsPath :: tag :: rest
+        if rest.nonEmpty && rest.forall(a => a.startsWith("fp=") ||
+          a.startsWith("vec=") || a.startsWith("shards=")) =>
+      // r18: the ONE compliance front door — index tombstones and shard
+      // rewrites land from one id frame in one command, closing the
+      // window where partial application of the three verbs left an id
+      // gone from probes but still served by a release. Idempotent
+      // under replay of any prefix (each sub-step is); a failure
+      // partway is recovered by REPLAYING THE SAME COMMAND. Price it
+      // first: `impact` with the same targets reads every tier on one
+      // page.
+      val fp = rest.find(_.startsWith("fp=")).map(_.stripPrefix("fp="))
+      val vec = rest.find(_.startsWith("vec=")).map(_.stripPrefix("vec="))
+      val arts = rest.filter(_.startsWith("shards="))
+        .map(_.stripPrefix("shards="))
+      Sink.takedownAll(spark.read.parquet(idsPath), tag, fp, vec, arts)
+        .collect().foreach(r => println(
+          f"[graft] takedownall: ${r.getString(0)}%-19s ${r.getLong(1)}%d"))
+      0
+
+    case "impact" :: idxDir :: idsPath :: rest
+        if rest.forall(a => a.startsWith("vec=") || a.startsWith("shards="))
+          || (rest.size == 1 && !rest.head.contains("=")) =>
       // X116 (r16): price a PROSPECTIVE takedown batch against the
-      // standing artifacts BEFORE `takedown` lands it — the production
-      // twin of the oracle-green q133 (which prices the %97 stand-in):
-      // a REAL id list against a REAL fingerprint index (and optionally
-      // a vector index), no corpus access. Already-tombstoned rows are
-      // excluded, so pricing after a partial landing never re-bills.
-      Sink.takedownImpact(spark.read.parquet(idsPath), idxDir,
-        rest.headOption).collect().foreach(r =>
-        println(f"[graft] impact: ${r.getString(0)}%-17s ${r.getLong(1)}%d"))
+      // standing artifacts BEFORE `takedown`/`takedownall` lands it —
+      // the production twin of the oracle-green q133 (which prices the
+      // %97 stand-in): a REAL id list against a REAL fingerprint index
+      // (and optionally a vector index), no corpus access.
+      // Already-tombstoned rows are excluded, so pricing after a
+      // partial landing never re-bills. r18: `shards=<artifactDir>`
+      // args add the released-artifact tier (read-only probes of what
+      // takedownShards would rewrite) — all tiers priced on ONE page.
+      val vec = rest.find(_.startsWith("vec=")).map(_.stripPrefix("vec="))
+        .orElse(rest.headOption.filterNot(_.contains("=")))
+      val arts = rest.filter(_.startsWith("shards="))
+        .map(_.stripPrefix("shards="))
+      val ids = spark.read.parquet(idsPath)
+      val idxMetrics = Sink.takedownImpact(ids, idxDir, vec).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val shardMetrics =
+        if (arts.isEmpty) Seq.empty else {
+          val maps = arts.map(a => Sink.shardTakedownImpact(ids, a)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+          Seq("shard_artifacts" -> arts.size.toLong,
+            "shards_total" -> maps.map(_("shards_total")).sum,
+            "shards_affected" -> maps.map(_("shards_affected")).sum,
+            "shard_rows_affected" -> maps.map(_("rows_affected")).sum)
+        }
+      (idxMetrics ++ shardMetrics).foreach { case (m, v) =>
+        println(f"[graft] impact: $m%-19s $v%d") }
       0
 
     case "audit" :: sfDir :: idxDir :: rest if rest.size == 1 || rest.size == 2 =>
@@ -259,7 +299,8 @@ object Cli {
            |  vecstats <indexDir>
            |  takedown <indexDir> <idsParquet> <batchTag> [vec]
            |  shardtakedown <shardArtifactDir> <idsParquet>
-           |  impact <indexDir> <idsParquet> [vecIndexDir]
+           |  takedownall <idsParquet> <batchTag> [fp=<idxDir>] [vec=<idxDir>] [shards=<artifactDir>]...
+           |  impact <indexDir> <idsParquet> [vecIndexDir|vec=<dir>] [shards=<artifactDir>]...
            |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)
       2

@@ -551,10 +551,10 @@ object Sink {
       // and the stats re-derivation below then counts the filtered rows
       val full0 = spark.read.parquet(s"$path/$t").drop("batch")
       val full = pin.fold(full0)(tt =>
-        antiTombstones(full0, tt, "doc_id", Seq.empty))
+        antiTombstones(full0, tt.df, "doc_id", Seq.empty, hint = tt.small))
       shapeFor(t)(full).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/.staging/$t")
-    } finally pin.foreach(_.unpersist(blocking = false))
+    } finally pin.foreach(_.df.unpersist(blocking = false))
     // the stats tier is RE-DERIVED from the just-staged row tables: a
     // pure function of them, so folding the per-batch count deltas and
     // recomputing give identical tables — and recomputing self-heals a
@@ -856,21 +856,61 @@ object Sink {
     * at mass-purge volumes), while chained hash anti-joins stay flat in
     * |t| and pipeline in one scan (BASELINE r17).
     */
+  /** Broadcast ceiling for the tombstone anti-joins (r18): the explicit
+    * broadcast defends REQUEST-sized tombstone sets against planner
+    * mis-estimates, but tombstones accumulate across takedown batches
+    * until a fold, and a mass-purge-scale set forced into a broadcast
+    * would blow the driver/broadcast limits and FAIL where the planner's
+    * shuffle fallback would have worked. Gate: hint only while the
+    * tombstone table's on-disk bytes (a metadata sum over the batch
+    * dirs, no data read) — or the pinned row count at fold time — stay
+    * inside request scale; above it, leave the join strategy to the
+    * planner, loudly. 64 MB of single-column parquet is ≳10⁷ ids —
+    * far past any single request, well under where a forced broadcast
+    * breaks.
+    */
+  private val TombstoneBroadcastMaxBytes = 64L << 20
+  private val TombstoneBroadcastMaxRows = 10L * 1000 * 1000
+
+  private def tombstoneHint(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[org.apache.hadoop.fs.Path]): Boolean = {
+    if (dirs.isEmpty) return true
+    val fs = dirs.head.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = dirs.map(d => fs.listStatus(d).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum).sum
+    val small = bytes <= TombstoneBroadcastMaxBytes
+    if (!small)
+      System.err.println(s"[sink] NOTE: tombstone table is $bytes bytes " +
+        "on disk (mass-purge scale) — leaving the anti-join strategy to " +
+        "the planner instead of forcing a broadcast")
+    small
+  }
+
   private[graft] def minusTombstones(df: DataFrame, path: String,
       idCol: String, cols: Seq[String] = Seq.empty,
-      snapshot: Option[Seq[org.apache.hadoop.fs.Path]] = None): DataFrame =
-    tombstones(df.sparkSession, path, idCol, snapshot) match {
-      case Some(t) => antiTombstones(df, t, idCol, cols)
+      snapshot: Option[Seq[org.apache.hadoop.fs.Path]] = None): DataFrame = {
+    val spark = df.sparkSession
+    val dirs = snapshot.getOrElse(tombstoneBatchDirs(spark, path))
+    tombstones(spark, path, idCol, Some(dirs)) match {
+      case Some(t) => antiTombstones(df, t, idCol, cols,
+        hint = tombstoneHint(spark, dirs))
       case None => df
     }
+  }
 
-  /** The anti-join itself, over a caller-held tombstone frame. */
+  /** The anti-join itself, over a caller-held tombstone frame. `hint`
+    * false (mass-purge scale, gated above) drops the broadcast hint.
+    */
   private def antiTombstones(df: DataFrame, t: DataFrame, idCol: String,
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], hint: Boolean = true): DataFrame = {
     val on = if (cols.isEmpty) Seq(idCol) else cols
-    on.foldLeft(df)((acc, c) =>
-      acc.join(org.apache.spark.sql.functions.broadcast(
-        t.select(col(idCol).as(c))), Seq(c), "left_anti"))
+    on.foldLeft(df) { (acc, c) =>
+      val side = t.select(col(idCol).as(c))
+      acc.join(
+        if (hint) org.apache.spark.sql.functions.broadcast(side) else side,
+        Seq(c), "left_anti")
+    }
   }
 
   /** The tombstone frame MATERIALIZED once for a multi-table fold (r17
@@ -881,13 +921,21 @@ object Sink {
     * request-sized distinct once cuts the fold's tombstone marginal to
     * one read; callers pass the result via `pinned` and MUST unpersist.
     */
+  private[graft] final case class Pinned(df: DataFrame, small: Boolean)
+
   private def pinnedTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String,
-      snapshot: Seq[org.apache.hadoop.fs.Path]): Option[DataFrame] =
+      snapshot: Seq[org.apache.hadoop.fs.Path]): Option[Pinned] =
     tombstones(spark, path, idCol, Some(snapshot)).map { t =>
       val p = t.persist()
-      p.count()
-      p
+      val n = p.count()
+      // the fold has the exact count for free — gate the broadcast hint
+      // on it directly (the byte gate above serves the un-pinned reads)
+      if (n > TombstoneBroadcastMaxRows)
+        System.err.println(s"[sink] NOTE: $n pinned tombstones " +
+          "(mass-purge scale) — fold anti-joins left to the planner " +
+          "instead of forcing a broadcast")
+      Pinned(p, n <= TombstoneBroadcastMaxRows)
     }
 
   /** Land a takedown batch against a fingerprint index: the doc_ids in
@@ -1134,6 +1182,99 @@ object Sink {
       semLost.map("sem_pairs_lost" -> _)
     import spark.implicits._
     metrics.toDF("metric", "value").orderBy("metric")
+  }
+
+  /** READ-ONLY shard-artifact tier of a takedown pricing (r18): what
+    * [[takedownShards]] WOULD rewrite for `ids` at `path`, without
+    * touching a byte — the [[takedownImpact]] discipline extended to the
+    * released artifacts, so a compliance request is priced across every
+    * tier on one page before anything lands. One column-pruned semi-join
+    * probe (doc_id + the shard partition column — the same ~replay-floor
+    * scan the takedown itself pays), never a rewrite. Frame:
+    * `shards_total`, `shards_affected`, `rows_affected`.
+    */
+  def shardTakedownImpact(ids: DataFrame, path: String): DataFrame = {
+    val spark = ids.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val nShards =
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("shard="))
+    if (nShards == 0)
+      sys.error(s"$path is not a writeShards artifact (no shard= " +
+        "partition directories) — nothing to price")
+    val del = graft.util.Caches.transientPersist(
+      ids.select(col("doc_id")).distinct())
+    val hit = spark.read.parquet(path)
+      .join(org.apache.spark.sql.functions.broadcast(del),
+        Seq("doc_id"), "left_semi")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("rows"),
+        org.apache.spark.sql.functions.countDistinct(col("shard")).as("shards"))
+      .head
+    del.unpersist(blocking = false)
+    import spark.implicits._
+    Seq("rows_affected" -> hit.getLong(0),
+      "shards_affected" -> hit.getLong(1),
+      "shards_total" -> nShards.toLong)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** ONE COMPLIANCE FRONT DOOR across every artifact a consumer can
+    * read (r18 — the judged inconsistency window: a takedown was three
+    * separate verbs, and partial application left an id gone from
+    * probes but still served to training jobs by a released artifact,
+    * or vice versa). Lands, from ONE doc_id frame:
+    *  - fingerprint-index tombstones ([[deleteFingerprints]], batch
+    *    `tag`) — every probe/seam/audit stops serving the ids
+    *    immediately;
+    *  - vector-index tombstones ([[deleteVectors]]; vec_id shares the
+    *    doc_id domain — the q116 convention [[takedownImpact]] already
+    *    prices by);
+    *  - shard rewrites for each released artifact ([[takedownShards]]).
+    * ORDER AND PARTIAL-FAILURE SEMANTICS (stated the way single-writer
+    * is): steps apply indexes-first, then artifacts in the given order.
+    * A failure partway leaves earlier steps landed — the ids are then
+    * ABSENT FROM PROBES BUT STILL IN LATER ARTIFACTS, which is the
+    * conservative direction (nothing deleted reappears; a training job
+    * may still read a doc until the replay finishes). The recovery is
+    * REPLAYING THE SAME CALL: every sub-step is idempotent (tombstone
+    * batches are scoped overwrites of `deleted/batch=<tag>`; shard
+    * takedowns re-probe and no-op on clean shards), so replaying any
+    * prefix converges to the fully-applied state. Single-writer per
+    * index/artifact, like each underlying op. Returns one
+    * (metric, value) frame: `ids_given`, `fp_tombstoned` /
+    * `vec_tombstoned` (ids landed per index), `artifacts_processed`,
+    * and the summed `shards_rewritten` / `shards_removed` /
+    * `shard_rows_removed` across artifacts.
+    */
+  def takedownAll(ids: DataFrame, tag: String,
+      fpIndex: Option[String] = None, vecIndex: Option[String] = None,
+      artifacts: Seq[String] = Seq.empty): DataFrame = {
+    require(fpIndex.nonEmpty || vecIndex.nonEmpty || artifacts.nonEmpty,
+      "takedownAll needs at least one target (fp index, vec index, or " +
+        "shard artifact)")
+    val spark = ids.sparkSession
+    val del = graft.util.Caches.transientPersist(
+      ids.select(col("doc_id")).distinct())
+    val nGiven = del.count()
+    fpIndex.foreach(p => deleteFingerprints(del, p, tag))
+    vecIndex.foreach(p =>
+      deleteVectors(del.select(col("doc_id").as("vec_id")), p, tag))
+    val shardReports = artifacts.map(a =>
+      takedownShards(del, a).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    del.unpersist(blocking = false)
+    def summed(k: String): Long = shardReports.map(_.getOrElse(k, 0L)).sum
+    import spark.implicits._
+    (Seq("ids_given" -> nGiven) ++
+      fpIndex.map(_ => "fp_tombstoned" -> nGiven) ++
+      vecIndex.map(_ => "vec_tombstoned" -> nGiven) ++
+      Seq("artifacts_processed" -> artifacts.size.toLong,
+        "shards_rewritten" -> summed("shards_rewritten"),
+        "shards_removed" -> summed("shards_removed"),
+        "shard_rows_removed" -> summed("rows_removed")))
+      .toDF("metric", "value").orderBy("metric")
   }
 
   /** Incremental dedup of a new batch against a [[writeFingerprints]]
@@ -1553,7 +1694,8 @@ object Sink {
     val pin = pinnedTombstones(spark, path, "vec_id", delSnap)
     try {
       def minus(df: DataFrame, cols: Seq[String]): DataFrame =
-        pin.fold(df)(t => antiTombstones(df, t, "vec_id", cols))
+        pin.fold(df)(t =>
+          antiTombstones(df, t.df, "vec_id", cols, hint = t.small))
       val full = minus(
         spark.read.parquet(s"$path/vectors").drop("batch"), Seq.empty)
       full.repartition(col("label")).write.partitionBy("label")
@@ -1562,7 +1704,7 @@ object Sink {
         spark.read.parquet(s"$path/pairs").drop("batch"), Seq("ida", "idb"))
       pairs.repartition(col("cell")).write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$path/.staging/pairs")
-    } finally pin.foreach(_.unpersist(blocking = false))
+    } finally pin.foreach(_.df.unpersist(blocking = false))
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
     clearTombstones(spark, path, "", only = Some(delSnap))
   }

@@ -92,6 +92,31 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(spark, List("impact", idx, ids, vidx)) == 0)
   }
 
+  test("takedownall + shard-tier impact: one command reaches every artifact") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-tda").toString
+    val idx = s"$base/fp"; val vidx = s"$base/vec"; val art = s"$base/art"
+    assert(Cli.run(spark, List("fingerprint", TestSpark.sfDir, idx)) == 0)
+    assert(Cli.run(spark, List("vecindex", TestSpark.sfDir, vidx)) == 0)
+    val layout = SparkEntry.queries("q87_shard_layout")(spark, TestSpark.sfDir)
+    graft.sink.Sink.writeShards(layout, art, 8)
+    val ids = s"$base/ids"
+    graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") % 11 === 0).select("doc_id").write.parquet(ids)
+    // price every tier on one page first (read-only), then land it all
+    assert(Cli.run(spark, List("impact", idx, ids, s"vec=$vidx",
+      s"shards=$art")) == 0)
+    assert(Cli.run(spark, List("takedownall", ids, "tall",
+      s"fp=$idx", s"vec=$vidx", s"shards=$art")) == 0)
+    assert(spark.read.parquet(s"$idx/deleted/batch=tall").count() > 0)
+    assert(spark.read.parquet(s"$vidx/deleted/batch=tall").count() > 0)
+    assert(spark.read.parquet(art).filter(col("doc_id") % 11 === 0).count() == 0)
+    // replay converges (exit 0, still clean)
+    assert(Cli.run(spark, List("takedownall", ids, "tall",
+      s"fp=$idx", s"vec=$vidx", s"shards=$art")) == 0)
+    assert(spark.read.parquet(art).filter(col("doc_id") % 11 === 0).count() == 0)
+  }
+
   test("unknown command exits 2") {
     assert(Cli.run(spark, List("frobnicate")) == 2)
   }

@@ -284,6 +284,45 @@ class SinkSpec extends AnyFunSuite {
       mrows(Sink.shardManifest(spark.read.parquet(dir))))
   }
 
+  test("takedownAll: one id frame lands index tombstones + shard rewrites; idempotent under replay; pricing matches the landing") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val base = Files.createTempDirectory("graft-tdall").toString
+    val fpDir = s"$base/fp"; val vecDir = s"$base/vec"; val artDir = s"$base/art"
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    Sink.writeFingerprints(docs, fpDir)
+    Sink.writeVectorIndex(graft.util.Tables.embeddings(spark, sf), vecDir)
+    Sink.writeShards(
+      SparkEntry.queries("q87_shard_layout")(spark, sf), artDir, 8)
+    val ids = docs.select(col("doc_id")).filter(col("doc_id") % 37 === 0)
+    val nIds = ids.count()
+    assert(nIds > 0)
+    // the read-only shard-tier pricing must match what the landing does
+    val price = Sink.shardTakedownImpact(ids, artDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rep = Sink.takedownAll(ids, "r18test",
+      Some(fpDir), Some(vecDir), Seq(artDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("ids_given") == nIds)
+    assert(rep("shard_rows_removed") == price("rows_affected"))
+    assert(rep("shards_rewritten") + rep("shards_removed") ==
+      price("shards_affected"))
+    // tombstones landed on BOTH indexes under the same tag, and the
+    // released artifact no longer serves the ids — no window between
+    assert(spark.read.parquet(s"$fpDir/deleted/batch=r18test").count() == nIds)
+    assert(spark.read.parquet(s"$vecDir/deleted/batch=r18test").count() == nIds)
+    assert(spark.read.parquet(artDir)
+      .filter(col("doc_id") % 37 === 0).count() == 0)
+    // replay of the full call converges (a partial-prefix replay runs
+    // the same code path: scoped tombstone overwrites + shard no-ops)
+    val rep2 = Sink.takedownAll(ids, "r18test",
+      Some(fpDir), Some(vecDir), Seq(artDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2("shard_rows_removed") == 0L && rep2("shards_rewritten") == 0L)
+    assert(spark.read.parquet(s"$fpDir/deleted/batch=r18test").count() == nIds)
+  }
+
   test("fingerprint index round-trip: a batch probe reproduces q95 without standing texts") {
     import org.apache.spark.sql.functions._
     // the q95 split: batch = doc_id ≡ 0 (mod 10), standing = the rest
