@@ -42,7 +42,8 @@ class BenchArtifactSpec extends AnyFunSuite {
     // the r16 window self-certification fragment: four control values
     // at 2 decimals (a pathological window can push a control past
     // 1000 s — budget 7-char values, the r17 advice) + the longest
-    // verdict word ('control_failed')
+    // verdict word ('control_failed'; the r18 three-band verdict's
+    // 'quiet'/'warm'/'loaded' are all shorter, so the budget stands)
     val windowWorst =
       (""","window":{"ctrl":[9999.99,9999.99,9999.99,9999.99],""" +
         """"v":"control_failed"}""").length

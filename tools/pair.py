@@ -70,13 +70,22 @@ def main():
         tracked = subprocess.run(
             ["git", "ls-files", "--error-unmatch", bench_target],
             capture_output=True).returncode == 0
-        if tracked and verdict != "quiet":
+        # 'warm' (r18: controls within x3 but above the x2 quiet band) is
+        # promotable like quiet -- the total/ratio remain comparable --
+        # but loudly: its PER-QUERY rows are not window-comparable
+        if tracked and verdict not in ("quiet", "warm"):
             sys.stderr.write(
                 f"[pair] REFUSING to overwrite tracked {bench_target}: "
                 f"window verdict {verdict!r} (run kept at {bench_sidecar}; "
                 "re-run in a quiet window)\n")
         else:
-            if verdict != "quiet":
+            if verdict == "warm":
+                sys.stderr.write(
+                    f"[pair] NOTE: promoting a 'warm'-window sidecar to "
+                    f"{bench_target} -- total/ratio comparable, but read "
+                    "per-query movement against a serialized pair, not "
+                    "this artifact\n")
+            elif verdict != "quiet":
                 sys.stderr.write(f"[pair] WARNING: promoting a "
                                  f"{verdict!r}-window sidecar to "
                                  f"{bench_target} (untracked target)\n")
