@@ -275,11 +275,30 @@ object Cli {
         case Some(x) => spark.conf.set(key, x)
         case None => spark.conf.unset(key)
       }
-      try audits.foreach { q =>
-        val df = SparkEntry.queries(q)(spark, sfDir)
-        df.write.mode("overwrite").parquet(s"$outDir/$q")
-        val n = spark.read.parquet(s"$outDir/$q").count()
-        println(s"[graft] audit: $q rows=$n -> $outDir/$q")
+      try {
+        audits.foreach { q =>
+          val df = SparkEntry.queries(q)(spark, sfDir)
+          df.write.mode("overwrite").parquet(s"$outDir/$q")
+          val n = spark.read.parquet(s"$outDir/$q").count()
+          println(s"[graft] audit: $q rows=$n -> $outDir/$q")
+        }
+        // r18: the PRODUCTION overlap page routes through the kmvPairs
+        // dispatch front door (the measured |S| > 64 crossover governs a
+        // real path now, not just the Profile instrument) — q132/q134
+        // above stay stage-PINNED as the two stages' oracle anchors.
+        // The dispatch choice and its statistics land IN the audit
+        // output as their own one-row page, not just on stderr.
+        val disp = graft.queries.AuditOps.kmvPairsDispatch(
+          graft.queries.AuditOps.kmvSigs(spark, sfDir))
+        disp.pairs.orderBy("source_a", "source_b")
+          .write.mode("overwrite").parquet(s"$outDir/overlap_kmv")
+        import spark.implicits._
+        Seq((disp.stage, disp.nSources, disp.nlPairs, disp.bandedRows))
+          .toDF("stage", "n_sources", "nl_pairs", "banded_rows")
+          .write.mode("overwrite").parquet(s"$outDir/overlap_kmv_dispatch")
+        val nOv = spark.read.parquet(s"$outDir/overlap_kmv").count()
+        println(s"[graft] audit: overlap_kmv rows=$nOv " +
+          s"stage=${disp.stage} (|S|=${disp.nSources}) -> $outDir/overlap_kmv")
       } finally {
         restore("spark.graft.fpIndex", prior)
         restore("spark.graft.vecIndex", priorVec)

@@ -607,7 +607,21 @@ object AuditOps {
     * transient-persisted: the stats pass and the chosen stage must not
     * re-pay the corpus-side signature build.
     */
-  private[graft] def kmvPairs(sigs0: DataFrame, k: Int = 256): DataFrame = {
+  private[graft] def kmvPairs(sigs0: DataFrame, k: Int = 256): DataFrame =
+    kmvPairsDispatch(sigs0, k).pairs
+
+  /** [[kmvPairs]] with the dispatch DECISION returned alongside the
+    * pair frame (r18 — the front door's production caller, `Cli audit`,
+    * must log the choice INTO the audit output, not just stderr): the
+    * chosen stage plus the statistics it was chosen from. The two
+    * stages stay estimate-identical by construction, so the decision is
+    * observability, never an answer change.
+    */
+  private[graft] final case class KmvDispatch(pairs: DataFrame,
+      stage: String, nSources: Long, nlPairs: Long, bandedRows: Long)
+
+  private[graft] def kmvPairsDispatch(sigs0: DataFrame,
+      k: Int = 256): KmvDispatch = {
     val sigs = graft.util.Caches.transientPersist(sigs0)
     val nS = sigs.count()
     val bandedRows = sigs.select(explode(col("sig")).as("h"))
@@ -615,10 +629,12 @@ object AuditOps {
       .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
       .head.getLong(0) / 2
     val banded = kmvChooseBanded(nS, bandedRows)
+    val stage = if (banded) "banded" else "nl"
     System.err.println(s"[audit] kmvPairs dispatch: |S|=$nS " +
-      s"nl_pairs=${nS * (nS - 1) / 2} banded_rows=$bandedRows -> " +
-      (if (banded) "banded" else "nl"))
-    if (banded) kmvPairsBanded(sigs, k) else kmvPairsNL(sigs, k)
+      s"nl_pairs=${nS * (nS - 1) / 2} banded_rows=$bandedRows -> $stage")
+    KmvDispatch(
+      if (banded) kmvPairsBanded(sigs, k) else kmvPairsNL(sigs, k),
+      stage, nS, nS * (nS - 1) / 2, bandedRows)
   }
 
   val all: Seq[Q] = Seq(

@@ -140,14 +140,25 @@ class AuditSpec extends AnyFunSuite {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
-    for (grain <- Seq(Option.empty[Int], Some(7))) {
+    // r18: drive the dispatch across grains chosen to land in BOTH
+    // regimes (coarse provenance → NL; 97-way fine-grained → |S| > 64
+    // → banded), and pin the returned decision record against the rule
+    var seen = Set.empty[String]
+    for (grain <- Seq(Option.empty[Int], Some(7), Some(97))) {
       val sigs = graft.queries.AuditOps.kmvSigs(spark, d, grain).persist()
       try {
-        val got = asMap(AuditOps.kmvPairs(sigs))
+        val disp = AuditOps.kmvPairsDispatch(sigs)
+        val got = asMap(disp.pairs)
         assert(got.nonEmpty && got == asMap(AuditOps.kmvPairsNL(sigs)),
           s"dispatch output diverged at grain=$grain")
+        assert(disp.stage == (if (AuditOps.kmvChooseBanded(disp.nSources,
+          disp.bandedRows)) "banded" else "nl"))
+        assert(disp.nlPairs == disp.nSources * (disp.nSources - 1) / 2)
+        seen += disp.stage
       } finally { sigs.unpersist(); () }
     }
+    assert(seen == Set("nl", "banded"),
+      s"dispatch must be exercised in both regimes, saw: $seen")
   }
 
   test("q97 DSIR weights match a driver-side fixed-point recomputation") {

@@ -46,6 +46,19 @@ class CliSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
       assert(fromCli == direct, q)
     }
+    // r18: the production overlap page routes through the kmvPairs
+    // dispatch front door; at the gate corpus's coarse provenance the
+    // rule picks NL, so the page must equal the stage-pinned q132 face,
+    // and the decision record lands in the audit output itself
+    val ovCli = spark.read.parquet(s"$out/overlap_kmv")
+      .orderBy("source_a", "source_b")
+      .collect().map(_.toString).toSeq
+    val ovDirect = SparkEntry.queries("q132_source_overlap_sketch")(
+      spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+    assert(ovCli == ovDirect)
+    val disp = spark.read.parquet(s"$out/overlap_kmv_dispatch").head
+    assert(disp.getAs[String]("stage") == "nl")
+    assert(disp.getAs[Long]("n_sources") > 0)
   }
 
   test("vecindex + vecstats: the artifact report runs off the built index") {
