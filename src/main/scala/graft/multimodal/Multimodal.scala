@@ -364,14 +364,28 @@ object Multimodal {
     * band joins additionally key on the exploded size class. Requires
     * an index whose `media` table carries `n_bytes` (the r17 schema —
     * [[graft.sink.Sink.writeFingerprints]] persists it); a legacy
-    * fp-only media table degrades LOUDLY to plain banding (the house
-    * rule: the flag is a cost knob, never a correctness knob — the
-    * verified pair set is identical either way, measured at two scales
-    * by `Profile mediacand` and value-pinned in the suite). Default
-    * OFF: at current corpus scale the plain 5×24 banding's candidate
-    * volume is already 2.4× the uniform floor; the knob is the
-    * measured −32%-candidates escape for the 1e9-doc tier (BASELINE
-    * r16), priced by q131's candidate_pairs_sized row.
+    * fp-only media table degrades LOUDLY to plain banding.
+    *
+    * RECALL CAVEAT, stated precisely (r18 — the r17 "cost knob, never
+    * a correctness knob" claim was too strong): the exhaustiveness
+    * argument covers pairs with |Δn| ≤ [[SizeClassSlack]] bytes. The
+    * edit-bound arithmetic (a contiguous k-byte insert flips UP TO
+    * 2(k+5) parity bits) makes single-digit |Δn| the TYPICAL hamming≤4
+    * near-dup, but it is an upper bound, not a lower bound: parity
+    * CANCELLATION on low-entropy payloads can hold hamming ≤ 4 at
+    * arbitrary length deltas (the degenerate case — a run of one
+    * repeated byte — keeps hamming at 0 for ANY two lengths of equal
+    * parity; MultimodalSpec pins a constructed 20-byte-Δn pair the
+    * sized join drops). With the flag ON such a pair whose classes
+    * straddle a power-of-2 boundary by more than the slack silently
+    * leaves q125/probe verdicts — a TAIL recall loss, bounded to
+    * low-entropy payloads with |Δn| > 8, in exchange for the measured
+    * −32% candidate volume. That trade is why the flag defaults OFF
+    * and why enabling it at the 1e9-doc tier is a decision to read off
+    * q131's datasheet WITH this caveat, not a free win. On THIS corpus
+    * the verified pair set is identical on/off (measured at two scales
+    * by `Profile mediacand` and value-pinned in the suite) — the
+    * caveat is about what the corpus could contain, not what it does.
     */
   val SizeClassFlag = "spark.graft.mediaSizeClasses"
 

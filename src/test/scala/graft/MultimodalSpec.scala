@@ -112,6 +112,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("size-class knob recall caveat: a constructed low-entropy >slack-Δn near-dup pair is dropped by sized banding (the documented tail)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the degenerate payload the SizeClassFlag doc names: a run of one
+    // repeated byte puts every 6-byte window in ONE parity bucket, so
+    // any two lengths of equal parity fingerprint IDENTICALLY (hamming
+    // 0 — a true near-dup by the verify contract) at arbitrary Δn. 240
+    // vs 260 bytes (both ≥ FingerprintMinBytes, Δn = 20 > slack 8)
+    // straddle the 256 boundary by more than the slack
+    val a = Array.fill(240)('X'.toByte)
+    val b = Array.fill(260)('X'.toByte)
+    val fa = Multimodal.fingerprintOf(a)
+    val fb = Multimodal.fingerprintOf(b)
+    assert(Multimodal.hammingOf(fa, fb) == 0,
+      "the constructed pair must be a fingerprint-identical near-dup")
+    // plain banding surfaces it (identical fingerprints share all bands)
+    // …but the slack-widened size classes are DISJOINT, so the sized
+    // band join never forms the candidate: the recall loss the flag's
+    // doc states, pinned here so the caveat can't silently rot
+    def classes(n: Int): Set[Long] =
+      spark.range(1).select(Multimodal.sizeClassesOf(lit(n)).as("c"))
+        .head.getSeq[Long](0).toSet
+    assert(classes(240) == Set(7L) && classes(260) == Set(8L))
+    assert(classes(240).intersect(classes(260)).isEmpty,
+      "sized banding drops this pair — the documented |Δn|>slack tail")
+    // and the typical-near-dup case the exhaustiveness argument covers:
+    // any Δn ≤ slack pair always shares a class
+    for (n <- Seq(125, 250, 255, 256, 1023)) {
+      for (d <- 0 to Multimodal.SizeClassSlack) {
+        assert(classes(n).intersect(classes(n + d)).nonEmpty,
+          s"|Δn| ≤ slack pair (n=$n, Δ=$d) must share a size class")
+      }
+    }
+  }
+
   test("resize/frameSample datasets: 1→1 and 1→k row contracts over batches") {
     import spark.implicits._
     val media = Seq(
