@@ -725,4 +725,28 @@ class PlanSpec extends AnyFunSuite {
     assert(raw"Window \[[^\]]*\], \[doc_id#\d+L\]".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("manifest sidecar read-back: column pruning reaches the artifact scan (the X119 claim)") {
+    import org.apache.spark.sql.functions._
+    // writeShards computes the sidecar from a read-back of the artifact
+    // it just wrote — the claim in its doc is that the extra pass reads
+    // only the manifest inputs, never the payload columns. Pin it: the
+    // shardManifest plan over a q87-style artifact (which also carries a
+    // fat `text` column here) must scan ONLY doc_id + n_chars (+ the
+    // shard partition column), with text and pos pruned away.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planman").toString + "/s"
+    graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("shard", (col("doc_id") % 4).cast("long"))
+      .withColumn("pos", col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val p = graft.sink.Sink.shardManifest(spark.read.parquet(dir))
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+    assert(!p.contains("text"), p)
+    // and the aggregation is the q89 shape: partial (map-side) then
+    // final — never a collect-style global gather
+    assert(p.contains("partial_"), p)
+  }
 }
