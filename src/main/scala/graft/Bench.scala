@@ -59,6 +59,24 @@ object Bench {
   private val ControlQuietFactor = 2.0
   private val ControlLoadedFactor = 3.0
 
+  /** The three-band verdict, extracted PURE so BenchArtifactSpec can pin
+    * the band boundaries without running a bench: `control_failed`
+    * dominates (a crashed control must never read as any certification),
+    * `unknown` where no reference applies, then quiet ≤ ×[[
+    * ControlQuietFactor]] / warm ≤ ×[[ControlLoadedFactor]] / loaded
+    * above — every control at BOTH ends must clear a band to earn it.
+    */
+  private[graft] def windowVerdictOf(ctrlFirst: Seq[Double],
+      ctrlLast: Seq[Double], ref: Seq[Double], refOk: Boolean): String = {
+    def within(f: Double) = Seq(ctrlFirst, ctrlLast).forall(c =>
+      c.zip(ref).forall { case (v, r) => v <= r * f })
+    if ((ctrlFirst ++ ctrlLast).exists(_ < 0)) "control_failed"
+    else if (!refOk) "unknown"
+    else if (within(ControlQuietFactor)) "quiet"
+    else if (within(ControlLoadedFactor)) "warm"
+    else "loaded"
+  }
+
   private def sysLoad(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -432,15 +450,8 @@ object Bench {
     // are sf0.1's); a crashed/missing control is its own verdict — a
     // failure must not read as 'loaded' (and certainly not 'quiet')
     val refOk = ctrlOverridden || new java.io.File(sfDir).getName == "sf0.1"
-    val windowVerdict = {
-      def within(f: Double) = Seq(ctrlFirst, ctrlLast).forall(c =>
-        c.zip(controlRef).forall { case (v, (_, ref)) => v <= ref * f })
-      if ((ctrlFirst ++ ctrlLast).exists(_ < 0)) "control_failed"
-      else if (!refOk) "unknown"
-      else if (within(ControlQuietFactor)) "quiet"
-      else if (within(ControlLoadedFactor)) "warm"
-      else "loaded"
-    }
+    val windowVerdict =
+      windowVerdictOf(ctrlFirst, ctrlLast, controlRef.map(_._2), refOk)
     // compact on stdout (every byte competes with the 2000-char tail —
     // ctrl = [first q01, first q29, last q01, last q29]); the sidecar
     // carries the named form with the committed reference

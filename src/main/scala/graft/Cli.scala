@@ -195,6 +195,48 @@ object Cli {
           f"[graft] takedownall: ${r.getString(0)}%-19s ${r.getLong(1)}%d"))
       0
 
+    case "manifestcheck" :: artifactDir :: Nil =>
+      // r18: the sidecar INTEGRITY audit — recompute the q89 frame from
+      // the artifact rows and diff it against the persisted `_manifest`,
+      // shard by shard. A release whose sidecar has drifted (manual
+      // edits, bitrot, a partial copy, an out-of-band rewrite) fails
+      // loudly HERE, before any consumer trusts the sidecar's counts or
+      // digests. Cost: one column-pruned artifact scan (the manifest
+      // inputs only — the PlanSpec pin) + a numShards-row read.
+      val mPath = new org.apache.hadoop.fs.Path(s"$artifactDir/_manifest")
+      if (!mPath.getFileSystem(
+          spark.sessionState.newHadoopConf()).exists(mPath)) {
+        System.err.println(s"[graft] manifestcheck: $artifactDir has no " +
+          "_manifest sidecar (legacy artifact) — rebuild with writeShards")
+        1
+      } else {
+        import org.apache.spark.sql.functions.col
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("shard").cast("long"), col("n_docs").cast("long"),
+            col("n_tokens").cast("long"), col("sum_chars").cast("long"),
+            col("min_doc").cast("long"), col("max_doc").cast("long"),
+            col("content_mh"))
+            .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+        val want = rows(Sink.shardManifest(spark.read.parquet(artifactDir)))
+        val got = rows(spark.read.parquet(s"$artifactDir/_manifest"))
+        val bad = (want.keySet ++ got.keySet).toSeq.sorted.flatMap { s =>
+          (want.get(s), got.get(s)) match {
+            case (Some(a), Some(b)) if a == b => None
+            case (Some(_), None) => Some(s -> "missing from sidecar")
+            case (None, Some(_)) => Some(s -> "stale sidecar row (shard absent from artifact)")
+            case _ => Some(s -> "value mismatch vs recomputed manifest")
+          }
+        }
+        if (bad.isEmpty) {
+          println(s"[graft] manifestcheck: OK (${want.size} shards)")
+          0
+        } else {
+          bad.foreach { case (s, why) =>
+            System.err.println(s"[graft] manifestcheck: shard=$s $why") }
+          1
+        }
+      }
+
     case "impact" :: idxDir :: idsPath :: rest
         if rest.forall(a => a.startsWith("vec=") || a.startsWith("shards="))
           || (rest.size == 1 && !rest.head.contains("=")) =>
@@ -319,6 +361,7 @@ object Cli {
            |  takedown <indexDir> <idsParquet> <batchTag> [vec]
            |  shardtakedown <shardArtifactDir> <idsParquet>
            |  takedownall <idsParquet> <batchTag> [fp=<idxDir>] [vec=<idxDir>] [shards=<artifactDir>]...
+           |  manifestcheck <shardArtifactDir>
            |  impact <indexDir> <idsParquet> [vecIndexDir|vec=<dir>] [shards=<artifactDir>]...
            |  audit <sfDir> <indexDir> <outDir> [vecIndexDir]
            |got: ${other.mkString(" ")}""".stripMargin)

@@ -53,4 +53,25 @@ class BenchArtifactSpec extends AnyFunSuite {
       s"projected bench JSON line $worst chars for ${benched.size} benched queries — " +
         "the driver captures only the last 2000; shorten names or the format")
   }
+
+  test("window verdict bands (r18): quiet ≤×2, warm ×2–×3, loaded >×3; control_failed dominates; both ends count") {
+    val ref = Seq(0.12, 1.30)
+    def v(f: Seq[Double], l: Seq[Double], ok: Boolean = true) =
+      Bench.windowVerdictOf(f, l, ref, ok)
+    // the r18 closing pair's actual controls read quiet under ×2
+    assert(v(Seq(0.05, 1.49), Seq(0.09, 2.30)) == "quiet")
+    // BENCH_r17's 2.76 s first q29 control (2.1× reference) is exactly
+    // the window the warm band names — no longer a quiet certification
+    assert(v(Seq(0.10, 2.76), Seq(0.10, 1.20)) == "warm")
+    // ×2 boundary is inclusive for quiet; just past it reads warm
+    assert(v(Seq(0.24, 1.20), Seq(0.10, 2.60)) == "quiet")
+    assert(v(Seq(0.241, 1.20), Seq(0.10, 1.20)) == "warm")
+    // past ×3 at EITHER end is loaded
+    assert(v(Seq(0.10, 1.20), Seq(0.10, 3.91)) == "loaded")
+    assert(v(Seq(0.37, 1.20), Seq(0.10, 1.20)) == "loaded")
+    // a crashed control can never certify anything
+    assert(v(Seq(-1.0, 1.00), Seq(0.10, 1.00)) == "control_failed")
+    // no applicable reference → unknown, however fast the controls
+    assert(v(Seq(0.05, 1.00), Seq(0.05, 1.00), ok = false) == "unknown")
+  }
 }

@@ -130,6 +130,33 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(art).filter(col("doc_id") % 11 === 0).count() == 0)
   }
 
+  test("manifestcheck: OK on a fresh release and after a takedown; drift and legacy fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cli-mc").toString + "/s"
+    val layout = SparkEntry.queries("q87_shard_layout")(spark, TestSpark.sfDir)
+    graft.sink.Sink.writeShards(layout, dir, 8)
+    assert(Cli.run(spark, List("manifestcheck", dir)) == 0)
+    // still OK after a takedown (the sidecar moved in lockstep)
+    val ids = java.nio.file.Files
+      .createTempDirectory("graft-cli-mcids").toString + "/ids"
+    graft.util.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") % 13 === 0).select("doc_id").write.parquet(ids)
+    assert(Cli.run(spark, List("shardtakedown", dir, ids)) == 0)
+    assert(Cli.run(spark, List("manifestcheck", dir)) == 0)
+    // drift: clobber one sidecar partition with another shard's row
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest/shard=1"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/_manifest/shard=2"),
+      new org.apache.hadoop.fs.Path(s"$dir/_manifest/shard=1")))
+    assert(Cli.run(spark, List("manifestcheck", dir)) == 1)
+    // legacy: no sidecar at all
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), true)
+    assert(Cli.run(spark, List("manifestcheck", dir)) == 1)
+  }
+
   test("unknown command exits 2") {
     assert(Cli.run(spark, List("frobnicate")) == 2)
   }
