@@ -252,19 +252,28 @@ object Sink {
     // Overwrite. Same rule for the `_manifest` sidecar's partitions.
     val recoverRoot = new org.apache.hadoop.fs.Path(s"$path/.takedown-staging")
     if (fs.exists(recoverRoot)) {
-      def recover(stagedBase: String, asideBase: String, liveBase: String,
-          what: String): Unit = {
-        val entries = Seq(stagedBase, asideBase).distinct
-          .map(new org.apache.hadoop.fs.Path(_))
-          .filter(fs.exists).flatMap(fs.listStatus(_).toSeq)
-          .map(_.getPath.getName).distinct
-          .filter(_.startsWith("shard="))
-        for (shardName <- entries) {
+      // one routine for both tiers; they differ only in where the
+      // staged/aside copies live — data shards stage flat under the
+      // staging root with an `old-` aside name prefix, manifest rows
+      // stage under `_manifest/` with a separate `_manifest-old/` aside
+      // dir
+      def recover(stagedBase: String, asideBase: String, asidePrefix: String,
+          liveBase: String, what: String): Unit = {
+        def names(base: String, prefix: String): Seq[String] = {
+          val p = new org.apache.hadoop.fs.Path(base)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(prefix + "shard="))
+            .map(_.stripPrefix(prefix))
+        }
+        for (shardName <- (names(stagedBase, "") ++
+            names(asideBase, asidePrefix)).distinct) {
           val live = new org.apache.hadoop.fs.Path(s"$liveBase/$shardName")
           if (!fs.exists(live)) {
             val staged =
               new org.apache.hadoop.fs.Path(s"$stagedBase/$shardName")
-            val aside = new org.apache.hadoop.fs.Path(s"$asideBase/$shardName")
+            val aside = new org.apache.hadoop.fs.Path(
+              s"$asideBase/$asidePrefix$shardName")
             val (src, how) =
               if (fs.exists(staged))
                 (staged, "completed the interrupted swap (staged " +
@@ -279,30 +288,9 @@ object Sink {
           }
         }
       }
-      // data shards: staged at `shard=K`, set-aside at `old-shard=K` —
-      // both flat under the staging root, so pass the root twice and
-      // match each `shard=` / `old-shard=` entry by its live name
-      val asideNames = fs.listStatus(recoverRoot).map(_.getPath.getName)
-        .filter(_.startsWith("old-shard="))
-      for (a <- asideNames) {
-        val shardName = a.stripPrefix("old-")
-        val live = new org.apache.hadoop.fs.Path(s"$path/$shardName")
-        if (!fs.exists(live)) {
-          val staged = new org.apache.hadoop.fs.Path(s"$recoverRoot/$shardName")
-          val aside = new org.apache.hadoop.fs.Path(s"$recoverRoot/$a")
-          val (src, how) =
-            if (fs.exists(staged))
-              (staged, "completed the interrupted swap (staged " +
-                "post-takedown copy)")
-            else (aside, "rolled the interrupted swap back " +
-              "(pre-takedown set-aside)")
-          if (!fs.rename(src, live))
-            sys.error(s"takedown recovery failed: $src -> $live — " +
-              "restore the shard by hand before replaying the takedown")
-          System.err.println(s"[sink] takedown recovery: $how -> $live")
-        }
-      }
-      recover(s"$recoverRoot/_manifest", s"$recoverRoot/_manifest-old",
+      recover(recoverRoot.toString, recoverRoot.toString, "old-",
+        path, "shard")
+      recover(s"$recoverRoot/_manifest", s"$recoverRoot/_manifest-old", "",
         s"$path/_manifest", "manifest partition")
       // after recovery everything left under the staging root is stale
       // by construction (live directories are authoritative in every
