@@ -199,7 +199,11 @@ object ScaleCheck {
     // r17: the shard-takedown plan — one corpus map pass into an
     // 8-group O(1)-buffer aggregate (two multiset digests + counts);
     // its slope should track the raw scan like q89's
-    "q135_shard_takedown_plan")
+    "q135_shard_takedown_plan",
+    // r18: the manifest-sidecar oracle face — q89's exact plan shape
+    // over the kept rows (the filter is map-side), so the slope claim
+    // is q135's
+    "q136_shard_manifest_post")
 
   /** @param refitCells when true, each replica's embeddings land in
     *   REPLICA-DISTINCT IVF cells (label + k·10⁶) — the semantics of

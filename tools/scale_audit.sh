@@ -60,6 +60,9 @@ run q134_source_overlap_fine /tmp/graft-sf10r 100 64g
 # should track the raw corpus scan)
 run q135_shard_takedown_plan /tmp/graft-sf1r 10 48g
 run q135_shard_takedown_plan /tmp/graft-sf10r 100 64g
+# r18: the manifest-sidecar face (q89's plan shape over kept rows)
+run q136_shard_manifest_post /tmp/graft-sf1r 10 48g
+run q136_shard_manifest_post /tmp/graft-sf10r 100 64g
 run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf1r 10 48g
 run q29_lsh_neardup,q33_ivf_neardup,q125_media_neardup,q133_takedown_report /tmp/graft-sf10r 100 64g
 # r12b: span decontamination (q114 rides q112's shared kernel — its row
