@@ -32,6 +32,13 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // generic conf passthrough for A/B experiments:
+    // SPARK_GRAFT_CONF="key=value;key2=value2" (runtime-settable SQLConfs)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -49,6 +56,141 @@ object Profile {
     // `runMain graft.Profile <sfDir> explain <query>`: dump the plan
     if (args.length >= 3 && args(1) == "explain") {
       SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> objaggab [passes]`: interleaved
+    // in-JVM A/B of the ObjectHashAggregate sort-fallback threshold on
+    // the two group-heavy object-buffer aggregations (r18): the KMV
+    // signature stage at fine grain (|S|=140 groups — q134's sig build)
+    // and q96's per-h1 collect_set profile (~corpus-distinct-shingle
+    // groups). Spark's default threshold is 128 DISTINCT KEYS per task
+    // hash map; past it the partial agg abandons hashing and SORTS its
+    // whole input. Both stages read the warm shared postings kernel so
+    // the A/B isolates the aggregation itself.
+    if (args.length >= 2 && args(1) == "objaggab") {
+      import graft.queries.{AuditOps, TrainingOps}
+      val passes = args.lift(2).map(_.toInt).getOrElse(3)
+      val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      // warm the postings kernel once (shared index: survives clears of
+      // nothing — no clearCache in this verb)
+      TrainingOps.shinglePostings(spark, sfDir).count()
+      def sig() = noop(AuditOps.kmvSigs(spark, sfDir, grain = Some(7)))
+      def prof() = {
+        import org.apache.spark.sql.functions._
+        val src = graft.util.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"))
+        noop(TrainingOps.shinglePostings(spark, sfDir)
+          .join(src.hint("shuffle_hash"), "doc_id")
+          .groupBy("h1")
+          .agg(array_sort(collect_set(col("source"))).as("srcs"))
+          .groupBy("srcs").agg(count(lit(1)).as("w")))
+      }
+      for ((label, fn) <- Seq("kmvSigs(grain=7)" -> (() => sig()),
+          "q96 bySet profile" -> (() => prof()))) {
+        fn() // JIT warm
+        val res = Seq("128", "4194304").map { thr =>
+          spark.conf.set(key, thr)
+          val ts = (1 to passes).map { _ =>
+            val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+          }
+          thr -> ts.min
+        }
+        spark.conf.unset(key)
+        println(f"[objaggab] $label%-22s " + res.map { case (t, v) =>
+          f"thr=$t $v%.3f s" }.mkString("  "))
+      }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> kmvpersistab [passes]`: interleaved
+    // A/B (r18) — the q132/q134 registry faces consume kmvSigs RAW,
+    // so the banded stage's four references to the sig frame re-run the
+    // final ObjectHashAggregate merge 3x and sort-merge-join full agg
+    // subtrees; the kmvPairs front door transient-persists the sigs
+    // first. Same rows either way (AuditSpec estimate-identity). Warm
+    // postings kernel; arms differ only in the persist.
+    if (args.length >= 2 && args(1) == "kmvpersistab") {
+      import graft.queries.AuditOps
+      val passes = args.lift(2).map(_.toInt).getOrElse(4)
+      graft.queries.TrainingOps.shinglePostings(spark, sfDir).count()
+      def raw134() = noop(AuditOps.kmvPairsBanded(
+        AuditOps.kmvSigs(spark, sfDir, grain = Some(7))))
+      def per134() = {
+        val t = graft.util.Caches.transientPersist(
+          AuditOps.kmvSigs(spark, sfDir, grain = Some(7)))
+        noop(AuditOps.kmvPairsBanded(t))
+        graft.util.Caches.clearTransient()
+      }
+      def raw132() = noop(AuditOps.kmvPairsNL(
+        AuditOps.kmvSigs(spark, sfDir)))
+      def per132() = {
+        val t = graft.util.Caches.transientPersist(
+          AuditOps.kmvSigs(spark, sfDir))
+        noop(AuditOps.kmvPairsNL(t))
+        graft.util.Caches.clearTransient()
+      }
+      // decomposition arms: sig build alone (fresh agg over warm
+      // postings), banded over a PRE-materialized sig frame (stage
+      // isolation — kmvscale's number), estimator-free banded candidates
+      val sigsMat = AuditOps.kmvSigs(spark, sfDir, grain = Some(7)).persist()
+      sigsMat.count()
+      def sigOnly() = noop(AuditOps.kmvSigs(spark, sfDir, grain = Some(7)))
+      def bandedOnly() = noop(AuditOps.kmvPairsBanded(sigsMat))
+      def mat134() = {
+        val t = graft.util.Caches.transientPersist(
+          AuditOps.kmvSigs(spark, sfDir, grain = Some(7)))
+        t.count() // materialize BEFORE the 4-reference consumer plan
+        noop(AuditOps.kmvPairsBanded(t))
+        graft.util.Caches.clearTransient()
+      }
+      val arms = Seq("q134 raw" -> (() => raw134()),
+        "q134 persist" -> (() => per134()),
+        "q134 mat+banded" -> (() => mat134()),
+        "q134 sigOnly" -> (() => sigOnly()),
+        "q134 bandedOnly" -> (() => bandedOnly()),
+        "q132 raw" -> (() => raw132()),
+        "q132 persist" -> (() => per132()))
+      arms.foreach(_._2()) // warm
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (_ <- 1 to passes; (name, arm) <- arms) {
+        val t0 = System.nanoTime(); arm()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      }
+      for ((name, _) <- arms)
+        println(f"[kmvpersistab] $name%-16s min=${times(name).min}%7.3f runs " +
+          times(name).reverse.map(v => f"$v%.3f").mkString(" "))
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> explainall <outDir> [q...]`: write
+    // explain("formatted") of each named query (default: every benched
+    // query) to <outDir>/<query>.txt in ONE JVM — the plans/rN evidence
+    // dump. Plans are read in the bench posture (classShuffle per
+    // query), so Exchange counts match what Bench times.
+    if (args.length >= 3 && args(1) == "explainall") {
+      val outDir = new java.io.File(args(2))
+      outDir.mkdirs()
+      val names = if (args.length > 3) args.drop(3).toSeq
+        else SparkEntry.registry.filter(_.bench).map(_.name)
+      for (name <- names) {
+        classShuffle(name)
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // same rendering as explain("formatted") without the console tap
+        val txt = org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted") match { case m =>
+            df.queryExecution.explainString(m)
+          }
+        val w = new java.io.PrintWriter(
+          new java.io.File(outDir, s"$name.txt"), "UTF-8")
+        try w.println(txt) finally w.close()
+        graft.util.Caches.clearTransient()
+      }
+      println(s"[explainall] wrote ${names.size} plans to ${outDir}")
       spark.stop()
       return
     }
