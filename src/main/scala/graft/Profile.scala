@@ -415,6 +415,97 @@ object Profile {
     // count one query's result — the cheap sanity check that a scale
     // measurement timed real work (a plan that silently emptied would
     // otherwise bench "fast")
+    // `runMain graft.Profile <sfDir> eagerab <query> [passes]`: does
+    // eagerly materializing the query's transient-persisted frames
+    // (spark.graft.eagerTransient — one count() at persist time, the
+    // q132/q134 mechanism) beat the shipping lazy persist? Interleaved
+    // arms in BOTH postures: cold (clearCache per rep — kernel rebuild
+    // included, the `time` posture) and warm (shared kernels survive,
+    // only transients cleared — the bench steady-state posture for
+    // non-first family consumers). Same rows either way by
+    // construction (count() only materializes).
+    if (args.length >= 3 && args(1) == "eagerab") {
+      val fn = SparkEntry.queries(args(2))
+      val passes = args.lift(3).map(_.toInt).getOrElse(4)
+      classShuffle(args(2))
+      def runArm(eager: Boolean, cold: Boolean): Double = {
+        if (cold) spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        spark.conf.set("spark.graft.eagerTransient", eager.toString)
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.conf.set("spark.graft.eagerTransient", "false")
+        dt
+      }
+      noop(fn(spark, sfDir)) // JIT/codegen warm
+      for (cold <- Seq(false, true)) {
+        runArm(eager = false, cold) // posture warm
+        val lazyT = collection.mutable.Buffer[Double]()
+        val eagerT = collection.mutable.Buffer[Double]()
+        (1 to passes).foreach { _ =>
+          lazyT += runArm(eager = false, cold)
+          eagerT += runArm(eager = true, cold)
+        }
+        val p = if (cold) "cold" else "warm"
+        println(f"[eagerab] ${args(2)} $p%-4s lazy  min=${lazyT.min}%6.3f runs " +
+          lazyT.map(v => f"$v%.3f").mkString(" "))
+        println(f"[eagerab] ${args(2)} $p%-4s eager min=${eagerT.min}%6.3f runs " +
+          eagerT.map(v => f"$v%.3f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Profile <sfDir> kcacheab [passes]`: prices the r18
+    // verdict/feature kernel promotion (qualityFeatures, gopherFeatures,
+    // incrementalVerdicts, noveltyFrame, mediaVerdicts → sharedIndexIf).
+    // Each rep runs the full CONSUMER BLOCK in bench pass posture
+    // (clearCache at block start, clearTransient per query — exactly
+    // runOnce's discipline), arms interleaved so load drift hits both:
+    // off = every consumer re-runs the builds (pre-r18), on = first
+    // consumer materializes, the rest ride the cache.
+    if (args.length >= 2 && args(1) == "kcacheab") {
+      val passes = args.lift(2).map(_.toInt).getOrElse(4)
+      val block = Seq("q36_quality_score", "q82_dedup_keep_best",
+        "q91_source_datasheet", "q95_incremental_dedup", "q100_gopher_rules",
+        "q101_curation_funnel", "q108_corpus_release", "q113_source_caps",
+        "q121_batch_novelty", "q123_batch_triage", "q127_incremental_media")
+      def runBlock(on: Boolean): Seq[(String, Double)] = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        spark.conf.set("spark.graft.kernelCache", on.toString)
+        val r = block.map { name =>
+          graft.util.Caches.clearTransient()
+          classShuffle(name)
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(name)(spark, sfDir))
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        spark.conf.set("spark.graft.kernelCache", "true")
+        r
+      }
+      runBlock(on = false); runBlock(on = true) // JIT warm both arms
+      val tot = collection.mutable.Map[Boolean, List[Double]]()
+        .withDefaultValue(Nil)
+      val per = collection.mutable.Map[(Boolean, String), List[Double]]()
+        .withDefaultValue(Nil)
+      for (_ <- 1 to passes; on <- Seq(false, true)) {
+        val r = runBlock(on)
+        tot(on) = r.map(_._2).sum :: tot(on)
+        r.foreach { case (n, t) => per((on, n)) = t :: per((on, n)) }
+      }
+      for (on <- Seq(false, true))
+        println(f"[kcacheab] block ${if (on) "on " else "off"} " +
+          f"min=${tot(on).min}%7.3f runs " +
+          tot(on).reverse.map(v => f"$v%.3f").mkString(" "))
+      for (name <- block)
+        println(f"[kcacheab] $name%-26s off=${per((false, name)).min}%6.3f " +
+          f"on=${per((true, name)).min}%6.3f")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "rows") {
       classShuffle(args(2))
       val t0 = System.nanoTime()

@@ -244,7 +244,17 @@ object AuditOps {
     * triage composite. Seam-aware via [[TrainingOps.shinglePostings]];
     * see q121's registry comment for the scale story.
     */
-  private def noveltyFrame(s: SparkSession, d: String): DataFrame = {
+  private def noveltyFrame(s: SparkSession, d: String): DataFrame =
+    // r18 kernel promotion (Profile kcacheab): the doc comment always
+    // called this "X105's shared frame ... consumed by the q121 report
+    // and the q123 triage composite", but each consumer re-ran the
+    // corpus-wide standing-distinct + membership join. Batch-sized
+    // narrow frame; key carries the fpIndex seam (shinglePostings is
+    // seam-aware).
+    graft.util.Caches.sharedIndexIf(s,
+      s"noveltyFrame:$d" + TrainingOps.fpKey(s))(noveltyFrameBuild(s, d))
+
+  private def noveltyFrameBuild(s: SparkSession, d: String): DataFrame = {
     val post = TrainingOps.shinglePostings(s, d)
     val standing = post.filter(col("doc_id") % 10 =!= 0)
       .select("h1").distinct().withColumn("seen", lit(1L))
@@ -382,7 +392,18 @@ object AuditOps {
     * best-partner window over the shared [[mediaPairs]] kernel; the
     * spine join is planner-gated.
     */
-  private def mediaVerdicts(s: SparkSession, d: String): DataFrame = {
+  private def mediaVerdicts(s: SparkSession, d: String): DataFrame =
+    // r18 kernel promotion (Profile kcacheab): two consumers (q127 and
+    // q123's media column) each re-ran the filter + best-partner window
+    // + spine join over the cached mediaPairs kernel. Batch-sized
+    // narrow frame; key mirrors mediaPairs' (seam dir + size-class
+    // flag) so postures can never serve each other.
+    graft.util.Caches.sharedIndexIf(s,
+      s"mediaVerdicts:$d${TrainingOps.fpIndexDir(s).fold("")(x => s"@idx=$x")}" +
+        (if (graft.multimodal.Multimodal.sizeClassesOn(s)) "@scls" else ""))(
+      mediaVerdictsBuild(s, d))
+
+  private def mediaVerdictsBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isA = col("ida") % 10 === 0
     val isB = col("idb") % 10 === 0

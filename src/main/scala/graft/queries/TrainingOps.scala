@@ -172,7 +172,7 @@ object TrainingOps {
     * other path's consumers — they are different plans, even though
     * FpIndexSeamSpec proves the values identical).
     */
-  private def fpKey(s: SparkSession): String =
+  private[queries] def fpKey(s: SparkSession): String =
     fpIndexDir(s).fold("")(dir => s"@idx=$dir")
 
   /** The semantic tier's standing-corpus seam (X103, the X97 analog):
@@ -661,7 +661,16 @@ object TrainingOps {
     * scale story (the exact tier is one 16-byte-hash shuffle; the near
     * tier filters the SHARED verified pair kernel).
     */
-  private[queries] def incrementalVerdicts(s: SparkSession, d: String): DataFrame = {
+  private[queries] def incrementalVerdicts(s: SparkSession, d: String): DataFrame =
+    // r18 kernel promotion (Profile kcacheab): two consumers (q95 and
+    // q123's triage composite) each re-ran the exact-tier hash scan +
+    // best-partner window. Batch-sized narrow frame; key carries the
+    // fpIndex seam (the lshPairs rule — a seam-path frame must never
+    // serve the session-kernel path).
+    graft.util.Caches.sharedIndexIf(s, s"incrementalVerdicts:$d" + fpKey(s))(
+      incrementalVerdictsBuild(s, d))
+
+  private def incrementalVerdictsBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // three consumers read this frame (exact-tier batch side,
     // standing side, final batch base) — persist it or the corpus
@@ -1193,7 +1202,14 @@ object TrainingOps {
     * per row; all ratios are int/int doubles — deterministic.
     */
   private[queries] def qualityFeatures(s: SparkSession, d: String): DataFrame =
-    qualityFeaturesOf(documents(s, d))
+    // r18 kernel promotion (Profile kcacheab, guide §1.2 "don't compute
+    // things twice"): six consumers per session (q36/q82-family/q91/
+    // q101/q113/q123 + releaseCorpus) each re-ran this corpus scan +
+    // word split. The frame is NARROW (id + 5 numbers — fixed-width
+    // cache rows, no text), so one materialization serves all six; the
+    // split pass runs once per session instead of six times.
+    graft.util.Caches.sharedIndexIf(s, s"qualityFeatures:$d")(
+      qualityFeaturesOf(documents(s, d)))
 
   /** Frame-based core of [[qualityFeatures]] (r13c) — the sink tier's
     * batch triage ([[graft.sink.Sink.triageBatch]]) scores an arbitrary
@@ -1236,7 +1252,15 @@ object TrainingOps {
     * integer-ratio double (cross-engine bit-identical — q100's contract
     * comments). No presentation sort — callers add their own.
     */
-  private[queries] def gopherFeatures(s: SparkSession, d: String): DataFrame = {
+  private[queries] def gopherFeatures(s: SparkSession, d: String): DataFrame =
+    // r18 kernel promotion (Profile kcacheab): two consumers (q100 and
+    // releaseCorpus → q108/q133's chain) each re-ran this corpus
+    // tokenize + line split. Narrow output (id + 7 numbers + 2 flags),
+    // one materialization serves both.
+    graft.util.Caches.sharedIndexIf(s, s"gopherFeatures:$d")(
+      gopherFeaturesBuild(s, d))
+
+  private def gopherFeaturesBuild(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val txt = col("text")
     val ws = col("ws")

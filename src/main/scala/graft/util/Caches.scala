@@ -50,6 +50,20 @@ object Caches {
   def transientPersist(df: DataFrame): DataFrame = {
     transients.add(new java.lang.ref.WeakReference(df))
     df.persist()
+    // EXPERIMENT SEAM (r18, default off — behavior is byte-identical
+    // unless a Profile A/B sets it): eagerly materialize the persisted
+    // frame with one count() before any consumer references it. The
+    // q132/q134 fix showed a multi-reference consumer job over an
+    // UNmaterialized cache serializes every InMemoryTableScan behind
+    // the per-block cache build AND plans joins from the child's size
+    // ESTIMATE rather than the materialized size (SortMergeJoin where
+    // a broadcast fits). `Profile eagerab <query>` A/Bs this per query;
+    // wins are then applied EXPLICITLY at the query site (the q132
+    // pattern), never by flipping this conf in shipping paths.
+    if (df.sparkSession.conf.getOption("spark.graft.eagerTransient")
+        .contains("true"))
+      df.count(): Unit
+    df
   }
 
   /** Drop every registered transient cache still reachable. Cheap when
@@ -76,6 +90,19 @@ object Caches {
     * only CONSTRUCTS the plan (fast); materialization happens lazily at
     * the callers' actions.
     */
+  /** [[sharedIndex]] gated on `spark.graft.kernelCache` (default ON —
+    * set "false" to opt a memory-constrained session out): the r18
+    * promotion seam for the narrow multi-consumer verdict/feature
+    * frames (qualityFeatures, gopherFeatures, incrementalVerdicts,
+    * noveltyFrame, mediaVerdicts). Off = the pre-r18 behavior, every
+    * consumer re-runs the build; the `Profile kcacheab` interleaved A/B
+    * prices the difference. Values are identical either way — the gate
+    * only chooses whether the SAME frame materializes once or N times.
+    */
+  def sharedIndexIf(s: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    if (s.conf.getOption("spark.graft.kernelCache").contains("false")) build
+    else sharedIndex(s, name)(build)
+
   def sharedIndex(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
     val perSession = shared.synchronized {
       var m = shared.get(s)
