@@ -261,8 +261,15 @@ object AuditOps {
     post.filter(col("doc_id") % 10 === 0)
       .join(standing, Seq("h1"), "left")
       .groupBy("doc_id")
-      .agg(countDistinct(col("h1")).as("n_shingles"),
-        countDistinct(when(col("seen").isNotNull, col("h1"))).as("n_seen"))
+      // plain counts, not countDistinct (r18): postings are DISTINCT per
+      // (doc, h1) — shingles() has set semantics and the index's
+      // healthy-index audit contract (shinglePostings doc) guarantees the
+      // seam path the same — and `standing` is unique per h1, so the left
+      // join is 1:1. countDistinct re-ran a distinct expansion (an extra
+      // aggregate phase per countDistinct) over already-unique keys.
+      // Same integers by construction; Profile kcacheab A/B'd the frame.
+      .agg(count(col("h1")).as("n_shingles"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_seen"))
       .select(col("doc_id"), col("n_shingles"), col("n_seen"),
         ((col("n_shingles") - col("n_seen")).cast("double") /
           col("n_shingles").cast("double")).as("novelty"))
@@ -1770,11 +1777,17 @@ object AuditOps {
         val perDoc = dupSpans(s, d).groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),
             sum(col("e") - col("s") + lit(1L)).as("masked_tokens"))
+        // n_tokens rides the session's cached quality kernel (r18 — this
+        // was the query's own SECOND corpus tokenize: size(words(text))
+        // over a fresh documents scan). qualityFeatures' n_tokens is the
+        // same size(words(text)) expression; null-text docs carry a null
+        // n_tokens there and a span-bearing doc always has text, so the
+        // inner join selects identical rows with identical values
+        // (oracle-diffed).
         perDoc
-          .join(documents(s, d).filter(col("text").isNotNull)
-            .select(col("doc_id"),
-              size(graft.functions.Text.words(col("text"))).cast("long")
-                .as("n_tokens")), Seq("doc_id"))
+          .join(TrainingOps.qualityFeatures(s, d)
+            .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+            Seq("doc_id"))
           .select(col("doc_id"), col("n_spans"), col("masked_tokens"),
             col("n_tokens"))
           .orderBy("doc_id")
