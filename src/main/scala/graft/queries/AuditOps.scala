@@ -1353,7 +1353,11 @@ object AuditOps {
     Q("q109_memorization_ngrams",
       (s, d) => {
         val idx = TrainingOps.shinglePostings(s, d)
-        val dfc = idx.groupBy("h1").agg(count(lit(1)).as("n_docs"))
+        // df off the shared dfCounts kernel (r18): q124's datasheet runs
+        // the same h1 aggregation in the same session — one exchange,
+        // two consumers
+        val dfc = TrainingOps.dfCounts(s, d)
+          .select(col("h1"), col("c").as("n_docs"))
         val top = dfc.orderBy(col("n_docs").desc, col("h1").asc).limit(10)
         val postings = idx.join(broadcast(top.select("h1")), "h1")
           .select("doc_id").distinct()
@@ -1450,7 +1454,10 @@ object AuditOps {
           .join(eligible, Seq("train_id"), "left_semi")
         tr.join(ev, "h1")
           .groupBy("train_id", "eval_id")
-          .agg(countDistinct("h1").as("n_shared"))
+          // count, not countDistinct (r18, the q121 rule): both sides
+          // are distinct per (id, h1), so the join emits each shared h1
+          // once per pair — same integers, one fewer aggregate phase
+          .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 8)
           .orderBy("train_id", "eval_id")
       },
@@ -1978,17 +1985,24 @@ object AuditOps {
                 count(lit(1)).as("exact_distinct"))
             (a1, a2, a3, a4)
           case None =>
-            val post = TrainingOps.shinglePostings(s, d)
-            val a1 = post.groupBy("h1").agg(count(lit(1)).as("c"))
+            // r18: the df distribution rides the shared dfCounts kernel
+            // (one h1 exchange per session, shared with q109) and the
+            // per-doc spread rides the cached wide-signature sizes (the
+            // `n` the dedup family's one per-doc aggregation already
+            // computed) instead of a second token-volume doc_id exchange
+            // over the postings. Same integers: postings are distinct
+            // per (doc, h1), so the wide frame's n IS the per-doc
+            // postings count.
+            val a1 = TrainingOps.dfCounts(s, d)
               .agg(count(lit(1)).as("distinct_shingles"),
                 sum("c").as("postings_rows"),
                 expr("percentile(c, 0.5)").as("df_p50"),
                 expr("percentile(c, 0.99)").as("df_p99"),
                 max("c").as("df_max"))
-            val a2 = post.groupBy("doc_id").agg(count(lit(1)).as("c"))
+            val a2 = TrainingOps.docSizes(s, d)
               .agg(count(lit(1)).as("docs"),
-                expr("percentile(c, 0.5)").as("doc_shingles_p50"),
-                max("c").as("doc_shingles_max"))
+                expr("percentile(n, 0.5)").as("doc_shingles_p50"),
+                max("n").as("doc_shingles_max"))
             val a3 = TrainingOps.bandBuckets(s, d)
               .groupBy("bk", "bandkey").agg(count(lit(1)).as("c"))
               .agg(count(lit(1)).as("bucket_count"),

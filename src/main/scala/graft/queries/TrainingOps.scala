@@ -218,7 +218,7 @@ object TrainingOps {
     * path is a 1/4 dedup of a tiny table, not an aggregation over
     * postings.
     */
-  private def docSizes(s: SparkSession, d: String): DataFrame =
+  private[queries] def docSizes(s: SparkSession, d: String): DataFrame =
     fpIndexDir(s) match {
       case Some(dir) =>
         graft.sink.Sink.minusTombstones(
@@ -454,8 +454,24 @@ object TrainingOps {
       idx.filter(col("doc_id") % 50 =!= 0)
         .join(eval, "h1")
         .groupBy("doc_id")
-        .agg(countDistinct(col("h1")).as("n_hits"))
+        // count, not countDistinct (r18, the q121 rule): postings are
+        // distinct per (doc, h1) and `eval` is unique per h1, so the
+        // join is 1:1 — countDistinct paid an extra distinct-expansion
+        // aggregate phase for already-unique keys. Same integers.
+        .agg(count(col("h1")).as("n_hits"))
     }
+
+  /** Per-shingle document frequency — (h1, c) over the postings, the
+    * datasheet/memorization tier's common aggregation (r18): q109's
+    * top-df screen and q124's df distribution each ran their own
+    * token-volume h1 exchange; one cached copy per session serves both
+    * (one row per DISTINCT shingle — bounded by vocabulary, not corpus).
+    * Seam-aware via [[shinglePostings]] (with a stats-carrying index
+    * q124 reads the dfc table instead and this kernel goes unbuilt).
+    */
+  private[queries] def dfCounts(s: SparkSession, d: String): DataFrame =
+    graft.util.Caches.sharedIndex(s, s"dfCounts:$d" + fpKey(s))(
+      shinglePostings(s, d).groupBy("h1").agg(count(lit(1)).as("c")))
 
   private[queries] def pairIntersections(s: SparkSession, d: String): DataFrame =
     // a SHARED materialized view like the shingle index itself: the
