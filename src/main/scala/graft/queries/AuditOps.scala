@@ -1230,9 +1230,12 @@ object AuditOps {
         val base = graft.util.Caches.transientPersist(
           hashed.select(col("doc_id"), col("source"), col("h"),
             TrainingOps.splitOf(col("doc_id")).as("split")))
+        // "spans >1 split" ⟺ min(split) ≠ max(split) (r18): one ordinary
+        // min/max aggregate instead of countDistinct's distinct-expansion
+        // phase — same leaky-hash set, cheaper by an aggregate pass
         val leaky = base.groupBy("h")
-          .agg(countDistinct("split").as("ns"))
-          .filter(col("ns") > 1)
+          .agg(min("split").as("s0"), max("split").as("s1"))
+          .filter(col("s0") =!= col("s1"))
           .select(col("h"), lit(1L).as("leak"))
         base.join(leaky, Seq("h"), "left")
           .groupBy("split")
