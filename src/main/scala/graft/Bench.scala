@@ -243,7 +243,14 @@ object Bench {
         // once, like a session running the family together, instead of
         // three times.
         graft.util.Caches.clearTransient()
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        // label the consumer for kernel-cost attribution (r19): the
+        // sidecar's kernels_paid_by map records which query's timed row
+        // carries each shared kernel's build this pass
+        graft.util.Caches.setConsumer(Some(q.name))
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } finally graft.util.Caches.setConsumer(None)
+        true
       } catch { case _: Throwable => false }
 
     // committed reference, or the operator's override (defensive parse:
@@ -508,6 +515,21 @@ object Bench {
       // with the 2000-char capture window (BenchArtifactSpec pins the
       // worst-case budget)
       val passesJson = if (sidecar) s""","passes":$passes""" else ""
+      // kernel-cost attribution (r19, sidecar only): which query's row
+      // paid each shared kernel's build in the final timed pass — under
+      // the shared-kernel discipline per-query rows are MARGINAL costs
+      // (first consumer in registry order carries the build), and this
+      // map makes that attribution explicit instead of readable as a
+      // regression. Keys are kernel cache keys (name:sfDir[@seam]).
+      val kernelsJson =
+        if (!sidecar) ""
+        else {
+          val m = graft.util.Caches.kernelBuilds(spark)
+          if (m.isEmpty) ""
+          else m.toSeq.sortBy(_._1)
+            .map { case (k, q) => s""""${k.replace("\"", "'")}":"$q"""" }
+            .mkString(""","kernels_paid_by":{""", ",", "}")
+        }
       // the LAUNCH loadavg rides in the sidecar unconditionally (the pair
       // fragment can be skipped; the window record must not be) — stdout
       // gets it via the pair's three-element loadavg, budgeted in
@@ -520,7 +542,7 @@ object Bench {
       // self-certification (r16): a loaded driver window is then
       // attributable from the artifact alone
       val pairPart = pairJson.fold("")("," + _)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson$loadJson,"queries":$qs$failedJson$pairPart${windowJson(sidecar)},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$passesJson$loadJson$kernelsJson,"queries":$qs$failedJson$pairPart${windowJson(sidecar)},"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // Locale.ROOT: Scala's f"" interpolator uses the JVM default locale,
     // which under comma-decimal locales (de_DE, ...) would emit 22,43 —

@@ -506,6 +506,51 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> kexactab [passes]`: prices the r19
+    // exactHashes kernel promotion (q27 + q124's session a4 + the
+    // incrementalVerdicts build shared one regex-strip+md5 corpus pass
+    // per session instead of three). Arms toggle ONLY
+    // spark.graft.exactKernel (the r18 kernels stay on in both), block
+    // in bench pass posture — kcacheab's discipline.
+    if (args.length >= 2 && args(1) == "kexactab") {
+      val passes = args.lift(2).map(_.toInt).getOrElse(4)
+      val block = Seq("q27_dedup_exact", "q95_incremental_dedup",
+        "q123_batch_triage", "q124_index_stats")
+      def runBlock(on: Boolean): Seq[(String, Double)] = {
+        spark.sqlContext.clearCache()
+        graft.util.Caches.clearTransient()
+        spark.conf.set("spark.graft.exactKernel", on.toString)
+        val r = block.map { name =>
+          graft.util.Caches.clearTransient()
+          classShuffle(name)
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(name)(spark, sfDir))
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        spark.conf.set("spark.graft.exactKernel", "true")
+        r
+      }
+      runBlock(on = false); runBlock(on = true) // JIT warm both arms
+      val tot = collection.mutable.Map[Boolean, List[Double]]()
+        .withDefaultValue(Nil)
+      val per = collection.mutable.Map[(Boolean, String), List[Double]]()
+        .withDefaultValue(Nil)
+      for (_ <- 1 to passes; on <- Seq(false, true)) {
+        val r = runBlock(on)
+        tot(on) = r.map(_._2).sum :: tot(on)
+        r.foreach { case (n, t) => per((on, n)) = t :: per((on, n)) }
+      }
+      for (on <- Seq(false, true))
+        println(f"[kexactab] block ${if (on) "on " else "off"} " +
+          f"min=${tot(on).min}%7.3f runs " +
+          tot(on).reverse.map(v => f"$v%.3f").mkString(" "))
+      for (name <- block)
+        println(f"[kexactab] $name%-26s off=${per((false, name)).min}%6.3f " +
+          f"on=${per((true, name)).min}%6.3f")
+      spark.stop()
+      return
+    }
+
     if (args.length >= 3 && args(1) == "rows") {
       classShuffle(args(2))
       val t0 = System.nanoTime()

@@ -2012,7 +2012,10 @@ object AuditOps {
                 max("c").as("bucket_max"),
                 expr("percentile(c, 0.99)").as("bucket_p99"),
                 sum(expr("c * (c - 1) div 2")).as("candidate_pairs"))
-            val a4 = TrainingOps.exactHashes(s, d).filter(col("h").isNotNull)
+            // r19: the promoted exact-hash kernel (shared with q27 and
+            // the incrementalVerdicts build) replaces this query's own
+            // regex-strip + md5 corpus pass
+            val a4 = TrainingOps.exactHashesK(s, d).filter(col("h").isNotNull)
               .agg(count(lit(1)).as("exact_docs"),
                 countDistinct(col("h")).as("exact_distinct"))
             (a1, a2, a3, a4)

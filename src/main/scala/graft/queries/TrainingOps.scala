@@ -262,6 +262,32 @@ object TrainingOps {
           .select(col("doc_id"), Hashing.simpleHash(col("text")).as("h"))
     }
 
+  /** [[exactHashes]] as a session kernel (r19 kernel promotion — the r18
+    * pattern applied to the exact tier): q27, q124's session a4 and the
+    * incrementalVerdicts build each ran the regex-strip + md5 pass over
+    * the full corpus text once per bench pass; one cached copy per
+    * session serves all three. Narrow frame (doc_id + 32-char hash);
+    * key carries the fpIndex seam like every promoted kernel (a
+    * seam-path frame must never serve the session path). Gated on
+    * `spark.graft.kernelCache` — off restores the pre-promotion
+    * per-consumer rebuild. ONE INDEX GENERATION PER SESSION (r18
+    * ADVICE, documented contract): all sharedIndex kernels keyed on
+    * `@idx=dir` assume the index under `dir` does not change for the
+    * session's lifetime; [[graft.sink.Sink]] write paths call
+    * `Caches.invalidateShared(dir)` so a session that appends/compacts
+    * mid-session drops the stale entries rather than serving them.
+    */
+  private[graft] def exactHashesK(s: SparkSession, d: String): DataFrame =
+    // spark.graft.exactKernel=false is the A/B seam (Profile kexactab):
+    // it disables ONLY this promotion (consumers fall back to their
+    // pre-r19 shapes) while the r18 kernels stay on — the arm
+    // difference prices exactly this change, nothing else
+    if (s.conf.getOption("spark.graft.exactKernel").contains("false"))
+      exactHashes(s, d)
+    else
+      graft.util.Caches.sharedIndexIf(s, s"exactHashes:$d" + fpKey(s))(
+        exactHashes(s, d))
+
   /** (doc_id, fp0, fp1) 120-bit media fingerprints — q125's per-payload
     * perceptual sketch, packed as two longs (r15 width; see
     * [[graft.multimodal.Multimodal.fingerprintOf]]). Session UDF pass by
@@ -470,7 +496,11 @@ object TrainingOps {
     * q124 reads the dfc table instead and this kernel goes unbuilt).
     */
   private[queries] def dfCounts(s: SparkSession, d: String): DataFrame =
-    graft.util.Caches.sharedIndex(s, s"dfCounts:$d" + fpKey(s))(
+    // sharedIndexIf, not sharedIndex (r19, an r18 ADVICE item): every
+    // r18-promoted kernel honors the spark.graft.kernelCache opt-out;
+    // this one was accidentally ungated, making "off = pre-r18
+    // behavior" inexact for q109/q124.
+    graft.util.Caches.sharedIndexIf(s, s"dfCounts:$d" + fpKey(s))(
       shinglePostings(s, d).groupBy("h1").agg(count(lit(1)).as("c")))
 
   private[queries] def pairIntersections(s: SparkSession, d: String): DataFrame =
@@ -691,8 +721,15 @@ object TrainingOps {
     // three consumers read this frame (exact-tier batch side,
     // standing side, final batch base) — persist it or the corpus
     // scan + md5 subplan runs once per consumer (the lmScores-inst
-    // discipline; r10, an ADVICE catch)
-    val hashed = graft.util.Caches.transientPersist(exactHashes(s, d))
+    // discipline; r10, an ADVICE catch). r19: ride the promoted
+    // session kernel when the kernel cache is on (q27/q124 share the
+    // same frame); the off-gate keeps the pre-r19 query-local persist
+    // so opting out restores the old memory footprint exactly.
+    val hashed =
+      if (s.conf.getOption("spark.graft.kernelCache").contains("false") ||
+          s.conf.getOption("spark.graft.exactKernel").contains("false"))
+        graft.util.Caches.transientPersist(exactHashes(s, d))
+      else exactHashesK(s, d)
     val isBatch = col("doc_id") % 10 === 0
     val exact = hashed.filter(isBatch)
       .join(hashed.filter(!isBatch)
@@ -1548,8 +1585,10 @@ object TrainingOps {
       // rides [[exactHashes]] (r13): session-kernel by default, the
       // persisted index's `exact` table under the X97 seam — standalone
       // exact dedup of a standing corpus is then a parquet group-by,
-      // zero text reads
-      (s, d) => exactHashes(s, d)
+      // zero text reads. r19: the promoted kernel ([[exactHashesK]]) —
+      // q124's a4 and the incrementalVerdicts build share the one
+      // corpus hash pass per session instead of re-running it.
+      (s, d) => exactHashesK(s, d)
         .groupBy("h")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
         .orderBy("keep_id"),

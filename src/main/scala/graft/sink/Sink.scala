@@ -473,6 +473,10 @@ object Sink {
     writeFpTables(docs, t => s"$path/.staging/$t")
     swapStagingIntoBase(docs.sparkSession, path)
     clearTombstones(docs.sparkSession, path, "writeFingerprints")
+    // one index generation per session (r19, an r18 ADVICE item): any
+    // session-lifetime kernel derived from this index predates the
+    // write — drop it rather than serve the superseded generation
+    graft.util.Caches.invalidateShared(path)
   }
 
   /** Fold every `batch=<tag>` partition into `batch=base` — one
@@ -559,6 +563,7 @@ object Sink {
     // batches have served their purpose (silently: this is the designed
     // fold, not a truth re-assertion); a batch landed mid-fold survives
     clearTombstones(spark, path, "", only = Some(delSnap))
+    graft.util.Caches.invalidateShared(path) // the writeFingerprints rule
   }
 
   /** Per-table physical layout: the probe-side join keys cluster the
@@ -649,6 +654,7 @@ object Sink {
     require(batch.matches("[A-Za-z0-9_-]+") && batch != "base",
       s"unsafe batch tag: $batch")
     writeFpTables(docs, t => s"$path/$t/batch=$batch")
+    graft.util.Caches.invalidateShared(path) // the writeFingerprints rule
   }
 
   private def writeFpTables(docs: DataFrame, dir: String => String): Unit = {
@@ -997,6 +1003,9 @@ object Sink {
     val stagingRoot = new org.apache.hadoop.fs.Path(s"$path/.deleted-staging")
     if (fs.exists(stagingRoot) && fs.listStatus(stagingRoot).isEmpty)
       fs.delete(stagingRoot, true)
+    // a takedown changes what every seam read serves — stale kernels
+    // keyed on this index must not outlive it (the writeFingerprints rule)
+    graft.util.Caches.invalidateShared(path)
   }
 
   /** Remove the tombstone table after a compaction folded it (or a
@@ -1597,6 +1606,7 @@ object Sink {
       s"$path/.staging/pairs")
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
     clearTombstones(spark, path, "writeVectorIndex")
+    graft.util.Caches.invalidateShared(path) // the writeFingerprints rule
   }
 
   /** Add a batch's vectors under its own `batch=<tag>` partition —
@@ -1639,6 +1649,7 @@ object Sink {
     writePairTable(
       graft.queries.TrainingOps.cellPairsDelta(spark, newVt, standing),
       s"$path/pairs/batch=$batch")
+    graft.util.Caches.invalidateShared(path) // the writeFingerprints rule
   }
 
   private def writeVecTable(emb: DataFrame, dir: String): Unit =
@@ -1695,6 +1706,7 @@ object Sink {
     } finally pin.foreach(_.df.unpersist(blocking = false))
     swapStagingIntoBase(spark, path, Seq("vectors", "pairs"))
     clearTombstones(spark, path, "", only = Some(delSnap))
+    graft.util.Caches.invalidateShared(path) // the writeFingerprints rule
   }
 
   /** ARTIFACT-level vector-index report (r15) — the companion of the

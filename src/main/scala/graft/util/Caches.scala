@@ -36,6 +36,45 @@ object Caches {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]()
 
+  // ---- kernel-cost attribution (r19, the verdict's ask #7) ------------
+  // Under the shared-kernel discipline a bench row is a MARGINAL cost:
+  // the first consumer in registry order constructs (and, at its timed
+  // action, materializes) every kernel it names; later consumers ride
+  // the cache. Bench labels the current consumer around each query and
+  // the rebuild branch below records which consumer paid each kernel's
+  // build, so the sidecar can carry a `kernels_paid_by` map and a future
+  // round cannot misread first-consumer attribution as a regression.
+  private val buildLog =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  @volatile private var currentConsumer: Option[String] = None
+
+  /** Label the consumer whose plan construction is running (Bench sets
+    * the query name around each `fn` call; None outside).
+    */
+  def setConsumer(name: Option[String]): Unit = currentConsumer = name
+
+  /** kernel name → the consumer that (re)built it, for `s`. Snapshot of
+    * the LAST (re)build of each kernel — under Bench's pass discipline
+    * that is the current pass's first consumer in registry order.
+    */
+  def kernelBuilds(s: SparkSession): Map[String, String] =
+    shared.synchronized {
+      Option(buildLog.get(s)).map(_.toMap).getOrElse(Map.empty)
+    }
+
+  private def logBuild(s: SparkSession, name: String): Unit =
+    currentConsumer.foreach { c =>
+      shared.synchronized {
+        var m = buildLog.get(s)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty[String, String]
+          buildLog.put(s, m)
+        }
+        m.put(name, c)
+      }
+    }
+
   /** Persist a query-internal intermediate and register it for
     * [[clearTransient]]. Use this instead of bare `.persist()` in query
     * code: self-unpersisting paths may still do so early (the registry
@@ -103,6 +142,35 @@ object Caches {
     if (s.conf.getOption("spark.graft.kernelCache").contains("false")) build
     else sharedIndex(s, name)(build)
 
+  /** Drop (and unpersist) every shared-index entry — in ANY session —
+    * whose key names the given index directory (the `@idx=dir` /
+    * `@vidx=dir` seam-key convention). Sink's index-mutating write
+    * paths call this (r19, closing an r18 ADVICE item): the promoted
+    * kernels are session-lifetime cached, so a long-lived session that
+    * appends/compacts/deletes against a named index mid-session must
+    * not keep serving verdict frames derived from the superseded
+    * generation. The dir string must match the seam conf's value
+    * byte-for-byte — the same equality [[graft.queries]] uses to build
+    * the key, so a hit here is exactly a kernel that read this index.
+    */
+  def invalidateShared(dir: String): Unit = shared.synchronized {
+    import scala.jdk.CollectionConverters._
+    val tags = Seq(s"@idx=$dir", s"@vidx=$dir")
+    // the dir must be the WHOLE seam value: a tag match must end the key
+    // or abut the next @-flag ("…@idx=/a/idx@scls"), else invalidating
+    // /a/idx would also hit /a/idx2 (prefix collision)
+    def hit(k: String): Boolean = tags.exists { t =>
+      val i = k.indexOf(t)
+      i >= 0 && { val j = i + t.length; j == k.length || k.charAt(j) == '@' }
+    }
+    shared.values.asScala.foreach { m =>
+      m.keys.filter(hit).foreach { k =>
+        m.remove(k).flatMap(r => Option(r.get))
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+  }
+
   def sharedIndex(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
     val perSession = shared.synchronized {
       var m = shared.get(s)
@@ -128,6 +196,7 @@ object Caches {
           // multi-pass regression the inner persists exist to prevent)
           val df = build.persist()
           perSession.put(name, new java.lang.ref.SoftReference(df))
+          logBuild(s, name)
           df
       }
     }

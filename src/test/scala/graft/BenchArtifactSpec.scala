@@ -54,6 +54,25 @@ class BenchArtifactSpec extends AnyFunSuite {
         "the driver captures only the last 2000; shorten names or the format")
   }
 
+  test("the contract JSON is the LAST stdout write in Bench.main (r19, the verdict's ask #8)") {
+    // PERF_r18 shipped comparison-free because the driver's parser reads
+    // the FINAL stdout line; nothing may print to stdout after the
+    // artifact. Spark/sbt log to stderr, so the one structural hazard is
+    // a println added below the artifact — pin the source shape: after
+    // the `println(out)` that emits the artifact, no further stdout
+    // write appears in main (only spark.stop()).
+    val src = {
+      val s = scala.io.Source.fromFile("src/main/scala/graft/Bench.scala", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val i = src.lastIndexOf("println(out)")
+    assert(i >= 0, "Bench.main no longer emits the artifact via println(out)")
+    val after = src.substring(i + "println(out)".length)
+    assert(!after.contains("println(") && !after.contains("System.out"),
+      "stdout write after the contract JSON — the driver parses the " +
+        s"final stdout line; move it above or to stderr:\n$after")
+  }
+
   test("window verdict bands (r18): quiet ≤×2, warm ×2–×3, loaded >×3; control_failed dominates; both ends count") {
     val ref = Seq(0.12, 1.30)
     def v(f: Seq[Double], l: Seq[Double], ok: Boolean = true) =

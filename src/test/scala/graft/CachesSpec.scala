@@ -58,4 +58,55 @@ class CachesSpec extends AnyFunSuite {
     assert(c.storageLevel != StorageLevel.NONE)
     c.unpersist()
   }
+
+  test("invalidateShared drops exactly the entries keyed on the written index dir") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-spec-idx-${System.nanoTime()}"
+    val hit = Caches.sharedIndex(spark, s"specK:x@idx=$dir")(
+      Seq(1L).toDF("k"))
+    val vhit = Caches.sharedIndex(spark, s"specK:y@vidx=$dir")(
+      Seq(2L).toDF("k"))
+    val miss = Caches.sharedIndex(spark, s"specK:z@idx=$dir-other")(
+      Seq(3L).toDF("k"))
+    hit.count(); vhit.count(); miss.count()
+    Caches.invalidateShared(dir)
+    // the two entries keyed on THIS dir are gone (unpersisted and
+    // forgotten — the next access rebuilds); the other-index entry and
+    // its cache survive
+    assert(hit.storageLevel == StorageLevel.NONE)
+    assert(vhit.storageLevel == StorageLevel.NONE)
+    assert(miss.storageLevel != StorageLevel.NONE)
+    var rebuilt = false
+    Caches.sharedIndex(spark, s"specK:x@idx=$dir") {
+      rebuilt = true; Seq(1L).toDF("k")
+    }
+    assert(rebuilt)
+    miss.unpersist()
+  }
+
+  test("exactHashesK: promoted kernel is cached, value-identical, and honors both gates") {
+    val d = TestSpark.sfDir
+    val raw = graft.queries.TrainingOps.exactHashes(spark, d)
+      .orderBy("doc_id").collect()
+    val k = graft.queries.TrainingOps.exactHashesK(spark, d)
+    k.count()
+    assert(k.storageLevel != StorageLevel.NONE, "promoted kernel not cached")
+    assert(k.orderBy("doc_id").collect().sameElements(raw))
+    // memoized: the second consumer gets the same frame
+    assert(graft.queries.TrainingOps.exactHashesK(spark, d) eq k)
+    // drop the kernel before probing the gates: storageLevel is
+    // PLAN-keyed (CacheManager canonical-plan match), so a still-cached
+    // kernel would make even the raw build read as cached
+    spark.sqlContext.clearCache()
+    // the A/B seam and the memory opt-out both restore the raw build
+    for (gate <- Seq("spark.graft.exactKernel", "spark.graft.kernelCache")) {
+      spark.conf.set(gate, "false")
+      try {
+        val off = graft.queries.TrainingOps.exactHashesK(spark, d)
+        assert(off.storageLevel == StorageLevel.NONE, s"$gate=false still cached")
+        assert(off.orderBy("doc_id").collect().sameElements(raw))
+      } finally spark.conf.unset(gate)
+    }
+    spark.sqlContext.clearCache()
+  }
 }
