@@ -332,6 +332,48 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> q119parts [passes]`: stage
+    // decomposition of the dupSpans kernel (q119/q120's dominant cost,
+    // the r19 verdict's ask #5) — generate+persist the positional
+    // triples, owners aggregation alone, the full kernel over warm
+    // triples, and the report aggregation over a warm kernel.
+    if (args.length >= 2 && args(1) == "q119parts") {
+      import org.apache.spark.sql.functions._
+      val passes = args.lift(2).map(_.toInt).getOrElse(3)
+      import graft.queries.AuditOps
+      def med(f: () => Unit): Double = {
+        val ts = (1 to passes).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val docs = graft.util.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+      def triBase = docs.selectExpr("doc_id", "posngrams(text, 8) AS (pos, g)")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          graft.functions.Hashing.md5Long(col("g")).as("h1"))
+      // warm JIT
+      noop(triBase)
+      println(f"[q119parts] triples noop (no persist)     ${med(() => noop(triBase))}%.3f s")
+      val tri = triBase.persist(); tri.count()
+      println(f"[q119parts] owners agg r18 (distinct+agg) ${med(() => noop(
+        tri.select("doc_id", "h1").distinct().groupBy("h1")
+          .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select("h1", "owner")))}%.3f s")
+      println(f"[q119parts] owners agg r19 (min/max)      ${med(() => noop(
+        tri.groupBy("h1")
+          .agg(min("doc_id").as("owner"), max("doc_id").as("mx"))
+          .filter(col("owner") =!= col("mx")).select("h1", "owner")))}%.3f s")
+      println(f"[q119parts] full kernel over warm triples ${med(() => noop(
+        AuditOps.dupSpansOver(spark, tri)))}%.3f s")
+      val spans = AuditOps.dupSpansOver(spark, tri).persist(); spans.count()
+      println(f"[q119parts] report agg over warm kernel   ${med(() => noop(
+        spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + lit(1L)).as("masked_tokens"))))}%.3f s")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> saltab [passes]`: the r14 hot-gram
     // mitigation's marginal-cost A/B on a HEALTHY corpus, interleaved in
     // one JVM (the shufab discipline) — salted (shipped) vs unsalted
