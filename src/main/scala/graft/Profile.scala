@@ -374,6 +374,77 @@ object Profile {
       return
     }
 
+    // `runMain graft.Profile <sfDir> q96gc [passes]`: the r18 q96
+    // session-inflation study (r19 verdict ask #3). q96's bench row ran
+    // ~0.4-0.6 s slower in the full suite than in a 4-query subset at
+    // identical posture; hypothesis: GC/cache-residency interplay with
+    // the ~60 cached session frames. This instrument reproduces the
+    // contrast IN ONE JVM: time q96 in a LEAN session (only its own
+    // kernels cached), then LOAD the session with the kernel-building
+    // consumer block (the frames a full pass leaves resident) and time
+    // it again — reading GC-MXBean time/collection deltas around the
+    // timed runs. A/B GC postures via SPARK_GRAFT_JAVA_OPTS around this
+    // verb (e.g. "-XX:+UseParallelGC"); the lean/loaded contrast inside
+    // one JVM is window-robust where full-suite pairs are not.
+    if (args.length >= 2 && args(1) == "q96gc") {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val passes = args.lift(2).map(_.toInt).getOrElse(5)
+      val q96 = SparkEntry.queries("q96_source_overlap")
+      def gcNow(): (Long, Long) = {
+        val bs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        (bs.map(_.getCollectionTime).sum, bs.map(_.getCollectionCount).sum)
+      }
+      def heapUsed(): Long =
+        ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+      def timedRuns(label: String): Unit = {
+        classShuffle("q96_source_overlap")
+        val (gt0, gc0) = gcNow()
+        val ts = (1 to passes).map { _ =>
+          graft.util.Caches.clearTransient()
+          val t0 = System.nanoTime(); noop(q96(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val (gt1, gc1) = gcNow()
+        println(f"[q96gc] $label%-6s min=${ts.min}%.3f runs " +
+          ts.map(v => f"$v%.3f").mkString(" ") +
+          f"  gc=${gt1 - gt0} ms/${gc1 - gc0} colls" +
+          f"  heap=${heapUsed() / (1 << 20)} MB")
+      }
+      val gcName = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getName).mkString("+")
+      println(s"[q96gc] collector: $gcName  heapMax=" +
+        s"${Runtime.getRuntime.maxMemory / (1 << 20)} MB")
+      // LEAN: only q96's own inputs cached (first run builds them)
+      noop(q96(spark, sfDir)) // JIT + kernel warm
+      timedRuns("lean")
+      // LOADED: materialize the session frames a full bench pass leaves
+      // resident (the kernel-building consumer block + big-cache rows)
+      val loaders = Seq("q27_dedup_exact", "q28_minhash_sig",
+        "q29_lsh_neardup", "q31_ngram_jaccard", "q36_quality_score",
+        "q51_dedup_clusters", "q52_bm25_rank", "q65_decontaminate",
+        "q69_vocab_topk", "q80_substring_runs", "q85_knn_graph",
+        "q86_lm_score", "q90_semantic_dedup", "q95_incremental_dedup",
+        "q100_gopher_rules", "q109_memorization_ngrams",
+        "q112_decontaminate_spans", "q118_incremental_semantic",
+        "q119_dupspan_report", "q121_batch_novelty", "q123_batch_triage",
+        "q124_index_stats", "q125_media_neardup", "q127_incremental_media")
+      loaders.foreach { n =>
+        graft.util.Caches.clearTransient()
+        classShuffle(n)
+        noop(SparkEntry.queries(n)(spark, sfDir))
+      }
+      graft.util.Caches.clearTransient()
+      timedRuns("loaded")
+      // and once more after dropping everything back to lean (rebuild):
+      // distinguishes "resident caches" from "JVM aged by the block"
+      spark.sqlContext.clearCache()
+      noop(q96(spark, sfDir))
+      timedRuns("relean")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.Profile <sfDir> saltab [passes]`: the r14 hot-gram
     // mitigation's marginal-cost A/B on a HEALTHY corpus, interleaved in
     // one JVM (the shufab discipline) — salted (shipped) vs unsalted
